@@ -1,0 +1,374 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Core relational operator inventory (SURVEY.md §2.2-§2.7) expressed as
+  * driver-checkable queries over the TESTDATA tables.
+  *
+  * Conventions (required by the driver's DuckDB-oracle hash compare):
+  *  - every aggregate / computed column is aliased identically in the
+  *    Spark code and the oracle SQL;
+  *  - floating-point aggregates are `round`-ed (sum→2dp, avg→4dp) so both
+  *    engines land on the same decimal despite different summation order;
+  *  - every result ends with a deterministic ORDER BY (full tie-break);
+  *  - raw nanosecond timestamps (events.ts) are never emitted — Spark
+  *    truncates parquet ns→µs while DuckDB keeps ns; we emit epoch_ms /
+  *    dates / extracted fields instead.
+  *
+  * Scale notes are on each query: the plan shape we want at 100 TB, not
+  * just what passes at sf0.01.
+  */
+object CoreQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A1: grouped rollup with filtered input (TPC-H Q1 shape).
+    // Scale: single shuffle on the group keys with map-side partial agg;
+    // shipdate predicate pushed to the parquet scan.
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // A1/A2: COUNT FILTER + COUNT(DISTINCT) per group
+    // (reference: bird_schema.sql:433-465 per-run rollup).
+    // Scale: countDistinct forces an expand+two-phase agg; fine on low-
+    // cardinality groups. approx_count_distinct is the 100 TB variant.
+    "q02_event_rollup" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          count(when(col("value") > 100, 1)).as("n_high"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // A12/O1: top-N by aggregate (errors-by-file shape → TakeOrdered).
+    "q03_top_customers" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("total_spend"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spend").desc, col("o_custkey"))
+        .limit(10)
+    },
+
+    // J1: the flat-view join chain (events ⋈ invocations analog), with
+    // every dimension broadcast — no shuffle for the dim sides at scale.
+    "q04_region_revenue" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val o  = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val c  = t(s, dir, "customer")
+      val n  = t(s, dir, "nation")
+      val r  = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // J2: LEFT join + status-from-nullness (attempts⟕outcomes analog,
+    // reference bird_schema.sql:371-406).
+    "q05_order_status" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val liAgg = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_items"))
+      o.join(liAgg, o("o_orderkey") === liAgg("l_orderkey"), "left")
+        .select(
+          col("o_orderkey"),
+          coalesce(col("n_items"), lit(0L)).as("n_items"),
+          when(col("n_items").isNull, "pending")
+            .when(col("n_items") >= 5, "large")
+            .otherwise("small").as("status"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J5: anti join (NOT EXISTS — "running attempts without an outcome",
+    // bird_schema.sql:640-652).
+    "q06_orders_no_items" -> { (s, dir) =>
+      val o  = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // J6: semi join (EXISTS).
+    "q07_customers_with_f_orders" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // J4: run-diff FULL OUTER with COALESCE both sides + delta
+    // (reference schema.sql:261-283 blq_diff).
+    "q08_event_diff" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(dayofmonth(col("ts")) <= 15)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_before"))
+      val b = ev.filter(dayofmonth(col("ts")) > 15)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_after"))
+      a.join(b, Seq("event_type"), "full_outer")
+        .select(
+          col("event_type"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          (coalesce(col("n_after"), lit(0L)) - coalesce(col("n_before"), lit(0L))).as("delta"))
+        .orderBy(col("event_type"))
+    },
+
+    // W2: latest-per-key (QUALIFY row_number()=1, schema.sql:94).
+    // Scale: shuffle on user_id only; per-partition sort, no global sort.
+    "q09_latest_event_per_user" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // W1: global run_serial numbering (bird_schema.sql:288-295). The one
+    // scale-hostile construct: ROW_NUMBER over a single partition. Kept
+    // here for parity; the store assigns serials at WRITE time instead
+    // (see graft.store.EventStore) so reads never need a global window.
+    "q10_run_serial" -> { (s, dir) =>
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), row_number().over(w).as("run_serial"))
+        .orderBy(col("event_id"))
+    },
+
+    // J9 as a window frame: grep-context — keep rows within ±2 rows of a
+    // match (bird_schema.sql:825-850), the idiomatic Spark form of the
+    // reference's EXISTS-BETWEEN join.
+    "q11_grep_context" -> { (s, dir) =>
+      val isMatch = when(col("event_type") === "error", 1).otherwise(0)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 2)
+      t(s, dir, "events")
+        .withColumn("is_match", isMatch)
+        .withColumn("near", max(col("is_match")).over(w))
+        .filter(col("near") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("is_match"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // A6: value_counts (query.py:471-484).
+    "q12_value_counts" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("lang"))
+    },
+
+    // W3: keep-newest-N prune — rows ranked past the keep horizon
+    // (storage.py:660-673).
+    "q13_prune_candidates" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 400)
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // U1: UNION ALL status board (bird_schema.sql:519-556).
+    "q14_union_status_board" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val completed = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("key"), lit("completed").as("status"))
+      val pending = o.filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey").as("key"), lit("pending").as("status"))
+      completed.unionByName(pending).orderBy(col("key"), col("status"))
+    },
+
+    // U2: fingerprint set difference (fixed = r1 − r2,
+    // services/query.py:392-397) — EXCEPT on the dedup key.
+    "q15_set_except" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "error" && dayofmonth(col("ts")) <= 15)
+        .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val b = ev.filter(col("event_type") === "error" && dayofmonth(col("ts")) > 15)
+        .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      a.except(b).orderBy(col("user_id"), col("k"))
+    },
+
+    // U2b: set intersection (unchanged = r1 ∩ r2).
+    "q16_set_intersect" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val a = ev.filter(col("event_type") === "error" && dayofmonth(col("ts")) <= 15)
+        .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val b = ev.filter(col("event_type") === "error" && dayofmonth(col("ts")) > 15)
+        .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      a.intersect(b).orderBy(col("user_id"), col("k"))
+    },
+
+    // A3/A8: grouped agg + HAVING (tool/category summary shape).
+    "q17_supplier_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .filter(col("n") > 600)
+        .orderBy(col("l_suppkey"))
+    },
+
+    // A10: ordered list aggregation (to_json(list(...)) analog, made
+    // deterministic: sorted distinct set → csv string).
+    "q18_user_event_sets" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"))
+        .orderBy(col("user_id"))
+    },
+
+    // A4: GROUP BY ALL (bird_schema.sql:862-888).
+    "q19_group_by_all" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // A7: representative row per group (ANY_VALUE → deterministic min).
+    "q20_example_per_type" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(min(col("event_id")).as("example_event"),
+          max(col("event_id")).as("latest_event"))
+        .orderBy(col("event_type"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_event_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        | count(*) FILTER (WHERE value > 100) AS n_high,
+        | count(DISTINCT user_id) AS n_users, round(sum(value),2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q03_top_customers" ->
+      """SELECT o_custkey, round(sum(o_totalprice),2) AS total_spend, count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
+    "q04_region_revenue" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_order_status" ->
+      """SELECT o_orderkey, coalesce(n_items, 0) AS n_items,
+        | CASE WHEN n_items IS NULL THEN 'pending'
+        |      WHEN n_items >= 5 THEN 'large' ELSE 'small' END AS status
+        |FROM orders LEFT JOIN (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+        |) li ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q06_orders_no_items" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q07_customers_with_f_orders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_event_diff" ->
+      """WITH a AS (SELECT event_type, count(*) AS n_before FROM events
+        |           WHERE extract(day FROM ts) <= 15 GROUP BY event_type),
+        |     b AS (SELECT event_type, count(*) AS n_after FROM events
+        |           WHERE extract(day FROM ts) > 15 GROUP BY event_type)
+        |SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        | coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after,
+        | coalesce(n_after, 0) - coalesce(n_before, 0) AS delta
+        |FROM a FULL OUTER JOIN b ON a.event_type = b.event_type
+        |ORDER BY event_type""".stripMargin,
+    "q09_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q10_run_serial" ->
+      """SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS run_serial
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q11_grep_context" ->
+      """SELECT user_id, event_id, event_type, is_match FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_match,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS near
+        |  FROM events) sub
+        |WHERE near = 1 ORDER BY user_id, event_id""".stripMargin,
+    "q12_value_counts" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang",
+    "q13_prune_candidates" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) sub
+        |WHERE rn > 400 ORDER BY user_id, event_id""".stripMargin,
+    "q14_union_status_board" ->
+      """SELECT o_orderkey AS key, 'completed' AS status FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey AS key, 'pending' AS status FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY key, status""".stripMargin,
+    "q15_set_except" ->
+      """SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE event_type = 'error' AND extract(day FROM ts) <= 15
+        |EXCEPT
+        |SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE event_type = 'error' AND extract(day FROM ts) > 15
+        |ORDER BY user_id, k""".stripMargin,
+    "q16_set_intersect" ->
+      """SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE event_type = 'error' AND extract(day FROM ts) <= 15
+        |INTERSECT
+        |SELECT user_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events WHERE event_type = 'error' AND extract(day FROM ts) > 15
+        |ORDER BY user_id, k""".stripMargin,
+    "q17_supplier_summary" ->
+      """SELECT l_suppkey, count(*) AS n, round(sum(l_quantity),2) AS qty
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 600 ORDER BY l_suppkey""".stripMargin,
+    "q18_user_event_sets" ->
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q19_group_by_all" ->
+      """SELECT lang, source, count(*) AS n, round(avg(n_chars),4) AS avg_chars
+        |FROM documents GROUP BY ALL ORDER BY lang, source""".stripMargin,
+    "q20_example_per_type" ->
+      """SELECT event_type, min(event_id) AS example_event, max(event_id) AS latest_event
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
