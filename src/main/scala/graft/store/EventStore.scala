@@ -1,0 +1,111 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** Append-only partitioned-Parquet storage — the Spark-native shape of
+  * the reference's "legacy" parquet mode (SURVEY.md §1.1: `.bird/logs/`
+  * with `date=…/source=…` hive partitions, schema.sql:4-13,
+  * core.py:1926-2012), which we adopt as the PRIMARY store: at 100 TB a
+  * single-writer DuckDB file is not an option, an append-only
+  * partitioned table is.
+  *
+  * Layout:
+  * {{{
+  *   root/invocations/date=YYYY-MM-DD/…       (small dimension)
+  *   root/events/date=YYYY-MM-DD/source_type=…/…  (big fact)
+  *   root/attempts/date=…, root/outcomes/date=…   (lifecycle streams)
+  * }}}
+  *
+  * Scale design:
+  *  - zstd compression (reference writes zstd level 3, core.py:2008);
+  *  - `date` (+ `source_type` for events) partition columns → partition
+  *    pruning for every recency/source predicate;
+  *  - `run_serial` is persisted at write time (single writer per store,
+  *    like the reference's lock-guarded get_next_run_number) so no read
+  *    path ever needs a global ROW_NUMBER window (§7.4 risk 1);
+  *  - schema drift tolerated on read via mergeSchema
+  *    (= union_by_name=true, schema.sql:51).
+  */
+class EventStore(val spark: SparkSession, val root: String) {
+  import spark.implicits._
+
+  private def path(table: String) = s"$root/$table"
+
+  private def writer[T](ds: Dataset[T], cols: Seq[String]) =
+    ds.write.mode(SaveMode.Append)
+      .option("compression", "zstd")
+      .partitionBy(cols: _*)
+
+  // ---- write path (S9/S10) -------------------------------------------
+
+  def appendAttempts(attempts: Seq[Attempt]): Unit =
+    writer(attempts.toDS(), Seq("date")).parquet(path("attempts"))
+
+  def appendOutcomes(outcomes: Seq[Outcome]): Unit =
+    writer(outcomes.toDS(), Seq("date")).parquet(path("outcomes"))
+
+  /** Write one completed run: its invocation row + parsed events.
+    * Caller assigns run_serial via [[nextRunSerial]]. */
+  def appendRun(inv: Invocation, events: Seq[Event]): Unit = {
+    writer(Seq(inv).toDS(), Seq("date")).parquet(path("invocations"))
+    if (events.nonEmpty)
+      writer(events.toDS(), Seq("date")).parquet(path("events"))
+  }
+
+  /** Bulk event append for already-built DataFrames (import path). */
+  def appendEvents(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).option("compression", "zstd")
+      .partitionBy("date").parquet(path("events"))
+
+  /** Next run serial. Single-writer discipline (reference holds a DB
+    * lock, bird.py:36-99; here one Spark driver owns a store root).
+    * Reads only the tiny invocations dimension. */
+  def nextRunSerial(): Long =
+    if (!exists("invocations")) 1L
+    else invocations.agg(max($"run_serial")).as[Option[Long]].first().getOrElse(0L) + 1L
+
+  // ---- read path (S1/S3) ---------------------------------------------
+
+  private def exists(table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p)
+  }
+
+  private def read(table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(table))
+
+  private def emptyDs[T: org.apache.spark.sql.Encoder]: DataFrame =
+    spark.emptyDataset[T].toDF()
+
+  def attempts: DataFrame =
+    if (exists("attempts")) read("attempts") else emptyDs[Attempt]
+  def outcomes: DataFrame =
+    if (exists("outcomes")) read("outcomes") else emptyDs[Outcome]
+  def invocations: DataFrame =
+    if (exists("invocations")) read("invocations") else emptyDs[Invocation]
+  def events: DataFrame =
+    if (exists("events")) read("events") else emptyDs[Event]
+
+  // ---- maintenance (W3/T4 analogs) -----------------------------------
+
+  /** Partitions older than `days` (prune-by-age; storage.py:624-714).
+    * Returns the partition directories that a maintenance job would
+    * delete — pruning is a partition-level operation, never row DELETEs
+    * (plain parquet has no row deletes; SURVEY.md §7.4 risk 3). */
+  def prunablePartitions(table: String, days: Int): Seq[String] = {
+    val cutoff = java.time.LocalDate.now().minusDays(days.toLong)
+    val p = new org.apache.hadoop.fs.Path(path(table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("date="))
+      .filter { d =>
+        java.time.LocalDate.parse(d.getName.stripPrefix("date=")).isBefore(cutoff)
+      }
+      .map(_.toString)
+  }
+}
