@@ -1,0 +1,67 @@
+package graft.parse
+
+/** Format registry + auto-detect (S6) + command-pattern hints, mirroring
+  * the reference's dispatch behavior (core.py:2020-2102: comma-separated
+  * hints tried in order, fall back to auto; core.py:974-1076: command
+  * substring → format hint, longest pattern wins).
+  */
+object FormatRegistry extends Serializable {
+
+  /** Specific formats first; GenericParser is the damped fallback. */
+  val parsers: Seq[LogParser] = Seq(
+    GccParser, MypyParser, PytestParser, EslintParser, CargoParser,
+    MakeParser, GenericParser)
+
+  private val byFormat: Map[String, LogParser] =
+    parsers.map(p => p.format -> p).toMap
+
+  def apply(format: String): Option[LogParser] = byFormat.get(format)
+
+  /** Auto-detect: sample lines, score every parser, take the max
+    * (reference behavior: duck_hunt 'auto'; S6 "detection by sampling
+    * first N lines per format matcher"). Returns None when nothing
+    * scores > 0 — caller emits zero events, no crash. */
+  def detect(content: String, sampleLines: Int = 200): Option[LogParser] = {
+    val lines = content.linesIterator.take(sampleLines).toArray
+    val scored = parsers.map(p => p -> p.sniff(lines)).filter(_._2 > 0)
+    if (scored.isEmpty) None else Some(scored.maxBy(_._2)._1)
+  }
+
+  /** Parse with a comma-separated format hint; each tried in order, the
+    * first that yields events wins; "auto" (or total failure) detects.
+    * Mirrors parse_log_content (core.py:2037-2102). */
+  def parse(content: String, formatHint: String = "auto"): Seq[ParsedEvent] = {
+    val hints = formatHint.split(",").map(_.trim).filter(_.nonEmpty)
+    hints.filter(_ != "auto").iterator
+      .flatMap(f => byFormat.get(f))
+      .map(_.parse(content))
+      .collectFirst { case evs if evs.nonEmpty => evs }
+      // all explicit hints failed to produce events → auto-detect
+      // (reference falls back to 'auto' on parse failure)
+      .getOrElse(detect(content).map(_.parse(content)).getOrElse(Seq.empty))
+  }
+
+  /** Command string → format hint (core.py:974-1076 semantics: substring
+    * match, longest pattern first, "auto" when unknown). */
+  val commandHints: Map[String, String] = Map(
+    "pytest" -> "pytest_text",
+    "python -m pytest" -> "pytest_text",
+    "mypy" -> "mypy_text",
+    "gcc" -> "gcc_text",
+    "g++" -> "gcc_text",
+    "clang" -> "gcc_text",
+    "cc " -> "gcc_text",
+    "cargo build" -> "cargo_build",
+    "cargo check" -> "cargo_build",
+    "eslint" -> "eslint_text",
+    "make" -> "make_error",
+    "ruff" -> "generic_lint",
+    "flake8" -> "generic_lint")
+
+  def detectFormatFromCommand(cmd: String): String = {
+    val lower = cmd.toLowerCase
+    commandHints.keys.toSeq.sortBy(-_.length)
+      .collectFirst { case p if lower.contains(p) => commandHints(p) }
+      .getOrElse("auto")
+  }
+}

@@ -54,10 +54,19 @@ class EventStore(val spark: SparkSession, val root: String) {
       writer(events.toDS(), Seq("date")).parquet(path("events"))
   }
 
-  /** Bulk event append for already-built DataFrames (import path). */
-  def appendEvents(df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).option("compression", "zstd")
-      .partitionBy("date").parquet(path("events"))
+  /** Bulk event append for already-built DataFrames (import path).
+    * Input is aligned to the canonical Event schema — missing columns
+    * become typed nulls, present ones are cast — so an ad-hoc frame
+    * (e.g. a VOID-typed null literal) can never poison the store's
+    * parquet schema. */
+  def appendEvents(df: DataFrame): Unit = {
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    val aligned = df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    writer(aligned.as[Event], Seq("date")).parquet(path("events"))
+  }
 
   /** Next run serial. Single-writer discipline (reference holds a DB
     * lock, bird.py:36-99; here one Spark driver owns a store root).

@@ -19,5 +19,29 @@ object Drive extends App {
   spark.sql("SELECT ref, severity, location, message FROM blq_events WHERE severity='error' ORDER BY started_at DESC, event_index LIMIT 10").show(false)
   println("== source status board ==")
   spark.sql("SELECT source_name, status FROM blq_source_status ORDER BY source_name").show(false)
+
+  // SURVEY §7.2 end-to-end slice: parse gcc log → partitioned parquet →
+  // blq_errors(10) through the SQL surface.
+  println("== parse gcc log -> store -> errors ==")
+  val logDir = "src/test/resources/logs"
+  val parsed = graft.parse.LogSource.readLogFiles(spark, s"$logDir/gcc_errors.log", "auto")
+  val serial = store.nextRunSerial()
+  val inv = graft.Fixtures.inv("i-gcc", serial, Some("compile"), "2026-08-03 09:00:00", Some(1), date = java.sql.Date.valueOf("2026-08-03"))
+  import org.apache.spark.sql.functions._
+  val events = parsed.select(
+    concat(lit("i-gcc-e"), col("event_index")).as("id"),
+    lit("i-gcc").as("invocation_id"), col("event_index"),
+    lit(java.sql.Timestamp.valueOf("2026-08-03 09:00:00")).as("timestamp"),
+    col("severity"), col("message"), col("raw_text"), col("tool_name"),
+    col("category"), col("code"), col("rule"), col("test_name"),
+    col("ref_file"), col("ref_line"), col("ref_column"), col("fingerprint"),
+    col("log_line_start"), col("log_line_end"),
+    lit(null.asInstanceOf[String]).as("context"),
+    lit(null.asInstanceOf[String]).as("metadata"),
+    lit(java.sql.Date.valueOf("2026-08-03")).as("date"))
+  store.appendRun(inv, Seq.empty)
+  store.appendEvents(events)
+  Views.registerAll(store)
+  spark.sql("SELECT ref, location, message FROM blq_events WHERE severity='error' AND tool_name='gcc' ORDER BY event_index LIMIT 10").show(false)
   spark.stop()
 }
