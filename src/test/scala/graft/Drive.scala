@@ -43,5 +43,14 @@ object Drive extends App {
   store.appendEvents(events)
   Views.registerAll(store)
   spark.sql("SELECT ref, location, message FROM blq_events WHERE severity='error' AND tool_name='gcc' ORDER BY event_index LIMIT 10").show(false)
+
+  // Fluent API + CLI filter mini-language surface.
+  println("== fluent: errors in util files, newest line first ==")
+  graft.api.LogQuery(Views.eventsFlat(store))
+    .filter("severity" -> "error", "ref_file" -> "%util%")
+    .orderBy("-ref_line").select("ref", "location", "message").limit(5).show()
+  println("== filter lang: 'severity=error,warning ref_file~main' ==")
+  val cond = graft.api.FilterLang.parseAll(Seq("severity=error,warning", "ref_file~main")).get
+  Views.eventsFlat(store).filter(cond).select("ref", "severity", "location").show(false)
   spark.stop()
 }
