@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the scale path
+  * is sign-bucketed LSH (axis hyperplanes) — candidates only within a
+  * bucket, so the per-query candidate set shrinks ~2^bits× and the
+  * bucket key is a shuffle-friendly short string. An IVF upgrade (learn
+  * centroids, probe nearest cells) keeps the same query shape: replace
+  * `signBucket` with an assigned centroid id.
+  *
+  * All arithmetic is float→double widening then sequential fold, which
+  * matches DuckDB's `list_dot_product` over `::DOUBLE[]` exactly
+  * (element order is list order in both engines), so results have exact
+  * SQL oracles. Ranking ties are broken on rounded cosine + id so both
+  * engines agree at the top-k boundary.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** vec frame with the embedding widened to double + its norm. */
+  def prepared(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** Brute-force cosine top-k: every query row against every candidate
+    * row. The candidate side is broadcast when small; at scale this is
+    * the quality baseline you sample, not the serving path. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = candidates.select(col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Axis-hyperplane sign bucket over the first `bits` dimensions: a
+    * crude but deterministic LSH family (random-hyperplane LSH with
+    * fixed basis vectors). */
+  def signBucket(v: Column, bits: Int): Column =
+    concat((0 until bits).map(i =>
+      when(element_at(v, i + 1) >= 0, "1").otherwise("0")): _*)
+
+  /** LSH-bucketed ANN: queries only score candidates in their own sign
+    * bucket. Recall < 1 by construction; the scale win is that the join
+    * is an equi-join on the bucket key (shuffle-partitionable) instead
+    * of a cross join. */
+  def lshTopK(embs: DataFrame, queryIds: Column => Column, k: Int, bits: Int): DataFrame = {
+    val p = prepared(embs).withColumn("bucket", signBucket(col("v"), bits))
+    val q = p.filter(queryIds(col("vec_id")))
+      .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = p.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
+    * threshold). Uses sign-bucket blocking when `bucketBits > 0`
+    * (scale path), or all-pairs when 0 (exact baseline). */
+  def cosineNearDupPairs(embs: DataFrame, threshold: Double, bucketBits: Int = 0): DataFrame = {
+    val p = prepared(embs)
+    val (a, b) =
+      if (bucketBits > 0) {
+        val pb = p.withColumn("bucket", signBucket(col("v"), bucketBits))
+        (pb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
+          pb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")))
+      } else
+        (p.select(lit(0).as("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
+          p.select(lit(0).as("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+}

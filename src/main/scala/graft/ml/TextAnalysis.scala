@@ -1,0 +1,95 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting. Pure codegen'd
+  * column expressions — no UDFs — so every score is pushdown-friendly
+  * and has an exact SQL oracle.
+  */
+object TextAnalysis {
+
+  /** Marker-word profiles for the n-gram-heuristic language detector.
+    * Integer hit counts (not tf-idf floats) so cross-engine comparison
+    * is exact. Small by design: a real profile set would be loaded as a
+    * broadcast dimension table with the same query shape. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "ist", "nicht"),
+    "es" -> Seq("el", "de", "la", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai"))
+
+  /** Count of whole-word occurrences of `word` in text. */
+  def wordHits(text: Column, word: String): Column =
+    size(regexp_extract_all(text, lit("\\b" + word + "\\b"), lit(0)))
+
+  /** Per-language marker score columns: lang -> integer score. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langProfiles.map { case (lang, words) =>
+      lang -> words.map(w => wordHits(text, w)).reduce(_ + _)
+    }
+
+  /** Predicted language: argmax of marker scores, ties broken by
+    * profile order (en first). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), alt) =>
+      when(s === best && s > 0, lang).otherwise(alt)
+    }
+  }
+
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword count: alpha runs + digit runs + individual
+    * punctuation, the pre-tokenization split every BPE vocab shares. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(split(text, " ")))
+
+  /** Heuristic quality score in [0,1]: length band + type-token ratio +
+    * stopword presence + punctuation sanity. Deterministic double
+    * arithmetic, rounded at the edge. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text)
+    val nToks = wsTokenCount(text)
+    val ttr = distinctTokenCount(text).cast("double") / nToks
+    val stopHits = Seq("the", "a", "of", "is", "and")
+      .map(w => wordHits(text, w)).reduce(_ + _)
+    val stopRatio = stopHits.cast("double") / nToks
+    val punctCount = size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0)))
+    val punctRatio = punctCount.cast("double") / nChars
+    val lenScore = when(nChars >= 200 && nChars <= 2000, 1.0)
+      .when(nChars >= 50, 0.5).otherwise(0.0)
+    val score = lenScore * 0.3 +
+      least(ttr * lit(2.0), lit(1.0)) * 0.3 +
+      least(stopRatio * lit(5.0), lit(1.0)) * 0.2 +
+      (lit(1.0) - least(punctRatio * lit(10.0), lit(1.0))) * 0.2
+    round(score, 4)
+  }
+
+  /** Winnowing-style document fingerprint: the minimum salted-md5 over
+    * the doc's n-gram shingles — robust to local edits (a changed
+    * shingle only changes the fingerprint if it was the minimum), the
+    * same selection rule as winnowing with window = document. */
+  def docFingerprint(docs: DataFrame, n: Int): DataFrame =
+    TextDedup.shingleTable(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("shingle"))).as("fingerprint"),
+        count(lit(1)).as("n_shingles"))
+
+  /** Full per-document text profile. */
+  def profile(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(col("doc_id"),
+      langId(t).as("pred_lang"),
+      wsTokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_subwords"),
+      distinctTokenCount(t).as("n_distinct"),
+      qualityScore(t).as("quality"))
+  }
+}

@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.ml.{Similarity, TextAnalysis, TextDedup}
+
+/** Training-data pipeline operators (dedup, similarity search, text
+  * analysis, multimodal plumbing) as driver-checkable queries with
+  * exact DuckDB oracles. Library implementations live in [[graft.ml]];
+  * this file binds them to the TESTDATA tables and mirrors each
+  * computation as oracle SQL.
+  *
+  * Every hash primitive is md5-based (identical in both engines), all
+  * float emission is rounded, all ranking ties are broken on rounded
+  * values + ids — so the driver's hash-compare is exact, not "close".
+  */
+object PipelineQueries {
+
+  // ---------------------------------------------------------------- Spark
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup via hash-groupBy (one shuffle, no pairs). Key = first
+    // two tokens — a boilerplate/prefix dedup that actually collapses
+    // groups on this corpus; swap the key expression for md5(text) to
+    // get full-content dedup with the identical plan.
+    "q30_exact_dedup" -> { (s, dir) =>
+      val key = concat_ws(" ", slice(split(col("text"), " "), 1, 2))
+      TextDedup.exactDuplicates(t(s, dir, "documents"), key)
+        .filter(col("group_size") > 1)
+        .select(col("content_hash"), col("keep_id"), col("group_size"),
+          concat_ws(",", transform(col("members"), m => m.cast("string"))).as("members"))
+        .orderBy(col("content_hash"))
+    },
+
+    // Pairwise 3-gram Jaccard near-dup via inverted index with
+    // stop-shingle df cap — the direct baseline MinHash approximates.
+    "q31_ngram_jaccard" -> { (s, dir) =>
+      TextDedup.jaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.3, dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // MinHash(12) + LSH(4 bands × 3 rows) candidate generation,
+    // verified with true Jaccard — the 100 TB dedup path: candidate
+    // cost is O(docs·bands), never O(docs²).
+    "q32_minhash_lsh" -> { (s, dir) =>
+      TextDedup.minhashLshPairs(t(s, dir, "documents"), n = 3, k = 12,
+        bands = 4, threshold = 0.3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // 32-bit SimHash signature per document (bit-string form).
+    "q33_simhash" -> { (s, dir) =>
+      TextDedup.simhashSignatures(t(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup pairs: bucket on the 8-bit signature prefix,
+    // hamming <= 8 within bucket.
+    "q34_simhash_pairs" -> { (s, dir) =>
+      TextDedup.simhashPairs(t(s, dir, "documents"), prefixBits = 8, maxHamming = 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    // cosineNearDupPairs(bucketBits>0) is the blocked scale path).
+    "q35_embedding_neardup" -> { (s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // Brute-force cosine top-5 for 10 query vectors — the ANN quality
+    // baseline.
+    "q36_ann_brute" -> { (s, dir) =>
+      val p = Similarity.prepared(t(s, dir, "embeddings"))
+      Similarity.bruteForceTopK(p.filter(col("vec_id") < 10), p, k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Sign-bucketed LSH ANN: candidates only within the 4-bit sign
+    // bucket — the equi-join scale path (recall<1 by construction).
+    "q37_ann_lsh" -> { (s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), q => q < 10, k = 3, bits = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Language ID: marker-word n-gram heuristic (integer scores,
+    // deterministic argmax).
+    "q38_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring + token counting profile.
+    "q39_text_profile" -> { (s, dir) =>
+      TextAnalysis.profile(t(s, dir, "documents")).drop("pred_lang")
+        .orderBy(col("doc_id"))
+    },
+
+    // Winnowing-style document fingerprint (min shingle hash).
+    "q40_doc_fingerprint" -> { (s, dir) =>
+      TextAnalysis.docFingerprint(t(s, dir, "documents"), n = 3)
+        .orderBy(col("doc_id"))
+    },
+
+    // J8: non-equi range (interval) join — quantity bands from the
+    // nation dimension; broadcast-BNL, the right physical shape when
+    // the interval side is small.
+    "q41_range_join" -> { (s, dir) =>
+      val n = t(s, dir, "nation")
+        .select(col("n_name"), (col("n_nationkey") * 2 + 1).as("lo"),
+          (col("n_nationkey") * 2 + 2).as("hi"))
+      t(s, dir, "lineitem")
+        .join(broadcast(n), col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("n_name"))
+    },
+
+    // ROLLUP hierarchy totals (Spark built-in; extension beyond the
+    // reference's GROUP BY surface).
+    "q42_rollup" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"), col("n"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // Multimodal plumbing: opaque binary column + typed metadata. The
+    // decode itself is stubbed (graft.ml.Multimodal); this query proves
+    // the binary-column path: utf8 encode → byte length, content hash,
+    // deterministic derived dimensions.
+    "q43_binary_meta" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("octet_length(text)").as("n_bytes"),
+          md5(col("text")).as("content_hash"))
+        .withColumn("width", lit(64) + col("n_bytes") % 512)
+        .withColumn("height", lit(64) + (col("n_bytes") * 7) % 512)
+        .withColumn("n_frames", col("n_bytes") % 16)
+        .orderBy(col("doc_id"))
+    })
+
+  // ------------------------------------------------------------- oracles
+
+  /** DISTINCT (doc_id, shingle) 3-gram CTE body over `documents`. */
+  private val shingleCte: String =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s AS shingle FROM (
+      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+      |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))""".stripMargin
+
+  /** 32-bit simhash CTE chain ending in sig(doc_id, simhash). */
+  private val simhashCte: String = {
+    val dCols = (0 until 8)
+      .map(c => s"instr('0123456789abcdef', substr(h, ${c + 1}, 1)) - 1 AS d$c")
+      .mkString(", ")
+    val sums = (0 until 32).map { i =>
+      val c = i / 4; val k = i % 4
+      s"sum(((d$c >> $k) & 1) * 2 - 1) AS s$i"
+    }.mkString(", ")
+    val bits = (0 until 32)
+      .map(i => s"CASE WHEN s$i > 0 THEN '1' ELSE '0' END")
+      .mkString(" || ")
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hh AS (SELECT doc_id, md5(tok) AS h FROM toks),
+       |dd AS (SELECT doc_id, $dCols FROM hh),
+       |ss AS (SELECT doc_id, $sums FROM dd GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $bits AS simhash FROM ss)""".stripMargin
+  }
+
+  /** Prepared embeddings CTE: e(vec_id, v DOUBLE[], nrm). */
+  private val embCte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+      |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def langScoreSql(words: Seq[String]): String =
+    words.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' ')) AS content_hash,
+        | min(doc_id) AS keep_id, count(*) AS group_size,
+        | array_to_string(list_sort(list(doc_id)), ',') AS members
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q32_minhash_lsh" -> {
+      val mhs = (0 until 12).map(j => s"min(md5('$j|' || shingle)) AS mh$j").mkString(", ")
+      val bandSelects = (0 until 4).map { b =>
+        val ks = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || ")
+        s"SELECT doc_id, $b AS band, md5($ks) AS key FROM sigs"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingleCte,
+         |sigs AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+         |   AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+         |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+         |   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT s.doc_a, s.doc_b,
+         | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+         |FROM shared s JOIN sizes sa ON s.doc_a = sa.doc_id
+         | JOIN sizes sb ON s.doc_b = sb.doc_id
+         |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q33_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q34_simhash_pairs" -> {
+      val ham = (1 to 32)
+        .map(i => s"(CASE WHEN substr(a.simhash, $i, 1) != substr(b.simhash, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $simhashCte,
+         |bs AS (SELECT doc_id, simhash, substr(simhash, 1, 8) AS bucket FROM sig)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $ham AS hamming
+         |FROM bs a JOIN bs b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE $ham <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q35_embedding_neardup" ->
+      s"""WITH $embCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q36_ann_brute" ->
+      s"""WITH $embCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q37_ann_lsh" -> {
+      val bucket = (1 to 4)
+        .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |  $bucket AS bucket FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+         |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q38_lang_id" -> {
+      val scores = TextAnalysis.langProfiles
+        .map { case (l, ws) => s"${langScoreSql(ws)} AS s_$l" }.mkString(",\n ")
+      val langs = TextAnalysis.langProfiles.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs
+        .map(l => s"WHEN s_$l = $best AND s_$l > 0 THEN '$l'").mkString(" ")
+      s"""WITH scored AS (SELECT doc_id, lang,
+         | $scores
+         |FROM documents)
+         |SELECT doc_id, lang, CASE $cases ELSE 'und' END AS pred_lang
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q39_text_profile" -> {
+      val stop = langScoreSql(Seq("the", "a", "of", "is", "and"))
+      s"""SELECT doc_id,
+         | len(string_split(text, ' ')) AS n_tokens,
+         | len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_subwords,
+         | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         | round(
+         |  (CASE WHEN length(text) >= 200 AND length(text) <= 2000 THEN 1.0
+         |        WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+         |  + least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) * 2.0, 1.0) * 0.3
+         |  + least(CAST($stop AS DOUBLE) / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2
+         |  + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+         |      / length(text) * 10.0, 1.0)) * 0.2, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q40_doc_fingerprint" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q41_range_join" ->
+      """SELECT n_name, count(*) AS n_items, round(sum(l_quantity), 2) AS qty
+        |FROM nation JOIN lineitem
+        | ON l_quantity >= n_nationkey * 2 + 1 AND l_quantity <= n_nationkey * 2 + 2
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q42_rollup" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        | count(*) AS n
+        |FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source""".stripMargin,
+
+    "q43_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,
+        | 64 + octet_length(encode(text)) % 512 AS width,
+        | 64 + (octet_length(encode(text)) * 7) % 512 AS height,
+        | octet_length(encode(text)) % 16 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
