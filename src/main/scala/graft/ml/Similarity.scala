@@ -29,10 +29,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** vec frame with the embedding widened to double + its norm. */
+  /** vec frame with the embedding widened to double + its norm.
+    * Repartitioned: embedding tables often arrive as a handful of input
+    * splits, and everything downstream (pair scoring) is CPU-bound —
+    * parallelism must be established here. */
   def prepared(embs: DataFrame): DataFrame =
-    embs.select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    embs.repartition(embs.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
 
   /** Brute-force cosine top-k: every query row against every candidate
@@ -82,15 +86,23 @@ object Similarity {
     * (scale path), or all-pairs when 0 (exact baseline). */
   def cosineNearDupPairs(embs: DataFrame, threshold: Double, bucketBits: Int = 0): DataFrame = {
     val p = prepared(embs)
-    val (a, b) =
+    val joined =
       if (bucketBits > 0) {
+        // Scale path: equi-join on the bucket key — partitions by bucket.
         val pb = p.withColumn("bucket", signBucket(col("v"), bucketBits))
-        (pb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
-          pb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")))
-      } else
-        (p.select(lit(0).as("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")),
-          p.select(lit(0).as("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")))
-    a.join(b, Seq("bucket"))
+        val a = pb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = pb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.join(b, Seq("bucket"))
+      } else {
+        // Exact baseline: broadcast-nested-loop cross join — every
+        // partition streams against the broadcast side, keeping all
+        // cores busy (a constant-key equi-join would shuffle the whole
+        // pair space onto one partition).
+        val a = p.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = p.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+        a.crossJoin(broadcast(b))
+      }
+    joined
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(round(col("cos"), 6) >= threshold)

@@ -43,9 +43,14 @@ object TextDedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** (doc_id, shingle) exploded, distinct. Input must have doc_id, text. */
+  /** (doc_id, shingle) exploded, distinct. Input must have doc_id, text.
+    * Repartitions the corpus first: document tables often arrive as few
+    * large files (one input split each), and the shingle explode + hash
+    * work downstream is the expensive part — spread it across all cores
+    * BEFORE it fans out, or everything runs on one task. */
   def shingleTable(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
 
   /** Exact duplicate groups: docs keyed by content hash; `keep_id` is
     * the canonical (minimum) doc of each group. One shuffle, no pairs —
@@ -64,12 +69,17 @@ object TextDedup {
     * over the rare-shingle subspace. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       dfCap: Int = 50): DataFrame = {
+    // The exploded shingle table feeds three consumers (df counts, set
+    // sizes, both join sides); persist so the text is tokenized once.
+    // MEMORY_AND_DISK: spills instead of OOMing at scale.
     val sh = shingleTable(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap)
       .select(col("shingle"))
     val rareSh = sh.join(rare, Seq("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = rareSh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = rareSh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -77,10 +87,10 @@ object TextDedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a")), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
@@ -119,22 +129,26 @@ object TextDedup {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
     val rowsPerBand = k / bands
     val sh = shingleTable(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bk = lshBands(minhashSignatures(sh, k), bands, rowsPerBand)
+    // Candidate pairs are orders of magnitude smaller than the shingle
+    // table (that is the whole point of LSH) — broadcast them so the
+    // verify joins never shuffle the shingle table.
     val candidates = bk.as("x").join(bk.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = candidates
+    val shared = broadcast(candidates)
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a")), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
@@ -146,7 +160,9 @@ object TextDedup {
     * Bit i of md5(token): hex char i/4, bit (i%4) of its value; per-doc
     * bit = majority vote over tokens (with multiplicity). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val toks = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val withDigits = (0 until 8).foldLeft(toks) { (df, c) =>
       df.withColumn(s"d$c",

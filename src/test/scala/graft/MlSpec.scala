@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Unit specs for the training-data pipeline operators (graft.ml).
+  * Synthetic micro-corpora with planted duplicates so recall properties
+  * are assertable; differential correctness against DuckDB is covered
+  * by the q30-q43 oracle queries. */
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+    2L -> "the quick brown fox jumps over the lazy dog near the river bend", // near-dup of 1
+    3L -> "completely different words about spark catalyst optimizer internals here",
+    4L -> "the quick brown fox jumps over the lazy dog near the river bank", // exact dup of 1
+    5L -> "spark catalyst optimizer rewrites logical plans into physical plans")
+
+  test("shingles: distinct word n-grams") {
+    val sh = corpus.filter($"doc_id" === 3L)
+      .select(TextDedup.shingles($"text", 3).as("sh"))
+      .selectExpr("size(sh) as n").as[Int].head()
+    assert(sh === 7) // 9 tokens -> 7 trigrams, all distinct
+  }
+
+  test("exact dedup groups full-content duplicates") {
+    val groups = TextDedup.exactDuplicates(corpus, md5($"text"))
+      .filter($"group_size" > 1).collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("keep_id") === 1L)
+    assert(groups.head.getAs[Seq[Long]]("members") === Seq(1L, 4L))
+  }
+
+  test("jaccard pairs find planted near-dup and exact dup") {
+    val pairs = TextDedup.jaccardPairs(corpus, n = 3, threshold = 0.5, dfCap = 50)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near dup: 10/12 shingles shared
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) })
+  }
+
+  test("minhash-lsh finds high-jaccard pairs with verified scores") {
+    val pairs = TextDedup.minhashLshPairs(corpus, n = 3, k = 12, bands = 4,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.exists(_._3 === 1.0)) // identical docs always bucket together
+  }
+
+  test("simhash: identical docs share signature, near-dups are close") {
+    val sigs = TextDedup.simhashSignatures(corpus)
+      .as[(Long, String)].collect().toMap
+    assert(sigs(1L) === sigs(4L))
+    assert(sigs(1L).length === 32)
+    def hamming(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(hamming(sigs(1L), sigs(2L)) < hamming(sigs(1L), sigs(3L)))
+  }
+
+  test("cosine near-dup: bucketed blocking agrees with exact on caught pairs") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f, 0.1f), 0),
+      (2L, Array(0.9f, 0.05f, 0.25f, 0.1f), 0), // near-dup of 1
+      (3L, Array(-1.0f, 0.5f, -0.2f, 0.3f), 1),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val exact = Similarity.cosineNearDupPairs(embs, 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    val blocked = Similarity.cosineNearDupPairs(embs, 0.95, bucketBits = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked === exact) // 1,2 share sign bucket "11"... "10": both caught
+  }
+
+  test("brute-force topk ranks by cosine with deterministic ties") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.0f, 1.0f), 1), (4L, Array(1.0f, 0.01f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val p = Similarity.prepared(embs)
+    val top = Similarity.bruteForceTopK(p.filter($"vec_id" === 1L), p, k = 2)
+      .select($"cand_id", $"rank").as[(Long, Int)].collect().toSeq
+    assert(top === Seq((4L, 1), (2L, 2))) // 4 is closest to 1, then 2
+  }
+
+  test("lang-id picks the profile with most marker hits") {
+    val df = docs(
+      1L -> "the cat and the dog of the house is to go",
+      2L -> "der hund und die katze ist nicht hier und der baum")
+    val out = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+  }
+
+  test("quality score rewards length, diversity, stopwords; punishes punct") {
+    val df = docs(
+      1L -> ("the data pipeline reads parquet files and writes curated shards " * 4),
+      2L -> "x!!! ???? #### $$$$ %%%% x x x x x")
+    val q = df.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) > 0.7)
+    assert(q(2L) < 0.4)
+  }
+
+  test("token counts: whitespace vs bpe-ish subwords") {
+    val df = docs(1L -> "foo bar-baz 123 qux!")
+    val r = df.select(
+      TextAnalysis.wsTokenCount($"text").as("ws"),
+      TextAnalysis.bpeishTokenCount($"text").as("bpe")).head()
+    assert(r.getInt(0) === 4)
+    assert(r.getInt(1) === 7) // foo, bar, -, baz, 123, qux, !
+  }
+
+  test("doc fingerprint is stable and collision-free on distinct docs") {
+    val fp = TextAnalysis.docFingerprint(corpus, 3)
+      .as[(Long, String, Long)].collect()
+    val byDoc = fp.map(t => t._1 -> t._2).toMap
+    assert(byDoc(1L) === byDoc(4L)) // same content, same fingerprint
+    assert(byDoc(1L) !== byDoc(3L))
+  }
+
+  test("multimodal: decode stub preserves batch shape and determinism") {
+    val media = Multimodal.fakeMediaTable(
+      corpus.withColumn("source", lit("srcA")).withColumnRenamed("doc_id", "doc_id"))
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length === 5)
+    assert(meta.forall(m => m.width >= 64 && m.height >= 64))
+    val again = Multimodal.decodeMeta(media).collect()
+    assert(meta.map(_.width).toSeq === again.map(_.width).toSeq)
+    // identical payloads (docs 1 and 4) decode identically
+    val byId = meta.map(m => m.media_id -> m).toMap
+    assert(byId(1L).width === byId(4L).width)
+  }
+
+  test("multimodal: frame sampling explodes only multi-frame assets") {
+    val media = Multimodal.fakeMediaTable(corpus.withColumn("source", lit("s")))
+    val meta = Multimodal.decodeMeta(media)
+    val frames = Multimodal.frameSamplePlan(meta, stride = 10)
+    val ids = frames.select($"media_id").distinct().as[Long].collect().toSet
+    val videos = meta.filter(_.n_frames > 1).collect().map(_.media_id).toSet
+    assert(ids === videos)
+  }
+
+  test("multimodal: feature vectors feed similarity ops") {
+    val media = Multimodal.fakeMediaTable(corpus.withColumn("source", lit("s")))
+    val feats = Multimodal.extractFeatures(media, dim = 8).toDF()
+      .withColumnRenamed("media_id", "vec_id").withColumn("label", lit(0))
+    val pairs = Similarity.cosineNearDupPairs(feats, threshold = 0.999)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L)) // identical payloads
+  }
+}

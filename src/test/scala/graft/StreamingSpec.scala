@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.LiveStreams
+import graft.streaming.LiveStreams.{AttemptStatus, LifecycleEvent}
+
+/** Structured Streaming specs: lifecycle state machine, debounce
+  * session windows, windowed severity counts, live-tail parse. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lifecycle: attempt then outcome transitions pending -> ok") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LifecycleEvent]
+    val query = LiveStreams.lifecycle(input.toDS())
+      .writeStream.format("memory").queryName("lifecycle_t")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(LifecycleEvent("a1", "attempt", 1000L, None, timeout = false))
+      query.processAllAvailable()
+      val afterStart = spark.table("lifecycle_t").as[AttemptStatus].collect()
+      assert(afterStart.map(_.status).toSeq === Seq("pending"))
+
+      input.addData(LifecycleEvent("a1", "outcome", 2500L, Some(0), timeout = false))
+      query.processAllAvailable()
+      val all = spark.table("lifecycle_t").as[AttemptStatus].collect()
+      assert(all.map(_.status).toSet === Set("pending", "ok"))
+      val ok = all.find(_.status == "ok").get
+      assert(ok.started_ms === 1000L && ok.completed_ms.contains(2500L))
+    } finally query.stop()
+  }
+
+  test("lifecycle: failure, timeout and null-exit statuses") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[LifecycleEvent]
+    val query = LiveStreams.lifecycle(input.toDS())
+      .writeStream.format("memory").queryName("lifecycle_t2")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        LifecycleEvent("f1", "attempt", 1L, None, timeout = false),
+        LifecycleEvent("f1", "outcome", 2L, Some(3), timeout = false),
+        LifecycleEvent("t1", "attempt", 1L, None, timeout = false),
+        LifecycleEvent("t1", "outcome", 2L, None, timeout = true),
+        LifecycleEvent("o1", "outcome", 2L, None, timeout = false))
+      query.processAllAvailable()
+      val statuses = spark.table("lifecycle_t2").as[AttemptStatus]
+        .collect().map(s => s.attempt_id -> s.status).toMap
+      assert(statuses("f1") === "failed")
+      assert(statuses("t1") === "timeout")
+      assert(statuses("o1") === "orphaned") // outcome with NULL exit code
+    } finally query.stop()
+  }
+
+  test("debounce: session window coalesces change bursts per path") {
+    val changes = Seq(
+      ("a.txt", Timestamp.valueOf("2026-08-01 10:00:00.000")),
+      ("a.txt", Timestamp.valueOf("2026-08-01 10:00:00.200")),
+      ("a.txt", Timestamp.valueOf("2026-08-01 10:00:00.400")),
+      ("a.txt", Timestamp.valueOf("2026-08-01 10:00:05.000")),
+      ("b.txt", Timestamp.valueOf("2026-08-01 10:00:00.100")))
+      .toDF("path", "ts")
+    val bursts = LiveStreams.debounceChanges(changes, "ts").collect()
+    val aBursts = bursts.filter(_.getString(0) == "a.txt")
+    assert(aBursts.length === 2) // 3-change burst + isolated change
+    assert(aBursts.map(_.getLong(3)).toSet === Set(3L, 1L))
+    assert(bursts.count(_.getString(0) == "b.txt") === 1)
+  }
+
+  test("severity counts: tumbling window aggregation (batch parity)") {
+    val events = Seq(
+      ("error", Timestamp.valueOf("2026-08-01 10:00:10")),
+      ("error", Timestamp.valueOf("2026-08-01 10:00:50")),
+      ("warning", Timestamp.valueOf("2026-08-01 10:00:30")),
+      ("error", Timestamp.valueOf("2026-08-01 10:01:10")))
+      .toDF("severity", "ts")
+    val counts = LiveStreams.severityCounts(events, "ts", "1 minute", "10 minutes")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(counts === Set(
+      ("2026-08-01 10:00:00.0", "error", 2L),
+      ("2026-08-01 10:00:00.0", "warning", 1L),
+      ("2026-08-01 10:01:00.0", "error", 1L)))
+  }
+
+  test("live tail: streaming file source parses appended diagnostics") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("live_tail").toString
+    val stream = LiveStreams.liveTail(spark, dir, "gcc_text")
+    val query = stream.writeStream.format("memory").queryName("tail_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "out1.log"),
+        "src/main.c:15:5: error: expected ';'\nok line\nsrc/main.c:20:1: warning: unused\n")
+      query.processAllAvailable()
+      val parsed = spark.table("tail_t")
+        .select($"severity", $"ref_file", $"ref_line").collect()
+      assert(parsed.length === 2)
+      assert(parsed.map(_.getString(0)).toSet === Set("error", "warning"))
+    } finally query.stop()
+  }
+}
