@@ -10,7 +10,8 @@ object FormatRegistry extends Serializable {
   /** Specific formats first; GenericParser is the damped fallback. */
   val parsers: Seq[LogParser] = Seq(
     GccParser, MypyParser, PytestParser, EslintParser, CargoParser,
-    MakeParser, GenericParser)
+    MakeParser, TscParser, GoTestParser, MavenParser, JestParser,
+    PythonTracebackParser, GenericParser)
 
   private val byFormat: Map[String, LogParser] =
     parsers.map(p => p.format -> p).toMap
@@ -55,6 +56,10 @@ object FormatRegistry extends Serializable {
     "cargo check" -> "cargo_build",
     "eslint" -> "eslint_text",
     "make" -> "make_error",
+    "tsc" -> "tsc_text",
+    "go test" -> "go_test",
+    "mvn" -> "maven_build",
+    "jest" -> "jest_text",
     "ruff" -> "generic_lint",
     "flake8" -> "generic_lint")
 
