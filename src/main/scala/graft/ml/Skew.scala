@@ -1,0 +1,41 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed
+  * (hot fingerprints, boilerplate shingles, celebrity users). AQE's
+  * skew-join handles sort-merge cases at runtime; this utility is for
+  * the planned form — salting — when a key is so hot one task would
+  * otherwise process most of the data.
+  *
+  * `saltedJoin(bigLeft, smallRight, key, salts)`: the big side gets a
+  * deterministic per-row salt in [0, salts); the small side is exploded
+  * `salts`× so every (key, salt) pair finds its match. Equi-join on
+  * (key, salt) spreads each hot key over `salts` tasks. Correctness is
+  * unchanged (inner/left joins on equi keys); cost is `salts`× the
+  * small side, which is why the small side must be the replicated one.
+  */
+object Skew {
+
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Key histogram — find the keys that need salting (or filtering):
+    * top `n` keys by row count with their share of the table. */
+  def hotKeys(df: DataFrame, key: String, n: Int = 20): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(key)).agg(count(lit(1)).as("rows"))
+      .withColumn("share", round(col("rows") / lit(total.toDouble), 4))
+      .orderBy(col("rows").desc)
+      .limit(n)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ml.{Ivf, Similarity, Skew}
+import graft.store.{EventStore, Maintenance}
+
+/** Specs for maintenance policies, the IVF ANN index, and skew salting. */
+class MaintenanceIvfSpec extends SparkSpec {
+  import Fixtures._
+  import spark.implicits._
+
+  test("pruneByCount ranks runs past the keep horizon per source") {
+    val store = new EventStore(spark, Files.createTempDirectory("m1").toString)
+    populate(store) // build: serials 1,2; test: serial 3
+    val m = new Maintenance(store)
+    val doomed = m.pruneByCount(maxRuns = 1).collect()
+    assert(doomed.map(_.getAs[String]("invocation_id")).toSet === Set("i1"))
+    assert(m.pruneByCount(maxRuns = 5).count() === 0)
+  }
+
+  test("pruneByAge and pruneBySize pick old partitions") {
+    val store = new EventStore(spark, Files.createTempDirectory("m2").toString)
+    populate(store)
+    val m = new Maintenance(store)
+    // fixture dates are 2026-08-01/02 — both far older than 1 day ago
+    assert(m.pruneByAge("invocations", 1).size === 2)
+    assert(m.pruneByAge("invocations", 100000).isEmpty)
+    // tiny budget: at least the oldest partition is doomed, newest kept
+    val doomed = m.pruneBySize("invocations", maxBytes = 1L)
+    assert(doomed.nonEmpty)
+    assert(doomed.exists(_.contains("date=2026-08-01")))
+  }
+
+  test("reconcileOrphans appends NULL-exit outcomes for stale attempts") {
+    val store = new EventStore(spark, Files.createTempDirectory("m3").toString)
+    populate(store) // a1 has an outcome; a2 is pending
+    val m = new Maintenance(store)
+    val now = Timestamp.valueOf("2026-08-03 00:00:00")
+    val orphaned = m.reconcileOrphans(now, staleAfterMs = 60000L)
+    assert(orphaned === Seq("a2"))
+    // a2 now reads as orphaned through the batch status view
+    val status = graft.views.Views.attemptStatus(store)
+      .filter(col("id") === "a2").select(col("status")).as[String].head()
+    assert(status === "orphaned")
+    // idempotent: second pass finds nothing
+    assert(m.reconcileOrphans(now, 60000L).isEmpty)
+  }
+
+  test("ivf: train/assign partitions space; topK finds the planted neighbor") {
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(base, base * 0.5f, (i % 7) * 0.01f, 0.1f), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val p = Similarity.prepared(vecs)
+    val centroids = Ivf.train(p, k = 2, iters = 2)
+    assert(centroids.count() === 2)
+    val assigned = Ivf.assign(p, centroids)
+    // two clear clusters (+1 / -1 direction) → assignments split evenly
+    val sizes = assigned.groupBy(col("cell_id")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.values.toSet === Set(20L))
+    val top = Ivf.topK(vecs, q => q === 0L, k = 3, cells = 2, nprobe = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top.length === 3)
+    // all neighbors of an even (positive-direction) vector are even
+    assert(top.forall(_._2 % 2 == 0))
+  }
+
+  test("salted join spreads a hot key without changing results") {
+    val big = Seq.tabulate(1000)(i => (if (i < 900) "hot" else s"k$i", i))
+      .toDF("key", "payload")
+    val small = Seq(("hot", "H"), ("k950", "A")).toDF("key", "tag")
+    val plain = big.join(small, Seq("key")).orderBy("payload")
+      .collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(big, small, "key", salts = 8).orderBy("payload")
+      .collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+    assert(salted.size === 901)
+    val hot = Skew.hotKeys(big, "key", 1).collect().head
+    assert(hot.getAs[String]("key") === "hot")
+    assert(hot.getAs[Double]("share") === 0.9)
+  }
+}
