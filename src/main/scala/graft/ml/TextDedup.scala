@@ -62,23 +62,54 @@ object TextDedup {
         count(lit(1)).as("group_size"),
         array_sort(collect_list(col("doc_id"))).as("members"))
 
+  /** Per-doc distinct shingle-set frame: (doc_id, sh array). Kept as an
+    * ARRAY column — set sizes, intersections and minhashes are per-row
+    * array expressions, so nothing about a single document ever
+    * shuffles. */
+  def shingleSets(docs: DataFrame, n: Int): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+
+  /** Attach both docs' shingle arrays to candidate (doc_a, doc_b) pairs
+    * and emit verified Jaccard >= threshold. Candidates are tiny
+    * relative to the corpus (that is the point of candidate
+    * generation), so both attach joins broadcast the pair list and the
+    * set algebra is array_intersect on co-located rows — the verify
+    * step never shuffles the corpus. */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    broadcast(candidates)
+      .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        round(col("shared") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Pairwise n-gram Jaccard via inverted index with stop-shingle cap.
     * Output: (doc_a, doc_b, jaccard) for jaccard >= threshold, a < b.
     * Shingles with document frequency > dfCap are dropped on BOTH the
     * index and the set-size side, so the ratio stays a true Jaccard
-    * over the rare-shingle subspace. */
+    * over the rare-shingle subspace.
+    *
+    * Plan shape: the co-occurrence groupBy on the pair stream IS both
+    * the dedup and the |A∩B| computation — one shuffle does double
+    * duty (an explicit distinct + array verify measured strictly
+    * slower). The df filter is a window count, not a groupBy+join, so
+    * the shingle index shuffles by shingle exactly once before the
+    * self-join. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       dfCap: Int = 50): DataFrame = {
-    // The exploded shingle table feeds three consumers (df counts, set
-    // sizes, both join sides); persist so the text is tokenized once.
-    // MEMORY_AND_DISK: spills instead of OOMing at scale.
-    val sh = shingleTable(docs, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSets(docs, n)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val rareSh = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= dfCap)
-      .select(col("shingle"))
-    val rareSh = sh.join(rare, Seq("shingle"))
+      .drop("df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = rareSh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -97,13 +128,15 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Salted portable min-hash over the exploded shingle table:
-    * min(md5(salt || '|' || shingle)) per doc per salt. Returns the doc
-    * signature frame: doc_id, mh0..mh{k-1}. */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(j =>
-      min(md5(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** Salted portable min-hash: min(md5(salt || '|' || shingle)) per doc
+    * per salt, computed as array_min over per-row array transforms —
+    * ZERO shuffles, one pass over the shingle arrays. Input: shingleSets
+    * frame (doc_id, sh). Returns doc_id, mh0..mh{k-1}. */
+  def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
+    val mhs = (0 until k).map { j =>
+      array_min(transform(col("sh"), s => md5(concat(lit(s"$j|"), s)))).as(s"mh$j")
+    }
+    sets.select(col("doc_id") +: mhs: _*)
   }
 
   /** LSH band keys: `bands` groups of `rowsPerBand` signature slots,
@@ -128,31 +161,17 @@ object TextDedup {
       threshold: Double): DataFrame = {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
     val rowsPerBand = k / bands
-    val sh = shingleTable(docs, n)
+    val sets = shingleSets(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bk = lshBands(minhashSignatures(sh, k), bands, rowsPerBand)
-    // Candidate pairs are orders of magnitude smaller than the shingle
-    // table (that is the whole point of LSH) — broadcast them so the
-    // verify joins never shuffle the shingle table.
+    // Signatures and band keys are per-row array math (no shuffle);
+    // the only shuffles in the whole pipeline are the groupBy hiding in
+    // the band self-join (docs·bands rows) and the candidate distinct.
+    val bk = lshBands(minhashSignatures(sets, k), bands, rowsPerBand)
     val candidates = bk.as("x").join(bk.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = broadcast(candidates)
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b")), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(candidates, sets, threshold)
   }
 
   /** 32-bit SimHash signature as a '0'/'1' bit string (packed-long-free
