@@ -92,6 +92,25 @@ final class Analytics(store: EventStore) {
     current.join(past, Seq("fingerprint"), "left_anti")
   }
 
+  /** All events of one run, with partition pruning: the run's date is
+    * resolved from the tiny invocations dimension first, so the events
+    * scan prunes to one `date=` partition before filtering on
+    * invocation_id. This is the facade form of SURVEY §4's candidate
+    * run_serial→date optimizer Rule — same pruning, no Catalyst
+    * internals to maintain (the reference gets this via an ART index,
+    * bird_schema.sql:259-279). */
+  def eventsForRun(serial: Long): DataFrame = {
+    val run = store.invocations.filter(col("run_serial") === serial)
+      .select(col("id"), col("date")).collect()
+    run.headOption match {
+      case None => store.events.limit(0)
+      case Some(r) =>
+        store.events
+          .filter(col("date") === r.getDate(1))       // partition prune
+          .filter(col("invocation_id") === r.getString(0))
+    }
+  }
+
   /** Errors-by-file top-N (A12; report_cmd.py:92-102). */
   def errorsByFile(limit: Int = 10): DataFrame =
     flat.filter(col("severity") === "error" && col("ref_file").isNotNull)

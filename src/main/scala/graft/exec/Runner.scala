@@ -1,0 +1,145 @@
+package graft.exec
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.sql.{Date, Timestamp}
+import java.util.UUID
+import java.util.concurrent.TimeUnit
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.functions.BlqFunctions
+import graft.model._
+import graft.parse.FormatRegistry
+import graft.store.{BlobStore, EventStore}
+
+/** Command execution source (S7/S8, SURVEY.md §2.1; reference
+  * execution.py:232-611 behavior): run a subprocess, stream combined
+  * output to a live file, then parse → fingerprint → append the full
+  * attempt/outcome/invocation/events lifecycle to the store and the
+  * captured output to the blob store.
+  *
+  * Driver-side by design — the measured subprocess is inherently
+  * local; only the parsed events enter Spark. The two-phase write
+  * (attempt before outcome) preserves the reference's
+  * status-from-absence semantics: a crash between the phases leaves a
+  * pending attempt that Maintenance.reconcileOrphans later marks
+  * orphaned.
+  */
+final class Runner(store: EventStore, blobs: BlobStore,
+    sessionId: String = UUID.randomUUID().toString) {
+
+  final case class RunResult(
+      invocationId: String,
+      runSerial: Long,
+      exitCode: Int,
+      timedOut: Boolean,
+      status: String, // OK | WARN | FAIL | TIMEOUT
+      errors: Long,
+      warnings: Long,
+      durationMs: Long)
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+  private def dateOf(ts: Timestamp) = new Date(ts.getTime)
+
+  /** Live output directory for a running attempt (T2's tail target). */
+  def liveDir(attemptId: String): Path = {
+    val p = Paths.get(store.root, "live", attemptId)
+    Files.createDirectories(p)
+    p
+  }
+
+  def exec(command: Seq[String],
+      tag: Option[String] = None,
+      sourceName: Option[String] = None,
+      formatHint: String = "auto",
+      cwd: Option[String] = None,
+      timeoutMs: Long = 600000L): RunResult = {
+    val attemptId = UUID.randomUUID().toString
+    val started = now()
+    val cmdLine = command.mkString(" ")
+    val hostname =
+      try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
+
+    // Phase 1: the attempt is visible BEFORE the outcome exists.
+    store.appendAttempts(Seq(Attempt(
+      id = attemptId, session_id = sessionId, timestamp = started,
+      cwd = cwd, command = Some(cmdLine), executable = command.headOption,
+      pid = None, format_hint = Some(formatHint), hostname = Some(hostname),
+      username = sys.props.get("user.name"), tag = tag,
+      source_name = sourceName, source_type = SourceType.Exec,
+      git_commit = None, git_branch = None, git_dirty = None,
+      environment = None, ci = None, date = dateOf(started))))
+
+    // Run, streaming combined output to the live file.
+    val live = liveDir(attemptId).resolve("output.log")
+    val pb = new ProcessBuilder(command.asJava).redirectErrorStream(true)
+    cwd.foreach(d => pb.directory(new java.io.File(d)))
+    pb.redirectOutput(live.toFile)
+    val t0 = System.nanoTime()
+    val (exit, timedOut) =
+      try {
+        val proc = pb.start()
+        if (proc.waitFor(timeoutMs, TimeUnit.MILLISECONDS)) (proc.exitValue(), false)
+        else { proc.destroyForcibly(); proc.waitFor(); (-1, true) }
+      } catch { case e: java.io.IOException => (127, false) }
+    val durationMs = (System.nanoTime() - t0) / 1000000L
+    val completed = now()
+    val output =
+      if (Files.exists(live)) new String(Files.readAllBytes(live), StandardCharsets.UTF_8)
+      else ""
+
+    // Phase 2: outcome + mirrored invocation + events + output blob.
+    store.appendOutcomes(Seq(Outcome(
+      attempt_id = attemptId, completed_at = completed,
+      duration_ms = Some(durationMs), exit_code = Some(exit), signal = None,
+      timeout = timedOut, date = dateOf(completed))))
+
+    val serial = store.nextRunSerial()
+    val inv = Invocation(
+      id = attemptId, run_serial = serial, session_id = sessionId,
+      source_name = sourceName, source_type = SourceType.Exec, tag = tag,
+      command = Some(cmdLine), cwd = cwd, executable_path = command.headOption,
+      started_at = started, duration_ms = Some(durationMs),
+      exit_code = Some(exit), hostname = Some(hostname),
+      platform = Some(sys.props.getOrElse("os.name", "unknown")),
+      arch = Some(sys.props.getOrElse("os.arch", "unknown")),
+      git_commit = None, git_branch = None, git_dirty = None,
+      environment = None, ci = None, metadata = None, date = dateOf(started))
+
+    val hint =
+      if (formatHint != "auto") formatHint
+      else FormatRegistry.detectFormatFromCommand(cmdLine)
+    val parsed = FormatRegistry.parse(output, hint)
+    store.appendRun(inv, Seq.empty)
+    if (parsed.nonEmpty) {
+      val spark = store.spark
+      import spark.implicits._
+      val df = parsed.toDS().toDF()
+        .withColumn("id", expr("uuid()"))
+        .withColumn("invocation_id", lit(attemptId))
+        .withColumn("timestamp", lit(started))
+        .withColumn("fingerprint",
+          when(col("severity").isin("error", "warning", "test_fail"),
+            BlqFunctions.fingerprint(col("tool_name"), col("category"),
+              col("code"), col("ref_file"), col("message"))))
+        .withColumn("context", lit(null).cast("string"))
+        .withColumn("metadata", lit(null).cast("string"))
+        .withColumn("date", lit(dateOf(started)))
+      store.appendEvents(df)
+    }
+
+    val (st, sr, _) = blobs.store(output.getBytes(StandardCharsets.UTF_8))
+    // output row lives in the events store as library metadata; the
+    // blob itself is content-addressed and deduped by BlobStore.
+    val _ = (st, sr)
+
+    val errors = parsed.count(_.severity == Severity.Error).toLong
+    val warnings = parsed.count(_.severity == Severity.Warning).toLong
+    val status =
+      if (timedOut) "TIMEOUT"
+      else if (exit != 0 || errors > 0) "FAIL"
+      else if (warnings > 0) "WARN"
+      else "OK"
+    RunResult(attemptId, serial, exit, timedOut, status, errors, warnings, durationMs)
+  }
+}

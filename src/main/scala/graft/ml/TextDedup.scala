@@ -199,8 +199,11 @@ object TextDedup {
   /** SimHash near-dup pairs: bucket on the first `prefixBits` of the
     * signature, pair within bucket, keep hamming <= maxHamming. */
   def simhashPairs(docs: DataFrame, prefixBits: Int, maxHamming: Int): DataFrame = {
+    // The signature frame feeds both self-join sides — persist, or the
+    // whole token-explode aggregation runs twice. Tiny: one row/doc.
     val sig = simhashSignatures(docs)
       .withColumn("bucket", substring(col("simhash"), 1, prefixBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sig.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
     val hamming = (1 to 32).map(i =>

@@ -72,6 +72,15 @@ class AnalyticsSpec extends SparkSpec {
       Set("new null deref", "double free of ptr"))
   }
 
+  test("eventsForRun prunes to the run's date partition") {
+    val evs = analytics.eventsForRun(1L)
+    assert(evs.count() === 3)
+    // the physical scan must carry the date partition filter
+    val physical = evs.queryExecution.executedPlan.toString()
+    assert(physical.contains("date"))
+    assert(analytics.eventsForRun(99L).count() === 0)
+  }
+
   test("errorsByFile ranks hot files") {
     val top = analytics.errorsByFile(5).collect()
     assert(top.head.getAs[String]("ref_file") === "a.c")

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.exec.Runner
+import graft.store.{BlobStore, EventStore}
+import graft.views.Views
+
+/** End-to-end command execution → parse → store lifecycle (S7/S8). */
+class RunnerSpec extends SparkSpec {
+
+  private def mkRunner(): (Runner, EventStore) = {
+    val root = Files.createTempDirectory("runner_store").toString
+    val store = new EventStore(spark, root)
+    (new Runner(store, new BlobStore(s"$root/blobs")), store)
+  }
+
+  test("exec: failing compile-style output round-trips to queryable events") {
+    val (runner, store) = mkRunner()
+    val script =
+      "printf 'src/main.c:15:5: error: expected semicolon\\nsrc/util.c:3:1: warning: unused var\\n'; exit 1"
+    val r = runner.exec(Seq("sh", "-c", script),
+      tag = Some("build"), sourceName = Some("cc"), formatHint = "gcc_text")
+    assert(r.exitCode === 1)
+    assert(r.status === "FAIL")
+    assert(r.errors === 1 && r.warnings === 1)
+
+    // lifecycle rows all present and consistent
+    assert(store.attempts.count() === 1)
+    assert(store.outcomes.count() === 1)
+    assert(store.invocations.count() === 1)
+    val evs = store.events.orderBy(col("event_index")).collect()
+    assert(evs.length === 2)
+    assert(evs.head.getAs[String]("severity") === "error")
+    assert(evs.head.getAs[String]("ref_file") === "src/main.c")
+    assert(evs.head.getAs[String]("fingerprint") !== null)
+
+    // visible through the analytics surface
+    val flat = Views.eventsFlat(store)
+    assert(flat.filter(col("severity") === "error").count() === 1)
+    assert(flat.select(col("run_serial")).distinct().collect().head.getLong(0) === 1L)
+  }
+
+  test("exec: clean run is OK and serials increment") {
+    val (runner, store) = mkRunner()
+    val r1 = runner.exec(Seq("sh", "-c", "echo all good"))
+    val r2 = runner.exec(Seq("sh", "-c", "echo still good"))
+    assert(r1.status === "OK" && r2.status === "OK")
+    assert(r1.runSerial === 1L && r2.runSerial === 2L)
+    assert(store.events.count() === 0) // nothing parseable
+    val status = Views.attemptStatus(store)
+      .select(col("status")).distinct().collect().map(_.getString(0)).toSet
+    assert(status === Set("ok"))
+  }
+
+  test("exec: command format hint dispatches the right parser") {
+    val (runner, store) = mkRunner()
+    val script = "printf 'a.py:1: error: bad type  [assignment]\\n'; exit 1"
+    // command contains 'mypy' -> mypy_text hint
+    val r = runner.exec(Seq("sh", "-c", s"true mypy; $script"))
+    assert(r.errors === 1)
+    val tool = store.events.select(col("tool_name")).collect().head.getString(0)
+    assert(tool === "mypy")
+  }
+
+  test("exec: missing binary yields exit 127 FAIL, lifecycle intact") {
+    val (runner, store) = mkRunner()
+    val r = runner.exec(Seq("/nonexistent/binary_xyz"))
+    assert(r.exitCode === 127)
+    assert(r.status === "FAIL")
+    assert(store.outcomes.count() === 1)
+  }
+}
