@@ -111,27 +111,8 @@ final class Runner(store: EventStore, blobs: BlobStore,
       else FormatRegistry.detectFormatFromCommand(cmdLine)
     val parsed = FormatRegistry.parse(output, hint)
     store.appendRun(inv, Seq.empty)
-    if (parsed.nonEmpty) {
-      val spark = store.spark
-      import spark.implicits._
-      val df = parsed.toDS().toDF()
-        .withColumn("id", expr("uuid()"))
-        .withColumn("invocation_id", lit(attemptId))
-        .withColumn("timestamp", lit(started))
-        .withColumn("fingerprint",
-          when(col("severity").isin("error", "warning", "test_fail"),
-            BlqFunctions.fingerprint(col("tool_name"), col("category"),
-              col("code"), col("ref_file"), col("message"))))
-        .withColumn("context", lit(null).cast("string"))
-        .withColumn("metadata", lit(null).cast("string"))
-        .withColumn("date", lit(dateOf(started)))
-      store.appendEvents(df)
-    }
-
-    val (st, sr, _) = blobs.store(output.getBytes(StandardCharsets.UTF_8))
-    // output row lives in the events store as library metadata; the
-    // blob itself is content-addressed and deduped by BlobStore.
-    val _ = (st, sr)
+    writeEvents(attemptId, started, parsed)
+    blobs.store(output.getBytes(StandardCharsets.UTF_8))
 
     val errors = parsed.count(_.severity == Severity.Error).toLong
     val warnings = parsed.count(_.severity == Severity.Warning).toLong
@@ -142,4 +123,51 @@ final class Runner(store: EventStore, blobs: BlobStore,
       else "OK"
     RunResult(attemptId, serial, exit, timedOut, status, errors, warnings, durationMs)
   }
+
+  /** Import existing content as a completed run without a subprocess
+    * (S7: file import / stdin capture; execution.py:1562-1628). */
+  def importContent(content: String, format: String = "auto",
+      tag: Option[String] = None, sourceName: Option[String] = None,
+      sourceType: String = SourceType.Import): RunResult = {
+    val id = UUID.randomUUID().toString
+    val started = now()
+    val parsed = FormatRegistry.parse(content, format)
+    val serial = store.nextRunSerial()
+    store.appendRun(Invocation(
+      id = id, run_serial = serial, session_id = sessionId,
+      source_name = sourceName, source_type = sourceType, tag = tag,
+      command = None, cwd = None, executable_path = None,
+      started_at = started, duration_ms = None, exit_code = Some(0),
+      hostname = None, platform = None, arch = None,
+      git_commit = None, git_branch = None, git_dirty = None,
+      environment = None, ci = None, metadata = None,
+      date = dateOf(started)), Seq.empty)
+    writeEvents(id, started, parsed)
+    blobs.store(content.getBytes(StandardCharsets.UTF_8))
+    val errors = parsed.count(_.severity == Severity.Error).toLong
+    val warnings = parsed.count(_.severity == Severity.Warning).toLong
+    val status =
+      if (errors > 0) "FAIL" else if (warnings > 0) "WARN" else "OK"
+    RunResult(id, serial, 0, timedOut = false, status, errors, warnings, 0L)
+  }
+
+  /** Shared phase-2 event write: parsed events → fingerprinted rows. */
+  private def writeEvents(invocationId: String, started: Timestamp,
+      parsed: Seq[graft.parse.ParsedEvent]): Unit =
+    if (parsed.nonEmpty) {
+      val spark = store.spark
+      import spark.implicits._
+      val df = parsed.toDS().toDF()
+        .withColumn("id", expr("uuid()"))
+        .withColumn("invocation_id", lit(invocationId))
+        .withColumn("timestamp", lit(started))
+        .withColumn("fingerprint",
+          when(col("severity").isin("error", "warning", "test_fail"),
+            BlqFunctions.fingerprint(col("tool_name"), col("category"),
+              col("code"), col("ref_file"), col("message"))))
+        .withColumn("context", lit(null).cast("string"))
+        .withColumn("metadata", lit(null).cast("string"))
+        .withColumn("date", lit(dateOf(started)))
+      store.appendEvents(df)
+    }
 }

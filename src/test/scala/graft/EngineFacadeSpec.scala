@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.exec.{CiGate, Watcher}
+
+/** End-to-end facade specs: GraftEngine, CiGate, Watcher. */
+class EngineFacadeSpec extends SparkSpec {
+
+  private val mypyV1 =
+    """a.py:1: error: bad type  [assignment]
+      |b.py:5: error: missing return  [return]
+      |Found 2 errors in 2 files (checked 3 source files)""".stripMargin
+  private val mypyV2 =
+    """a.py:1: error: bad type  [assignment]
+      |c.py:9: error: not callable  [misc]
+      |Found 2 errors in 2 files (checked 3 source files)""".stripMargin
+
+  test("engine: import -> query -> sql -> diff round trip") {
+    val g = GraftEngine(spark, Files.createTempDirectory("engine").toString)
+    val s1 = g.importContent(mypyV1, format = "mypy_text", tag = Some("types"))
+    val s2 = g.importContent(mypyV2, format = "mypy_text", tag = Some("types"))
+    assert(Seq(s1, s2) === Seq(1L, 2L))
+
+    assert(g.errors(10).count() === 4)
+    assert(g.history(10).count() === 2)
+    // re-register views to pick up the appended data, then SQL surface
+    g.install()
+    assert(g.sql("SELECT count(*) AS n FROM blq_events WHERE severity = 'error'")
+      .head().getLong(0) === 4L)
+    // fluent facade
+    assert(g.query.filter("severity" -> "error", "ref_file" -> "a.py").count() === 2)
+    // ref resolution via the facade
+    assert(g.run("types:2").collect().head.getAs[Long]("run_serial") === 2L)
+    // parse_log SQL function is installed
+    assert(g.sql(s"SELECT p.* FROM (SELECT 'x.py:1: error: e  [t]' AS c) " +
+      "LATERAL VIEW parse_log(c, 'mypy_text') p").count() === 1)
+    // formatter renders
+    assert(g.show(g.errors(2)).contains("severity"))
+  }
+
+  test("ci gate: new fingerprint fails, fix-only passes") {
+    val g = GraftEngine(spark, Files.createTempDirectory("cigate").toString)
+    g.importContent(mypyV1, format = "mypy_text")
+    g.importContent(mypyV2, format = "mypy_text")
+    val gate = new CiGate(g.analytics)
+    val v = gate.check(baselineSerial = 1L, candidateSerial = 2L)
+    assert(!v.pass)
+    assert(v.newErrors === 1 && v.fixedErrors === 1 && v.unchangedErrors === 1)
+    assert(v.newSamples.exists(_.contains("not callable")))
+    // candidate identical to baseline -> pass
+    val v2 = gate.check(1L, 1L)
+    assert(v2.pass && v2.newErrors === 0)
+  }
+
+  test("watcher: debounces a burst into one callback") {
+    val dir = Files.createTempDirectory("watch").toString
+    val w = new Watcher(dir, debounceMs = 300L)
+    val bursts = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val t = new Thread(() => w.run(b => bursts += b, maxBursts = 1))
+    t.start()
+    Thread.sleep(200) // watcher registering
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "f1.txt"), "a")
+    Thread.sleep(50)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "f2.txt"), "b")
+    t.join(5000)
+    w.stop()
+    assert(bursts.length === 1)
+    assert(bursts.head.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      === Set("f1.txt", "f2.txt"))
+  }
+}
