@@ -82,6 +82,31 @@ final class Analytics(store: EventStore) {
     fixed.unionByName(fresh).unionByName(unchanged)
   }
 
+  /** Fingerprint history with regression detection (events.py:585-648
+    * semantics): per fingerprint — first/last seen, occurrence count,
+    * and is_regression = a gap > 1 in the sequence of run_serials where
+    * it occurs (it was fixed, then came back). The reference computes
+    * this per event in a Python loop; here one lag-window pass covers
+    * every fingerprint in the store. */
+  def fingerprintHistory(): DataFrame = {
+    val occ = flat.filter(col("fingerprint").isNotNull)
+      .groupBy(col("fingerprint"), col("run_serial"))
+      .agg(min(col("event_timestamp")).as("first_ts"),
+        max(col("event_timestamp")).as("last_ts"),
+        count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("run_serial"))
+    occ.withColumn("prev_serial", lag(col("run_serial"), 1).over(w))
+      .groupBy(col("fingerprint"))
+      .agg(
+        min(col("first_ts")).as("first_seen"),
+        max(col("last_ts")).as("last_seen"),
+        min(col("run_serial")).as("first_run"),
+        max(col("run_serial")).as("last_run"),
+        sum(col("n_events")).as("occurrences"),
+        max(when(col("run_serial") - col("prev_serial") > 1, 1).otherwise(0))
+          .cast("boolean").as("is_regression"))
+  }
+
   /** New-error regression check for CI (ci_cmd.py:161-178): error
     * events in `serial` whose fingerprint never appeared in any earlier
     * run — a left-anti join against the fingerprint history. */

@@ -87,6 +87,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("n") === 4L) // e1, e2, e4, e6
   }
 
+  test("fingerprintHistory flags fixed-then-reappeared as regression") {
+    // FIXTURES.md §4 regression scenario: fp_flaky in runs 1,2, absent
+    // 3-4, reappears in 5; fp_steady in every run.
+    val root = Files.createTempDirectory("regression_store").toString
+    val s = new EventStore(spark, root)
+    for (serial <- 1L to 5L) {
+      val evs = Seq.newBuilder[graft.model.Event]
+      if (serial <= 2 || serial == 5)
+        evs += ev(s"fl$serial", s"r$serial", 0, "error", "flaky boom",
+          fp = Some("fp_flaky"))
+      evs += ev(s"st$serial", s"r$serial", 1, "error", "steady boom",
+        fp = Some("fp_steady"))
+      s.appendRun(inv(s"r$serial", serial, Some("build"),
+        s"2026-08-01 0$serial:00:00", Some(1)), evs.result())
+    }
+    val h = new Analytics(s).fingerprintHistory().collect()
+      .map(r => r.getAs[String]("fingerprint") ->
+        (r.getAs[Boolean]("is_regression"), r.getAs[Long]("occurrences"))).toMap
+    assert(h("fp_flaky") === ((true, 3L)))   // gap 2→5 ⇒ regression
+    assert(h("fp_steady") === ((false, 5L))) // contiguous 1..5
+  }
+
   test("ref grammar parses every documented form") {
     assert(RefResolver.parse("5") === ParsedRef(runSerial = Some(5)))
     assert(RefResolver.parse("build:3") === ParsedRef(tag = Some("build"), runSerial = Some(3)))
