@@ -11,7 +11,8 @@ object FormatRegistry extends Serializable {
   val parsers: Seq[LogParser] = Seq(
     GccParser, MypyParser, PytestParser, EslintParser, CargoParser,
     MakeParser, TscParser, GoTestParser, MavenParser, JestParser,
-    PythonTracebackParser, GenericParser)
+    PythonTracebackParser, ShellcheckParser, GradleParser, JunitXmlParser,
+    RspecParser, GolangciParser, MsbuildParser, GenericParser)
 
   private val byFormat: Map[String, LogParser] =
     parsers.map(p => p.format -> p).toMap
@@ -60,6 +61,13 @@ object FormatRegistry extends Serializable {
     "go test" -> "go_test",
     "mvn" -> "maven_build",
     "jest" -> "jest_text",
+    "shellcheck" -> "shellcheck_text",
+    "gradle" -> "gradle_build",
+    "gradlew" -> "gradle_build",
+    "rspec" -> "rspec_text",
+    "golangci-lint" -> "golangci_lint",
+    "dotnet build" -> "msbuild",
+    "msbuild" -> "msbuild",
     "ruff" -> "generic_lint",
     "flake8" -> "generic_lint")
 
