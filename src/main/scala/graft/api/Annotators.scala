@@ -33,8 +33,13 @@ object Annotators {
       lit("""{"annotator":"flaky_test_tagger","flaky":true}""")))
 
   /** Run annotators over an events frame: each non-null annotation is
-    * appended to the metadata JSON's `annotations` array. Pure column
-    * expressions — stays inside codegen, no UDF. */
+    * appended to the metadata JSON's `annotations` array. A prior
+    * `annotations` array is preserved; other top-level metadata keys
+    * are not (annotation-bearing events are rebuilt with an
+    * annotations-only metadata object — acceptable because the write
+    * path keeps `metadata` exclusively for annotations; arbitrary-key
+    * merge would need a JSON UDF, which this stage deliberately
+    * avoids). Pure column expressions — stays inside codegen. */
   def apply(events: DataFrame, annotators: Seq[Annotator]): DataFrame = {
     val arr = array(annotators.map(_.annotation): _*)
     val additions = filter(arr, a => a.isNotNull)

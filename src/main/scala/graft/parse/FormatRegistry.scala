@@ -12,7 +12,8 @@ object FormatRegistry extends Serializable {
     GccParser, MypyParser, PytestParser, EslintParser, CargoParser,
     MakeParser, TscParser, GoTestParser, MavenParser, JestParser,
     PythonTracebackParser, ShellcheckParser, GradleParser, JunitXmlParser,
-    RspecParser, GolangciParser, MsbuildParser, GenericParser)
+    RspecParser, GolangciParser, MsbuildParser, CargoJsonParser,
+    EslintJsonParser, GenericParser)
 
   private val byFormat: Map[String, LogParser] =
     parsers.map(p => p.format -> p).toMap
