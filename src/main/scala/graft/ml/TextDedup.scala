@@ -206,12 +206,12 @@ object TextDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("bucket"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sig.select(col("bucket"), col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    val hamming = (1 to 32).map(i =>
-      when(substring(col("sig_a"), i, 1) =!= substring(col("sig_b"), i, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    // bit_hamming is a native codegen'd expression (graft.plans.
+    // BitHamming): one byte-compare loop per pair instead of the
+    // 32-term substring-comparison chain a pure-Column form needs.
     a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", graft.plans.BitHamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }

@@ -14,5 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (FunctionIdentifier("parse_log"), ParseLog.info, ParseLog.builder))
+    ext.injectFunction(
+      (FunctionIdentifier("bit_hamming"), BitHamming.info, BitHamming.builder))
   }
 }
