@@ -21,11 +21,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ScalarQueries.queries ++ PipelineQueries.queries ++
-      WindowQueries.queries
+      WindowQueries.queries ++ CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ScalarQueries.oracles ++ PipelineQueries.oracles ++
-      WindowQueries.oracles
+      WindowQueries.oracles ++ CorpusQueries.oracles
 }

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Corpus-statistics operators: unigram-LM surprisal scoring (the
+  * statistical upgrade of the heuristic quality score) and event
+  * sessionization (gap-based session assignment) — both classic
+  * training-data/behavior-pipeline ops with exact oracles.
+  */
+object CorpusQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Unigram language-model surprisal: p(tok) estimated from the
+    // corpus itself; per-doc mean -ln p. High surprisal = unusual
+    // token mix (gibberish/outlier detector). Scale: unigram table is
+    // a broadcast dim (vocab-sized); the scan is one explode pass.
+    "q48_unigram_surprisal" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val total = toks.count().toDouble
+      val lm = toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("logp", log(col("n") / lit(total)))
+      toks.join(broadcast(lm.select(col("tok"), col("logp"))), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(-col("logp")), 4).as("surprisal"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Sessionization: a new session starts after a >1h silence per
+    // user; running sum of session starts assigns session indexes —
+    // all partition-scoped windows.
+    "q49_sessionize" -> { (s, dir) =>
+      val wLag = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("gap_s",
+          (unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(wLag)) / 1000)
+        .withColumn("new_session",
+          when(col("gap_s").isNull || col("gap_s") > 3600, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("new_session")).over(wRun))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_millis(col("ts"))).as("start_ms"),
+          (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("duration_ms"))
+        .orderBy(col("user_id"), col("session_idx"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q48_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |lm AS (
+        |  SELECT tok, ln(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM toks)) AS logp
+        |  FROM toks GROUP BY tok)
+        |SELECT doc_id, round(avg(-logp), 4) AS surprisal, count(*) AS n_tokens
+        |FROM toks JOIN lm USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q49_sessionize" ->
+      """WITH gaps AS (
+        |  SELECT user_id, event_id, ts,
+        |    (epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+        |       PARTITION BY user_id ORDER BY ts, event_id)) / 1000 AS gap_s
+        |  FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN gap_s IS NULL OR gap_s > 3600 THEN 1 ELSE 0 END AS new_session
+        |  FROM gaps),
+        |sessions AS (
+        |  SELECT user_id, event_id, ts, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM marked)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(epoch_ms(ts)) AS start_ms,
+        | max(epoch_ms(ts)) - min(epoch_ms(ts)) AS duration_ms
+        |FROM sessions GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin)
+}
