@@ -24,8 +24,10 @@ object Views {
       .withColumnRenamed("id", "invocation_id")
       .withColumnRenamed("metadata", "run_metadata")
       .withColumnRenamed("date", "log_date"))
+    // Keep the EVENTS-side date (the big fact's partition column) as
+    // `date`: a recency filter through the flat view then prunes event
+    // partitions. The run's own date survives as log_date.
     e.withColumnRenamed("timestamp", "event_timestamp")
-      .drop("date")
       .join(inv, Seq("invocation_id"))
       .withColumn("run_ref", blqRunRef(col("tag"), col("run_serial")))
       .withColumn("ref", blqEventRef(col("tag"), col("run_serial"), col("event_index")))

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 import graft.analytics.{Analytics, Lines}
 import graft.api.RefResolver
 import graft.api.RefResolver.ParsedRef
@@ -79,6 +80,14 @@ class AnalyticsSpec extends SparkSpec {
     val physical = evs.queryExecution.executedPlan.toString()
     assert(physical.contains("date"))
     assert(analytics.eventsForRun(99L).count() === 0)
+  }
+
+  test("flat view keeps the events partition column for pruning") {
+    val flat = Views.eventsFlat(store)
+    val filtered = flat.filter(col("date") === java.sql.Date.valueOf("2026-08-01"))
+    assert(filtered.count() === 6) // all fixture events are on d1
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), "date filter must prune partitions")
   }
 
   test("errorsByFile ranks hot files") {
