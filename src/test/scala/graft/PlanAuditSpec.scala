@@ -1,0 +1,59 @@
+package graft
+
+/** Plan-shape regression gate: every SparkEntry query's physical plan
+  * is audited for scale-hostile constructs. Catches a class of bug the
+  * row-level oracle cannot: a query that returns right answers through
+  * a plan that would melt at 100 TB (accidental cartesian product, an
+  * unintended global window, a lost broadcast).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // q10 is the deliberate parity copy of the reference's global
+  // ROW_NUMBER view (SURVEY §7.4 risk 1) — the only sanctioned
+  // global-window query.
+  private val globalWindowAllowed = Set("q10_run_serial")
+
+  private lazy val plans: Map[String, String] =
+    SparkEntry.queries.map { case (name, fn) =>
+      name -> fn(spark, sf).queryExecution.sparkPlan.toString()
+    }
+
+  test("no unconditioned cartesian product anywhere") {
+    val offenders = plans.filter(_._2.contains("CartesianProduct")).keys
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("global (unpartitioned) windows only where sanctioned") {
+    // An unpartitioned Window sorts the world into one partition; its
+    // plan signature is a Window node whose partition spec is empty —
+    // Exchange SinglePartition feeding a Window/WindowGroupLimit.
+    val offenders = plans.filter { case (name, p) =>
+      !globalWindowAllowed.contains(name) &&
+        p.linesIterator.exists(l =>
+          l.contains("Exchange SinglePartition") &&
+            plans(name).contains("Window"))
+    }.keys.filterNot(globalWindowAllowed)
+    assert(offenders.isEmpty,
+      s"unsanctioned global windows in: ${offenders.mkString(", ")}")
+  }
+
+  test("dimension joins broadcast in the flagship join chain") {
+    val p = plans("q04_region_revenue")
+    // all three dims (customer, nation, region) must be broadcast
+    // (sparkPlan is pre-EnsureRequirements, so count join nodes, not
+    // the exchange nodes inserted later)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("filter pushdown reaches the parquet scan where expected") {
+    assert(plans("q01_pricing_summary").contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(plans("q25_json_extract").contains("PushedFilters"))
+  }
+
+  test("non-equi joins are broadcast nested-loop, not shuffled BNL") {
+    val p = plans("q41_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+}
