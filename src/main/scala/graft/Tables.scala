@@ -11,17 +11,26 @@ import org.apache.spark.sql.functions.expr
   * table root (see [[graft.store.EventStore]] for the partitioned layout).
   */
 object Tables {
-  def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads as
-    // a nanos LongType (spark.sql.legacy.parquet.nanosAsLong=true — set
-    // by Verify/Bench/tests). Rebuild a µs TimestampType column so all
-    // downstream code sees a real timestamp; DuckDB keeps ns, so queries
-    // never emit raw ts (see CoreQueries scaladoc).
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+
+  // Resolved-table cache: spark.read.parquet pays a file listing +
+  // footer schema read per call; the inputs are immutable test tables,
+  // so resolve each (session, path) once. Keyed on the session too so
+  // test suites with multiple sessions never cross wires.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((s, s"$dir/$name.parquet"), { case (sess, path) =>
+      val df = sess.read.parquet(path)
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
+      // as a nanos LongType (spark.sql.legacy.parquet.nanosAsLong=true —
+      // set by Verify/Bench/tests). Rebuild a µs TimestampType column so
+      // downstream code sees a real timestamp; DuckDB keeps ns, so
+      // queries never emit raw ts (see CoreQueries scaladoc).
+      if (name == "events")
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    })
 
   /** Session config every entry point (Verify / Bench / tests) applies. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
