@@ -70,6 +70,14 @@ final class GraftEngine private (val spark: SparkSession, val root: String) {
   def diff(r1: Long, r2: Long): DataFrame = analytics.diff(r1, r2)
   def run(ref: String): DataFrame = RefResolver.resolveRun(runs, ref)
   def query: LogQuery = LogQuery(events)
+
+  /** Captured output body of a run (O5 head/tail source). */
+  def output(invocationId: String): Option[String] =
+    store.outputs
+      .filter(org.apache.spark.sql.functions.col("invocation_id") === invocationId)
+      .select("storage_type", "storage_ref")
+      .collect().headOption
+      .map(r => blobs.loadString(r.getString(0), r.getString(1)))
   def sql(q: String): DataFrame = { install(); spark.sql(q) }
   def parseFiles(glob: String, format: String = "auto"): DataFrame =
     LogSource.readLogFiles(spark, glob, format)

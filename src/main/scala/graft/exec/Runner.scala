@@ -112,7 +112,7 @@ final class Runner(store: EventStore, blobs: BlobStore,
     val parsed = FormatRegistry.parse(output, hint)
     store.appendRun(inv, Seq.empty)
     writeEvents(attemptId, started, parsed)
-    blobs.store(output.getBytes(StandardCharsets.UTF_8))
+    writeOutput(attemptId, started, output)
 
     val errors = parsed.count(_.severity == Severity.Error).toLong
     val warnings = parsed.count(_.severity == Severity.Warning).toLong
@@ -143,12 +143,27 @@ final class Runner(store: EventStore, blobs: BlobStore,
       environment = None, ci = None, metadata = None,
       date = dateOf(started)), Seq.empty)
     writeEvents(id, started, parsed)
-    blobs.store(content.getBytes(StandardCharsets.UTF_8))
+    writeOutput(id, started, content)
     val errors = parsed.count(_.severity == Severity.Error).toLong
     val warnings = parsed.count(_.severity == Severity.Warning).toLong
     val status =
       if (errors > 0) "FAIL" else if (warnings > 0) "WARN" else "OK"
     RunResult(id, serial, 0, timedOut = false, status, errors, warnings, 0L)
+  }
+
+  /** Store captured output: blob/inline via the content-addressed
+    * store + the metadata row in the outputs table (the join target
+    * for blob orphan reconciliation, J7). */
+  private def writeOutput(invocationId: String, started: Timestamp,
+      content: String): Unit = {
+    val bytes = content.getBytes(StandardCharsets.UTF_8)
+    val (storageType, storageRef, hash) = blobs.store(bytes)
+    store.appendOutputs(Seq(graft.model.Output(
+      id = UUID.randomUUID().toString, invocation_id = invocationId,
+      stream = "combined", content_hash = Some(hash),
+      byte_length = bytes.length.toLong, storage_type = storageType,
+      storage_ref = storageRef, content_type = Some("text/plain"),
+      date = dateOf(started))))
   }
 
   /** Shared phase-2 event write: parsed events → fingerprinted rows. */

@@ -46,6 +46,9 @@ class EventStore(val spark: SparkSession, val root: String) {
   def appendOutcomes(outcomes: Seq[Outcome]): Unit =
     writer(outcomes.toDS(), Seq("date")).parquet(path("outcomes"))
 
+  def appendOutputs(outputs: Seq[Output]): Unit =
+    writer(outputs.toDS(), Seq("date")).parquet(path("outputs"))
+
   /** Write one completed run: its invocation row + parsed events.
     * Caller assigns run_serial via [[nextRunSerial]]. */
   def appendRun(inv: Invocation, events: Seq[Event]): Unit = {
@@ -97,6 +100,8 @@ class EventStore(val spark: SparkSession, val root: String) {
     if (exists("invocations")) read("invocations") else emptyDs[Invocation]
   def events: DataFrame =
     if (exists("events")) read("events") else emptyDs[Event]
+  def outputs: DataFrame =
+    if (exists("outputs")) read("outputs") else emptyDs[Output]
 
   // ---- maintenance (W3/T4 analogs) -----------------------------------
 

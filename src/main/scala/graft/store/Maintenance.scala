@@ -52,6 +52,21 @@ final class Maintenance(store: EventStore) {
     doomed.result()
   }
 
+  /** Blob orphan reconciliation (J7; bird.py:1522-1527): hashes present
+    * on disk but referenced by no outputs row — left_anti against the
+    * outputs frame. Returns the orphaned hashes (delete targets). */
+  def orphanBlobs(blobs: BlobStore): Seq[String] = {
+    val spark = store.spark
+    import spark.implicits._
+    val onDisk = blobs.listHashes().toDF("hash")
+    val referenced = store.outputs
+      .filter(org.apache.spark.sql.functions.col("storage_type") === "blob")
+      .select(org.apache.spark.sql.functions.col("content_hash").as("hash"))
+      .distinct()
+    onDisk.join(referenced, Seq("hash"), "left_anti")
+      .as[String].collect().toSeq
+  }
+
   /** Orphan reconciliation (T4): pending attempts older than
     * `staleAfterMs` (no outcome row) get a synthetic outcome with NULL
     * exit code appended — the append-only form of the reference's

@@ -63,6 +63,27 @@ class RunnerSpec extends SparkSpec {
     assert(tool === "mypy")
   }
 
+  test("exec: output row written; body retrievable; orphan blobs detected") {
+    val root = Files.createTempDirectory("runner_out").toString
+    val store = new EventStore(spark, root)
+    val blobs = new BlobStore(s"$root/blobs", inlineThreshold = 16)
+    val runner = new Runner(store, blobs)
+    val r = runner.exec(Seq("sh", "-c", "printf 'a long enough output body here'"))
+    val out = store.outputs.collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("invocation_id") === r.invocationId)
+    assert(out.head.getAs[String]("storage_type") === "blob") // > 16 bytes
+    // round-trip through the engine facade path
+    val body = blobs.loadString(out.head.getAs[String]("storage_type"),
+      out.head.getAs[String]("storage_ref"))
+    assert(body === "a long enough output body here")
+    // referenced blob is NOT an orphan; a planted one is
+    val m = new graft.store.Maintenance(store)
+    assert(m.orphanBlobs(blobs).isEmpty)
+    val (_, _, orphanHash) = blobs.store(("x" * 100).getBytes)
+    assert(m.orphanBlobs(blobs) === Seq(orphanHash))
+  }
+
   test("exec: missing binary yields exit 127 FAIL, lifecycle intact") {
     val (runner, store) = mkRunner()
     val r = runner.exec(Seq("/nonexistent/binary_xyz"))
