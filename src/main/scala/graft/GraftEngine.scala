@@ -78,6 +78,19 @@ final class GraftEngine private (val spark: SparkSession, val root: String) {
       .select("storage_type", "storage_ref")
       .collect().headOption
       .map(r => blobs.loadString(r.getString(0), r.getString(1)))
+
+  /** Line-selected view of a run's output (`"42 +/-5"` specs etc. —
+    * the MCP output(lines=…) surface). */
+  def outputLines(invocationId: String, spec: String): DataFrame = {
+    val body = output(invocationId).getOrElse("")
+    graft.analytics.Lines.readLines(spark, body, spec)
+  }
+
+  /** Grep-with-context over a run's output (MCP output(grep=…)). */
+  def grepOutput(invocationId: String, pattern: String, ctx: Int = 2): DataFrame = {
+    val body = output(invocationId).getOrElse("")
+    graft.analytics.Lines.searchLines(spark, body, pattern, ctx)
+  }
   def sql(q: String): DataFrame = { install(); spark.sql(q) }
   def parseFiles(glob: String, format: String = "auto"): DataFrame =
     LogSource.readLogFiles(spark, glob, format)

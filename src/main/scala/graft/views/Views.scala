@@ -106,6 +106,7 @@ object Views {
     store.invocations.createOrReplaceTempView("invocations")
     store.attempts.createOrReplaceTempView("attempts")
     store.outcomes.createOrReplaceTempView("outcomes")
+    store.outputs.createOrReplaceTempView("outputs")
     eventsFlat(store).createOrReplaceTempView("blq_events")
     runs(store).createOrReplaceTempView("blq_runs")
     attemptStatus(store).createOrReplaceTempView("blq_attempt_status")

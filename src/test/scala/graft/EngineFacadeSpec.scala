@@ -39,6 +39,20 @@ class EngineFacadeSpec extends SparkSpec {
     assert(g.show(g.errors(2)).contains("severity"))
   }
 
+  test("engine: output lines and grep over a run's captured body") {
+    val g = GraftEngine(spark, Files.createTempDirectory("engine_out").toString)
+    val r = g.exec(Seq("sh", "-c",
+      "printf 'line one\\nline two\\nERROR in line three\\nline four\\nline five\\n'"))
+    val body = g.output(r.invocationId)
+    assert(body.exists(_.contains("ERROR in line three")))
+    val window = g.outputLines(r.invocationId, "3 +/-1")
+      .collect().map(_.getInt(0)).toSeq
+    assert(window === Seq(2, 3, 4))
+    val hits = g.grepOutput(r.invocationId, "error", ctx = 1)
+      .collect().map(x => (x.getInt(0), x.getBoolean(2)))
+    assert(hits.toSeq === Seq((2, false), (3, true), (4, false)))
+  }
+
   test("ci gate: new fingerprint fails, fix-only passes") {
     val g = GraftEngine(spark, Files.createTempDirectory("cigate").toString)
     g.importContent(mypyV1, format = "mypy_text")
