@@ -41,7 +41,7 @@ final class GraftEngine private (val spark: SparkSession, val root: String) {
 
   /** Run a command; capture, parse, store (S8). */
   def exec(command: Seq[String], tag: Option[String] = None,
-      sourceName: Option[String] = None, formatHint: String = "auto"): Runner#RunResult =
+      sourceName: Option[String] = None, formatHint: String = "auto"): Runner.RunResult =
     runner.exec(command, tag, sourceName, formatHint)
 
   /** Import an existing log file as a run (S7). */

@@ -10,14 +10,17 @@ import graft.analytics.Analytics
   * anti/semi joins — nothing is collected except the verdict counts
   * and bounded samples.
   */
-final class CiGate(analytics: Analytics) {
-
+object CiGate {
   final case class Verdict(
       pass: Boolean,
       newErrors: Long,
       fixedErrors: Long,
       unchangedErrors: Long,
       newSamples: Seq[String])
+}
+
+final class CiGate(analytics: Analytics) {
+  import CiGate.Verdict
 
   def check(baselineSerial: Long, candidateSerial: Long,
       maxSamples: Int = 5): Verdict = {

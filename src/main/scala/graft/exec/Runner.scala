@@ -25,9 +25,7 @@ import graft.store.{BlobStore, EventStore}
   * pending attempt that Maintenance.reconcileOrphans later marks
   * orphaned.
   */
-final class Runner(store: EventStore, blobs: BlobStore,
-    sessionId: String = UUID.randomUUID().toString) {
-
+object Runner {
   final case class RunResult(
       invocationId: String,
       runSerial: Long,
@@ -37,6 +35,11 @@ final class Runner(store: EventStore, blobs: BlobStore,
       errors: Long,
       warnings: Long,
       durationMs: Long)
+}
+
+final class Runner(store: EventStore, blobs: BlobStore,
+    sessionId: String = UUID.randomUUID().toString) {
+  import Runner.RunResult
 
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
   private def dateOf(ts: Timestamp) = new Date(ts.getTime)
