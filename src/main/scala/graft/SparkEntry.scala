@@ -21,7 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ScalarQueries.queries ++ PipelineQueries.queries ++
-      WindowQueries.queries ++ CorpusQueries.queries
+      WindowQueries.queries ++ CorpusQueries.queries ++ CorpusQueries.queries2
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -52,6 +52,42 @@ object CorpusQueries {
         .orderBy(col("user_id"), col("session_idx"))
     })
 
+  // Gopher-style repetition filters (token-level on this single-line
+  // corpus): type-token ratio complement and top-token dominance.
+  private val q50 = "q50_repetition_filters" -> { (s: SparkSession, dir: String) =>
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_n"))
+      .select(col("doc_id"),
+        round(lit(1.0) - col("n_distinct") / col("n_tokens").cast("double"), 4)
+          .as("dup_fraction"),
+        round(col("top_n") / col("n_tokens").cast("double"), 4).as("top_share"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Dedup cluster assignment over the MinHash-LSH near-dup graph:
+  // connected components (min-label propagation), canonical keeper per
+  // cluster. Only multi-member clusters emitted.
+  private val q51 = "q51_dedup_clusters" -> { (s: SparkSession, dir: String) =>
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ml.TextDedup.minhashLshPairs(docs, n = 3, k = 12,
+      bands = 4, threshold = 0.3)
+    graft.ml.DedupClusters.assign(docs.select(col("doc_id")), pairs)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        concat_ws(",", array_sort(collect_list(col("doc_id")))).as("members"))
+      .filter(col("size") > 1)
+      .orderBy(col("cluster_id"))
+  }
+
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(q50, q51)
+
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
       """WITH toks AS (
@@ -62,6 +98,37 @@ object CorpusQueries {
         |SELECT doc_id, round(avg(-logp), 4) AS surprisal, count(*) AS n_tokens
         |FROM toks JOIN lm USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q50_repetition_filters" ->
+      """WITH counts AS (
+        |  SELECT doc_id, tok, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        | round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 4) AS dup_fraction,
+        | round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_share,
+        | sum(n) AS n_tokens
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Connected components over the q32 LSH pair graph via a recursive
+    // CTE (min reachable id per node = component label).
+    "q51_dedup_clusters" -> {
+      val pairSql = PipelineQueries.oracles("q32_minhash_lsh")
+      s"""WITH RECURSIVE pairs AS ($pairSql),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+         |labels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+         |SELECT cluster_id, count(*) AS size,
+         | array_to_string(list_sort(list(doc_id)), ',') AS members
+         |FROM labels GROUP BY cluster_id HAVING count(*) > 1
+         |ORDER BY cluster_id""".stripMargin
+    },
+
     "q49_sessionize" ->
       """WITH gaps AS (
         |  SELECT user_id, event_id, ts,

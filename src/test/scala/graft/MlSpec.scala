@@ -124,6 +124,20 @@ class MlSpec extends SparkSpec {
     assert(byDoc(1L) !== byDoc(3L))
   }
 
+  test("dedup clusters: components labeled by min id, keepers flagged") {
+    val docs = (1L to 8L).toDF("doc_id")
+    // components: {1,2,3} (chain), {5,6}, singletons 4,7,8
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = graft.ml.DedupClusters.assign(docs, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((1L, false)))
+    assert(out(3L) === ((1L, false)))
+    assert(out(4L) === ((4L, true))) // singleton keeps itself
+    assert(out(5L) === ((5L, true)))
+    assert(out(6L) === ((5L, false)))
+  }
+
   test("multimodal: decode stub preserves batch shape and determinism") {
     val media = Multimodal.fakeMediaTable(
       corpus.withColumn("source", lit("srcA")).withColumnRenamed("doc_id", "doc_id"))
