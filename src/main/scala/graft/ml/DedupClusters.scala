@@ -25,7 +25,14 @@ object DedupClusters {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // Only docs that appear in an edge can change label — propagate
+    // over that (much smaller) set and re-attach singletons at the
+    // end. localCheckpoint truncates the per-round lineage; without it
+    // each iteration's plan nests the previous one and optimization
+    // time grows exponentially with rounds.
+    val edgeDocs = edges.select(col("src").as("doc_id")).distinct()
+    var labels = edgeDocs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
     for (_ <- 0 until rounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst")
@@ -35,8 +42,13 @@ object DedupClusters {
       labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint(true)
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"),
-      (col("doc_id") === col("label")).as("keep"))
+    val singletons = docs.select(col("doc_id"))
+      .join(edgeDocs, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    labels.unionByName(singletons)
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        (col("doc_id") === col("label")).as("keep"))
   }
 }
