@@ -67,6 +67,26 @@ class EngineFacadeSpec extends SparkSpec {
     assert(v2.pass && v2.newErrors === 0)
   }
 
+  test("watch loop drives re-runs: change -> debounce -> exec -> events") {
+    val g = GraftEngine(spark, Files.createTempDirectory("watch_engine").toString)
+    val watched = Files.createTempDirectory("watched_src").toString
+    val w = new Watcher(watched, debounceMs = 200L)
+    val results = scala.collection.mutable.ArrayBuffer.empty[graft.exec.Runner.RunResult]
+    val t = new Thread(() => w.run({ changed =>
+      results += g.exec(Seq("sh", "-c",
+        s"printf '${changed.length} files changed\\nsrc/a.c:1:1: error: broken\\n'; exit 1"),
+        tag = Some("watch"), formatHint = "gcc_text")
+    }, maxBursts = 1))
+    t.start()
+    Thread.sleep(200)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(watched, "a.c"), "x")
+    t.join(15000)
+    w.stop()
+    assert(results.length === 1)
+    assert(results.head.status === "FAIL")
+    assert(g.errors(5).count() === 1) // parsed event queryable afterwards
+  }
+
   test("watcher: debounces a burst into one callback") {
     val dir = Files.createTempDirectory("watch").toString
     val w = new Watcher(dir, debounceMs = 300L)
