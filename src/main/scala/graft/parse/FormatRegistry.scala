@@ -13,7 +13,8 @@ object FormatRegistry extends Serializable {
     MakeParser, TscParser, GoTestParser, MavenParser, JestParser,
     PythonTracebackParser, ShellcheckParser, GradleParser, JunitXmlParser,
     RspecParser, GolangciParser, MsbuildParser, CargoJsonParser,
-    EslintJsonParser, GenericParser)
+    EslintJsonParser, PhpunitParser, RubocopParser, YamllintParser,
+    TerraformParser, DockerBuildParser, GenericParser)
 
   private val byFormat: Map[String, LogParser] =
     parsers.map(p => p.format -> p).toMap
@@ -69,6 +70,11 @@ object FormatRegistry extends Serializable {
     "golangci-lint" -> "golangci_lint",
     "dotnet build" -> "msbuild",
     "msbuild" -> "msbuild",
+    "phpunit" -> "phpunit_text",
+    "rubocop" -> "rubocop_text",
+    "yamllint" -> "yamllint_text",
+    "terraform" -> "terraform_text",
+    "docker build" -> "docker_build",
     "ruff" -> "generic_lint",
     "flake8" -> "generic_lint")
 
