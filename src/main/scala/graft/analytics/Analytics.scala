@@ -136,6 +136,27 @@ final class Analytics(store: EventStore) {
     }
   }
 
+  /** The service-level parameterized event query (services/query.py:
+    * 233-326 semantics): severity IN-list (P6), fingerprint
+    * suppression (P7), file pattern (P8), optional run scope, recency
+    * limit. One method = the reference's query_events service. */
+  def queryEvents(
+      severities: Seq[String] = Seq.empty,
+      suppressFingerprints: Seq[String] = Seq.empty,
+      filePattern: Option[String] = None,
+      runSerial: Option[Long] = None,
+      limit: Int = 100): DataFrame = {
+    var df = flat
+    if (severities.nonEmpty)
+      df = df.filter(col("severity").isin(severities: _*))
+    if (suppressFingerprints.nonEmpty)
+      df = df.filter(col("fingerprint").isNull ||
+        !col("fingerprint").isin(suppressFingerprints: _*))
+    filePattern.foreach(p => df = df.filter(col("ref_file").contains(p)))
+    runSerial.foreach(s => df = df.filter(col("run_serial") === s))
+    df.orderBy(col("started_at").desc, col("event_index").asc).limit(limit)
+  }
+
   /** Errors-by-file top-N (A12; report_cmd.py:92-102). */
   def errorsByFile(limit: Int = 10): DataFrame =
     flat.filter(col("severity") === "error" && col("ref_file").isNotNull)

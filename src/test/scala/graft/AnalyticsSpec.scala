@@ -96,6 +96,16 @@ class AnalyticsSpec extends SparkSpec {
     assert(top.head.getAs[Long]("n") === 4L) // e1, e2, e4, e6
   }
 
+  test("queryEvents: severity IN + suppression + file pattern + run scope") {
+    assert(analytics.queryEvents(severities = Seq("error")).count() === 5)
+    assert(analytics.queryEvents(severities = Seq("error"),
+      suppressFingerprints = Seq("fp_spam")).count() === 3)
+    assert(analytics.queryEvents(filePattern = Some("c.c")).count() === 1)
+    assert(analytics.queryEvents(severities = Seq("error"),
+      runSerial = Some(1L)).count() === 2)
+    assert(analytics.queryEvents(limit = 2).count() === 2)
+  }
+
   test("fingerprintHistory flags fixed-then-reappeared as regression") {
     // FIXTURES.md §4 regression scenario: fp_flaky in runs 1,2, absent
     // 3-4, reappears in 5; fp_steady in every run.
