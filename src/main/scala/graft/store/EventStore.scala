@@ -103,6 +103,25 @@ class EventStore(val spark: SparkSession, val root: String) {
   def outputs: DataFrame =
     if (exists("outputs")) read("outputs") else emptyDs[Output]
 
+  /** Typed views (SURVEY §1.3: Dataset[T] where type safety helps). */
+  def eventsTyped: Dataset[Event] = events.as[Event]
+  def invocationsTyped: Dataset[Invocation] = invocations.as[Invocation]
+  def attemptsTyped: Dataset[Attempt] = attempts.as[Attempt]
+  def outcomesTyped: Dataset[Outcome] = outcomes.as[Outcome]
+
+  /** Streaming view of the events table: each appended run's parquet
+    * files surface as new micro-batch rows — the bridge from the
+    * append-only store to incremental consumers (alerting, rollup
+    * maintenance) without re-reading history. */
+  def eventsStream: DataFrame = {
+    val schema = implicitly[org.apache.spark.sql.Encoder[Event]].schema
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == "date")))
+      .option("maxFilesPerTrigger", "64")
+      .parquet(path("events"))
+  }
+
   // ---- maintenance (W3/T4 analogs) -----------------------------------
 
   /** Partitions older than `days` (prune-by-age; storage.py:624-714).

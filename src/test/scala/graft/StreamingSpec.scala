@@ -84,6 +84,27 @@ class StreamingSpec extends SparkSpec {
       ("2026-08-01 10:01:00.0", "error", 1L)))
   }
 
+  test("events stream: appended runs surface as micro-batches") {
+    import Fixtures._
+    val store = new graft.store.EventStore(spark,
+      java.nio.file.Files.createTempDirectory("stream_store").toString)
+    store.appendRun(inv("i1", 1L, Some("b"), "2026-08-01 10:00:00", Some(1)),
+      Seq(ev("e1", "i1", 0, "error", "first batch")))
+    val query = store.eventsStream
+      .writeStream.format("memory").queryName("events_stream_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("events_stream_t").count() === 1)
+      // a new run appended AFTER the stream started appears incrementally
+      store.appendRun(inv("i2", 2L, Some("b"), "2026-08-01 11:00:00", Some(0)),
+        Seq(ev("e2", "i2", 0, "warning", "second batch"),
+          ev("e3", "i2", 1, "info", "third")))
+      query.processAllAvailable()
+      assert(spark.table("events_stream_t").count() === 3)
+    } finally query.stop()
+  }
+
   test("live tail: streaming file source parses appended diagnostics") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("live_tail").toString
