@@ -165,6 +165,22 @@ final class Analytics(store: EventStore) {
 
   /** Latest run per source with pending attempts (U1+W2). */
   def sourceStatus(): DataFrame = Views.sourceStatus(store)
+
+  /** Markdown report (report_cmd.py behavior): status board, noisy
+    * tool/category rollup, hot files, recent history — the same
+    * relations the CLI report renders, composed through Formatters. */
+  def report(historyLimit: Int = 10, fileLimit: Int = 10): String = {
+    val sections = Seq(
+      "## Source status" -> sourceStatus(),
+      "## Tool summary (errors/warnings)" -> summary(),
+      s"## Hot files (top $fileLimit)" -> errorsByFile(fileLimit),
+      s"## Recent runs (last $historyLimit)" -> history(historyLimit)
+        .select(col("run_serial"), col("source_name"), col("started_at"),
+          col("status_badge"), col("errors"), col("warnings")))
+    sections.map { case (title, df) =>
+      title + "\n\n" + graft.api.Formatters.markdown(df)
+    }.mkString("# Build log report\n\n", "\n\n", "\n")
+  }
 }
 
 /** Content-addressed line operators (blq_read_lines /

@@ -128,6 +128,15 @@ class AnalyticsSpec extends SparkSpec {
     assert(h("fp_steady") === ((false, 5L))) // contiguous 1..5
   }
 
+  test("report: markdown sections render from store relations") {
+    val r = analytics.report()
+    assert(r.startsWith("# Build log report"))
+    assert(r.contains("## Source status"))
+    assert(r.contains("## Tool summary"))
+    assert(r.contains("a.c")) // hot file appears
+    assert(r.contains("| run_serial |"))
+  }
+
   test("ref grammar parses every documented form") {
     assert(RefResolver.parse("5") === ParsedRef(runSerial = Some(5)))
     assert(RefResolver.parse("build:3") === ParsedRef(tag = Some("build"), runSerial = Some(3)))
