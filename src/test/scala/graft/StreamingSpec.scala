@@ -105,6 +105,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("alerting composition: windowed severity counts over the store stream") {
+    import Fixtures._
+    val store = new graft.store.EventStore(spark,
+      java.nio.file.Files.createTempDirectory("alert_store").toString)
+    store.appendRun(inv("i1", 1L, Some("b"), "2026-08-01 10:00:00", Some(1)),
+      Seq(ev("e1", "i1", 0, "error", "boom"),
+        ev("e2", "i1", 1, "error", "boom2"),
+        ev("e3", "i1", 2, "warning", "warn")))
+    val counts = LiveStreams.severityCounts(
+      store.eventsStream, "timestamp", "1 minute", "10 minutes")
+    val query = counts.writeStream.format("memory").queryName("alert_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("alert_t")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(rows === Map("error" -> 2L, "warning" -> 1L))
+    } finally query.stop()
+  }
+
   test("live tail: streaming file source parses appended diagnostics") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("live_tail").toString
