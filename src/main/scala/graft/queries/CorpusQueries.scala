@@ -9,6 +9,12 @@ import graft.Tables.t
   * statistical upgrade of the heuristic quality score) and event
   * sessionization (gap-based session assignment) — both classic
   * training-data/behavior-pipeline ops with exact oracles.
+  *
+  * Oracle-portability rule (hard-won): NEVER emit a bare integer
+  * `sum()` from a DuckDB oracle — DuckDB `sum(INTEGER)` returns
+  * HUGEINT (int128), which hash-mismatches Spark's BIGINT even when
+  * every value is equal. Always `CAST(sum(x) AS BIGINT)`. `count(*)`
+  * is already BIGINT and needs no cast.
   */
 object CorpusQueries {
 
@@ -106,7 +112,7 @@ object CorpusQueries {
         |SELECT doc_id,
         | round(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 4) AS dup_fraction,
         | round(max(n) / CAST(sum(n) AS DOUBLE), 4) AS top_share,
-        | sum(n) AS n_tokens
+        | CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Connected components over the q32 LSH pair graph via a recursive
@@ -140,9 +146,9 @@ object CorpusQueries {
         |    CASE WHEN gap_s IS NULL OR gap_s > 3600 THEN 1 ELSE 0 END AS new_session
         |  FROM gaps),
         |sessions AS (
-        |  SELECT user_id, event_id, ts, sum(new_session) OVER (
+        |  SELECT user_id, event_id, ts, CAST(sum(new_session) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM marked)
         |SELECT user_id, session_idx, count(*) AS n_events,
         | min(epoch_ms(ts)) AS start_ms,
