@@ -33,13 +33,20 @@ object TextDedup {
   /** Whitespace tokens of `text` (clean single-space corpus contract). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles as an array column. */
+  /** Distinct word n-gram shingles as an array column. Built with an
+    * index-aware `transform` + O(1) `get` lookups — no per-element
+    * `sequence`/`slice` array materialization (that form allocated a
+    * position array plus one sub-array per shingle per row; this one
+    * allocates only the output). Docs shorter than n tokens fall back
+    * to a single whole-text shingle (mirrored in the oracle CTE —
+    * keep the two in sync). */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    when(size(toks) >= n, array_distinct(grams))
+    // concat_ws skips the nulls that get() yields past the array end;
+    // those partial trailing grams are sliced off below.
+    val grams = transform(toks, (x, i) =>
+      concat_ws(" ", x +: (1 until n).map(j => get(toks, i + lit(j))): _*))
+    when(size(toks) >= n, array_distinct(slice(grams, lit(1), size(toks) - (n - 1))))
       .otherwise(array(concat_ws(" ", toks)))
   }
 
@@ -47,10 +54,33 @@ object TextDedup {
     * Repartitions the corpus first: document tables often arrive as few
     * large files (one input split each), and the shingle explode + hash
     * work downstream is the expensive part — spread it across all cores
-    * BEFORE it fans out, or everything runs on one task. */
+    * BEFORE it fans out, or everything runs on one task.
+    *
+    * explode_outer, deliberately: plain explode carries an implicit
+    * `size(arr) > 0` filter that Catalyst pushes BELOW the repartition,
+    * re-evaluating the whole shingle expression on the unsplit input
+    * partition — the exact single-core trap the repartition exists to
+    * avoid. shingles() never returns an empty or null array (short docs
+    * get the whole-text fallback), so outer ≡ inner here, minus the
+    * pushed-down filter. */
   def shingleTable(docs: DataFrame, n: Int): DataFrame =
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), explode_outer(shingles(col("text"), n)).as("shingle"))
+
+  /** (doc_id, shingle_key) with 64-bit hashed shingle keys — the
+    * Spark-internal fast path for pipelines whose RESULTS don't expose
+    * the shingle itself (q31's pair counts): every downstream shuffle,
+    * sort and comparison runs on 8-byte longs instead of ~20-char
+    * strings. Collision odds across 10^5..10^9 distinct shingles are
+    * ≤ ~1e-9 per corpus (64-bit birthday), and any collision only
+    * perturbs one candidate pair's count. Oracle-exposed paths
+    * (q32 minhash, q40 fingerprint) keep the string form — their md5s
+    * are part of the checked output. */
+  def shingleKeyTable(docs: DataFrame, n: Int): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        explode_outer(transform(shingles(col("text"), n), s => xxhash64(s)))
+          .as("shingle"))
 
   /** Exact duplicate groups: docs keyed by content hash; `keep_id` is
     * the canonical (minimum) doc of each group. One shuffle, no pairs —
@@ -71,16 +101,18 @@ object TextDedup {
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
 
   /** Attach both docs' shingle arrays to candidate (doc_a, doc_b) pairs
-    * and emit verified Jaccard >= threshold. Candidates are tiny
+    * and emit verified Jaccard >= threshold. Candidates are small
     * relative to the corpus (that is the point of candidate
-    * generation), so both attach joins broadcast the pair list and the
-    * set algebra is array_intersect on co-located rows — the verify
-    * step never shuffles the corpus. */
+    * generation) so AQE broadcasts them when they measure small — but
+    * no forced hint: a skewed LSH run can produce a candidate list too
+    * big to broadcast, and the hint would turn that into an OOM
+    * instead of a shuffle join. The set algebra is array_intersect on
+    * co-located rows either way. */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    broadcast(candidates)
+    candidates
       .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -104,13 +136,15 @@ object TextDedup {
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       dfCap: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleSets(docs, n)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sh = shingleKeyTable(docs, n)
     val rareSh = sh
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
       .filter(col("df") <= dfCap)
       .drop("df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sizes is doc-cardinality — never force-broadcast it (billions of
+    // rows at full scale); AQE broadcasts when it measures small and
+    // shuffle-joins otherwise.
     val sizes = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = rareSh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = rareSh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -118,10 +152,10 @@ object TextDedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b")), Seq("doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)

@@ -150,12 +150,19 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- oracles
 
-  /** DISTINCT (doc_id, shingle) 3-gram CTE body over `documents`. */
-  private val shingleCte: String =
+  /** DISTINCT (doc_id, shingle) 3-gram CTE body over `documents`.
+    * Mirrors TextDedup.shingles exactly, INCLUDING the short-doc
+    * fallback: a doc with fewer than 3 tokens contributes its whole
+    * text as a single shingle (generate_series alone would silently
+    * drop such docs and diverge from Spark on any corpus containing
+    * one). */
+  private[queries] val shingleCte: String =
     """sh AS (
       |  SELECT DISTINCT doc_id, s AS shingle FROM (
-      |    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
-      |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+      |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(generate_series(1, len(toks)-2),
+      |        i -> array_to_string(toks[i:i+2], ' '))
+      |      ELSE [array_to_string(toks, ' ')] END) AS s
       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))""".stripMargin
 
   /** 32-bit simhash CTE chain ending in sig(doc_id, simhash). */

@@ -51,6 +51,19 @@ object Profile {
       graft.ml.TextDedup.minhashLshPairs(t(spark, sfDir, "documents"), 3, 12, 4, 0.3)
         .orderBy(col("doc_a"), col("doc_b")).count()
     }
+    time("q51_full") {
+      graft.SparkEntry.queries("q51_dedup_clusters")(spark, sfDir).count()
+    }
+
+    // Plan inspection: does count() eliminate the trailing sort, and how
+    // many exchanges does q31 run?
+    val q31 = graft.ml.TextDedup.jaccardPairs(t(spark, sfDir, "documents"), 3, 0.3, 50)
+      .orderBy(col("doc_a"), col("doc_b"))
+    println("=== q31.count() optimized plan ===")
+    println(q31.groupBy().count().queryExecution.optimizedPlan.treeString.take(4000))
+    println("=== q31 formatted physical ===")
+    println(q31.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(6000))
     spark.stop()
   }
 }

@@ -138,6 +138,29 @@ class MlSpec extends SparkSpec {
     assert(out(6L) === ((5L, false)))
   }
 
+  test("short docs (< n tokens) shingle to whole text; jaccard sees them") {
+    // Matches the oracle CTE's CASE fallback — a 2-token doc yields one
+    // whole-text shingle instead of silently vanishing from the index.
+    val df = docs(1L -> "tiny doc", 2L -> "tiny doc", 3L -> "something else entirely here")
+    val sh = df.select($"doc_id", TextDedup.shingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) === Seq("tiny doc"))
+    val pairs = TextDedup.jaccardPairs(df, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("dedup clusters: long chain (diameter > 4) converges to one component") {
+    // Regression for the fixed-round-count bug: a 13-node chain has
+    // diameter 12; pointer doubling must still collapse it to a single
+    // cluster labeled by the min id.
+    val docs = (1L to 13L).toDF("doc_id")
+    val pairs = (1L to 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = graft.ml.DedupClusters.assign(docs, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 13L).forall(out(_) === 1L), s"split clusters: $out")
+  }
+
   test("multimodal: decode stub preserves batch shape and determinism") {
     val media = Multimodal.fakeMediaTable(
       corpus.withColumn("source", lit("srcA")).withColumnRenamed("doc_id", "doc_id"))
