@@ -262,6 +262,23 @@ object CoreQueries {
         .agg(min(col("event_id")).as("example_event"),
           max(col("event_id")).as("latest_event"))
         .orderBy(col("event_type"))
+    },
+
+    // A10 proper: JSON-document aggregation — to_json(collect_list(
+    // struct(...))) per group, the agent-output emission form
+    // (reference: src/blq/schema.sql:354-373). collect_list order is
+    // shuffle-dependent, so the struct array is sort_array'd (first
+    // field event_id is unique → total order) before serialization;
+    // the oracle orders inside list(... ORDER BY event_id). Both
+    // engines emit identical compact JSON.
+    "q52_json_agg" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          to_json(sort_array(collect_list(struct(col("event_id"), col("event_type")))))
+            .as("events_json"),
+          count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -370,5 +387,12 @@ object CoreQueries {
         |FROM documents GROUP BY ALL ORDER BY lang, source""".stripMargin,
     "q20_example_per_type" ->
       """SELECT event_type, min(event_id) AS example_event, max(event_id) AS latest_event
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q52_json_agg" ->
+      """SELECT user_id,
+        | to_json(list(struct_pack(event_id := event_id, event_type := event_type)
+        |   ORDER BY event_id)) AS events_json,
+        | count(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

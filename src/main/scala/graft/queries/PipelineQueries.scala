@@ -133,6 +133,30 @@ object PipelineQueries {
         .orderBy(col("lang"), col("source"))
     },
 
+    // Blocked (sign-bucketed) embedding near-dup — the SAME operator as
+    // q35 but exercising the bucketBits > 0 path that actually runs at
+    // 100 TB: candidates come from an equi-join on the bucket key, never
+    // an all-pairs product. Recall < 1 vs q35 by construction; the
+    // oracle applies the identical blocking, so the gate checks the
+    // scale path's exact output.
+    "q53_embedding_neardup_blocked" -> { (s, dir) =>
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), threshold = 0.45,
+        bucketBits = 4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+
+    // IVF ANN top-k with deterministic seed centroids (iters = 0: cells
+    // are the k lowest vec_ids' vectors) so the whole index build +
+    // probe + rank chain is SQL-expressible. The d2 used for cell
+    // assignment is a sequential fold of squared diffs — bit-identical
+    // to the oracle's list_dot_product over the element-wise diff list.
+    "q54_ivf_topk" -> { (s, dir) =>
+      graft.ml.Ivf.topK(t(s, dir, "embeddings"), q => q < 10, k = 3,
+        cells = 8, nprobe = 2, iters = 0)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode itself is stubbed (graft.ml.Multimodal); this query proves
     // the binary-column path: utf8 encode → byte length, content hash,
@@ -299,6 +323,60 @@ object PipelineQueries {
          |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q53_embedding_neardup_blocked" -> {
+      val bucket = (1 to 4)
+        .map(i => s"(CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"""WITH eb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         |  $bucket AS bucket FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+         |FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    // IVF: centroids = 8 lowest vec_ids (iters=0), assignment = argmin
+    // of d2 over cells, queries probe the 2 nearest cells, cosine top-3
+    // within probed cells. d2 = ldp(diff, diff) over the element-wise
+    // diff list == Spark's sequential fold of squared diffs, bit-exact.
+    "q54_ivf_topk" ->
+      s"""WITH $embCte,
+         |cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS c
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |ad AS (
+         |  SELECT e.vec_id, cent.cell_id,
+         |    list_dot_product(
+         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i]),
+         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i])) AS d2
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn FROM ad)
+         |  WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id AS query_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn
+         |    FROM ad WHERE vec_id < 10)
+         |  WHERE rn <= 2),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    list_dot_product(qe.v, c.v) / (qe.nrm * c.nrm) AS cos
+         |  FROM qcells q
+         |  JOIN e qe ON qe.vec_id = q.query_id
+         |  JOIN assigned a ON a.cell_id = q.cell_id
+         |  JOIN e c ON c.vec_id = a.vec_id AND c.vec_id != q.query_id),
+         |ranked AS (
+         |  SELECT query_id, cand_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, cand_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "q38_lang_id" -> {
       val scores = TextAnalysis.langProfiles
