@@ -7,14 +7,20 @@ package graft.parse
   */
 object FormatRegistry extends Serializable {
 
-  /** Specific formats first; GenericParser is the damped fallback. */
+  /** Specific formats first; GenericParser is the damped fallback.
+    * SwiftParser precedes GccParser: swift diagnostics are a gcc-shaped
+    * subset, and Swift's sniff doubles per-.swift-line score so the tie
+    * resolves to the more specific tool. */
   val parsers: Seq[LogParser] = Seq(
-    GccParser, MypyParser, PytestParser, EslintParser, CargoParser,
+    SwiftParser, GccParser, MypyParser, PytestParser, EslintParser, CargoParser,
     MakeParser, TscParser, GoTestParser, MavenParser, JestParser,
     PythonTracebackParser, ShellcheckParser, GradleParser, JunitXmlParser,
     RspecParser, GolangciParser, MsbuildParser, CargoJsonParser,
     EslintJsonParser, PhpunitParser, RubocopParser, YamllintParser,
-    TerraformParser, DockerBuildParser, GenericParser)
+    TerraformParser, DockerBuildParser,
+    PylintParser, ClippyDenseParser, CheckstyleParser, SpotbugsParser,
+    KtlintParser, JunitTextParser, AnsibleParser, PipParser,
+    NginxParser, SyslogParser, GenericParser)
 
   private val byFormat: Map[String, LogParser] =
     parsers.map(p => p.format -> p).toMap
@@ -76,7 +82,23 @@ object FormatRegistry extends Serializable {
     "terraform" -> "terraform_text",
     "docker build" -> "docker_build",
     "ruff" -> "generic_lint",
-    "flake8" -> "generic_lint")
+    "flake8" -> "generic_lint",
+    "pylint" -> "pylint_text",
+    "cargo clippy" -> "clippy_dense",
+    "checkstyle" -> "checkstyle_text",
+    "spotbugs" -> "spotbugs_text",
+    "findbugs" -> "spotbugs_text",
+    "ktlint" -> "ktlint_text",
+    "swiftc" -> "swift_text",
+    "swift build" -> "swift_text",
+    "xcodebuild" -> "swift_text",
+    "ansible-playbook" -> "ansible_text",
+    "ansible" -> "ansible_text",
+    "pip install" -> "pip_text",
+    "pip3 install" -> "pip_text",
+    "uv pip" -> "pip_text",
+    "uv add" -> "pip_text",
+    "surefire" -> "junit_text")
 
   def detectFormatFromCommand(cmd: String): String = {
     val lower = cmd.toLowerCase

@@ -77,6 +77,133 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("eslint_output.txt")).map(_.format) === Some("eslint_text"))
     assert(FormatRegistry.detect(fixture("cargo_build.log")).map(_.format) === Some("cargo_build"))
     assert(FormatRegistry.detect(fixture("make_fail.log")).map(_.format) === Some("make_error"))
+    assert(FormatRegistry.detect(fixture("pylint_output.txt")).map(_.format) === Some("pylint_text"))
+    assert(FormatRegistry.detect(fixture("clippy_dense.txt")).map(_.format) === Some("clippy_dense"))
+    assert(FormatRegistry.detect(fixture("checkstyle_output.txt")).map(_.format) === Some("checkstyle_text"))
+    assert(FormatRegistry.detect(fixture("spotbugs_output.txt")).map(_.format) === Some("spotbugs_text"))
+    assert(FormatRegistry.detect(fixture("ktlint_output.txt")).map(_.format) === Some("ktlint_text"))
+    assert(FormatRegistry.detect(fixture("junit_surefire.txt")).map(_.format) === Some("junit_text"))
+    assert(FormatRegistry.detect(fixture("swift_build.log")).map(_.format) === Some("swift_text"))
+    assert(FormatRegistry.detect(fixture("ansible_play.txt")).map(_.format) === Some("ansible_text"))
+    assert(FormatRegistry.detect(fixture("pip_install.txt")).map(_.format) === Some("pip_text"))
+    assert(FormatRegistry.detect(fixture("nginx_error.log")).map(_.format) === Some("nginx_error"))
+    assert(FormatRegistry.detect(fixture("syslog_sample.txt")).map(_.format) === Some("syslog_text"))
+  }
+
+  test("pylint: code + symbolic rule, severity classes from code letter") {
+    val evs = PylintParser.parse(fixture("pylint_output.txt"))
+    assert(evs.length === 5)
+    assert(evs.head.code === Some("E1101") && evs.head.rule === Some("no-member"))
+    assert(evs.head.severity === Severity.Error)
+    assert(evs(1).severity === Severity.Info)     // C0114 convention
+    assert(evs(2).severity === Severity.Warning)  // W0612
+    assert(evs(3).severity === Severity.Info)     // R0914 refactor
+    assert(evs.head.ref_file === Some("app/models.py"))
+    assert(evs.head.ref_line === Some(42) && evs.head.ref_column === Some(8))
+  }
+
+  test("clippy dense: rustc short form with E-codes and lint names") {
+    val evs = ClippyDenseParser.parse(fixture("clippy_dense.txt"))
+    assert(evs.length === 5)
+    assert(evs.head.severity === Severity.Warning)
+    assert(evs.head.rule === Some("unused_variables"))
+    assert(evs(1).rule === Some("clippy::needless_borrow"))
+    assert(evs(2).code === Some("E0308") && evs(2).severity === Severity.Error)
+    assert(evs(3).severity === Severity.Note)
+  }
+
+  test("checkstyle: bracketed severity, check name, optional column") {
+    val evs = CheckstyleParser.parse(fixture("checkstyle_output.txt"))
+    assert(evs.length === 4)
+    assert(evs.head.severity === Severity.Error)
+    assert(evs.head.rule === Some("JavadocMethod"))
+    assert(evs(1).severity === Severity.Warning && evs(1).ref_column === None)
+    assert(evs(3).severity === Severity.Info)
+  }
+
+  test("spotbugs: priority to severity, bug type as code") {
+    val evs = SpotbugsParser.parse(fixture("spotbugs_output.txt"))
+    assert(evs.length === 3)
+    assert(evs.head.severity === Severity.Error) // H priority
+    assert(evs.head.code === Some("NP_NULL_ON_SOME_PATH"))
+    assert(evs.head.ref_file === Some("Service.java") && evs.head.ref_line === Some(42))
+    assert(evs(1).severity === Severity.Warning)
+  }
+
+  test("ktlint: rule in parens, kt and kts files") {
+    val evs = KtlintParser.parse(fixture("ktlint_output.txt"))
+    assert(evs.length === 4)
+    assert(evs.forall(_.severity == Severity.Error))
+    assert(evs.head.rule === Some("no-blank-line-before-rbrace"))
+    assert(evs(3).ref_file === Some("src/test/kotlin/com/example/MainTest.kts"))
+  }
+
+  test("junit surefire text: pass/fail/error results + summary") {
+    val evs = JunitTextParser.parse(fixture("junit_surefire.txt"))
+    assert(evs.count(_.severity == Severity.TestPass) === 1)
+    assert(evs.count(_.severity == Severity.TestFail) === 2)
+    val fails = evs.filter(_.severity == Severity.TestFail)
+    assert(fails.head.test_name === Some("com.example.CalculatorTest.testDivision"))
+    assert(fails.head.message.get.contains("AssertionError"))
+    // summary line carries the aggregate and error severity (failures > 0)
+    assert(evs.last.severity === Severity.Error)
+    assert(evs.last.message.get.contains("failures: 1"))
+  }
+
+  test("swiftc: gcc-shaped diagnostics win detection via .swift anchor") {
+    val evs = SwiftParser.parse(fixture("swift_build.log"))
+    assert(evs.length === 4)
+    assert(evs.head.severity === Severity.Error)
+    assert(evs.head.ref_file === Some("/App/Sources/Main.swift"))
+    assert(evs(3).message === Some("BUILD FAILED"))
+    // gcc's parser would also match these lines — detection must not pick it
+    assert(GccParser.sniff(fixture("swift_build.log").linesIterator.toArray) > 0)
+  }
+
+  test("ansible: fatal hosts as errors with task context, recap warnings") {
+    val evs = AnsibleParser.parse(fixture("ansible_play.txt"))
+    val errors = evs.filter(_.severity == Severity.Error)
+    assert(errors.length === 2)
+    assert(errors.head.message.get.contains("No package nginx available"))
+    assert(errors.head.test_name === Some("install nginx"))
+    assert(errors(1).code === Some("unreachable"))
+    // recap rows with failures/unreachable > 0 surface as warnings
+    assert(evs.count(_.severity == Severity.Warning) === 2)
+  }
+
+  test("pip/uv: errors and warnings only with install context present") {
+    val evs = PipParser.parse(fixture("pip_install.txt"))
+    assert(evs.count(_.severity == Severity.Error) === 2)
+    assert(evs.count(_.severity == Severity.Warning) === 1)
+    assert(evs.exists(_.message.get.startsWith("installed: requests")))
+    // a generic error log without install context must not detect as pip
+    assert(PipParser.sniff(Array("ERROR: something broke", "all bad")) === 0)
+  }
+
+  test("nginx error log: level mapping emerg..info") {
+    val evs = NginxParser.parse(fixture("nginx_error.log"))
+    assert(evs.length === 4)
+    assert(evs.head.severity === Severity.Error)
+    assert(evs(1).severity === Severity.Warning)
+    assert(evs(2).severity === Severity.Error) // crit
+    assert(evs(3).severity === Severity.Note)  // notice
+  }
+
+  test("syslog: host/process extracted, severity from message keywords") {
+    val evs = SyslogParser.parse(fixture("syslog_sample.txt"))
+    assert(evs.length === 5)
+    assert(evs.head.severity === Severity.Error) // Failed password
+    assert(evs.head.rule === Some("sshd"))
+    assert(evs(3).severity === Severity.Error)   // OOM Killed
+    assert(evs(4).severity === Severity.Info)    // cron CMD
+  }
+
+  test("command hints cover the new tier") {
+    assert(FormatRegistry.detectFormatFromCommand("pylint src/") === "pylint_text")
+    assert(FormatRegistry.detectFormatFromCommand("cargo clippy --all-targets") === "clippy_dense")
+    assert(FormatRegistry.detectFormatFromCommand("ansible-playbook site.yml") === "ansible_text")
+    assert(FormatRegistry.detectFormatFromCommand("pip install -r requirements.txt") === "pip_text")
+    assert(FormatRegistry.detectFormatFromCommand("xcodebuild -scheme App test") === "swift_text")
   }
 
   test("auto on unknown content: zero or generic events, no crash") {
