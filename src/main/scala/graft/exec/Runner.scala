@@ -154,6 +154,53 @@ final class Runner(store: EventStore, blobs: BlobStore,
     RunResult(id, serial, 0, timedOut = false, status, errors, warnings, 0L)
   }
 
+  /** Distributed bulk ingest (S4 at scale): a directory/glob of log
+    * files parsed and appended in ONE Spark job — wholetext scan (one
+    * task per file) → executor-side parse → fingerprint → aligned
+    * append. Nothing but the error/warning tallies ever reaches the
+    * driver; contrast [[importContent]], which is the right tool for a
+    * single captured blob. The batch is one invocation (source_type
+    * "import", command = the glob); each event keeps its origin file in
+    * metadata JSON (`{"log_file": …}`), queryable via json_extract.
+    *
+    * At 100 TB of logs this shape is embarrassingly parallel: no
+    * shuffle anywhere — the only synchronization is the final count. */
+  def importDirectory(pathGlob: String, format: String = "auto",
+      tag: Option[String] = None): RunResult = {
+    val id = UUID.randomUUID().toString
+    val started = now()
+    val serial = store.nextRunSerial()
+    val parsed = graft.parse.LogSource.readLogFiles(store.spark, pathGlob, format)
+      .withColumn("id", expr("uuid()"))
+      .withColumn("invocation_id", lit(id))
+      .withColumn("timestamp", lit(started))
+      .withColumn("context", lit(null).cast("string"))
+      .withColumn("metadata", to_json(struct(col("log_file"))))
+      .withColumn("date", lit(dateOf(started)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      store.appendRun(Invocation(
+        id = id, run_serial = serial, session_id = sessionId,
+        source_name = Some(pathGlob), source_type = SourceType.Import, tag = tag,
+        command = Some(s"import $pathGlob"), cwd = None, executable_path = None,
+        started_at = started, duration_ms = None, exit_code = Some(0),
+        hostname = None, platform = None, arch = None,
+        git_commit = None, git_branch = None, git_dirty = None,
+        environment = None, ci = None, metadata = None,
+        date = dateOf(started)), Seq.empty)
+      store.appendEvents(parsed)
+      val tallies = parsed.agg(
+        count(when(col("severity") === Severity.Error, 1)).as("e"),
+        count(when(col("severity") === Severity.Warning, 1)).as("w"))
+        .head()
+      val (errors, warnings) = (tallies.getLong(0), tallies.getLong(1))
+      val status =
+        if (errors > 0) "FAIL" else if (warnings > 0) "WARN" else "OK"
+      RunResult(id, serial, 0, timedOut = false, status, errors, warnings,
+        System.currentTimeMillis() - started.getTime)
+    } finally parsed.unpersist()
+  }
+
   /** Store captured output: blob/inline via the content-addressed
     * store + the metadata row in the outputs table (the join target
     * for blob orphan reconciliation, J7). */

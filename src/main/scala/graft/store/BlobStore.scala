@@ -78,10 +78,15 @@ final class BlobStore(rootDir: String,
   def listHashes(): Seq[String] =
     if (!Files.exists(root)) Seq.empty
     else {
+      // Files.walk holds directory handles until the stream is closed —
+      // on a large blob tree an unclosed walk leaks one fd per level
+      // per reconciliation scan.
       val out = Seq.newBuilder[String]
-      Files.walk(root).forEach { p =>
-        if (Files.isRegularFile(p) && !p.getFileName.toString.startsWith(".tmp"))
-          out += p.getFileName.toString
+      scala.util.Using.resource(Files.walk(root)) { stream =>
+        stream.forEach { p =>
+          if (Files.isRegularFile(p) && !p.getFileName.toString.startsWith(".tmp"))
+            out += p.getFileName.toString
+        }
       }
       out.result()
     }

@@ -67,6 +67,21 @@ class EngineFacadeSpec extends SparkSpec {
     assert(v2.pass && v2.newErrors === 0)
   }
 
+  test("ci gate: regression seen in an older non-baseline run still yields samples") {
+    // r1 has the errors, r2 (baseline) is clean of them, r3 (candidate)
+    // regresses. The verdict counts 'new vs baseline'; the samples must
+    // come from that same set — an all-history anti-join would return
+    // none here (the fingerprints exist in r1).
+    val g = GraftEngine(spark, Files.createTempDirectory("cigate_reg").toString)
+    g.importContent(mypyV1, format = "mypy_text") // r1: assignment + return
+    g.importContent("c.py:9: error: not callable  [misc]\nFound 1 error in 1 file",
+      format = "mypy_text")                       // r2 baseline: others fixed
+    g.importContent(mypyV1, format = "mypy_text") // r3 candidate: regressed
+    val v = new CiGate(g.analytics).check(baselineSerial = 2L, candidateSerial = 3L)
+    assert(!v.pass && v.newErrors === 2)
+    assert(v.newSamples.exists(_.contains("bad type")), s"samples: ${v.newSamples}")
+  }
+
   test("watch loop drives re-runs: change -> debounce -> exec -> events") {
     val g = GraftEngine(spark, Files.createTempDirectory("watch_engine").toString)
     val watched = Files.createTempDirectory("watched_src").toString

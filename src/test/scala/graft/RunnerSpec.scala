@@ -91,4 +91,35 @@ class RunnerSpec extends SparkSpec {
     assert(r.status === "FAIL")
     assert(store.outcomes.count() === 1)
   }
+
+  test("importDirectory: many files parse and land in one distributed job") {
+    val (runner, store) = mkRunner()
+    val dir = Files.createTempDirectory("bulk_logs")
+    (0 until 40).foreach { i =>
+      val content =
+        if (i % 2 == 0)
+          s"src/f$i.c:${i + 1}:2: error: broken thing $i\nsrc/f$i.c:${i + 10}:4: warning: sketchy $i\n"
+        else
+          s"a$i.py:3: error: bad type  [assignment]\nFound 1 error in 1 file\n"
+      Files.writeString(dir.resolve(f"build_$i%03d.log"), content)
+    }
+    val r = runner.importDirectory(s"$dir/*.log", format = "auto", tag = Some("bulk"))
+    assert(r.status === "FAIL")
+    assert(r.errors === 40 && r.warnings === 20)
+
+    // single invocation; every event under it, origin file in metadata JSON
+    assert(store.invocations.count() === 1)
+    val ev = store.events
+    assert(ev.count() === 60)
+    assert(ev.filter(col("invocation_id") === r.invocationId).count() === 60)
+    val files = ev.select(get_json_object(col("metadata"), "$.log_file").as("f"))
+      .distinct().count()
+    assert(files === 40)
+    // fingerprints assigned on errors/warnings (queryable downstream)
+    assert(ev.filter(col("severity") === "error" && col("fingerprint").isNull).count() === 0)
+    // mixed formats dispatched per file: both tools present
+    val tools = ev.select(col("tool_name")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tools === Set("gcc", "mypy"))
+  }
 }

@@ -95,4 +95,51 @@ class StoreExtrasSpec extends SparkSpec {
     assert(out("e1").isEmpty)
     assert(out("e2").get.contains("triaged"))
   }
+
+  test("schema migration: adapt + rewrite round trip (add, rename, widen)") {
+    import graft.store.{GraftMigrations, SchemaMigration}
+    val root = Files.createTempDirectory("migrate").toString
+    // v1-era table: no test_name, legacy 'sandbox' column, int ref_line
+    Seq(
+      (1L, "2026-01-01", "sbx-a", 10, "boom"),
+      (2L, "2026-01-02", null: String, 20, "ok"))
+      .toDF("run_serial", "date", "sandbox", "ref_line", "message")
+      .withColumn("ref_line", $"ref_line".cast("int"))
+      .write.partitionBy("date").parquet(s"$root/events")
+
+    val m = GraftMigrations(spark, root)
+    assert(m.currentVersion === 1 && m.latestVersion === 4)
+    assert(m.pending("events").map(_.version) === Seq(2, 3, 4))
+
+    def raw = spark.read.option("mergeSchema", "true").parquet(s"$root/events")
+    val adapted = m.adapt("events", raw)
+    assert(adapted.columns.contains("test_name"))
+    assert(adapted.columns.contains("extension_data") && !adapted.columns.contains("sandbox"))
+    assert(adapted.schema("ref_line").dataType.typeName === "long")
+    val byId = adapted.select($"run_serial", $"extension_data", $"test_name")
+      .as[(Long, Option[String], Option[String])].collect()
+      .map { case (k, v, t) => k -> ((v, t)) }.toMap
+    assert(byId(1L) === ((Some("sbx-a"), None))) // rename copied the value
+    assert(byId(2L) === ((None, None)))
+
+    // Physical rewrite: live table now carries the latest schema and the
+    // stored version makes the adapter chain a no-op.
+    m.rewrite(Map("events" -> (raw, Seq("date"))))
+    assert(m.currentVersion === 4)
+    assert(m.pending("events").isEmpty)
+    val rewritten = raw
+    assert(rewritten.columns.contains("extension_data") && !rewritten.columns.contains("sandbox"))
+    assert(rewritten.schema("ref_line").dataType.typeName === "long")
+    assert(m.adapt("events", rewritten).collect().length === 2)
+
+    // Post-migration appends in the new schema co-read with rewritten data
+    Seq((3L, "2026-01-03", Some("late"), 30L, "new", Some("t_x")))
+      .toDF("run_serial", "date", "extension_data", "ref_line", "message", "test_name")
+      .write.mode("append").partitionBy("date").parquet(s"$root/events")
+    assert(raw.count() === 3)
+
+    // Idempotence: running an adapter over already-migrated data is a no-op
+    assert(SchemaMigration.renameColumn("sandbox", "extension_data")(rewritten)
+      .columns.toSeq === rewritten.columns.toSeq)
+  }
 }
