@@ -58,6 +58,12 @@ final class GraftEngine private (val spark: SparkSession, val root: String) {
       tag: Option[String] = None, sourceName: Option[String] = None): Long =
     runner.importContent(content, format, tag, sourceName).runSerial
 
+  /** Bulk ingest a directory/glob of log files as one distributed job
+    * (see [[graft.exec.Runner.importDirectory]]). */
+  def importDirectory(pathGlob: String, format: String = "auto",
+      tag: Option[String] = None): Runner.RunResult =
+    runner.importDirectory(pathGlob, format, tag)
+
   // ---- read path -------------------------------------------------------
 
   def events: DataFrame = Views.eventsFlat(store)

@@ -1,0 +1,126 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import graft.GraftEngine
+
+/** Agent/MCP serving surface — the Spark-side mapping of the
+  * reference's serve.py tool registry (/root/reference/src/blq/serve.py,
+  * `@mcp.tool` functions). Transport-agnostic by design: an MCP (or any
+  * RPC) layer deserializes a tool call to (name, string-keyed args) and
+  * gets JSON text back; nothing here depends on a protocol library, so
+  * the same dispatcher serves MCP, HTTP, or a REPL.
+  *
+  * Tool mapping (reference → here):
+  *  - query            → FilterLang mini-language over the flat events view
+  *  - events           → run-scoped event listing (ref syntax via RefResolver)
+  *  - errors/warnings  → recency-limited severity slices
+  *  - status           → per-source latest-run board
+  *  - history          → run history
+  *  - summary          → grouped error rollup
+  *  - diff             → run-vs-run fingerprint/count diff
+  *  - report           → markdown status report
+  *  - ci_check         → CiGate verdict (new/fixed/unchanged + samples)
+  *  - output           → captured output body / line window / grep
+  *  - import           → file or directory ingest (distributed for globs)
+  *  - sql              → raw SQL over the registered views
+  *
+  * Deliberately NOT here (driver/CLI concerns with no DataFrame
+  * surface, same scoping as COVERAGE.md P10/F6): run/exec (spawning
+  * subprocesses belongs to the caller's host, not the analytics
+  * service), register_command/commands/config (CLI registry state),
+  * sandbox_info (local sandbox introspection), clean (operates on
+  * local blob dirs via Maintenance directly).
+  */
+final class Serve(engine: GraftEngine) {
+  import Serve._
+
+  val tools: Seq[String] = Seq("query", "events", "errors", "warnings",
+    "status", "history", "summary", "diff", "report", "ci_check",
+    "output", "import", "sql")
+
+  /** Dispatch one tool call; returns a JSON document (or for `report`,
+    * markdown). Unknown tools and bad args return a JSON error object
+    * rather than throwing — serving surfaces must not kill the session
+    * over a malformed call. */
+  def call(tool: String, args: Map[String, String] = Map.empty): String =
+    try dispatch(tool, args)
+    catch {
+      case e: IllegalArgumentException => err(e.getMessage)
+      case e: NoSuchElementException => err(s"missing argument: ${e.getMessage}")
+    }
+
+  private def dispatch(tool: String, args: Map[String, String]): String = tool match {
+    case "query" =>
+      val filters = args.get("filter").toSeq.flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+      var df = engine.query.df()
+      FilterLang.parseAll(filters).foreach(c => df = df.filter(c))
+      args.get("select").foreach { s =>
+        df = df.select(s.split(",").map(c => org.apache.spark.sql.functions.col(c.trim)).toIndexedSeq: _*)
+      }
+      json(df.limit(intArg(args, "limit", 100)))
+    case "events" =>
+      engine.run(args.getOrElse("ref", "-1")).select("run_serial")
+        .collect().headOption match {
+        case Some(row) =>
+          json(engine.analytics.eventsForRun(row.getLong(0)), intArg(args, "limit", 100))
+        case None => err(s"no run matches ref '${args.getOrElse("ref", "-1")}'")
+      }
+    case "errors" => json(engine.errors(intArg(args, "limit", 10)))
+    case "warnings" => json(engine.warnings(intArg(args, "limit", 10)))
+    case "status" => json(engine.status())
+    case "history" => json(engine.history(intArg(args, "limit", 20)))
+    case "summary" => json(engine.summary())
+    case "diff" =>
+      json(engine.diff(longArg(args, "run1"), longArg(args, "run2")))
+    case "report" => engine.analytics.report(
+      intArg(args, "history", 10), intArg(args, "files", 10))
+    case "ci_check" =>
+      val v = new graft.exec.CiGate(engine.analytics)
+        .check(longArg(args, "baseline"), longArg(args, "candidate"))
+      s"""{"pass":${v.pass},"new_errors":${v.newErrors},"fixed_errors":${v.fixedErrors},""" +
+        s""""unchanged_errors":${v.unchangedErrors},""" +
+        s""""samples":[${v.newSamples.map(quote).mkString(",")}]}"""
+    case "output" =>
+      val id = args("invocation_id")
+      (args.get("grep"), args.get("lines")) match {
+        case (Some(pat), _) =>
+          json(engine.grepOutput(id, pat, intArg(args, "ctx", 2)))
+        case (None, Some(spec)) => json(engine.outputLines(id, spec))
+        case _ => engine.output(id)
+            .map(b => s"""{"body":${quote(b)}}""")
+            .getOrElse(err(s"no output for $id"))
+      }
+    case "import" =>
+      val path = args("path")
+      val fmt = args.getOrElse("format", "auto")
+      if (path.contains("*")) {
+        val r = engine.importDirectory(path, fmt, args.get("tag"))
+        s"""{"run_serial":${r.runSerial},"status":"${r.status}",""" +
+          s""""errors":${r.errors},"warnings":${r.warnings}}"""
+      } else {
+        val serial = engine.importLog(path, fmt, args.get("tag"))
+        s"""{"run_serial":$serial}"""
+      }
+    case "sql" => json(engine.sql(args("q")), intArg(args, "limit", 100))
+    case other => err(s"unknown tool: $other (available: ${tools.mkString(", ")})")
+  }
+}
+
+object Serve {
+  private def json(df: DataFrame, limit: Int = 100): String = Formatters.json(df, limit)
+  private def intArg(args: Map[String, String], k: String, dflt: Int): Int =
+    args.get(k).map(_.toInt).getOrElse(dflt)
+  private def longArg(args: Map[String, String], k: String): Long =
+    args.getOrElse(k, throw new NoSuchElementException(k)).toLong
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  private def err(msg: String): String = s"""{"error":${quote(msg)}}"""
+}
