@@ -29,6 +29,27 @@ object Skew {
       .drop("__salt")
   }
 
+  /** Two-stage (salted) count+sum aggregation for pathologically
+    * low-cardinality keys. A plain groupBy on a 3-value key hashes the
+    * whole table onto 3 reducers; salting first aggregates on
+    * (key, salt) — `salts`× the reducers, each seeing ~1/salts of the
+    * hot key — then combines the partials with a second, tiny groupBy.
+    * Exact for algebraic aggregates (count/sum/min/max); this helper
+    * does count + sum, the common pair. Note Spark's map-side partial
+    * aggregation already mitigates this shape when upstream
+    * partitioning is uniform; explicit salting is for when it isn't
+    * (e.g. the table arrives clustered by the hot key). */
+  def saltedCountSum(df: DataFrame, key: String, value: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val partial = df
+      .withColumn("__salt", pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__n"), sum(col(value)).as("__sum"))
+    partial.groupBy(col(key))
+      .agg(sum(col("__n")).as("n"), sum(col("__sum")).as("total"))
+  }
+
   /** Key histogram — find the keys that need salting (or filtering):
     * top `n` keys by row count with their share of the table. */
   def hotKeys(df: DataFrame, key: String, n: Int = 20): DataFrame = {

@@ -22,16 +22,21 @@ object CorpusQueries {
 
     // Unigram language-model surprisal: p(tok) estimated from the
     // corpus itself; per-doc mean -ln p. High surprisal = unusual
-    // token mix (gibberish/outlier detector). Scale: unigram table is
-    // a broadcast dim (vocab-sized); the scan is one explode pass.
+    // token mix (gibberish/outlier detector). Scale: the LM is built
+    // with ONE explode pass (groupBy on tokens), persisted at
+    // vocab-size, and the corpus total comes from a one-row agg on
+    // that persisted vocab frame — never a driver count() of the
+    // exploded corpus (which would cost a full extra scan+explode).
+    // The scoring join is the only second pass.
     "q48_unigram_surprisal" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val total = toks.count().toDouble
-      val lm = toks.groupBy(col("tok"))
+      val counts = toks.groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("logp", log(col("n") / lit(total)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = counts.agg(sum(col("n"))).head().getLong(0).toDouble
+      val lm = counts.withColumn("logp", log(col("n") / lit(total)))
       toks.join(broadcast(lm.select(col("tok"), col("logp"))), Seq("tok"))
         .groupBy(col("doc_id"))
         .agg(round(avg(-col("logp")), 4).as("surprisal"),

@@ -157,6 +157,42 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // Salted two-stage aggregation over a pathologically hot key
+    // (l_returnflag has 3 values): groupBy(key, salt) partials then a
+    // tiny final combine — the planned skew shape for when the table
+    // arrives clustered by the hot key. Result identical to a plain
+    // GROUP BY (the oracle is exactly that).
+    "q55_salted_hotkey_agg" -> { (s, dir) =>
+      graft.ml.Skew.saltedCountSum(
+        t(s, dir, "lineitem"), key = "l_returnflag", value = "l_quantity", salts = 16)
+        .select(col("l_returnflag"), col("n"), round(col("total"), 2).as("qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Vocabulary pruning: drop the corpus's top-10 most frequent tokens
+    // from every document (stopword removal with a corpus-derived stop
+    // list). The stop list is a k-row collect (bounded, like IVF
+    // centroids) broadcast into a per-row array filter — the corpus
+    // itself never shuffles for the pruning pass.
+    "q56_stopword_prune" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val stop = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(10)
+        .select(col("tok")).collect().map(_.getString(0)).toSeq
+      val stopArr = array(stop.map(lit): _*)
+      docs
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("kept", filter(col("toks"), tk => !array_contains(stopArr, tk)))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_before"),
+          size(col("kept")).as("n_after"),
+          md5(concat_ws(" ", col("kept"))).as("cleaned_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode itself is stubbed (graft.ml.Multimodal); this query proves
     // the binary-column path: utf8 encode → byte length, content hash,
@@ -323,6 +359,25 @@ object PipelineQueries {
          |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q55_salted_hotkey_agg" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q56_stopword_prune" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |top AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 10)),
+        |sl AS (SELECT list(tok) AS stops FROM top)
+        |SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_before,
+        | len(list_filter(string_split(text, ' '), t -> NOT list_contains(sl.stops, t))) AS n_after,
+        | md5(array_to_string(
+        |   list_filter(string_split(text, ' '), t -> NOT list_contains(sl.stops, t)), ' ')) AS cleaned_hash
+        |FROM documents CROSS JOIN sl ORDER BY doc_id""".stripMargin,
 
     "q53_embedding_neardup_blocked" -> {
       val bucket = (1 to 4)
