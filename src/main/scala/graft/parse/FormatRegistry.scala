@@ -20,7 +20,11 @@ object FormatRegistry extends Serializable {
     TerraformParser, DockerBuildParser,
     PylintParser, ClippyDenseParser, CheckstyleParser, SpotbugsParser,
     KtlintParser, JunitTextParser, AnsibleParser, PipParser,
-    NginxParser, SyslogParser, GenericParser)
+    NginxParser, SyslogParser,
+    SbtParser, JavacParser, JavaStackTraceParser, CmakeParser,
+    BazelParser, ValgrindParser, Flake8Parser, BlackParser,
+    MochaParser, GithubActionsParser, HadolintParser, SqlfluffParser,
+    GenericParser)
 
   private val byFormat: Map[String, LogParser] =
     parsers.map(p => p.format -> p).toMap
@@ -82,7 +86,6 @@ object FormatRegistry extends Serializable {
     "terraform" -> "terraform_text",
     "docker build" -> "docker_build",
     "ruff" -> "generic_lint",
-    "flake8" -> "generic_lint",
     "pylint" -> "pylint_text",
     "cargo clippy" -> "clippy_dense",
     "checkstyle" -> "checkstyle_text",
@@ -98,7 +101,21 @@ object FormatRegistry extends Serializable {
     "pip3 install" -> "pip_text",
     "uv pip" -> "pip_text",
     "uv add" -> "pip_text",
-    "surefire" -> "junit_text")
+    "surefire" -> "junit_text",
+    "sbt" -> "sbt_text",
+    "scalac" -> "sbt_text",
+    "javac" -> "javac_text",
+    "cmake" -> "cmake_build",
+    "bazel" -> "bazel_build",
+    "valgrind" -> "valgrind",
+    "flake8" -> "flake8_text",
+    "black" -> "black_text",
+    "mocha" -> "mocha_chai_text",
+    "npm test" -> "mocha_chai_text",
+    "yarn test" -> "mocha_chai_text",
+    "hadolint" -> "hadolint_text",
+    "sqlfluff" -> "sqlfluff_text",
+    "gh run view" -> "github_actions")
 
   def detectFormatFromCommand(cmd: String): String = {
     val lower = cmd.toLowerCase

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 class ParserSpec extends SparkSpec {
 
   private def fixture(name: String): String = {
-    val src = scala.io.Source.fromResource(s"logs/$name")
+    val src = scala.io.Source.fromResource(s"logs/$name")(scala.io.Codec.UTF8)
     try src.mkString finally src.close()
   }
 
@@ -88,6 +88,126 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("pip_install.txt")).map(_.format) === Some("pip_text"))
     assert(FormatRegistry.detect(fixture("nginx_error.log")).map(_.format) === Some("nginx_error"))
     assert(FormatRegistry.detect(fixture("syslog_sample.txt")).map(_.format) === Some("syslog_text"))
+    assert(FormatRegistry.detect(fixture("sbt_compile.txt")).map(_.format) === Some("sbt_text"))
+    assert(FormatRegistry.detect(fixture("javac_errors.txt")).map(_.format) === Some("javac_text"))
+    assert(FormatRegistry.detect(fixture("java_crash.txt")).map(_.format) === Some("java_stacktrace"))
+    assert(FormatRegistry.detect(fixture("cmake_fail.txt")).map(_.format) === Some("cmake_build"))
+    assert(FormatRegistry.detect(fixture("bazel_build.txt")).map(_.format) === Some("bazel_build"))
+    assert(FormatRegistry.detect(fixture("valgrind_memcheck.txt")).map(_.format) === Some("valgrind"))
+    assert(FormatRegistry.detect(fixture("flake8_output.txt")).map(_.format) === Some("flake8_text"))
+    assert(FormatRegistry.detect(fixture("black_check.txt")).map(_.format) === Some("black_text"))
+    assert(FormatRegistry.detect(fixture("mocha_run.txt")).map(_.format) === Some("mocha_chai_text"))
+    assert(FormatRegistry.detect(fixture("gha_run.txt")).map(_.format) === Some("github_actions"))
+    assert(FormatRegistry.detect(fixture("hadolint_out.txt")).map(_.format) === Some("hadolint_text"))
+    assert(FormatRegistry.detect(fixture("sqlfluff_lint.txt")).map(_.format) === Some("sqlfluff_text"))
+  }
+
+  test("sbt/scalac: bracketed diagnostics with col, phase failure line") {
+    val evs = SbtParser.parse(fixture("sbt_compile.txt"))
+    assert(evs.length === 4)
+    assert(evs.head.ref_file === Some("/work/src/main/scala/com/example/Foo.scala"))
+    assert(evs.head.ref_line === Some(12) && evs.head.ref_column === Some(34))
+    assert(evs(1).severity === Severity.Warning)
+    assert(evs(3).message.get.startsWith("Compile / compileIncremental"))
+  }
+
+  test("javac: no-column diagnostics beat the gcc/mypy shape on .java") {
+    val evs = JavacParser.parse(fixture("javac_errors.txt"))
+    assert(evs.length === 2)
+    assert(evs.head.severity === Severity.Error)
+    assert(evs.head.ref_file === Some("Main.java") && evs.head.ref_line === Some(12))
+    assert(evs(1).severity === Severity.Warning)
+  }
+
+  test("java stack trace: one event per exception, first frame located") {
+    val evs = JavaStackTraceParser.parse(fixture("java_crash.txt"))
+    assert(evs.length === 2)
+    assert(evs.head.code === Some("java.lang.NullPointerException"))
+    assert(evs.head.ref_file === Some("Service.java") && evs.head.ref_line === Some(42))
+    assert(evs(1).code === Some("java.io.IOException"))
+    assert(evs(1).ref_file === Some("Db.java") && evs(1).ref_line === Some(77))
+  }
+
+  test("cmake: multi-line error blocks with location and command") {
+    val evs = CmakeParser.parse(fixture("cmake_fail.txt"))
+    assert(evs.length === 3)
+    assert(evs.head.severity === Severity.Error)
+    assert(evs.head.ref_file === Some("CMakeLists.txt") && evs.head.ref_line === Some(14))
+    assert(evs.head.rule === Some("add_executable"))
+    assert(evs.head.message.get.contains("Cannot find source file"))
+    assert(evs(1).severity === Severity.Warning)
+  }
+
+  test("bazel: BUILD-file diagnostics and test results") {
+    val evs = BazelParser.parse(fixture("bazel_build.txt"))
+    assert(evs.length === 4)
+    assert(evs.head.ref_file === Some("/work/pkg/BUILD") && evs.head.ref_line === Some(12))
+    assert(evs.count(_.severity == Severity.TestFail) === 1)
+    assert(evs.count(_.severity == Severity.TestPass) === 1)
+    assert(evs.find(_.severity == Severity.TestFail).get.test_name === Some("//pkg:foo_test"))
+  }
+
+  test("valgrind: issues located at first frame, error summary") {
+    val evs = ValgrindParser.parse(fixture("valgrind_memcheck.txt"))
+    assert(evs.length === 3)
+    assert(evs.head.message.get.startsWith("Invalid read"))
+    assert(evs.head.ref_file === Some("foo.c") && evs.head.ref_line === Some(42))
+    assert(evs(1).message.get.contains("definitely lost"))
+    assert(evs(2).severity === Severity.Error) // summary with 2 errors
+  }
+
+  test("flake8: code families map to severity, no pylint confusion") {
+    val evs = Flake8Parser.parse(fixture("flake8_output.txt"))
+    assert(evs.length === 4)
+    assert(evs.map(_.code.get) === Seq("E302", "E501", "F401", "W291"))
+    assert(evs.count(_.severity == Severity.Error) === 3)
+    assert(evs(3).severity === Severity.Warning)
+    // pylint must NOT claim flake8 output (codes are E302, not E0302)
+    assert(PylintParser.sniff(fixture("flake8_output.txt").linesIterator.toArray) === 0)
+  }
+
+  test("black: would-reformat warnings, parse failures as errors") {
+    val evs = BlackParser.parse(fixture("black_check.txt"))
+    assert(evs.count(_.severity == Severity.Warning) === 2)
+    assert(evs.count(_.severity == Severity.Error) === 1)
+    assert(evs.count(_.severity == Severity.Info) === 1)
+    val err = evs.find(_.severity == Severity.Error).get
+    assert(err.ref_file === Some("bad.py") && err.ref_line === Some(12))
+  }
+
+  test("mocha: ticks pass, numbered failures carry assertion message") {
+    val evs = MochaParser.parse(fixture("mocha_run.txt"))
+    assert(evs.count(_.severity == Severity.TestPass) === 2)
+    val fails = evs.filter(_.severity == Severity.TestFail)
+    assert(fails.length === 1)
+    assert(fails.head.test_name === Some("subtracts numbers"))
+    assert(fails.head.message.get.contains("AssertionError"))
+  }
+
+  test("github actions: ##[level] annotations with or without timestamps") {
+    val evs = GithubActionsParser.parse(fixture("gha_run.txt"))
+    assert(evs.length === 3)
+    assert(evs.head.severity === Severity.Error)
+    assert(evs.head.message.get.contains("exit code 2"))
+    assert(evs(1).severity === Severity.Warning)
+    assert(evs(2).severity === Severity.Note)
+  }
+
+  test("hadolint: DL/SC codes with level words") {
+    val evs = HadolintParser.parse(fixture("hadolint_out.txt"))
+    assert(evs.length === 4)
+    assert(evs.head.code === Some("DL3006") && evs.head.severity === Severity.Warning)
+    assert(evs(2).severity === Severity.Error)
+    assert(evs(3).severity === Severity.Info)
+    assert(evs(3).ref_file === Some("services/api/Dockerfile"))
+  }
+
+  test("sqlfluff: L/P table rows inherit the current file header") {
+    val evs = SqlfluffParser.parse(fixture("sqlfluff_lint.txt"))
+    assert(evs.length === 3)
+    assert(evs.head.ref_file === Some("models/orders.sql"))
+    assert(evs.head.code === Some("L010") && evs.head.ref_line === Some(12))
+    assert(evs(2).ref_file === Some("models/events.sql"))
   }
 
   test("pylint: code + symbolic rule, severity classes from code letter") {
