@@ -193,6 +193,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // As-of (backward) join: each event picks up the user's most recent
+    // order at-or-before the event time. Spark has no native ASOF; the
+    // operator is the scalable union-window form (graft.operators
+    // .AsofJoin — one shuffle, no range-join pair blowup). DuckDB has
+    // native ASOF JOIN, which is the oracle. Orders are pre-aggregated
+    // to one row per (user, time) — ambiguous as-of matches are
+    // engine-defined, so the contract requires uniqueness.
+    "q57_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the
+          // cast interprets it as UTC — same epoch DuckDB assigns.
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"))
+        .agg(max(col("o_orderkey")).as("ord_key"))
+      graft.operators.AsofJoin.asofBackward(ev, ord, "user_id", "ts_ms", "ord_ms")
+        .select(col("event_id"), col("user_id"), col("ts_ms"),
+          col("asof.ord_key").as("last_order_key"),
+          col("asof.ord_ms").as("last_order_ms"))
+        .orderBy(col("event_id"))
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode itself is stubbed (graft.ml.Multimodal); this query proves
     // the binary-column path: utf8 encode → byte length, content hash,
@@ -359,6 +382,19 @@ object PipelineQueries {
          |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q57_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |ord AS (
+        |  SELECT o_custkey AS user_id, epoch_ms(o_orderdate) AS ord_ms,
+        |    max(o_orderkey) AS ord_key
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts_ms,
+        | o.ord_key AS last_order_key, o.ord_ms AS last_order_ms
+        |FROM ev e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts_ms >= o.ord_ms
+        |ORDER BY e.event_id""".stripMargin,
 
     "q55_salted_hotkey_agg" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
