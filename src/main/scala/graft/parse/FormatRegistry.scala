@@ -24,6 +24,8 @@ object FormatRegistry extends Serializable {
     SbtParser, JavacParser, JavaStackTraceParser, CmakeParser,
     BazelParser, ValgrindParser, Flake8Parser, BlackParser,
     MochaParser, GithubActionsParser, HadolintParser, SqlfluffParser,
+    CppcheckParser, ClangTidyParser, PrettierParser, StylelintParser,
+    PhpstanParser, GoVetParser, DotnetTestParser, MixParser,
     GenericParser)
 
   private val byFormat: Map[String, LogParser] =
@@ -115,7 +117,16 @@ object FormatRegistry extends Serializable {
     "yarn test" -> "mocha_chai_text",
     "hadolint" -> "hadolint_text",
     "sqlfluff" -> "sqlfluff_text",
-    "gh run view" -> "github_actions")
+    "gh run view" -> "github_actions",
+    "cppcheck" -> "cppcheck_text",
+    "clang-tidy" -> "clang_tidy",
+    "prettier" -> "prettier_text",
+    "stylelint" -> "stylelint_text",
+    "phpstan" -> "phpstan_raw",
+    "go vet" -> "govet_text",
+    "dotnet test" -> "dotnet_test",
+    "mix compile" -> "mix_compile",
+    "mix test" -> "mix_compile")
 
   def detectFormatFromCommand(cmd: String): String = {
     val lower = cmd.toLowerCase

@@ -216,6 +216,23 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     },
 
+    // Distribution profile per group: exact interpolated percentiles
+    // (Spark `percentile` == DuckDB `quantile_cont`, both linear
+    // interpolation), sample stddev, and value↔time correlation. The
+    // exact percentile is the correctness baseline for the
+    // approx_percentile/t-digest path used at 100 TB (ml/Approx).
+    "q58_group_stats" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"),
+          round(stddev_samp(col("value")), 4).as("sd"),
+          round(corr(col("value"), unix_millis(col("ts"))), 4).as("corr_ts"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode itself is stubbed (graft.ml.Multimodal); this query proves
     // the binary-column path: utf8 encode → byte length, content hash,
@@ -382,6 +399,15 @@ object PipelineQueries {
          |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q58_group_stats" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | round(stddev_samp(value), 4) AS sd,
+        | round(corr(value, epoch_ms(ts)), 4) AS corr_ts,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q57_asof_join" ->
       """WITH ev AS (

@@ -100,6 +100,84 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("gha_run.txt")).map(_.format) === Some("github_actions"))
     assert(FormatRegistry.detect(fixture("hadolint_out.txt")).map(_.format) === Some("hadolint_text"))
     assert(FormatRegistry.detect(fixture("sqlfluff_lint.txt")).map(_.format) === Some("sqlfluff_text"))
+    assert(FormatRegistry.detect(fixture("cppcheck_out.txt")).map(_.format) === Some("cppcheck_text"))
+    assert(FormatRegistry.detect(fixture("clang_tidy_out.txt")).map(_.format) === Some("clang_tidy"))
+    assert(FormatRegistry.detect(fixture("prettier_check.txt")).map(_.format) === Some("prettier_text"))
+    assert(FormatRegistry.detect(fixture("stylelint_out.txt")).map(_.format) === Some("stylelint_text"))
+    assert(FormatRegistry.detect(fixture("phpstan_raw.txt")).map(_.format) === Some("phpstan_raw"))
+    assert(FormatRegistry.detect(fixture("govet_out.txt")).map(_.format) === Some("govet_text"))
+    assert(FormatRegistry.detect(fixture("dotnet_test.txt")).map(_.format) === Some("dotnet_test"))
+    assert(FormatRegistry.detect(fixture("mix_compile.txt")).map(_.format) === Some("mix_compile"))
+  }
+
+  test("cppcheck: bracketed locations, category severities") {
+    val evs = CppcheckParser.parse(fixture("cppcheck_out.txt"))
+    assert(evs.length === 4)
+    assert(evs.head.severity === Severity.Error)
+    assert(evs.head.ref_file === Some("src/parser.c") && evs.head.ref_line === Some(42))
+    assert(evs(1).severity === Severity.Warning)
+    assert(evs(2).severity === Severity.Info) // style
+  }
+
+  test("clang-tidy: check name suffix beats plain gcc shape") {
+    val evs = ClangTidyParser.parse(fixture("clang_tidy_out.txt"))
+    assert(evs.length === 3)
+    assert(evs.head.rule === Some("cppcoreguidelines-pro-type-cstyle-cast"))
+    assert(evs(2).severity === Severity.Error)
+    // gcc also matches these lines; detection must prefer clang-tidy
+    assert(GccParser.sniff(fixture("clang_tidy_out.txt").linesIterator.toArray) > 0)
+  }
+
+  test("prettier: warn files and syntax errors with positions") {
+    val evs = PrettierParser.parse(fixture("prettier_check.txt"))
+    assert(evs.count(_.severity == Severity.Warning) === 2)
+    val err = evs.find(_.severity == Severity.Error).get
+    assert(err.ref_file === Some("src/bad.js"))
+    assert(err.ref_line === Some(12) && err.ref_column === Some(4))
+  }
+
+  test("stylelint: diags inherit file headers, marks map severity") {
+    val evs = StylelintParser.parse(fixture("stylelint_out.txt"))
+    assert(evs.length === 3)
+    assert(evs.head.ref_file === Some("src/app.css"))
+    assert(evs.head.severity === Severity.Error && evs(1).severity === Severity.Warning)
+    assert(evs(2).ref_file === Some("src/theme.scss"))
+    assert(evs(2).rule === Some("color-no-invalid-hex"))
+  }
+
+  test("phpstan raw: file:line:message triples") {
+    val evs = PhpstanParser.parse(fixture("phpstan_raw.txt"))
+    assert(evs.length === 3)
+    assert(evs.forall(_.severity == Severity.Error))
+    assert(evs.head.ref_file === Some("/app/src/Service/Payment.php"))
+    assert(evs.head.ref_line === Some(42))
+  }
+
+  test("go vet: findings without severity keywords, vet: prefix tolerated") {
+    val evs = GoVetParser.parse(fixture("govet_out.txt"))
+    assert(evs.length === 3)
+    assert(evs.forall(_.severity == Severity.Warning))
+    assert(evs(2).ref_file === Some("./store/db.go") && evs(2).ref_line === Some(7))
+  }
+
+  test("dotnet test: vstest console results with error message capture") {
+    val evs = DotnetTestParser.parse(fixture("dotnet_test.txt"))
+    assert(evs.count(_.severity == Severity.TestPass) === 2)
+    val fails = evs.filter(_.severity == Severity.TestFail)
+    assert(fails.length === 1)
+    assert(fails.head.test_name === Some("Tests.Math.Adds"))
+    assert(fails.head.message.get.contains("Assert.Equal() Failure"))
+    assert(evs.last.severity === Severity.Error) // summary with failures
+  }
+
+  test("mix: compile errors with kind, warnings located by next line") {
+    val evs = MixParser.parse(fixture("mix_compile.txt"))
+    assert(evs.length === 2)
+    val warn = evs.find(_.severity == Severity.Warning).get
+    assert(warn.ref_file === Some("lib/foo.ex") && warn.ref_line === Some(7))
+    val err = evs.find(_.severity == Severity.Error).get
+    assert(err.code === Some("CompileError"))
+    assert(err.ref_file === Some("lib/bar.ex") && err.ref_line === Some(12))
   }
 
   test("sbt/scalac: bracketed diagnostics with col, phase failure line") {
