@@ -26,6 +26,8 @@ object FormatRegistry extends Serializable {
     MochaParser, GithubActionsParser, HadolintParser, SqlfluffParser,
     CppcheckParser, ClangTidyParser, PrettierParser, StylelintParser,
     PhpstanParser, GoVetParser, DotnetTestParser, MixParser,
+    ShellcheckJsonParser, GoTestJsonParser, BanditJsonParser,
+    RubocopJsonParser, HadolintJsonParser, TrivyJsonParser,
     GenericParser)
 
   private val byFormat: Map[String, LogParser] =
@@ -126,7 +128,9 @@ object FormatRegistry extends Serializable {
     "go vet" -> "govet_text",
     "dotnet test" -> "dotnet_test",
     "mix compile" -> "mix_compile",
-    "mix test" -> "mix_compile")
+    "mix test" -> "mix_compile",
+    "bandit" -> "bandit_json",
+    "trivy" -> "trivy_json")
 
   def detectFormatFromCommand(cmd: String): String = {
     val lower = cmd.toLowerCase

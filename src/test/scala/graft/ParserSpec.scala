@@ -108,6 +108,65 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("govet_out.txt")).map(_.format) === Some("govet_text"))
     assert(FormatRegistry.detect(fixture("dotnet_test.txt")).map(_.format) === Some("dotnet_test"))
     assert(FormatRegistry.detect(fixture("mix_compile.txt")).map(_.format) === Some("mix_compile"))
+    assert(FormatRegistry.detect(fixture("shellcheck.json")).map(_.format) === Some("shellcheck_json"))
+    assert(FormatRegistry.detect(fixture("gotest.json")).map(_.format) === Some("gotest_json"))
+    assert(FormatRegistry.detect(fixture("bandit.json")).map(_.format) === Some("bandit_json"))
+    assert(FormatRegistry.detect(fixture("rubocop.json")).map(_.format) === Some("rubocop_json"))
+    assert(FormatRegistry.detect(fixture("hadolint.json")).map(_.format) === Some("hadolint_json"))
+    assert(FormatRegistry.detect(fixture("trivy.json")).map(_.format) === Some("trivy_json"))
+  }
+
+  test("shellcheck json: SC codes, level mapping") {
+    val evs = ShellcheckJsonParser.parse(fixture("shellcheck.json"))
+    assert(evs.length === 3)
+    assert(evs.head.code === Some("SC2086") && evs.head.severity === Severity.Warning)
+    assert(evs(1).severity === Severity.Error)
+    assert(evs(2).severity === Severity.Info)
+    assert(evs.head.ref_file === Some("deploy.sh") && evs.head.ref_line === Some(12))
+  }
+
+  test("go test json: pass/fail events, fail message from last output") {
+    val evs = GoTestJsonParser.parse(fixture("gotest.json"))
+    assert(evs.count(_.severity == Severity.TestPass) === 1)
+    val fails = evs.filter(_.severity == Severity.TestFail)
+    assert(fails.length === 1) // package-level fail (no Test field) skipped
+    assert(fails.head.test_name === Some("TestDiv"))
+    assert(fails.head.message.get.contains("expected 2, got 1"))
+  }
+
+  test("bandit json: issue severity classes, test ids") {
+    val evs = BanditJsonParser.parse(fixture("bandit.json"))
+    assert(evs.length === 2)
+    assert(evs.head.severity === Severity.Error) // HIGH
+    assert(evs.head.code === Some("B602"))
+    assert(evs.head.ref_file === Some("app/run.py") && evs.head.ref_line === Some(42))
+    assert(evs(1).severity === Severity.Warning) // MEDIUM
+  }
+
+  test("rubocop json: offenses flattened with cop names") {
+    val evs = RubocopJsonParser.parse(fixture("rubocop.json"))
+    assert(evs.length === 2)
+    assert(evs.head.severity === Severity.Info) // convention
+    assert(evs.head.rule === Some("Style/Documentation"))
+    assert(evs(1).severity === Severity.Error)
+    assert(evs(1).ref_line === Some(88))
+  }
+
+  test("hadolint json: same shape as shellcheck but DL/SC string codes") {
+    val evs = HadolintJsonParser.parse(fixture("hadolint.json"))
+    assert(evs.length === 2)
+    assert(evs.head.code === Some("DL3006") && evs.head.severity === Severity.Warning)
+    assert(evs(1).severity === Severity.Error)
+  }
+
+  test("trivy json: vulnerabilities per target with CVE codes") {
+    val evs = TrivyJsonParser.parse(fixture("trivy.json"))
+    assert(evs.length === 3)
+    assert(evs.head.code === Some("CVE-2024-1234") && evs.head.severity === Severity.Error)
+    assert(evs.head.message.get.contains("openssl"))
+    assert(evs(1).severity === Severity.Warning)
+    assert(evs(2).severity === Severity.Info)
+    assert(evs.head.ref_file.get.contains("myapp:latest"))
   }
 
   test("cppcheck: bracketed locations, category severities") {
