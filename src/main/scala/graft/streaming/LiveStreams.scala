@@ -63,6 +63,18 @@ object LiveStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("severity"), col("n"))
 
+  /** Exactly-once ingest dedup: drop re-delivered events by id within
+    * the watermark horizon — the streaming half of exact dedup for a
+    * continuously-ingesting training pipeline (at-least-once sources
+    * re-deliver on retry; state is bounded by the watermark instead of
+    * growing with history, which is what makes this shape survive an
+    * unbounded stream). Batch exact dedup of settled data stays
+    * [[graft.ml.TextDedup.exactDuplicates]]. */
+  def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** T3: debounce file-change bursts with a session window — one row
     * per (path, quiet-gap-delimited burst), the idiomatic Spark form of
     * the reference's 0.5 s debounce+coalesce loop. */

@@ -29,6 +29,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out("t4") === ((None, None)))             // key with no right rows
   }
 
+  test("typed top-k aggregator matches the window-rank result") {
+    import graft.functions.{ScoredId, TopK}
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 2000L).map(i => (s"g${i % 7}", ScoredId(rnd.nextInt(500).toDouble, i)))
+    val ds = rows.toDF("g", "s").as[(String, ScoredId)]
+    val viaAgg = ds.groupByKey(_._1).mapValues(_._2).agg(TopK.topK(5))
+      .collect().toMap
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"g").orderBy($"s.score".desc, $"s.id")
+    val viaWindow = ds.toDF("g", "s")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select($"g", $"s").as[(String, ScoredId)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+    assert(viaAgg.keySet === viaWindow.keySet)
+    viaAgg.foreach { case (g, top) => assert(top === viaWindow(g), s"group $g") }
+  }
+
   test("asof is one shuffle: plan has a single exchange on the key") {
     val trades = Seq(("A", 10L, "t1")).toDF("sym", "ts", "trade_id")
     val quotes = Seq(("A", 9L, 1.0)).toDF("sym", "qts", "px")

@@ -84,6 +84,27 @@ class StreamingSpec extends SparkSpec {
       ("2026-08-01 10:01:00.0", "error", 1L)))
   }
 
+  test("dedup stream: re-delivered ids dropped within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val query = LiveStreams.dedupStream(
+      input.toDF().toDF("event_id", "ts", "payload"),
+      Seq("event_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = Timestamp.valueOf("2026-08-01 10:00:00")
+      input.addData((1L, t0, "a"), (2L, t0, "b"))
+      query.processAllAvailable()
+      // at-least-once source re-delivers id 1 (same and later batch)
+      input.addData((1L, t0, "a"), (3L, t0, "c"), (3L, t0, "c"))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_t").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("events stream: appended runs surface as micro-batches") {
     import Fixtures._
     val store = new graft.store.EventStore(spark,
