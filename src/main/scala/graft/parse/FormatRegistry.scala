@@ -28,6 +28,8 @@ object FormatRegistry extends Serializable {
     PhpstanParser, GoVetParser, DotnetTestParser, MixParser,
     ShellcheckJsonParser, GoTestJsonParser, BanditJsonParser,
     RubocopJsonParser, HadolintJsonParser, TrivyJsonParser,
+    RuffParser, VitestParser, DenoLintParser, BiomeParser,
+    KubeEventsParser, NpmParser,
     GenericParser)
 
   private val byFormat: Map[String, LogParser] =
@@ -89,7 +91,7 @@ object FormatRegistry extends Serializable {
     "yamllint" -> "yamllint_text",
     "terraform" -> "terraform_text",
     "docker build" -> "docker_build",
-    "ruff" -> "generic_lint",
+    "ruff" -> "ruff_text",
     "pylint" -> "pylint_text",
     "cargo clippy" -> "clippy_dense",
     "checkstyle" -> "checkstyle_text",
@@ -130,7 +132,13 @@ object FormatRegistry extends Serializable {
     "mix compile" -> "mix_compile",
     "mix test" -> "mix_compile",
     "bandit" -> "bandit_json",
-    "trivy" -> "trivy_json")
+    "trivy" -> "trivy_json",
+    "vitest" -> "vitest_text",
+    "deno lint" -> "deno_lint",
+    "biome" -> "biome_lint",
+    "kubectl get events" -> "kube_events",
+    "npm install" -> "npm_err",
+    "npm ci" -> "npm_err")
 
   def detectFormatFromCommand(cmd: String): String = {
     val lower = cmd.toLowerCase

@@ -114,6 +114,65 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("rubocop.json")).map(_.format) === Some("rubocop_json"))
     assert(FormatRegistry.detect(fixture("hadolint.json")).map(_.format) === Some("hadolint_json"))
     assert(FormatRegistry.detect(fixture("trivy.json")).map(_.format) === Some("trivy_json"))
+    assert(FormatRegistry.detect(fixture("ruff_out.txt")).map(_.format) === Some("ruff_text"))
+    assert(FormatRegistry.detect(fixture("vitest_run.txt")).map(_.format) === Some("vitest_text"))
+    assert(FormatRegistry.detect(fixture("deno_lint.txt")).map(_.format) === Some("deno_lint"))
+    assert(FormatRegistry.detect(fixture("biome_out.txt")).map(_.format) === Some("biome_lint"))
+    assert(FormatRegistry.detect(fixture("kube_events.txt")).map(_.format) === Some("kube_events"))
+    assert(FormatRegistry.detect(fixture("npm_fail.txt")).map(_.format) === Some("npm_err"))
+    // flake8 output without ruff markers still resolves to flake8
+    assert(FormatRegistry.detect(fixture("flake8_output.txt")).map(_.format) === Some("flake8_text"))
+  }
+
+  test("ruff: extended code families, fixable marker, summary bonus") {
+    val evs = RuffParser.parse(fixture("ruff_out.txt"))
+    assert(evs.length === 4)
+    assert(evs.head.code === Some("F401") && evs.head.rule === Some("fixable"))
+    assert(evs(2).code === Some("PLR0913") && evs(2).severity === Severity.Warning)
+    assert(evs(1).severity === Severity.Error) // E501
+  }
+
+  test("vitest: file ticks, per-test failures with arrow messages") {
+    val evs = VitestParser.parse(fixture("vitest_run.txt"))
+    assert(evs.count(_.severity == Severity.TestPass) === 1)
+    val fails = evs.filter(_.severity == Severity.TestFail)
+    assert(fails.length === 1)
+    assert(fails.head.test_name === Some("subtracts numbers"))
+    assert(fails.head.message.get.contains("expected 2 to be 0"))
+    assert(fails.head.ref_file === Some("src/calc.test.ts"))
+    assert(evs.last.severity === Severity.Error) // summary with failures
+  }
+
+  test("deno lint: rust-style headers with --> locations") {
+    val evs = DenoLintParser.parse(fixture("deno_lint.txt"))
+    assert(evs.length === 2)
+    assert(evs.head.rule === Some("no-unused-vars") && evs.head.severity === Severity.Error)
+    assert(evs.head.ref_file === Some("/app/main.ts") && evs.head.ref_line === Some(12))
+    assert(evs(1).severity === Severity.Warning)
+  }
+
+  test("biome: rule-path headers with mark-prefixed messages") {
+    val evs = BiomeParser.parse(fixture("biome_out.txt"))
+    assert(evs.length === 2)
+    assert(evs.head.rule === Some("lint/style/noVar"))
+    assert(evs.head.message === Some("Use let or const instead of var."))
+    assert(evs(1).ref_line === Some(30))
+  }
+
+  test("kubectl events: warning rows become events keyed by reason/object") {
+    val evs = KubeEventsParser.parse(fixture("kube_events.txt"))
+    assert(evs.length === 3)
+    assert(evs.head.severity === Severity.Warning)
+    assert(evs.head.code === Some("BackOff") && evs.head.ref_file === Some("pod/app-1"))
+    assert(evs(1).severity === Severity.Info)
+  }
+
+  test("npm: ERR!/WARN lines, ELIFECYCLE code extracted") {
+    val evs = NpmParser.parse(fixture("npm_fail.txt"))
+    assert(evs.length === 5)
+    assert(evs.head.severity === Severity.Warning)
+    assert(evs.count(_.severity == Severity.Error) === 4)
+    assert(evs.exists(_.code === Some("ELIFECYCLE")))
   }
 
   test("shellcheck json: SC codes, level mapping") {
