@@ -54,6 +54,21 @@ object Demo {
       .orderBy("event_timestamp").limit(5).df()
       .select("ref", "location", "message").show(false)
 
+    println("== bulk ingest: a directory of mixed-format logs, one job ==")
+    val logDir = java.nio.file.Files.createTempDirectory("demo_logs")
+    java.nio.file.Files.writeString(logDir.resolve("pylint.log"),
+      "app/models.py:42:8: E1101: Instance of 'User' has no 'emial' member (no-member)\n")
+    java.nio.file.Files.writeString(logDir.resolve("cargo.log"),
+      "error[E0308]: mismatched types\n --> src/main.rs:4:5\n")
+    val bulk = g.importDirectory(s"$logDir/*.log")
+    println(s"   status=${bulk.status} errors=${bulk.errors} (auto-detected per file)")
+
+    println("\n== MCP-style serving surface ==")
+    val serve = new graft.api.Serve(g)
+    println("   tools: " + serve.tools.mkString(", "))
+    println("   ci_check -> " + serve.call("ci_check",
+      Map("baseline" -> r1.runSerial.toString, "candidate" -> r2.runSerial.toString)))
+
     spark.stop()
   }
 }
