@@ -30,6 +30,8 @@ object FormatRegistry extends Serializable {
     RubocopJsonParser, HadolintJsonParser, TrivyJsonParser,
     RuffParser, VitestParser, DenoLintParser, BiomeParser,
     KubeEventsParser, NpmParser,
+    NinjaParser, ConfigureParser, ProtocParser, GitlabCiParser,
+    IsortParser, GofmtParser, RustfmtParser, MesonParser,
     GenericParser)
 
   private val byFormat: Map[String, LogParser] =
@@ -138,7 +140,15 @@ object FormatRegistry extends Serializable {
     "biome" -> "biome_lint",
     "kubectl get events" -> "kube_events",
     "npm install" -> "npm_err",
-    "npm ci" -> "npm_err")
+    "npm ci" -> "npm_err",
+    "ninja" -> "ninja_build",
+    "./configure" -> "configure_text",
+    "protoc" -> "protoc_text",
+    "isort" -> "isort_text",
+    "gofmt" -> "gofmt_text",
+    "rustfmt" -> "rustfmt_text",
+    "cargo fmt" -> "rustfmt_text",
+    "meson" -> "meson_build")
 
   def detectFormatFromCommand(cmd: String): String = {
     val lower = cmd.toLowerCase

@@ -48,6 +48,36 @@ class OperatorsSpec extends SparkSpec {
     viaAgg.foreach { case (g, top) => assert(top === viaWindow(g), s"group $g") }
   }
 
+  test("asof differential: random tables match a brute-force reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val keys = Seq("k1", "k2", "k3", "k4")
+      val left = (0 until 300).map(i =>
+        (keys(rnd.nextInt(keys.length)), rnd.nextInt(1000).toLong, i.toLong))
+      // right times made unique per (key, time) to honor the contract
+      val right = rnd.shuffle(
+        (for (k <- keys; t <- 0 until 80) yield (k, rnd.nextInt(1000).toLong))
+          .distinct).take(120)
+        .zipWithIndex.map { case ((k, t), i) => (k, t, 10000L + i) }
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+
+      val lDf = left.toDF("k", "t", "lid")
+      val rDf = right.toDF("k", "t", "rid")
+      val got = graft.operators.AsofJoin.asofBackward(lDf, rDf, "k", "t", "t")
+        .select($"lid", $"asof.rid".as("rid"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+        .toMap
+
+      val byKey = right.groupBy(_._1)
+      val expected = left.map { case (k, t, lid) =>
+        lid -> byKey.getOrElse(k, Seq.empty)
+          .filter(_._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      }.toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("asof is one shuffle: plan has a single exchange on the key") {
     val trades = Seq(("A", 10L, "t1")).toDF("sym", "ts", "trade_id")
     val quotes = Seq(("A", 9L, 1.0)).toDF("sym", "qts", "px")

@@ -122,6 +122,52 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("npm_fail.txt")).map(_.format) === Some("npm_err"))
     // flake8 output without ruff markers still resolves to flake8
     assert(FormatRegistry.detect(fixture("flake8_output.txt")).map(_.format) === Some("flake8_text"))
+    assert(FormatRegistry.detect(fixture("ninja_fail.txt")).map(_.format) === Some("ninja_build"))
+    assert(FormatRegistry.detect(fixture("configure_fail.txt")).map(_.format) === Some("configure_text"))
+    assert(FormatRegistry.detect(fixture("protoc_err.txt")).map(_.format) === Some("protoc_text"))
+    assert(FormatRegistry.detect(fixture("gitlab_ci.txt")).map(_.format) === Some("gitlab_ci"))
+    assert(FormatRegistry.detect(fixture("isort_check.txt")).map(_.format) === Some("isort_text"))
+    assert(FormatRegistry.detect(fixture("gofmt_list.txt")).map(_.format) === Some("gofmt_text"))
+    assert(FormatRegistry.detect(fixture("rustfmt_diff.txt")).map(_.format) === Some("rustfmt_text"))
+    assert(FormatRegistry.detect(fixture("meson_fail.txt")).map(_.format) === Some("meson_build"))
+  }
+
+  test("build/format tier: ninja, configure, protoc, gitlab, isort, gofmt, rustfmt, meson") {
+    val ninja = NinjaParser.parse(fixture("ninja_fail.txt"))
+    assert(ninja.length === 2)
+    assert(ninja.head.message.get.startsWith("FAILED: obj/parser.o"))
+    assert(ninja(1).message.get.contains("subcommand failed"))
+
+    val conf = ConfigureParser.parse(fixture("configure_fail.txt"))
+    assert(conf.count(_.severity == Severity.Error) === 1)
+    assert(conf.count(_.severity == Severity.Warning) === 1)
+    assert(conf.exists(_.message.get.startsWith("missing:")))
+
+    val proto = ProtocParser.parse(fixture("protoc_err.txt"))
+    assert(proto.length === 3)
+    assert(proto.head.ref_file === Some("api/user.proto") && proto.head.ref_line === Some(12))
+    assert(proto(2).severity === Severity.Warning)
+
+    val gl = GitlabCiParser.parse(fixture("gitlab_ci.txt"))
+    assert(gl.length === 1)
+    assert(gl.head.severity === Severity.Error)
+    assert(gl.head.message.get.contains("exit code 2"))
+
+    val isort = IsortParser.parse(fixture("isort_check.txt"))
+    assert(isort.count(_.severity == Severity.Warning) === 2)
+    assert(isort.count(_.severity == Severity.Info) === 1)
+
+    val gofmt = GofmtParser.parse(fixture("gofmt_list.txt"))
+    assert(gofmt.length === 3 && gofmt.forall(_.severity == Severity.Warning))
+
+    val rustfmt = RustfmtParser.parse(fixture("rustfmt_diff.txt"))
+    assert(rustfmt.length === 2)
+    assert(rustfmt.head.ref_file === Some("/src/main.rs") && rustfmt.head.ref_line === Some(4))
+
+    val meson = MesonParser.parse(fixture("meson_fail.txt"))
+    assert(meson.length === 2)
+    assert(meson.head.severity === Severity.Error && meson.head.ref_line === Some(12))
+    assert(meson(1).severity === Severity.Warning)
   }
 
   test("ruff: extended code families, fixable marker, summary bonus") {
