@@ -54,8 +54,16 @@ object Bench {
       new graft.store.EventStore(spark, storeRoot),
       new graft.store.BlobStore(s"$storeRoot/blobs"))
     val t0 = System.nanoTime()
-    try runner.importDirectory(s"$dir/*.log", "gcc_text")
-    catch { case _: Throwable => }
-    (System.nanoTime() - t0) / 1e9
+    // A failed ingest must read as a failure (-1), never as a fast run.
+    val elapsed =
+      try { runner.importDirectory(s"$dir/*.log", "gcc_text"); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    for (root <- Seq(dir, java.nio.file.Paths.get(storeRoot))) {
+      try {
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => }
+    }
+    elapsed
   }
 }

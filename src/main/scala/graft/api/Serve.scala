@@ -45,8 +45,12 @@ final class Serve(engine: GraftEngine) {
   def call(tool: String, args: Map[String, String] = Map.empty): String =
     try dispatch(tool, args)
     catch {
-      case e: IllegalArgumentException => err(e.getMessage)
       case e: NoSuchElementException => err(s"missing argument: ${e.getMessage}")
+      // Malformed args surface as AnalysisException/ParseException/
+      // NumberFormatException/IO errors — ALL of them must become an
+      // error document, not a dead serving session.
+      case scala.util.control.NonFatal(e) =>
+        err(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
 
   private def dispatch(tool: String, args: Map[String, String]): String = tool match {
@@ -57,7 +61,8 @@ final class Serve(engine: GraftEngine) {
       args.get("select").foreach { s =>
         df = df.select(s.split(",").map(c => org.apache.spark.sql.functions.col(c.trim)).toIndexedSeq: _*)
       }
-      json(df.limit(intArg(args, "limit", 100)))
+      val limit = intArg(args, "limit", 100)
+      json(df.limit(limit), limit)
     case "events" =>
       engine.run(args.getOrElse("ref", "-1")).select("run_serial")
         .collect().headOption match {
@@ -65,8 +70,10 @@ final class Serve(engine: GraftEngine) {
           json(engine.analytics.eventsForRun(row.getLong(0)), intArg(args, "limit", 100))
         case None => err(s"no run matches ref '${args.getOrElse("ref", "-1")}'")
       }
-    case "errors" => json(engine.errors(intArg(args, "limit", 10)))
-    case "warnings" => json(engine.warnings(intArg(args, "limit", 10)))
+    case "errors" =>
+      val n = intArg(args, "limit", 10); json(engine.errors(n), n)
+    case "warnings" =>
+      val n = intArg(args, "limit", 10); json(engine.warnings(n), n)
     case "status" => json(engine.status())
     case "history" => json(engine.history(intArg(args, "limit", 20)))
     case "summary" => json(engine.summary())

@@ -42,8 +42,15 @@ object Skew {
   def saltedCountSum(df: DataFrame, key: String, value: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Salt from the row's position, NOT its content: the canonical
+    // hot-key scenario is millions of IDENTICAL rows, and a
+    // content-derived salt would put all of them in one bucket,
+    // defeating the whole construction. Per-row ids spread uniformly;
+    // if a lost partition is recomputed its rows may land in different
+    // salt buckets, which is fine — each row is still aggregated
+    // exactly once and the final combine is salt-agnostic.
     val partial = df
-      .withColumn("__salt", pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(col(value)).as("__sum"))
     partial.groupBy(col(key))

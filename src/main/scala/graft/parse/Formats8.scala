@@ -104,7 +104,11 @@ object MochaParser extends LogParser {
     }
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
       case failHead(_, test) => flush(None); pending = Some((test, i + 1))
-      case pass(test) if pending.isEmpty =>
+      // A pass marker is never a failure message — flush any pending
+      // failure without one, then emit the pass (interleaved ✓ after a
+      // numbered failure is normal spec-reporter output).
+      case pass(test) =>
+        flush(None)
         out += mk(idx, i + 1, Severity.TestPass, s"$test passed", test,
           "test", test = Some(test))
         idx += 1

@@ -275,7 +275,13 @@ object CoreQueries {
       t(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(
-          to_json(sort_array(collect_list(struct(col("event_id"), col("event_type")))))
+          // ignoreNullFields=false: DuckDB's to_json always emits null
+          // struct fields; Spark drops them by default, which would be
+          // a latent hash divergence on any corpus with a NULL
+          // event_type (the current testdata has none — don't rely on
+          // that).
+          to_json(sort_array(collect_list(struct(col("event_id"), col("event_type")))),
+            Map("ignoreNullFields" -> "false"))
             .as("events_json"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"))

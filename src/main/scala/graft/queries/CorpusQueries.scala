@@ -32,6 +32,11 @@ object CorpusQueries {
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      // Cache lifetime: the vocab frame stays cached until the returned
+      // DataFrame is GC'd (ContextCleaner reclaims it) — it cannot be
+      // unpersisted here because the scoring join below consumes it
+      // when the CALLER acts on the result. Vocab-sized (≪ corpus), so
+      // the bounded residency is the price of computing the LM once.
       val counts = toks.groupBy(col("tok"))
         .agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

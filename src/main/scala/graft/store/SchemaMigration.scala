@@ -106,8 +106,18 @@ final class SchemaMigration(spark: SparkSession, root: String,
   /** Physically rewrite `table` at the latest schema and bump the
     * stored version once every listed table is rewritten. Writes to a
     * sibling tmp dir then swaps, so a crashed rewrite never corrupts
-    * the live table. Partition columns are preserved. */
+    * the live table. Partition columns are preserved.
+    *
+    * Every table that still has pending steps MUST be listed: the
+    * version marker is store-wide, so bumping it with a pending table
+    * omitted would silently disable that table's read-time adapters. */
   def rewrite(tables: Map[String, (DataFrame, Seq[String])]): Unit = {
+    val v = currentVersion
+    val uncovered = steps.filter(_.version > v).map(_.table).distinct
+      .filterNot(tables.contains)
+    require(uncovered.isEmpty,
+      s"rewrite must cover every table with pending steps; missing: " +
+        uncovered.mkString(", "))
     tables.foreach { case (table, (raw, partitionCols)) =>
       val adapted = adapt(table, raw)
       val live = new org.apache.hadoop.fs.Path(s"$root/$table")
@@ -117,8 +127,15 @@ final class SchemaMigration(spark: SparkSession, root: String,
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(tmp.toString)
       if (fs.exists(old)) fs.delete(old, true)
-      fs.rename(live, old)
-      fs.rename(tmp, live)
+      // Hadoop rename signals failure by RETURNING false (and renames
+      // INTO an existing dir rather than over it) — check both hops or
+      // a failed swap corrupts the table while the version still bumps.
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"migration swap: rename $live -> $old failed")
+      if (!fs.rename(tmp, live)) {
+        fs.rename(old, live) // restore; best-effort
+        throw new java.io.IOException(s"migration swap: rename $tmp -> $live failed")
+      }
       fs.delete(old, true)
     }
     writeVersion(latestVersion)

@@ -426,6 +426,23 @@ class ParserSpec extends SparkSpec {
     assert(fails.head.message.get.contains("AssertionError"))
   }
 
+  test("mocha: pass marker directly after a failure marker is not eaten as the message") {
+    val interleaved =
+      """  Calculator
+        |    ✓ adds
+        |    1) subtracts:
+        |    ✓ multiplies
+        |       AssertionError: later details block
+        |  2 passing (10ms)
+        |  1 failing""".stripMargin
+    val evs = MochaParser.parse(interleaved)
+    assert(evs.count(_.severity == Severity.TestPass) === 2)
+    val fail = evs.filter(_.severity == Severity.TestFail)
+    assert(fail.length === 1)
+    assert(fail.head.test_name === Some("subtracts"))
+    assert(!fail.head.message.get.contains("✓"))
+  }
+
   test("github actions: ##[level] annotations with or without timestamps") {
     val evs = GithubActionsParser.parse(fixture("gha_run.txt"))
     assert(evs.length === 3)

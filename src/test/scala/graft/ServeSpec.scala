@@ -71,5 +71,21 @@ class ServeSpec extends SparkSpec {
     assert(s.call("frobnicate").contains("\"error\""))
     assert(s.call("diff", Map("run1" -> "1")).contains("\"error\""))
     assert(s.call("events", Map("ref" -> "nope:99")).contains("\"error\""))
+    // engine-level exceptions (AnalysisException, parse errors, bad
+    // paths, bad numbers) must also come back as error documents
+    assert(s.call("query", Map("filter" -> "sevrity=error")).contains("\"error\""))
+    assert(s.call("sql", Map("q" -> "SELEC 1")).contains("\"error\""))
+    assert(s.call("import", Map("path" -> "/nope/nowhere/*.log")).contains("\"error\""))
+    assert(s.call("errors", Map("limit" -> "many")).contains("\"error\""))
+  }
+
+  test("query tool honors limits above the formatter default (100)") {
+    val g = GraftEngine(spark, Files.createTempDirectory("serve_big").toString)
+    val lines = (1 to 120).map(i => s"f$i.py:$i: error: broken $i  [misc]")
+    g.importContent(lines.mkString("\n"), format = "mypy_text")
+    val s = new Serve(g)
+    val out = s.call("query", Map("select" -> "ref_file", "limit" -> "150"))
+    val rows = "\"ref_file\"".r.findAllIn(out).length
+    assert(rows === 120, s"expected all 120 rows, got $rows")
   }
 }
