@@ -32,6 +32,8 @@ object FormatRegistry extends Serializable {
     KubeEventsParser, NpmParser,
     NinjaParser, ConfigureParser, ProtocParser, GitlabCiParser,
     IsortParser, GofmtParser, RustfmtParser, MesonParser,
+    GtestParser, PlaywrightParser, CypressParser, WebpackParser,
+    ToxParser, PoetryParser, BundlerParser, GhcParser,
     GenericParser)
 
   private val byFormat: Map[String, LogParser] =
@@ -148,7 +150,17 @@ object FormatRegistry extends Serializable {
     "gofmt" -> "gofmt_text",
     "rustfmt" -> "rustfmt_text",
     "cargo fmt" -> "rustfmt_text",
-    "meson" -> "meson_build")
+    "meson" -> "meson_build",
+    "playwright" -> "playwright_text",
+    "cypress" -> "cypress_text",
+    "webpack" -> "webpack_text",
+    "tox" -> "tox_text",
+    "poetry install" -> "poetry_text",
+    "poetry add" -> "poetry_text",
+    "bundle install" -> "bundler_text",
+    "ghc" -> "ghc_text",
+    "stack build" -> "ghc_text",
+    "cabal build" -> "ghc_text")
 
   def detectFormatFromCommand(cmd: String): String = {
     val lower = cmd.toLowerCase

@@ -130,6 +130,62 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("gofmt_list.txt")).map(_.format) === Some("gofmt_text"))
     assert(FormatRegistry.detect(fixture("rustfmt_diff.txt")).map(_.format) === Some("rustfmt_text"))
     assert(FormatRegistry.detect(fixture("meson_fail.txt")).map(_.format) === Some("meson_build"))
+    assert(FormatRegistry.detect(fixture("gtest_run.txt")).map(_.format) === Some("gtest_text"))
+    assert(FormatRegistry.detect(fixture("playwright_run.txt")).map(_.format) === Some("playwright_text"))
+    assert(FormatRegistry.detect(fixture("cypress_run.txt")).map(_.format) === Some("cypress_text"))
+    assert(FormatRegistry.detect(fixture("webpack_fail.txt")).map(_.format) === Some("webpack_text"))
+    assert(FormatRegistry.detect(fixture("tox_run.txt")).map(_.format) === Some("tox_text"))
+    assert(FormatRegistry.detect(fixture("poetry_fail.txt")).map(_.format) === Some("poetry_text"))
+    assert(FormatRegistry.detect(fixture("bundler_fail.txt")).map(_.format) === Some("bundler_text"))
+    assert(FormatRegistry.detect(fixture("ghc_errors.txt")).map(_.format) === Some("ghc_text"))
+  }
+
+  test("test/packaging tier: gtest, playwright, cypress, webpack, tox, poetry, bundler, ghc") {
+    val gt = GtestParser.parse(fixture("gtest_run.txt"))
+    assert(gt.count(_.severity == Severity.TestPass) === 2)
+    val gf = gt.filter(_.severity == Severity.TestFail)
+    assert(gf.length === 1 && gf.head.test_name === Some("MathTest.Divides"))
+    assert(gf.head.ref_file === Some("math_test.cc") && gf.head.ref_line === Some(42))
+    assert(gf.head.message.get.contains("div(4, 2)"))
+
+    val pw = PlaywrightParser.parse(fixture("playwright_run.txt"))
+    assert(pw.count(_.severity == Severity.TestPass) === 2)
+    val pf = pw.filter(_.severity == Severity.TestFail)
+    assert(pf.head.rule === Some("firefox"))
+    assert(pf.head.ref_file === Some("cart.spec.ts") && pf.head.ref_line === Some(30))
+
+    val cy = CypressParser.parse(fixture("cypress_run.txt"))
+    assert(cy.count(_.severity == Severity.TestPass) === 2)
+    val cf = cy.filter(_.severity == Severity.TestFail)
+    assert(cf.length === 1 && cf.head.message.get.contains("AssertionError"))
+    assert(cf.head.ref_file === Some("auth.cy.ts"))
+    assert(cy.last.ref_file === Some("cart.cy.ts"))
+
+    val wp = WebpackParser.parse(fixture("webpack_fail.txt"))
+    assert(wp.length === 2)
+    assert(wp.head.severity === Severity.Error)
+    assert(wp.head.message.get.contains("Can't resolve"))
+    assert(wp.head.ref_file === Some("./src/app.js") && wp.head.ref_line === Some(12))
+    assert(wp(1).severity === Severity.Warning)
+
+    val tox = ToxParser.parse(fixture("tox_run.txt"))
+    assert(tox.count(_.severity == Severity.TestPass) === 1)
+    assert(tox.count(_.severity == Severity.Error) === 2)
+    assert(tox(2).message.get.contains("InterpreterNotFound"))
+
+    val po = PoetryParser.parse(fixture("poetry_fail.txt"))
+    assert(po.count(_.severity == Severity.Info) === 2)
+    assert(po.count(_.severity == Severity.Error) === 2)
+    assert(po.exists(_.message.get.contains("version solving failed")))
+
+    val bu = BundlerParser.parse(fixture("bundler_fail.txt"))
+    assert(bu.length === 2 && bu.forall(_.severity == Severity.Error))
+
+    val ghc = GhcParser.parse(fixture("ghc_errors.txt"))
+    assert(ghc.length === 3)
+    assert(ghc.head.severity === Severity.Warning && ghc.head.rule === Some("-Wunused-imports"))
+    assert(ghc(1).ref_file === Some("src/Main.hs") && ghc(1).ref_line === Some(12))
+    assert(ghc(2).ref_line === Some(30)) // span form 30:9-14
   }
 
   test("build/format tier: ninja, configure, protoc, gitlab, isort, gofmt, rustfmt, meson") {

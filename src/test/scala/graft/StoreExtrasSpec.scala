@@ -142,4 +142,22 @@ class StoreExtrasSpec extends SparkSpec {
     assert(SchemaMigration.renameColumn("sandbox", "extension_data")(rewritten)
       .columns.toSeq === rewritten.columns.toSeq)
   }
+
+  test("schema migration: rewrite refuses to bump past an uncovered table") {
+    import graft.store.SchemaMigration
+    import graft.store.SchemaMigration.Step
+    val root = Files.createTempDirectory("migrate_guard").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/events")
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/attempts")
+    val m = new SchemaMigration(spark, root, Seq(
+      Step(2, "events", "add x", SchemaMigration.addColumn("x", "string")),
+      Step(2, "attempts", "add y", SchemaMigration.addColumn("y", "string"))))
+    val raw = spark.read.parquet(s"$root/events")
+    // version marker is store-wide: omitting attempts would silently
+    // disable its pending adapter
+    intercept[IllegalArgumentException] {
+      m.rewrite(Map("events" -> (raw, Seq.empty)))
+    }
+    assert(m.currentVersion === 1) // nothing bumped, adapters still active
+  }
 }
