@@ -28,6 +28,7 @@ object FormatRegistry extends Serializable {
     PhpstanParser, GoVetParser, DotnetTestParser, MixParser,
     ShellcheckJsonParser, GoTestJsonParser, BanditJsonParser,
     RubocopJsonParser, HadolintJsonParser, TrivyJsonParser,
+    PytestJsonParser,
     RuffParser, VitestParser, DenoLintParser, BiomeParser,
     KubeEventsParser, NpmParser,
     NinjaParser, ConfigureParser, ProtocParser, GitlabCiParser,

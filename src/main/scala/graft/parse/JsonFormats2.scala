@@ -203,6 +203,45 @@ object HadolintJsonParser extends LogParser {
   }
 }
 
+/** pytest-json-report plugin: one document with
+  * {tests: [{nodeid, outcome, call: {longrepr}}]} (public plugin
+  * format; the reference registers "pytest_json" as a command format). */
+object PytestJsonParser extends LogParser {
+  val format = "pytest_json"
+  val tool = "pytest"
+  import JsonWalk._
+
+  def sniff(lines: Array[String]): Int = {
+    val joined = lines.mkString("\n")
+    if (joined.contains("\"nodeid\"") && joined.contains("\"outcome\"")) 5
+    else 0
+  }
+
+  def parse(content: String): Seq[ParsedEvent] = {
+    val root = doc(content).getOrElse(return Seq.empty)
+    val tests = field(root, "tests").filter(_.isArray).getOrElse(return Seq.empty)
+    val out = Seq.newBuilder[ParsedEvent]
+    var idx = 0L
+    for (t <- arr(tests); nodeid <- Json.str(t, "nodeid")) {
+      val outcome = Json.str(t, "outcome")
+      val sev = outcome match {
+        case Some("passed") => Severity.TestPass
+        case Some("failed") | Some("error") => Severity.TestFail
+        case _ => Severity.Info // skipped/xfailed/xpassed
+      }
+      val longrepr = field(t, "call").flatMap(Json.str(_, "longrepr"))
+      val file = nodeid.split("::").headOption
+      out += mk(idx, 0, sev,
+        longrepr.map(_.linesIterator.toSeq.lastOption.getOrElse("").trim)
+          .filter(_.nonEmpty)
+          .getOrElse(s"$nodeid ${outcome.getOrElse("ran")}"),
+        "", "test", test = Some(nodeid), file = file)
+      idx += 1
+    }
+    out.result()
+  }
+}
+
 /** `trivy -f json`: {Results: [{Target, Vulnerabilities: [{
   * VulnerabilityID, Severity, PkgName, Title}]}]}. */
 object TrivyJsonParser extends LogParser {

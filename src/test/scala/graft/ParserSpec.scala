@@ -320,6 +320,19 @@ class ParserSpec extends SparkSpec {
     assert(evs(1).severity === Severity.Error)
   }
 
+  test("pytest json-report: outcomes mapped, failure longrepr tail as message") {
+    assert(FormatRegistry.detect(fixture("pytest_report.json")).map(_.format)
+      === Some("pytest_json"))
+    val evs = PytestJsonParser.parse(fixture("pytest_report.json"))
+    assert(evs.length === 3)
+    assert(evs.head.severity === Severity.TestPass)
+    assert(evs(1).severity === Severity.TestFail)
+    assert(evs(1).test_name === Some("tests/test_parse.py::test_broken"))
+    assert(evs(1).message.get.contains("AssertionError"))
+    assert(evs(1).ref_file === Some("tests/test_parse.py"))
+    assert(evs(2).severity === Severity.Info) // skipped
+  }
+
   test("trivy json: vulnerabilities per target with CVE codes") {
     val evs = TrivyJsonParser.parse(fixture("trivy.json"))
     assert(evs.length === 3)
