@@ -35,6 +35,10 @@ object FormatRegistry extends Serializable {
     IsortParser, GofmtParser, RustfmtParser, MesonParser,
     GtestParser, PlaywrightParser, CypressParser, WebpackParser,
     ToxParser, PoetryParser, BundlerParser, GhcParser,
+    UnittestParser, MinitestParser, CucumberParser, KarmaParser,
+    SemgrepParser, K6Parser, CondaParser, PnpmParser,
+    PuppetParser, HelmParser, DartParser, KotlincParser,
+    LuacheckParser, ZigParser, OcamlParser, RCheckParser,
     GenericParser)
 
   private val byFormat: Map[String, LogParser] =
@@ -161,7 +165,27 @@ object FormatRegistry extends Serializable {
     "bundle install" -> "bundler_text",
     "ghc" -> "ghc_text",
     "stack build" -> "ghc_text",
-    "cabal build" -> "ghc_text")
+    "cabal build" -> "ghc_text",
+    "python -m unittest" -> "unittest_text",
+    "cucumber" -> "cucumber_text",
+    "karma" -> "karma_text",
+    "semgrep" -> "semgrep_text",
+    "k6 run" -> "k6_text",
+    "conda install" -> "conda_text",
+    "conda create" -> "conda_text",
+    "pnpm install" -> "pnpm_text",
+    "pnpm add" -> "pnpm_text",
+    "puppet apply" -> "puppet_text",
+    "puppet agent" -> "puppet_text",
+    "helm lint" -> "helm_lint",
+    "dart analyze" -> "dart_analyze",
+    "flutter analyze" -> "dart_analyze",
+    "kotlinc" -> "kotlinc_text",
+    "luacheck" -> "luacheck_text",
+    "zig build" -> "zig_text",
+    "dune build" -> "ocaml_text",
+    "ocamlfind" -> "ocaml_text",
+    "r cmd check" -> "r_check")
 
   def detectFormatFromCommand(cmd: String): String = {
     val lower = cmd.toLowerCase

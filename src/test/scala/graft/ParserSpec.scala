@@ -138,6 +138,122 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("poetry_fail.txt")).map(_.format) === Some("poetry_text"))
     assert(FormatRegistry.detect(fixture("bundler_fail.txt")).map(_.format) === Some("bundler_text"))
     assert(FormatRegistry.detect(fixture("ghc_errors.txt")).map(_.format) === Some("ghc_text"))
+    assert(FormatRegistry.detect(fixture("unittest_run.txt")).map(_.format) === Some("unittest_text"))
+    assert(FormatRegistry.detect(fixture("minitest_run.txt")).map(_.format) === Some("minitest_text"))
+    assert(FormatRegistry.detect(fixture("cucumber_run.txt")).map(_.format) === Some("cucumber_text"))
+    assert(FormatRegistry.detect(fixture("karma_run.txt")).map(_.format) === Some("karma_text"))
+    assert(FormatRegistry.detect(fixture("semgrep_out.txt")).map(_.format) === Some("semgrep_text"))
+    assert(FormatRegistry.detect(fixture("k6_run.txt")).map(_.format) === Some("k6_text"))
+    assert(FormatRegistry.detect(fixture("conda_fail.txt")).map(_.format) === Some("conda_text"))
+    assert(FormatRegistry.detect(fixture("pnpm_fail.txt")).map(_.format) === Some("pnpm_text"))
+    assert(FormatRegistry.detect(fixture("puppet_fail.txt")).map(_.format) === Some("puppet_text"))
+    assert(FormatRegistry.detect(fixture("helm_lint.txt")).map(_.format) === Some("helm_lint"))
+    assert(FormatRegistry.detect(fixture("dart_analyze.txt")).map(_.format) === Some("dart_analyze"))
+    assert(FormatRegistry.detect(fixture("kotlinc_errors.txt")).map(_.format) === Some("kotlinc_text"))
+    assert(FormatRegistry.detect(fixture("luacheck_out.txt")).map(_.format) === Some("luacheck_text"))
+    assert(FormatRegistry.detect(fixture("zig_errors.txt")).map(_.format) === Some("zig_text"))
+    assert(FormatRegistry.detect(fixture("ocaml_errors.txt")).map(_.format) === Some("ocaml_text"))
+    assert(FormatRegistry.detect(fixture("r_check.txt")).map(_.format) === Some("r_check"))
+  }
+
+  test("long-tail tier: puppet, helm, dart, kotlinc, luacheck, zig, ocaml, R") {
+    val pu = PuppetParser.parse(fixture("puppet_fail.txt"))
+    assert(pu.length === 2)
+    assert(pu.head.severity === Severity.Error)
+    assert(pu.head.ref_file === Some("/etc/puppet/manifests/site.pp"))
+    assert(pu.head.ref_line === Some(12) && pu.head.ref_column === Some(1))
+    assert(pu(1).severity === Severity.Warning && pu(1).ref_column === None)
+
+    val he = HelmParser.parse(fixture("helm_lint.txt"))
+    assert(he.length === 3)
+    assert(he.head.severity === Severity.Info)
+    assert(he(1).severity === Severity.Error)
+    assert(he(1).ref_file === Some("templates/deployment.yaml"))
+    assert(he(1).rule === Some("mychart"))
+
+    val da = DartParser.parse(fixture("dart_analyze.txt"))
+    assert(da.length === 3)
+    assert(da.head.rule === Some("undefined_identifier"))
+    assert(da.head.ref_file === Some("lib/main.dart") && da.head.ref_line === Some(12))
+    assert(da(2).severity === Severity.Info)
+
+    val ko = KotlincParser.parse(fixture("kotlinc_errors.txt"))
+    assert(ko.length === 3)
+    assert(ko.head.severity === Severity.Error)
+    assert(ko(1).severity === Severity.Warning)
+    assert(ko(2).ref_file === Some("src/main/kotlin/Api.kts"))
+
+    val lu = LuacheckParser.parse(fixture("luacheck_out.txt"))
+    assert(lu.length === 2)
+    assert(lu.forall(_.severity == Severity.Warning))
+    assert(lu.head.ref_line === Some(12) && lu.head.ref_column === Some(10))
+
+    val zi = ZigParser.parse(fixture("zig_errors.txt"))
+    assert(zi.length === 3)
+    assert(zi.count(_.severity == Severity.Error) === 2)
+    assert(zi(1).severity === Severity.Note)
+
+    val oc = OcamlParser.parse(fixture("ocaml_errors.txt"))
+    assert(oc.length === 2)
+    assert(oc.head.severity === Severity.Error)
+    assert(oc.head.message === Some("Unbound value foo"))
+    assert(oc.head.ref_file === Some("bin/main.ml") && oc.head.ref_line === Some(12))
+    assert(oc(1).severity === Severity.Warning)
+
+    val r = RCheckParser.parse(fixture("r_check.txt"))
+    assert(r.length === 3) // NOTE + ERROR + Status (OK checks skipped)
+    assert(r.head.severity === Severity.Note)
+    assert(r(1).severity === Severity.Error)
+    assert(r(2).message.get.contains("1 ERROR"))
+  }
+
+  test("unit/integration-test tier: unittest, minitest, cucumber, karma, semgrep, k6, conda, pnpm") {
+    val ut = UnittestParser.parse(fixture("unittest_run.txt"))
+    assert(ut.count(_.severity == Severity.TestPass) === 1)
+    val uf = ut.filter(_.severity == Severity.TestFail)
+    assert(uf.length === 1)
+    assert(uf.head.test_name === Some("tests.test_core.StoreTest.test_store"))
+    assert(uf.head.message.get.contains("2 != 1"))
+    assert(ut.last.severity === Severity.Error) // FAILED (failures=1)
+
+    val mt = MinitestParser.parse(fixture("minitest_run.txt"))
+    val mf = mt.filter(_.severity == Severity.TestFail)
+    assert(mf.length === 1)
+    assert(mf.head.test_name === Some("UserTest#test_email"))
+    assert(mf.head.ref_file === Some("test/user_test.rb") && mf.head.ref_line === Some(42))
+    assert(mf.head.message.get.contains("Expected false"))
+
+    val cu = CucumberParser.parse(fixture("cucumber_run.txt"))
+    assert(cu.count(_.severity == Severity.TestFail) === 2)
+    assert(cu.head.ref_file === Some("features/checkout.feature"))
+    assert(cu.last.severity === Severity.Error) // 2 failed in summary
+
+    val ka = KarmaParser.parse(fixture("karma_run.txt"))
+    val kf = ka.filter(_.severity == Severity.TestFail)
+    assert(kf.length === 1)
+    assert(kf.head.message.get.contains("Expected 2 to be 0"))
+    assert(kf.head.rule.get.startsWith("Chrome"))
+
+    val sg = SemgrepParser.parse(fixture("semgrep_out.txt"))
+    assert(sg.length === 3)
+    assert(sg.head.rule === Some("python.lang.security.audit.formatted-sql-query"))
+    assert(sg.head.ref_file === Some("app/db.py") && sg.head.ref_line === Some(12))
+    assert(sg(2).ref_file === Some("app/web.py"))
+
+    val k6 = K6Parser.parse(fixture("k6_run.txt"))
+    assert(k6.count(_.severity == Severity.TestPass) === 1)
+    assert(k6.count(_.severity == Severity.TestFail) === 1)
+    assert(k6.count(_.severity == Severity.Info) === 3)
+
+    val co = CondaParser.parse(fixture("conda_fail.txt"))
+    assert(co.count(_.severity == Severity.Error) === 3)
+    assert(co.head.code === Some("PackagesNotFoundError"))
+    assert(co.exists(_.message.get.contains("nosuchpkg")))
+
+    val pn = PnpmParser.parse(fixture("pnpm_fail.txt"))
+    assert(pn.length === 2)
+    assert(pn.head.severity === Severity.Warning)
+    assert(pn(1).code === Some("ERR_PNPM_NO_MATCHING_VERSION"))
   }
 
   test("test/packaging tier: gtest, playwright, cypress, webpack, tox, poetry, bundler, ghc") {
