@@ -29,24 +29,43 @@ import org.apache.spark.sql.functions._
 object AsofJoin {
 
   /** Returns every left row plus one struct column `as` holding ALL
-    * right columns except the key (including the matched right time),
+    * right columns except the keys (including the matched right time),
     * or null when no right row precedes the left row (left-join
     * semantics). */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, as: String = "asof"): DataFrame = {
-    val payload = struct(right.columns.filterNot(_ == key).map(col).toSeq: _*)
-    val r = right.select(col(key).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__side"), payload.as("__p"))
+      leftTime: String, rightTime: String, as: String = "asof"): DataFrame =
+    asof(left, right, Seq(key), leftTime, rightTime, as, forward = false)
+
+  /** Forward variant: the EARLIEST right row at-or-after each left
+    * row's time — "next scheduled maintenance", "next release after
+    * this commit". Same union-window shape, reversed scan order. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, as: String = "asof"): DataFrame =
+    asof(left, right, Seq(key), leftTime, rightTime, as, forward = true)
+
+  /** Multi-key, direction-parameterized core. */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, as: String = "asof",
+      forward: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "asof needs at least one key column")
+    val payload = struct(right.columns.filterNot(keys.contains).map(col).toSeq: _*)
+    val keyCols = keys.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") }
+    val keyRefs = keys.indices.map(i => col(s"__k$i"))
+    val r = right.select(keyCols ++ Seq(col(rightTime).as("__t"),
+      lit(0).as("__side"), payload.as("__p")): _*)
     val pType = r.schema("__p").dataType
-    val l = left.select(col(key).as("__k"), col(leftTime).as("__t"),
+    val l = left.select(keyCols ++ Seq(col(leftTime).as("__t"),
       lit(1).as("__side"), lit(null).cast(pType).as("__p"),
-      struct(left.columns.map(col).toSeq: _*).as("__l"))
+      struct(left.columns.map(col).toSeq: _*).as("__l")): _*)
     val lType = l.schema("__l").dataType
     val unioned = r.withColumn("__l", lit(null).cast(lType)).unionByName(l)
-    // Inclusive backward scan: right (side 0) sorts before left (side 1)
-    // at equal times, so a right row AT the left timestamp matches.
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+    // Inclusive scan: right (side 0) sorts before left (side 1) at
+    // equal times IN SCAN ORDER, so a right row exactly AT the left
+    // timestamp matches in both directions. Backward scans ascending
+    // (last right ≤ t); forward scans descending (first right ≥ t).
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(keyRefs: _*)
+      .orderBy(tOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))

@@ -233,6 +233,46 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     },
 
+    // Per-group top-k through the typed Aggregator (functions/TopK):
+    // partial aggregation sends ≤ k rows per group per map task across
+    // the shuffle — the bounded-combine alternative to the rank-window
+    // oracle it is checked against. Ties break (score desc, id asc) on
+    // both sides.
+    "q59_topk_agg" -> { (s, dir) =>
+      import s.implicits._
+      val ds = t(s, dir, "events")
+        .select(col("event_type"), col("value").cast("double"), col("event_id"))
+        .as[(String, Double, Long)]
+      ds.groupByKey(_._1)
+        .mapValues(r => graft.functions.ScoredId(r._2, r._3))
+        .agg(graft.functions.TopK.topK(3))
+        .toDF("event_type", "top")
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "sc")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          round(col("sc.score"), 4).as("score"), col("sc.id").as("event_id"))
+        .orderBy(col("event_type"), col("rnk"))
+    },
+
+    // Forward as-of: each order picks up the customer's EARLIEST event
+    // at-or-after the order date (orders precede the event stream, so
+    // user_ids ≤ 150 match their first event; the rest are nulls —
+    // exercising both the match and the left-join null path). Events
+    // are pre-aggregated to one row per (user, ms) for the uniqueness
+    // contract.
+    "q60_asof_forward" -> { (s, dir) =>
+      val ord = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("user_id"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"))
+      val ev = t(s, dir, "events")
+        .groupBy(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+        .agg(min(col("event_id")).as("ev_id"))
+      graft.operators.AsofJoin.asofForward(ord, ev, "user_id", "ord_ms", "ts_ms")
+        .select(col("o_orderkey"), col("user_id"), col("ord_ms"),
+          col("asof.ev_id").as("next_event_id"),
+          col("asof.ts_ms").as("next_event_ms"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode itself is stubbed (graft.ml.Multimodal); this query proves
     // the binary-column path: utf8 encode → byte length, content hash,
@@ -408,6 +448,26 @@ object PipelineQueries {
         | round(corr(value, epoch_ms(ts)), 4) AS corr_ts,
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q59_topk_agg" ->
+      """SELECT event_type, rnk, round(value, 4) AS score, event_id FROM (
+        |  SELECT event_type, value, event_id, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+
+    "q60_asof_forward" ->
+      """WITH ord AS (
+        |  SELECT o_orderkey, o_custkey AS user_id, epoch_ms(o_orderdate) AS ord_ms
+        |  FROM orders),
+        |ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, min(event_id) AS ev_id
+        |  FROM events GROUP BY 1, 2)
+        |SELECT o.o_orderkey, o.user_id, o.ord_ms,
+        | e.ev_id AS next_event_id, e.ts_ms AS next_event_ms
+        |FROM ord o ASOF LEFT JOIN ev e
+        |  ON o.user_id = e.user_id AND o.ord_ms <= e.ts_ms
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "q57_asof_join" ->
       """WITH ev AS (

@@ -48,6 +48,22 @@ class OperatorsSpec extends SparkSpec {
     viaAgg.foreach { case (g, top) => assert(top === viaWindow(g), s"group $g") }
   }
 
+  test("asof forward: earliest right at-or-after, multi-key form") {
+    val maint = Seq(("A", "east", 10L, "m1"), ("A", "west", 10L, "m2"), ("A", "east", 30L, "m3"))
+      .toDF("sym", "region", "mts", "mid")
+    val obs = Seq(("A", "east", 5L, "o1"), ("A", "east", 30L, "o2"),
+      ("A", "east", 31L, "o3"), ("A", "west", 50L, "o4"))
+      .toDF("sym", "region", "ts", "oid")
+    val out = graft.operators.AsofJoin.asof(obs, maint, Seq("sym", "region"),
+      "ts", "mts", forward = true)
+      .select($"oid", $"asof.mid".as("mid"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(out("o1") === Some("m1")) // earliest ≥ 5 in (A,east) is 10
+    assert(out("o2") === Some("m3")) // equal timestamp matches (inclusive)
+    assert(out("o3") === None)       // nothing at-or-after 31
+    assert(out("o4") === None)       // (A,west) has only t=10 < 50
+  }
+
   test("asof differential: random tables match a brute-force reference") {
     val rnd = new scala.util.Random(42)
     for (trial <- 0 until 3) {
