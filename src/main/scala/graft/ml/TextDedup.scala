@@ -162,23 +162,50 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** Salted portable min-hash: min(md5(salt || '|' || shingle)) per doc
-    * per salt, computed as array_min over per-row array transforms —
-    * ZERO shuffles, one pass over the shingle arrays. Input: shingleSets
-    * frame (doc_id, sh). Returns doc_id, mh0..mh{k-1}. */
+  /** Permutation constants for [[minhashSignatures]]: small odd
+    * multipliers (< 2^18) derived deterministically from the slot
+    * index, mirrored verbatim in the q32 oracle SQL generator so both
+    * engines compute the identical signature. */
+  def permA(j: Int): Long = ((j + 1) * 40503L % 65213) * 2 + 1
+  def permB(j: Int): Long = ((j + 1) * 104729L % 65213) * 2 + 1
+  val minhashP = 2147483647L // 2^31 - 1
+
+  /** Portable min-hash from ONE md5 per shingle (the previous form
+    * salted and re-hashed per slot — k=12 full digests per shingle,
+    * the measured q32 hot path). Each shingle's digest is parsed once
+    * into two 32-bit halves h1/h2 (hex → long), and slot j's value is
+    * the universal-hash combination (h1·A_j + h2·B_j + j) mod p with
+    * p = 2^31-1 — each slot is an independent-enough pseudo-permutation
+    * of shingle space, and the per-slot work drops from an md5 to two
+    * multiplies. Minima are 8-byte longs, so signature columns, band
+    * keys, and every downstream comparison run on fixed-width integers
+    * instead of 32-char digests. All arithmetic stays below 2^50 (no
+    * overflow) and is expressible identically in DuckDB
+    * (CAST('0x'||substr(md5(s),…) AS BIGINT)), preserving the
+    * exact-oracle contract. Input: shingleSets frame (doc_id, sh).
+    * Returns doc_id, mh0..mh{k-1} LONG. */
   def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
+    val dig = transform(col("sh"), s => md5(s))
+    val h1 = transform(dig, d => conv(substring(d, 1, 8), 16, 10).cast("long"))
+    val h2 = transform(dig, d => conv(substring(d, 9, 8), 16, 10).cast("long"))
+    val base = sets.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
     val mhs = (0 until k).map { j =>
-      array_min(transform(col("sh"), s => md5(concat(lit(s"$j|"), s)))).as(s"mh$j")
+      array_min(zip_with(col("h1"), col("h2"), (a, b) =>
+        (a * lit(permA(j)) + b * lit(permB(j)) + lit(j.toLong)) % lit(minhashP)))
+        .as(s"mh$j")
     }
-    sets.select(col("doc_id") +: mhs: _*)
+    base.select(col("doc_id") +: mhs: _*)
   }
 
   /** LSH band keys: `bands` groups of `rowsPerBand` signature slots,
-    * key = md5 of the concatenated slots. Output (doc_id, band, key). */
+    * key = '|'-joined slot values (longs render identically in any
+    * engine; the join hashes the key anyway, so an extra md5 here buys
+    * nothing). Output (doc_id, band, key). */
   def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat(slots: _*)).as("key"))
+      val slots = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", slots: _*).as("key"))
     }
     sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))

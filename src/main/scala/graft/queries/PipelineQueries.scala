@@ -355,14 +355,25 @@ object PipelineQueries {
          |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Mirrors TextDedup.minhashSignatures: ONE md5 per shingle, two
+    // 32-bit halves, slot j = (h1*A_j + h2*B_j + j) mod 2^31-1 with the
+    // A/B constants generated by the same permA/permB functions the
+    // Spark side uses — byte-identical arithmetic in both engines.
     "q32_minhash_lsh" -> {
-      val mhs = (0 until 12).map(j => s"min(md5('$j|' || shingle)) AS mh$j").mkString(", ")
+      import TextDedup.{permA, permB, minhashP}
+      val mhs = (0 until 12).map(j =>
+        s"min((h1 * ${permA(j)} + h2 * ${permB(j)} + $j) % $minhashP) AS mh$j")
+        .mkString(", ")
       val bandSelects = (0 until 4).map { b =>
-        val ks = (0 until 3).map(r => s"mh${b * 3 + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS band, md5($ks) AS key FROM sigs"
+        val ks = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
+          .mkString(" || '|' || ")
+        s"SELECT doc_id, $b AS band, $ks AS key FROM sigs"
       }.mkString(" UNION ALL ")
       s"""WITH $shingleCte,
-         |sigs AS (SELECT doc_id, $mhs FROM sh GROUP BY doc_id),
+         |hv AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+         |  CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2 FROM sh),
+         |sigs AS (SELECT doc_id, $mhs FROM hv GROUP BY doc_id),
          |bands AS ($bandSelects),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
