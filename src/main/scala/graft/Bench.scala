@@ -34,7 +34,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val ingest = benchIngest(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_1k_files_sec":$ingest,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_1k_files_sec":$ingest,"sf":"$sfDir"}"""
+    // stdout is the driver contract, but a shared-machine tail can
+    // truncate it mid-line — the file copy is the durable record.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+    catch { case _: Throwable => }
+    println(json)
     spark.stop()
   }
 

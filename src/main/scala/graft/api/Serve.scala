@@ -8,7 +8,9 @@ import graft.GraftEngine
   * `@mcp.tool` functions). Transport-agnostic by design: an MCP (or any
   * RPC) layer deserializes a tool call to (name, string-keyed args) and
   * gets JSON text back; nothing here depends on a protocol library, so
-  * the same dispatcher serves MCP, HTTP, or a REPL.
+  * the same dispatcher serves MCP, HTTP, or a REPL. [[JsonRpcServe]]
+  * is the shipped stdio binding (line-delimited JSON-RPC 2.0 — the
+  * wire format MCP itself runs over).
   *
   * Tool mapping (reference → here):
   *  - query            → FilterLang mini-language over the flat events view
@@ -22,7 +24,8 @@ import graft.GraftEngine
   *  - ci_check         → CiGate verdict (new/fixed/unchanged + samples)
   *  - output           → captured output body / line window / grep
   *  - import           → file or directory ingest (distributed for globs)
-  *  - sql              → raw SQL over the registered views
+  *  - sql              → read-only SQL over the registered views
+  *  - source_context   → P10-guarded source window around an event ref
   *
   * Deliberately NOT here (driver/CLI concerns with no DataFrame
   * surface, same scoping as COVERAGE.md P10/F6): run/exec (spawning
@@ -36,7 +39,7 @@ final class Serve(engine: GraftEngine) {
 
   val tools: Seq[String] = Seq("query", "events", "errors", "warnings",
     "status", "history", "summary", "diff", "report", "ci_check",
-    "output", "import", "sql")
+    "output", "import", "sql", "source_context")
 
   /** Dispatch one tool call; returns a JSON document (or for `report`,
     * markdown). Unknown tools and bad args return a JSON error object
@@ -108,7 +111,29 @@ final class Serve(engine: GraftEngine) {
         val serial = engine.importLog(path, fmt, args.get("tag"))
         s"""{"run_serial":$serial}"""
       }
-    case "sql" => json(engine.sql(args("q")), intArg(args, "limit", 100))
+    case "sql" =>
+      // Read-only contract: the reference serve surface exposes only
+      // query-style tools, and a served session's catalog must survive
+      // any caller. Parse first and reject anything that is a command
+      // (DDL/SET/DROP/...) or a write, before execution.
+      val q = args("q")
+      val parsed = engine.spark.sessionState.sqlParser.parsePlan(q)
+      val mutating = parsed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command] ||
+        parsed.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
+          case _: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement => true
+          case _ => false
+        }
+      if (mutating) err("sql tool is read-only: only SELECT-style queries are served")
+      else json(engine.sql(q), intArg(args, "limit", 100))
+    case "source_context" =>
+      // P10 surface: ref_file is untrusted parser output — the resolve
+      // refuses absolute/.. escapes out of `root` (SourceContext).
+      SourceContext.readSourceContext(args("ref_file"),
+          intArg(args, "ref_line", 1), args("root"), intArg(args, "context", 5))
+        .map(c => s"""{"context":${quote(c)}}""")
+        .getOrElse(err("no source context (missing file, bad line, or path escapes root)"))
     case other => err(s"unknown tool: $other (available: ${tools.mkString(", ")})")
   }
 }

@@ -136,22 +136,28 @@ final class Runner(store: EventStore, blobs: BlobStore,
     val started = now()
     val parsed = FormatRegistry.parse(content, format)
     val serial = store.nextRunSerial()
+    val errors = parsed.count(_.severity == Severity.Error).toLong
+    val warnings = parsed.count(_.severity == Severity.Warning).toLong
+    // Events and output land BEFORE the invocation row: a crash
+    // mid-import leaves dangling (joined-away) event rows, never a
+    // committed run that claims zero events. The synthetic exit code
+    // mirrors the tally-derived status instead of an unconditional 0.
+    writeEvents(id, started, parsed)
+    writeOutput(id, started, content)
     store.appendRun(Invocation(
       id = id, run_serial = serial, session_id = sessionId,
       source_name = sourceName, source_type = sourceType, tag = tag,
       command = None, cwd = None, executable_path = None,
-      started_at = started, duration_ms = None, exit_code = Some(0),
+      started_at = started, duration_ms = None,
+      exit_code = Some(if (errors > 0) 1 else 0),
       hostname = None, platform = None, arch = None,
       git_commit = None, git_branch = None, git_dirty = None,
       environment = None, ci = None, metadata = None,
       date = dateOf(started)), Seq.empty)
-    writeEvents(id, started, parsed)
-    writeOutput(id, started, content)
-    val errors = parsed.count(_.severity == Severity.Error).toLong
-    val warnings = parsed.count(_.severity == Severity.Warning).toLong
     val status =
       if (errors > 0) "FAIL" else if (warnings > 0) "WARN" else "OK"
-    RunResult(id, serial, 0, timedOut = false, status, errors, warnings, 0L)
+    RunResult(id, serial, if (errors > 0) 1 else 0, timedOut = false,
+      status, errors, warnings, 0L)
   }
 
   /** Distributed bulk ingest (S4 at scale): a directory/glob of log
@@ -179,24 +185,29 @@ final class Runner(store: EventStore, blobs: BlobStore,
       .withColumn("date", lit(dateOf(started)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      store.appendRun(Invocation(
-        id = id, run_serial = serial, session_id = sessionId,
-        source_name = Some(pathGlob), source_type = SourceType.Import, tag = tag,
-        command = Some(s"import $pathGlob"), cwd = None, executable_path = None,
-        started_at = started, duration_ms = None, exit_code = Some(0),
-        hostname = None, platform = None, arch = None,
-        git_commit = None, git_branch = None, git_dirty = None,
-        environment = None, ci = None, metadata = None,
-        date = dateOf(started)), Seq.empty)
+      // Same commit order as importContent: events first, invocation
+      // row last — a crash mid-ingest leaves dangling events, never a
+      // committed run row claiming a clean zero-event import.
       store.appendEvents(parsed)
       val tallies = parsed.agg(
         count(when(col("severity") === Severity.Error, 1)).as("e"),
         count(when(col("severity") === Severity.Warning, 1)).as("w"))
         .head()
       val (errors, warnings) = (tallies.getLong(0), tallies.getLong(1))
+      store.appendRun(Invocation(
+        id = id, run_serial = serial, session_id = sessionId,
+        source_name = Some(pathGlob), source_type = SourceType.Import, tag = tag,
+        command = Some(s"import $pathGlob"), cwd = None, executable_path = None,
+        started_at = started, duration_ms = None,
+        exit_code = Some(if (errors > 0) 1 else 0),
+        hostname = None, platform = None, arch = None,
+        git_commit = None, git_branch = None, git_dirty = None,
+        environment = None, ci = None, metadata = None,
+        date = dateOf(started)), Seq.empty)
       val status =
         if (errors > 0) "FAIL" else if (warnings > 0) "WARN" else "OK"
-      RunResult(id, serial, 0, timedOut = false, status, errors, warnings,
+      RunResult(id, serial, if (errors > 0) 1 else 0, timedOut = false,
+        status, errors, warnings,
         System.currentTimeMillis() - started.getTime)
     } finally parsed.unpersist()
   }

@@ -10,13 +10,13 @@ import org.apache.spark.sql.expressions.Window
   * (equi-join on a cell key), but data-adaptive cells give much better
   * recall/cost at the same fan-out.
   *
-  * Training is Lloyd's algorithm as DataFrame ops: assignment is a
-  * broadcast join against the (tiny) centroid table + argmin window;
-  * update is a per-cell average. Deterministic: centroids init from
-  * the k lowest vec_ids, ties in argmin break on cell id. At 100 TB
-  * you train on a sample and assign the full corpus in one pass —
-  * assignment is a narrow broadcast stage, never a shuffle of the
-  * corpus.
+  * Training is Lloyd's algorithm as DataFrame ops: the k centroids are
+  * collected (k rows — bounded by construction) and inlined as an array
+  * literal, so assignment is a pure per-row argmin over that array —
+  * no join, no window, ZERO shuffle of the corpus. Deterministic:
+  * centroids init from the k lowest vec_ids, ties in argmin break on
+  * cell id. At 100 TB you train on a sample and assign the full corpus
+  * in one narrow map stage.
   */
 object Ivf {
 
@@ -24,23 +24,47 @@ object Ivf {
   private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
+  /** The centroid table inlined as a literal array<struct<cell_id,c>> —
+    * the "broadcast" that needs no broadcast join: k rows by contract
+    * (collect-safe), evaluated once per input row as plain expression
+    * code inside whole-stage codegen. */
+  private def centroidArray(centroids: DataFrame): org.apache.spark.sql.Column = {
+    val rows = centroids.select(col("cell_id").cast("int"), col("centroid"))
+      .collect().sortBy(_.getInt(0))
+    require(rows.nonEmpty, "centroid table is empty")
+    array(rows.toSeq.map { r =>
+      struct(lit(r.getInt(0)).as("cell_id"),
+        array(r.getSeq[Double](1).map(lit): _*).as("c"))
+    }: _*)
+  }
+
+  /** Per-row (d2, cell_id) structs sorted ascending. Struct natural
+    * order == (d2 ASC, cell_id ASC) — the identical tie-break the
+    * previous window form used, now as per-row array math. */
+  private def rankedCells(cents: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array_sort(transform(cents, c =>
+      struct(dist2(v, c.getField("c")).as("d2"),
+        c.getField("cell_id").as("cell_id"))))
+
   /** Assign each vector to its nearest centroid.
     * Input: prepared embeddings (vec_id, v, nrm), centroids (cell_id,
-    * centroid). Output: input + cell_id. */
-  def assign(prepared: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cell_id").asc)
-    prepared.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("v"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("d2", "rn", "centroid")
-  }
+    * centroid). Output: input + cell_id. Plan shape: scan → project —
+    * no Exchange anywhere (PlanAuditSpec gates this). */
+  def assign(prepared: DataFrame, centroids: DataFrame): DataFrame =
+    assignWith(prepared, centroidArray(centroids))
+
+  private def assignWith(prepared: DataFrame,
+      cents: org.apache.spark.sql.Column): DataFrame =
+    prepared.withColumn("cell_id",
+      element_at(rankedCells(cents, col("v")), 1).getField("cell_id"))
 
   /** Train k cells with `iters` Lloyd iterations. Returns (cell_id,
     * centroid) — k rows, collect-safe at any corpus size. */
   def train(prepared: DataFrame, k: Int, iters: Int): DataFrame = {
-    val dim = prepared.select(size(col("v"))).first().getInt(0)
+    // the dim probe is only needed to build the update-step aggs —
+    // skip the extra driver action entirely for iters = 0
+    lazy val dim = prepared.select(size(col("v"))).first().getInt(0)
     var centroids = prepared
       .orderBy(col("vec_id")).limit(k)
       .select((row_number().over(Window.orderBy(col("vec_id"))) - 1).as("cell_id"),
@@ -64,14 +88,16 @@ object Ivf {
     val p = Similarity.prepared(embs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = train(p, cells, iters)
-    val indexed = assign(p, centroids)
-    // nprobe nearest cells per query vector
-    val wq = Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cell_id").asc)
+    // ONE k-row collect feeds both the corpus assignment and the query
+    // cell probe — the only driver action in the whole index build.
+    val cents = centroidArray(centroids)
+    val indexed = assignWith(p, cents)
+    // nprobe nearest cells per query vector — same per-row ranked-cells
+    // math as assign (slice instead of head), again shuffle-free.
     val queryCells = p.filter(isQuery(col("vec_id")))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("v"), col("centroid")))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe)
+      .withColumn("cell_id", explode(transform(
+        slice(rankedCells(cents, col("v")), 1, nprobe),
+        s => s.getField("cell_id"))))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell_id"))
     val cands = indexed.select(col("cell_id"), col("vec_id").as("cand_id"),

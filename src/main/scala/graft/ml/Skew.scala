@@ -21,8 +21,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Salt from row position, not content (same rationale as
+    // saltedCountSum below): the hot-key pathology is millions of
+    // IDENTICAL rows, which a content hash would funnel into ONE salt
+    // bucket — recreating the skew the salt exists to break.
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toSeq: _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)

@@ -75,12 +75,31 @@ object TextDedup {
     * ≤ ~1e-9 per corpus (64-bit birthday), and any collision only
     * perturbs one candidate pair's count. Oracle-exposed paths
     * (q32 minhash, q40 fingerprint) keep the string form — their md5s
-    * are part of the checked output. */
-  def shingleKeyTable(docs: DataFrame, n: Int): DataFrame =
+    * are part of the checked output.
+    *
+    * The keys never materialize a gram STRING: each token is
+    * xxhash64'd exactly once, and a gram key is the xxhash64 of its n
+    * token hashes (fixed 8n-byte input). The previous form concat_ws'd
+    * every gram then hashed it — each token's bytes copied and hashed
+    * n times over, plus a string allocation per gram; that allocation
+    * churn was the measured q31 hot path. Key identity still tracks
+    * gram identity exactly (distinctness, df counts and pair counts
+    * are unchanged modulo the 64-bit collision odds above), so the
+    * string-based oracle stays a valid comparator. Short docs (< n
+    * tokens) key on a fold of all token hashes, mirroring the
+    * whole-text-shingle fallback in [[shingles]]. */
+  def shingleKeyTable(docs: DataFrame, n: Int): DataFrame = {
+    val th = transform(tokens(col("text")), t => xxhash64(t))
+    // get() past the array end yields null; those trailing partial
+    // grams are sliced off, same as in shingles().
+    val grams = transform(th, (x, i) =>
+      xxhash64(x +: (1 until n).map(j => get(th, i + lit(j))): _*))
+    val keys = when(size(th) >= n,
+        array_distinct(slice(grams, lit(1), size(th) - (n - 1))))
+      .otherwise(array(aggregate(th, lit(42L), (acc, h) => xxhash64(acc, h))))
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"),
-        explode_outer(transform(shingles(col("text"), n), s => xxhash64(s)))
-          .as("shingle"))
+      .select(col("doc_id"), explode_outer(keys).as("shingle"))
+  }
 
   /** Exact duplicate groups: docs keyed by content hash; `keep_id` is
     * the canonical (minimum) doc of each group. One shuffle, no pairs —

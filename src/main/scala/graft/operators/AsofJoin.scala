@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * otherwise (ambiguous as-of matches are engine-defined everywhere,
   * including SQL ASOF JOIN). Times are compared with plain column
   * ordering — use the same physical type on both sides (epoch millis
-  * recommended).
+  * recommended). The implementation reserves the internal column
+  * names `__t`, `__side`, `__p`, `__l`, `__m` and `__k0..__k{n-1}`;
+  * inputs carrying any of them are rejected loudly (a silent shadow
+  * would produce wrong joins).
   */
 object AsofJoin {
 
@@ -48,6 +51,12 @@ object AsofJoin {
       leftTime: String, rightTime: String, as: String = "asof",
       forward: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "asof needs at least one key column")
+    val reserved = (Seq("__t", "__side", "__p", "__l", "__m") ++
+      keys.indices.map(i => s"__k$i")).toSet
+    val clash = (left.columns ++ right.columns).toSet.intersect(reserved)
+    require(clash.isEmpty,
+      s"asof reserves internal column names ${reserved.toSeq.sorted.mkString(", ")}; " +
+        s"rename input column(s): ${clash.toSeq.sorted.mkString(", ")}")
     val payload = struct(right.columns.filterNot(keys.contains).map(col).toSeq: _*)
     val keyCols = keys.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") }
     val keyRefs = keys.indices.map(i => col(s"__k$i"))

@@ -240,7 +240,11 @@ object PipelineQueries {
     // both sides.
     "q59_topk_agg" -> { (s, dir) =>
       import s.implicits._
+      // NULL values would throw in the non-nullable Double encoder
+      // (while the oracle's row_number would happily rank them) —
+      // exclude them on both sides of the gate.
       val ds = t(s, dir, "events")
+        .filter(col("value").isNotNull)
         .select(col("event_type"), col("value").cast("double"), col("event_id"))
         .as[(String, Double, Long)]
       ds.groupByKey(_._1)
@@ -464,7 +468,7 @@ object PipelineQueries {
       """SELECT event_type, rnk, round(value, 4) AS score, event_id FROM (
         |  SELECT event_type, value, event_id, row_number() OVER (
         |    PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
-        |  FROM events)
+        |  FROM events WHERE value IS NOT NULL)
         |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
 
     "q60_asof_forward" ->

@@ -110,7 +110,15 @@ final class SchemaMigration(spark: SparkSession, root: String,
     *
     * Every table that still has pending steps MUST be listed: the
     * version marker is store-wide, so bumping it with a pending table
-    * omitted would silently disable that table's read-time adapters. */
+    * omitted would silently disable that table's read-time adapters.
+    *
+    * Crash recovery: the swap is two renames (live → .pre_migrate_t,
+    * tmp → live). A crash or failure between them leaves NO live dir —
+    * reads fail loudly (the version marker was not bumped, so nothing
+    * reads stale data silently); recover by renaming
+    * `.pre_migrate_<table>` back to `<table>` and re-running. When the
+    * second rename fails, the restore rename is attempted immediately
+    * and its own failure is reported with the recovery path named. */
   def rewrite(tables: Map[String, (DataFrame, Seq[String])]): Unit = {
     val v = currentVersion
     val uncovered = steps.filter(_.version > v).map(_.table).distinct
@@ -133,8 +141,12 @@ final class SchemaMigration(spark: SparkSession, root: String,
       if (!fs.rename(live, old))
         throw new java.io.IOException(s"migration swap: rename $live -> $old failed")
       if (!fs.rename(tmp, live)) {
-        fs.rename(old, live) // restore; best-effort
-        throw new java.io.IOException(s"migration swap: rename $tmp -> $live failed")
+        val restored = fs.rename(old, live)
+        throw new java.io.IOException(
+          s"migration swap: rename $tmp -> $live failed; " + (
+            if (restored) s"previous table restored from $old"
+            else s"RESTORE ALSO FAILED — live table is at $old; " +
+              s"rename it back to $live manually and re-run"))
       }
       fs.delete(old, true)
     }

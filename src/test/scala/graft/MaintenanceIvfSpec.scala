@@ -66,6 +66,16 @@ class MaintenanceIvfSpec extends SparkSpec {
     assert(top.length === 3)
     // all neighbors of an even (positive-direction) vector are even
     assert(top.forall(_._2 % 2 == 0))
+    // scale gate: assignment is a pure per-row map over the inlined
+    // centroid array — no Exchange between the input scan and the
+    // assignment projection (the scan node's own child plan may embed
+    // one from how the cached input was BUILT; that's upstream).
+    val assignPlan = Ivf.assign(p, centroids)
+      .queryExecution.executedPlan.toString()
+    val assignStage = assignPlan.linesIterator
+      .takeWhile(l => !l.contains("Scan")).mkString("\n")
+    assert(!assignStage.contains("Exchange"),
+      s"Ivf.assign shuffled the corpus:\n$assignPlan")
   }
 
   test("salted join spreads a hot key without changing results") {
@@ -81,5 +91,21 @@ class MaintenanceIvfSpec extends SparkSpec {
     val hot = Skew.hotKeys(big, "key", 1).collect().head
     assert(hot.getAs[String]("key") === "hot")
     assert(hot.getAs[Double]("share") === 0.9)
+  }
+
+  test("salted join spreads IDENTICAL duplicate rows across salt buckets") {
+    // The canonical hot-key pathology: many fully-identical rows. A
+    // content-derived salt puts all of them in one bucket; the
+    // position-derived salt must spread them (and keep the join exact).
+    val big = spark.range(800).select(lit("hot").as("key"), lit(1).as("payload"))
+      .union(Seq(("cold", 2)).toDF("key", "payload"))
+    val small = Seq(("hot", "H"), ("cold", "C")).toDF("key", "tag")
+    val salted = Skew.saltedJoin(big, small, "key", salts = 8)
+    assert(salted.count() === 801L)
+    val buckets = big.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .filter(col("key") === "hot")
+      .select(countDistinct(col("__salt"))).as[Long].head()
+    assert(buckets > 1L, s"identical rows collapsed into $buckets salt bucket(s)")
   }
 }

@@ -79,6 +79,75 @@ class ServeSpec extends SparkSpec {
     assert(s.call("errors", Map("limit" -> "many")).contains("\"error\""))
   }
 
+  test("sql tool is read-only: DDL/SET/DROP rejected, session intact") {
+    val s = mkServe()
+    for (stmt <- Seq(
+        "DROP VIEW blq_events",
+        "SET spark.sql.shuffle.partitions=1",
+        "CREATE TABLE boom AS SELECT 1",
+        "CREATE OR REPLACE TEMP VIEW blq_events AS SELECT 1 AS x")) {
+      val out = s.call("sql", Map("q" -> stmt))
+      assert(out.contains("read-only"), s"'$stmt' was not rejected: $out")
+    }
+    // the session survived and the view is untouched
+    assert(s.call("sql", Map("q" -> "SELECT count(*) AS n FROM blq_events"))
+      .contains("\"n\""))
+  }
+
+  test("source_context tool: P10 path-escape guard refuses traversal") {
+    import graft.api.SourceContext
+    val root = Files.createTempDirectory("srcroot")
+    val outside = Files.createTempDirectory("srcout")
+    Files.createDirectories(root.resolve("sub"))
+    Files.writeString(root.resolve("sub/ok.c"), (1 to 9).map(i => s"line$i").mkString("\n"))
+    Files.writeString(outside.resolve("secret.txt"), "secret")
+    // direct util: relative, legit-absolute-inside, escape forms
+    assert(SourceContext.resolveUnderRoot(root.toString, "sub/ok.c").isDefined)
+    assert(SourceContext.resolveUnderRoot(root.toString,
+      root.resolve("sub/ok.c").toString).isDefined)
+    assert(SourceContext.resolveUnderRoot(root.toString,
+      s"../${outside.getFileName}/secret.txt").isEmpty)
+    assert(SourceContext.resolveUnderRoot(root.toString,
+      outside.resolve("secret.txt").toString).isEmpty)
+    assert(SourceContext.resolveUnderRoot(root.toString,
+      "sub/../../escape.txt").isEmpty)
+    // through the tool: context window renders; traversal errors
+    val s = mkServe()
+    val ok = s.call("source_context", Map("ref_file" -> "sub/ok.c",
+      "ref_line" -> "5", "root" -> root.toString, "context" -> "2"))
+    assert(ok.contains("line5") && ok.contains(">") && !ok.contains("line1"))
+    val bad = s.call("source_context", Map(
+      "ref_file" -> s"../${outside.getFileName}/secret.txt",
+      "ref_line" -> "1", "root" -> root.toString))
+    assert(bad.contains("\"error\"") && !bad.contains("secret"))
+  }
+
+  test("json-rpc transport drives tools end-to-end over a stream pair") {
+    import graft.api.JsonRpcServe
+    val rpc = new JsonRpcServe(mkServe())
+    val requests = Seq(
+      """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""",
+      """{"jsonrpc":"2.0","id":2,"method":"errors","params":{"limit":"5"}}""",
+      """{"jsonrpc":"2.0","id":3,"method":"diff","params":{"run1":"1","run2":"2"}}""",
+      """{"jsonrpc":"2.0","id":4,"method":"report"}""",
+      """{"jsonrpc":"2.0","method":"status"}""",
+      """{"jsonrpc":"2.0","id":5,"method":"nope"}""",
+      """this is not json""").mkString("\n")
+    val in = new java.io.ByteArrayInputStream(
+      requests.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new java.io.ByteArrayOutputStream()
+    rpc.loop(in, out)
+    val lines = out.toString("UTF-8").trim.split("\n")
+    // 7 requests, one notification (no id) → 6 responses
+    assert(lines.length === 6, lines.mkString("\n"))
+    assert(lines(0).contains("\"tools\"") && lines(0).contains("source_context"))
+    assert(lines(1).contains("\"id\":2") && lines(1).contains("not callable"))
+    assert(lines(2).contains("\"id\":3") && lines(2).contains("delta"))
+    assert(lines(3).contains("\"markdown\""))
+    assert(lines(4).contains("-32601"))
+    assert(lines(5).contains("-32700"))
+  }
+
   test("query tool honors limits above the formatter default (100)") {
     val g = GraftEngine(spark, Files.createTempDirectory("serve_big").toString)
     val lines = (1 to 120).map(i => s"f$i.py:$i: error: broken $i  [misc]")
