@@ -12,7 +12,12 @@ object GccParser extends LogParser {
   val tool = "gcc"
   // src/main.c:15:5: error: message
   private val diag = """^([^:\s]+):(\d+):(?:(\d+):)?\s*(error|warning|note|fatal error):\s*(.*)$""".r
-  private val linker = """^([^:\s]+):(?:(\d+):)?\s*undefined reference to\s*(.*)$""".r
+  // three real-world ld shapes: `file.c:42: undefined reference to ...`,
+  // the relocation form `file.c:(.text+0x15): undefined reference ...`,
+  // and the `/usr/bin/ld: file.c:(.text+0x15): ...` prefix modern
+  // binutils emits.
+  private val linker =
+    """^(?:/[^\s:]*ld:\s*)?([^:\s]+):(?:(\d+):|\(\.[\w.]+\+0x[0-9a-fA-F]+\):)?\s*undefined reference to\s*(.*)$""".r
 
   def sniff(lines: Array[String]): Int =
     lines.count(l => diag.findFirstIn(l).isDefined || linker.findFirstIn(l).isDefined)
@@ -71,17 +76,27 @@ object PytestParser extends LogParser {
   val tool = "pytest"
   // FAILED tests/test_x.py::test_name - AssertionError: ...
   private val result = """^(FAILED|PASSED|ERROR|SKIPPED|XFAIL|XPASS)\s+([^\s:]+)::(\S+?)(?:\s+-\s+(.*))?$""".r
+  // -v / verbose reporter puts the status AFTER the id (and often a
+  // trailing percent gauge): tests/test_x.py::test_name PASSED  [ 42%]
+  private val verbose =
+    """^([^\s:]+)::(\S+?)\s+(FAILED|PASSED|ERROR|SKIPPED|XFAIL|XPASS)(?:\s+\[\s*\d+%\])?\s*$""".r
   private val sessionStart = """^=+ test session starts =+$""".r
   private val shortSummary = """^=+ short test summary info =+$""".r
 
   def sniff(lines: Array[String]): Int =
     lines.count(l => result.findFirstIn(l).isDefined ||
+      verbose.findFirstIn(l).isDefined ||
       sessionStart.findFirstIn(l).isDefined || shortSummary.findFirstIn(l).isDefined)
 
   def parse(content: String): Seq[ParsedEvent] = {
     val out = Seq.newBuilder[ParsedEvent]
     var idx = 0L
     val seen = scala.collection.mutable.Set[String]()
+    // keys that will get a (message-bearing) short-summary line — the
+    // verbose inline line for the same test defers to it
+    val summaryKeys = content.linesIterator.collect {
+      case result(status, file, test, _) => s"$file::$test::$status"
+    }.toSet
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
       case result(status, file, test, msg) if !seen.contains(s"$file::$test::$status") =>
         seen += s"$file::$test::$status"
@@ -92,6 +107,21 @@ object PytestParser extends LogParser {
         }
         out += mk(idx, i + 1, sev,
           Option(msg).getOrElse(s"$status $file::$test"), raw, "test",
+          test = Some(test), file = Some(file))
+        idx += 1
+      // verbose-reporter line; the shared `seen` key dedups against the
+      // short-summary line for the same (test, status) so -v runs with
+      // a trailing summary don't double-count
+      case verbose(file, test, status)
+          if !seen.contains(s"$file::$test::$status") &&
+            !summaryKeys.contains(s"$file::$test::$status") =>
+        seen += s"$file::$test::$status"
+        val sev = status match {
+          case "FAILED" | "ERROR" => Severity.TestFail
+          case "PASSED" | "XPASS" => Severity.TestPass
+          case _ => Severity.Info
+        }
+        out += mk(idx, i + 1, sev, s"$status $file::$test", raw, "test",
           test = Some(test), file = Some(file))
         idx += 1
       case _ =>

@@ -40,6 +40,12 @@ object GoTestParser extends LogParser {
   // foo_test.go:42: assertion failed
   private val loc = """^\s+([\w./-]+_test\.go):(\d+):\s*(.*)$""".r
   private val pkgFail = """^FAIL\s+(\S+)\s+[\d.]+s$""".r
+  // === RUN / === CONT precede a test's log lines — in real -v output
+  // t.Log/t.Error locations print UNDER the RUN header, BEFORE the
+  // --- FAIL line, so the running test must be tracked from here, not
+  // only from result lines (which would attribute them to the previous
+  // finished test).
+  private val runHead = """^=== (?:RUN|CONT)\s+(\S+)\s*$""".r
 
   def sniff(lines: Array[String]): Int =
     lines.count(l => result.findFirstIn(l).isDefined || pkgFail.findFirstIn(l).isDefined)
@@ -49,6 +55,7 @@ object GoTestParser extends LogParser {
     var idx = 0L
     var lastTest: Option[String] = None
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
+      case runHead(name) => lastTest = Some(name)
       case result(status, name, _) =>
         val sev = status match {
           case "FAIL" => Severity.TestFail
@@ -80,21 +87,36 @@ object MavenParser extends LogParser {
   def sniff(lines: Array[String]): Int =
     lines.count(l => javac.findFirstIn(l).isDefined || marker.findFirstIn(l).isDefined)
 
+  // `[ERROR]   symbol: ...` (≥2 spaces after the tag) is javac detail
+  // continuation belonging to the PREVIOUS diagnostic, not an event.
+  private val continuation = """^\[(?:ERROR|WARNING)\]\s{2,}\S.*$""".r
+  // terminal boilerplate maven prints after every failure — noise, not
+  // diagnostics
+  private val boilerplate = Seq("-> [Help", "[Help", "To see the full stack trace",
+    "Re-run Maven", "For more information about the errors")
+
   def parse(content: String): Seq[ParsedEvent] = {
-    val out = Seq.newBuilder[ParsedEvent]
+    val buf = scala.collection.mutable.ArrayBuffer[ParsedEvent]()
     var idx = 0L
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
       case javac(sev, file, line, colN, msg) =>
-        out += mk(idx, i + 1, sev.toLowerCase, msg, raw, "compile",
+        buf += mk(idx, i + 1, sev.toLowerCase, msg, raw, "compile",
           file = Some(file), line = Some(line.toInt),
           col = Option(colN).map(_.toInt))
         idx += 1
       case plain(sev, msg) if msg.nonEmpty && !msg.startsWith("BUILD") =>
-        out += mk(idx, i + 1, sev.toLowerCase, msg, raw, "build")
-        idx += 1
+        if (continuation.findFirstIn(raw).isDefined && buf.nonEmpty) {
+          val prev = buf.last
+          buf(buf.length - 1) = prev.copy(
+            message = Some(prev.message.fold(msg.trim)(_ + "; " + msg.trim)),
+            log_line_end = Some(i + 1))
+        } else if (!boilerplate.exists(msg.startsWith)) {
+          buf += mk(idx, i + 1, sev.toLowerCase, msg, raw, "build")
+          idx += 1
+        }
       case _ =>
     }
-    out.result()
+    buf.toSeq
   }
 }
 

@@ -47,8 +47,9 @@ object RubocopParser extends LogParser {
   val format = "rubocop_text"
   val tool = "rubocop"
   // app/user.rb:12:3: C: Style/Documentation: Missing top-level docs
+  // (rubocop also lints .rake/.gemspec/config.ru out of the box)
   private val diag =
-    """^([^:\s]+\.rb):(\d+):(\d+):\s*([CWEF]):\s*(?:\[Correctable\]\s*)?([\w/]+):\s*(.*)$""".r
+    """^([^:\s]+\.(?:rb|rake|gemspec|ru)):(\d+):(\d+):\s*([CWEF]):\s*(?:\[Correctable\]\s*)?([\w/]+):\s*(.*)$""".r
 
   def sniff(lines: Array[String]): Int =
     lines.count(l => diag.findFirstIn(l).isDefined)

@@ -94,29 +94,51 @@ object MochaParser extends LogParser {
         summaryFail.findFirstIn(l).isDefined) * 2
 
   def parse(content: String): Seq[ParsedEvent] = {
-    val out = Seq.newBuilder[ParsedEvent]
+    val buf = scala.collection.mutable.ArrayBuffer[ParsedEvent]()
+    val byNumber = scala.collection.mutable.Map[String, Int]()
     var idx = 0L
-    var pending: Option[(String, Int)] = None
-    def flush(msg: Option[String]): Unit = pending.foreach { case (test, ln) =>
-      out += mk(idx, ln, Severity.TestFail, msg.getOrElse(s"$test failed"),
-        test, "test", test = Some(test))
-      idx += 1; pending = None
+    // (failure number, test, log line, head indent)
+    var pending: Option[(String, String, Int, Int)] = None
+    def indentOf(l: String): Int = l.indexWhere(!_.isWhitespace) max 0
+    def flush(msg: Option[String]): Unit = pending.foreach { case (num, test, ln, _) =>
+      byNumber.get(num) match {
+        // The spec reporter prints every failure TWICE: a bare numbered
+        // line inline in the running list, then a suite-qualified head
+        // with the assertion message in the bottom failure list. Same
+        // number = same failure — adopt the fuller name/message instead
+        // of emitting a duplicate event.
+        case Some(pos) =>
+          val prev = buf(pos)
+          buf(pos) = prev.copy(test_name = Some(test),
+            message = msg.orElse(prev.message))
+        case None =>
+          buf += mk(idx, ln, Severity.TestFail, msg.getOrElse(s"$test failed"),
+            test, "test", test = Some(test))
+          byNumber(num) = buf.length - 1
+          idx += 1
+      }
+      pending = None
     }
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
-      case failHead(_, test) => flush(None); pending = Some((test, i + 1))
+      case failHead(num, test) =>
+        flush(None); pending = Some((num, test, i + 1, indentOf(raw)))
       // A pass marker is never a failure message — flush any pending
       // failure without one, then emit the pass (interleaved ✓ after a
       // numbered failure is normal spec-reporter output).
       case pass(test) =>
         flush(None)
-        out += mk(idx, i + 1, Severity.TestPass, s"$test passed", test,
+        buf += mk(idx, i + 1, Severity.TestPass, s"$test passed", test,
           "test", test = Some(test))
         idx += 1
-      case l if pending.isDefined && l.trim.nonEmpty => flush(Some(l.trim))
+      case l if pending.isDefined && l.trim.nonEmpty =>
+        // Only a line indented DEEPER than the failure head is its
+        // message; suite headers / summaries at equal-or-lesser indent
+        // are unrelated output (the inline-list case).
+        if (indentOf(l) > pending.get._4) flush(Some(l.trim)) else flush(None)
       case _ =>
     }
     flush(None)
-    out.result()
+    buf.toSeq
   }
 }
 
