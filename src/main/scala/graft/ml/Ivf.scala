@@ -20,9 +20,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ivf {
 
-  /** Squared L2 distance between two double arrays. */
+  /** Squared L2 distance between two double arrays — native one-pass
+    * expression (graft.plans.L2Squared), accumulation order identical
+    * to the `aggregate(zip_with(...))` fold it replaces (bit-exact vs
+    * the DuckDB ldp(diff, diff) oracle). */
   private def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    graft.plans.VectorOps.l2sqCol(a, b)
 
   /** The centroid table inlined as a literal array<struct<cell_id,c>> —
     * the "broadcast" that needs no broadcast join: k rows by contract

@@ -21,9 +21,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two double arrays — the native
+    * codegen'd expression (graft.plans.DotProduct): bit-identical to
+    * the `aggregate(zip_with(...))` fold it replaces, without the
+    * per-pair zipped-array allocation that fold materializes (the
+    * measured hot path of all-pairs/bucketed scoring). */
+  def dot(a: Column, b: Column): Column = graft.plans.VectorOps.dotCol(a, b)
 
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 

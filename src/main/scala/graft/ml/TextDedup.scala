@@ -33,15 +33,32 @@ object TextDedup {
   /** Whitespace tokens of `text` (clean single-space corpus contract). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles as an array column. Built with an
-    * index-aware `transform` + O(1) `get` lookups — no per-element
-    * `sequence`/`slice` array materialization (that form allocated a
-    * position array plus one sub-array per shingle per row; this one
-    * allocates only the output). Docs shorter than n tokens fall back
-    * to a single whole-text shingle (mirrored in the oracle CTE —
-    * keep the two in sync). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** (doc_id, toks) with the split MATERIALIZED as its own projection.
+    * This exists because Catalyst does NO subexpression elimination
+    * inside higher-order-function lambda bodies: a gram builder
+    * written directly over `split(text)` embeds the whole split
+    * expression at every `get(toks, i+j)` reference, re-splitting the
+    * document once per token per gram — O(tokens²) string work per doc
+    * (confirmed in the optimized plan: `transform(split(text,' '))[i+1]`
+    * inlined inside the gram lambda; this was the measured shingle hot
+    * path). After materialization each reference is a bound array
+    * attribute — O(1). CollapseProject keeps the projection because
+    * the alias is non-cheap and multiply-referenced downstream.
+    *
+    * Also repartitions first: document tables often arrive as few
+    * large files (one input split each) and everything downstream of
+    * the split is the expensive part — spread it across all cores
+    * BEFORE it fans out. */
+  private def tokTable(docs: DataFrame): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+
+  /** Distinct word n-gram shingles from a MATERIALIZED token-array
+    * column (see [[tokTable]]). Index-aware `transform` + O(1) `get`
+    * lookups — no per-element `sequence`/`slice` array allocation.
+    * Docs shorter than n tokens fall back to a single whole-text
+    * shingle (mirrored in the oracle CTE — keep the two in sync). */
+  def shinglesFrom(toks: Column, n: Int): Column = {
     // concat_ws skips the nulls that get() yields past the array end;
     // those partial trailing grams are sliced off below.
     val grams = transform(toks, (x, i) =>
@@ -50,22 +67,23 @@ object TextDedup {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Column-level convenience over raw text. Fine for ad-hoc use;
+    * table-scale pipelines must go through [[tokTable]]-based builders
+    * below or they inherit the quadratic re-split documented there. */
+  def shingles(text: Column, n: Int): Column = shinglesFrom(tokens(text), n)
+
   /** (doc_id, shingle) exploded, distinct. Input must have doc_id, text.
-    * Repartitions the corpus first: document tables often arrive as few
-    * large files (one input split each), and the shingle explode + hash
-    * work downstream is the expensive part — spread it across all cores
-    * BEFORE it fans out, or everything runs on one task.
     *
     * explode_outer, deliberately: plain explode carries an implicit
     * `size(arr) > 0` filter that Catalyst pushes BELOW the repartition,
     * re-evaluating the whole shingle expression on the unsplit input
-    * partition — the exact single-core trap the repartition exists to
-    * avoid. shingles() never returns an empty or null array (short docs
-    * get the whole-text fallback), so outer ≡ inner here, minus the
-    * pushed-down filter. */
+    * partition — the exact single-core trap tokTable's repartition
+    * exists to avoid. shinglesFrom() never returns an empty or null
+    * array (short docs get the whole-text fallback), so outer ≡ inner
+    * here, minus the pushed-down filter. */
   def shingleTable(docs: DataFrame, n: Int): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), explode_outer(shingles(col("text"), n)).as("shingle"))
+    tokTable(docs)
+      .select(col("doc_id"), explode_outer(shinglesFrom(col("toks"), n)).as("shingle"))
 
   /** (doc_id, shingle_key) with 64-bit hashed shingle keys — the
     * Spark-internal fast path for pipelines whose RESULTS don't expose
@@ -89,15 +107,20 @@ object TextDedup {
     * tokens) key on a fold of all token hashes, mirroring the
     * whole-text-shingle fallback in [[shingles]]. */
   def shingleKeyTable(docs: DataFrame, n: Int): DataFrame = {
-    val th = transform(tokens(col("text")), t => xxhash64(t))
+    // token hashes materialized as their own column for the same
+    // no-CSE-in-lambdas reason as tokTable: the gram lambda below
+    // references them once per gram position.
+    val th = col("th")
     // get() past the array end yields null; those trailing partial
-    // grams are sliced off, same as in shingles().
+    // grams are sliced off, same as in shinglesFrom().
     val grams = transform(th, (x, i) =>
       xxhash64(x +: (1 until n).map(j => get(th, i + lit(j))): _*))
     val keys = when(size(th) >= n,
         array_distinct(slice(grams, lit(1), size(th) - (n - 1))))
       .otherwise(array(aggregate(th, lit(42L), (acc, h) => xxhash64(acc, h))))
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    tokTable(docs)
+      .select(col("doc_id"),
+        transform(col("toks"), t => xxhash64(t)).as("th"))
       .select(col("doc_id"), explode_outer(keys).as("shingle"))
   }
 
@@ -116,8 +139,8 @@ object TextDedup {
     * array expressions, so nothing about a single document ever
     * shuffles. */
   def shingleSets(docs: DataFrame, n: Int): DataFrame =
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+    tokTable(docs)
+      .select(col("doc_id"), shinglesFrom(col("toks"), n).as("sh"))
 
   /** Attach both docs' shingle arrays to candidate (doc_a, doc_b) pairs
     * and emit verified Jaccard >= threshold. Candidates are small
@@ -204,10 +227,14 @@ object TextDedup {
     * exact-oracle contract. Input: shingleSets frame (doc_id, sh).
     * Returns doc_id, mh0..mh{k-1} LONG. */
   def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
-    val dig = transform(col("sh"), s => md5(s))
-    val h1 = transform(dig, d => conv(substring(d, 1, 8), 16, 10).cast("long"))
-    val h2 = transform(dig, d => conv(substring(d, 9, 8), 16, 10).cast("long"))
-    val base = sets.select(col("doc_id"), h1.as("h1"), h2.as("h2"))
+    // digests materialized once: h1 and h2 each reference the digest
+    // array, and an inline expression would md5 every shingle twice
+    // (no CSE across the two transforms — see tokTable).
+    val withDig = sets.select(col("doc_id"),
+      transform(col("sh"), s => md5(s)).as("dig"))
+    val base = withDig.select(col("doc_id"),
+      transform(col("dig"), d => conv(substring(d, 1, 8), 16, 10).cast("long")).as("h1"),
+      transform(col("dig"), d => conv(substring(d, 9, 8), 16, 10).cast("long")).as("h2"))
     val mhs = (0 until k).map { j =>
       array_min(zip_with(col("h1"), col("h2"), (a, b) =>
         (a * lit(permA(j)) + b * lit(permB(j)) + lit(j.toLong)) % lit(minhashP)))
