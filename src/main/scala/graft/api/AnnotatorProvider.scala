@@ -1,0 +1,59 @@
+package graft.api
+
+/** Annotator plugin discovery (the JVM analog of the reference's
+  * `entry_points(group='blq.annotators')` discovery + eager/lazy split,
+  * ext/annotator.py:184-224): implementations are concrete classes with
+  * a no-arg constructor, advertised through
+  * `META-INF/services/graft.api.AnnotatorProvider` and discovered with
+  * `java.util.ServiceLoader` — a third-party jar on the classpath can
+  * contribute annotators without any code change here.
+  *
+  * `eager` mirrors the reference's split: eager annotators run inside
+  * the ingest write path ([[Annotators.apply]] before the append);
+  * non-eager ones are applied at read time / by maintenance jobs via
+  * the side-table join ([[Annotators.annotateFromSide]]).
+  */
+trait AnnotatorProvider {
+  def name: String
+  def eager: Boolean
+  def annotator: Annotators.Annotator
+}
+
+object AnnotatorProvider {
+
+  /** Discover all providers on the classpath. Mirrors
+    * `load_annotators`: a provider that fails to construct is logged
+    * and skipped — one broken plugin must not take down ingest. */
+  def loadAll(): Seq[AnnotatorProvider] = {
+    val it = java.util.ServiceLoader.load(classOf[AnnotatorProvider]).iterator()
+    val out = Seq.newBuilder[AnnotatorProvider]
+    while (it.hasNext) {
+      try out += it.next()
+      catch {
+        case e: java.util.ServiceConfigurationError =>
+          System.err.println(s"[graft] skipping broken annotator provider: ${e.getMessage}")
+      }
+    }
+    out.result()
+  }
+
+  /** Discovered annotators, optionally restricted to eager ones
+    * (mirrors `run_annotators(eager_only=...)`). */
+  def annotators(eagerOnly: Boolean = false): Seq[Annotators.Annotator] =
+    loadAll().filter(p => !eagerOnly || p.eager).map(_.annotator)
+}
+
+/** Built-in providers, registered through the same META-INF/services
+  * mechanism external jars would use — the discovery path in tests is
+  * the real one, not a shortcut. */
+final class SeverityEscalatorProvider extends AnnotatorProvider {
+  val name = "severity_escalator"
+  val eager = true
+  def annotator: Annotators.Annotator = Annotators.severityEscalator
+}
+
+final class FlakyTestTaggerProvider extends AnnotatorProvider {
+  val name = "flaky_test_tagger"
+  val eager = false
+  def annotator: Annotators.Annotator = Annotators.flakyTestTagger
+}

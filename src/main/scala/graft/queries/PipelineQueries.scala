@@ -216,6 +216,82 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     },
 
+    // Deterministic train/validation/test split from a content hash:
+    // split membership must be a pure function of content (not row
+    // order, not a random() that re-shuffles on every re-run, not a
+    // partition index that changes with parallelism) so re-ingestion
+    // and backfills land every document in the same split. At 100 TB
+    // this is a per-row expression — no shuffle at all.
+    "q61_hash_split" -> { (s, dir) =>
+      val bucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 100).as("bucket")
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket)
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "validation")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Stratified deterministic sampling: keep ~10% per language, chosen
+    // by content-hash order (reproducible across runs/engines, unlike
+    // TABLESAMPLE). One shuffle on the stratum key; stratum sizes come
+    // from the same window, no extra pass.
+    "q62_stratified_sample" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(md5(col("text")), col("doc_id"))
+      val cw = Window.partitionBy(col("lang"))
+      t(s, dir, "documents")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("n_lang", count(lit(1)).over(cw))
+        .filter(col("rnk") <= ceil(col("n_lang") * 0.1))
+        .select(col("doc_id"), col("lang"), col("rnk"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Concat-and-chunk sequence packing: documents are concatenated in
+    // a stable order per source and sliced into fixed token-budget
+    // packs — the standard LLM pretraining batching shape. pack_id and
+    // offset fall out of a prefix-sum window: one shuffle on source,
+    // no iteration. (True first-fit bin packing is stateful/sequential
+    // by nature; concat-and-chunk is what the big pipelines actually
+    // run.)
+    "q63_sequence_packing" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor(col("prefix") / 2048.0).cast("long").as("pack_id"),
+          (col("prefix") % 2048).as("offset_in_pack"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Benchmark decontamination: training docs sharing any 4-gram with
+    // the eval set (doc_id < 25 here) are flagged with overlap counts.
+    // (Real pipelines use 8-13-gram windows; the synthetic corpus's
+    // documents are short, so the gram size is scaled down to keep the
+    // checked overlap non-trivial.)
+    // Same inverted-index shape as q31: the join is on the shingle key,
+    // pairs exist only where overlap exists — never an all-pairs scan.
+    // At 100 TB the eval-set shingle side is small and broadcasts.
+    "q64_decontaminate" -> { (s, dir) =>
+      val sh = TextDedup.shingleTable(t(s, dir, "documents"), 4)
+      val eval = sh.filter(col("doc_id") < 25)
+        .select(col("shingle"), col("doc_id").as("eval_id"))
+      val train = sh.filter(col("doc_id") >= 25)
+        .select(col("shingle"), col("doc_id").as("train_id"))
+      train.join(eval, Seq("shingle"))
+        .groupBy(col("train_id"))
+        .agg(countDistinct(col("shingle")).as("shared_grams"),
+          countDistinct(col("eval_id")).as("eval_docs"))
+        .orderBy(col("train_id"))
+    },
+
     // Distribution profile per group: exact interpolated percentiles
     // (Spark `percentile` == DuckDB `quantile_cont`, both linear
     // interpolation), sample stddev, and value↔time correlation. The
@@ -300,14 +376,19 @@ object PipelineQueries {
     * text as a single shingle (generate_series alone would silently
     * drop such docs and diverge from Spark on any corpus containing
     * one). */
-  private[queries] val shingleCte: String =
-    """sh AS (
-      |  SELECT DISTINCT doc_id, s AS shingle FROM (
-      |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
-      |      THEN list_transform(generate_series(1, len(toks)-2),
-      |        i -> array_to_string(toks[i:i+2], ' '))
-      |      ELSE [array_to_string(toks, ' ')] END) AS s
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))""".stripMargin
+  /** Word n-gram CTE (`sh(doc_id, shingle)`) mirroring
+    * TextDedup.shingleTable for any n, including the whole-text
+    * fallback for short docs. */
+  private[queries] def ngramCte(n: Int): String =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, s AS shingle FROM (
+       |    SELECT doc_id, unnest(CASE WHEN len(toks) >= $n
+       |      THEN list_transform(generate_series(1, len(toks)-${n - 1}),
+       |        i -> array_to_string(toks[i:i+${n - 1}], ' '))
+       |      ELSE [array_to_string(toks, ' ')] END) AS s
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))""".stripMargin
+
+  private[queries] val shingleCte: String = ngramCte(3)
 
   /** 32-bit simhash CTE chain ending in sig(doc_id, simhash). */
   private val simhashCte: String = {
@@ -454,6 +535,47 @@ object PipelineQueries {
          |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q61_hash_split" ->
+      """SELECT doc_id,
+        | CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 AS bucket,
+        | CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |      WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 100 < 95 THEN 'validation'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q62_stratified_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rnk,
+        |    count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM documents)
+        |SELECT doc_id, lang, rnk FROM ranked
+        |WHERE rnk <= ceil(n_lang * 0.1) ORDER BY doc_id""".stripMargin,
+
+    "q63_sequence_packing" ->
+      """WITH sized AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |pref AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        |  FROM sized)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(prefix / 2048.0) AS BIGINT) AS pack_id,
+        |  prefix % 2048 AS offset_in_pack
+        |FROM pref ORDER BY doc_id""".stripMargin,
+
+    "q64_decontaminate" ->
+      s"""WITH ${ngramCte(4)}
+         |SELECT a.doc_id AS train_id,
+         |  count(DISTINCT a.shingle) AS shared_grams,
+         |  count(DISTINCT b.doc_id) AS eval_docs
+         |FROM sh a JOIN sh b ON a.shingle = b.shingle
+         |WHERE a.doc_id >= 25 AND b.doc_id < 25
+         |GROUP BY a.doc_id ORDER BY train_id""".stripMargin,
 
     "q58_group_stats" ->
       """SELECT event_type,

@@ -160,4 +160,31 @@ class StoreExtrasSpec extends SparkSpec {
     }
     assert(m.currentVersion === 1) // nothing bumped, adapters still active
   }
+
+  test("annotator providers: ServiceLoader discovery, eager split, broken-plugin isolation") {
+    import graft.api.AnnotatorProvider
+    // the test classpath advertises a deliberately broken provider on
+    // top of the two built-ins — discovery must skip it, not throw
+    val all = AnnotatorProvider.loadAll()
+    assert(all.map(_.name).toSet === Set("severity_escalator", "flaky_test_tagger"))
+    // eager split mirrors the reference's run_annotators(eager_only=)
+    assert(AnnotatorProvider.annotators(eagerOnly = true).size === 1)
+    assert(AnnotatorProvider.annotators().size === 2)
+    // discovered annotators drive the same enrichment stage
+    val events = Seq(("e1", "fatal: boom", Option.empty[String], Option.empty[String]))
+      .toDF("id", "message", "test_name", "metadata")
+    val out = Annotators(events, AnnotatorProvider.annotators(eagerOnly = true))
+      .select($"metadata").as[Option[String]].head()
+    assert(out.get.contains("severity_escalator"))
+  }
+}
+
+/** Deliberately unconstructible provider advertised only on the TEST
+  * classpath (META-INF/services): proves one broken plugin jar cannot
+  * take down discovery. */
+final class BrokenAnnotatorProvider extends graft.api.AnnotatorProvider {
+  throw new IllegalStateException("this plugin is broken by design")
+  val name = "broken"
+  val eager = true
+  def annotator: graft.api.Annotators.Annotator = ???
 }
