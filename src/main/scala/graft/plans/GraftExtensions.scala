@@ -16,5 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("parse_log"), ParseLog.info, ParseLog.builder))
     ext.injectFunction(
       (FunctionIdentifier("bit_hamming"), BitHamming.info, BitHamming.builder))
+    VectorOps.injectInto(ext)
+    // partition-prune invocation-scoped SQL through the invocations dim
+    ext.injectOptimizerRule(_ => InvocationDatePruning)
   }
 }

@@ -131,6 +131,12 @@ object VectorOps {
     case _ => throw new IllegalArgumentException("vec_l2sq takes 2 arguments")
   }
 
+  /** Extension-point registration (spark.sql.extensions path). */
+  def injectInto(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"), dotInfo, dotBuilder _))
+    ext.injectFunction((FunctionIdentifier("vec_l2sq"), l2Info, l2Builder _))
+  }
+
   /** Column-API entries; registry routing as in [[BitHamming.apply]]. */
   def dotCol(a: Column, b: Column): Column = {
     reg("vec_dot", dotInfo, dotBuilder)

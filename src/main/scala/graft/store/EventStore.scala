@@ -33,6 +33,30 @@ class EventStore(val spark: SparkSession, val root: String) {
 
   private def path(table: String) = s"$root/$table"
 
+  // ---- invocation→date lookup (feeds the InvocationDatePruning rule:
+  // arbitrary SQL filtering events on invocation_id gets the date
+  // partition filter the write layout guarantees) -----------------------
+  private val invDates = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  @volatile private var invDatesLoaded = false
+
+  /** Date (as ISO string) of an invocation id, from the tiny
+    * invocations dimension; loaded lazily once, kept fresh by the
+    * append path. Unknown ids → None (the rule then declines to
+    * prune — safe under concurrent external writers). */
+  def invocationDate(id: String): Option[String] = {
+    if (!invDatesLoaded) synchronized {
+      if (!invDatesLoaded) {
+        if (exists("invocations"))
+          invocations.select($"id", $"date".cast("string"))
+            .collect().foreach(r => invDates.put(r.getString(0), r.getString(1)))
+        invDatesLoaded = true
+      }
+    }
+    Option(invDates.get(id))
+  }
+
+  graft.plans.InvocationDatePruning.register(path("events"), invocationDate _)
+
   private def writer[T](ds: Dataset[T], cols: Seq[String]) =
     ds.write.mode(SaveMode.Append)
       .option("compression", "zstd")
@@ -55,6 +79,7 @@ class EventStore(val spark: SparkSession, val root: String) {
     writer(Seq(inv).toDS(), Seq("date")).parquet(path("invocations"))
     if (events.nonEmpty)
       writer(events.toDS(), Seq("date")).parquet(path("events"))
+    invDates.put(inv.id, inv.date.toString)
   }
 
   /** Bulk event append for already-built DataFrames (import path).
