@@ -39,6 +39,7 @@ object FormatRegistry extends Serializable {
     SemgrepParser, K6Parser, CondaParser, PnpmParser,
     PuppetParser, HelmParser, DartParser, KotlincParser,
     LuacheckParser, ZigParser, OcamlParser, RCheckParser,
+    SarifParser, TapParser, MarkdownlintParser, GccJsonParser,
     GenericParser)
 
   private val byFormat: Map[String, LogParser] =
@@ -73,6 +74,11 @@ object FormatRegistry extends Serializable {
   /** Command string → format hint (core.py:974-1076 semantics: substring
     * match, longest pattern first, "auto" when unknown). */
   val commandHints: Map[String, String] = Map(
+    "prove" -> "tap_text",
+    "bats" -> "tap_text",
+    "markdownlint" -> "markdownlint_text",
+    "codeql database analyze" -> "sarif_json",
+    "gcc -fdiagnostics-format=json" -> "gcc_json",
     "pytest" -> "pytest_text",
     "python -m pytest" -> "pytest_text",
     "mypy" -> "mypy_text",

@@ -120,6 +120,10 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detect(fixture("biome_out.txt")).map(_.format) === Some("biome_lint"))
     assert(FormatRegistry.detect(fixture("kube_events.txt")).map(_.format) === Some("kube_events"))
     assert(FormatRegistry.detect(fixture("npm_fail.txt")).map(_.format) === Some("npm_err"))
+    assert(FormatRegistry.detect(fixture("sarif_scan.json")).map(_.format) === Some("sarif_json"))
+    assert(FormatRegistry.detect(fixture("tap_run.txt")).map(_.format) === Some("tap_text"))
+    assert(FormatRegistry.detect(fixture("markdownlint_out.txt")).map(_.format) === Some("markdownlint_text"))
+    assert(FormatRegistry.detect(fixture("gcc_diag.json")).map(_.format) === Some("gcc_json"))
     // flake8 output without ruff markers still resolves to flake8
     assert(FormatRegistry.detect(fixture("flake8_output.txt")).map(_.format) === Some("flake8_text"))
     assert(FormatRegistry.detect(fixture("ninja_fail.txt")).map(_.format) === Some("ninja_build"))
@@ -791,6 +795,56 @@ class ParserSpec extends SparkSpec {
     assert(FormatRegistry.detectFormatFromCommand("mypy src/") === "mypy_text")
     assert(FormatRegistry.detectFormatFromCommand("cargo build --release") === "cargo_build")
     assert(FormatRegistry.detectFormatFromCommand("unknown-tool") === "auto")
+  }
+
+  test("sarif: multi-run document, driver names, spec-default level") {
+    val evs = SarifParser.parse(fixture("sarif_scan.json"))
+    assert(evs.length === 5)
+    assert(evs.count(_.severity == Severity.Error) === 2)
+    assert(evs.count(_.severity == Severity.Warning) === 2) // incl. absent level
+    assert(evs.count(_.severity == Severity.Note) === 1)
+    val sql = evs.find(_.rule.contains("js/sql-injection")).get
+    assert(sql.ref_file === Some("src/db/query.js"))
+    assert(sql.ref_line === Some(42) && sql.ref_column === Some(13))
+    assert(sql.message.get.startsWith("[CodeQL]"))
+    assert(evs.exists(_.message.exists(_.startsWith("[semgrep]"))))
+    // absent level defaults to warning (SARIF spec)
+    assert(evs.find(_.rule.contains("js/todo-comment")).get.severity === Severity.Warning)
+  }
+
+  test("tap: results, SKIP/TODO directives, yaml diagnostic message") {
+    val evs = TapParser.parse(fixture("tap_run.txt"))
+    assert(evs.count(_.severity == Severity.TestPass) === 4)
+    assert(evs.count(_.severity == Severity.TestFail) === 2)
+    assert(evs.count(_.severity == Severity.Info) === 2) // SKIP + TODO
+    val tls = evs.find(_.test_name.contains("starts server with tls")).get
+    assert(tls.message === Some("handshake failed: unknown authority"))
+    assert(tls.log_line_end.exists(_ > tls.log_line_start.get))
+    assert(evs.find(_.test_name.contains("routes v2 requests")).get
+      .message.get.contains("ListItemsV2"))
+  }
+
+  test("markdownlint: MD codes + aliased rules, optional column") {
+    val evs = MarkdownlintParser.parse(fixture("markdownlint_out.txt"))
+    assert(evs.length === 7)
+    assert(evs.forall(_.severity == Severity.Warning))
+    assert(evs.head.code === Some("MD013"))
+    assert(evs.head.ref_column === Some(81))
+    val noCol = evs.find(_.ref_line.contains(23)).get
+    assert(noCol.ref_column.isEmpty)
+    assert(noCol.rule === Some("first-line-heading/first-line-h1"))
+    assert(evs.exists(_.ref_file.contains("docs/api/reference.md")))
+  }
+
+  test("gcc json diagnostics: per-invocation arrays, option as rule") {
+    val evs = GccJsonParser.parse(fixture("gcc_diag.json"))
+    assert(evs.length === 3)
+    assert(evs.count(_.severity == Severity.Error) === 2) // incl. fatal
+    val unused = evs.find(_.severity == Severity.Warning).get
+    assert(unused.rule === Some("-Wunused-variable"))
+    assert(unused.ref_file === Some("src/main.c") && unused.ref_line === Some(42))
+    val fatal = evs.find(_.ref_file.contains("src/legacy.c")).get
+    assert(fatal.severity === Severity.Error && fatal.rule.isEmpty)
   }
 
   test("distributed read: wholetext scan + executor-side parse") {
