@@ -27,10 +27,20 @@ object AnnotatorProvider {
   def loadAll(): Seq[AnnotatorProvider] = {
     val it = java.util.ServiceLoader.load(classOf[AnnotatorProvider]).iterator()
     val out = Seq.newBuilder[AnnotatorProvider]
-    while (it.hasNext) {
-      try out += it.next()
-      catch {
+    var more = true
+    var errors = 0
+    while (more && errors < 100) {
+      // BOTH calls sit inside the guard: ServiceLoader's lazy iterator
+      // throws from hasNext() too (Class.forName on a services entry
+      // whose class is missing), not only from next()'s constructor.
+      // The error budget bounds the loop should an implementation ever
+      // re-throw for the same entry instead of advancing past it.
+      try {
+        more = it.hasNext
+        if (more) out += it.next()
+      } catch {
         case e: java.util.ServiceConfigurationError =>
+          errors += 1
           System.err.println(s"[graft] skipping broken annotator provider: ${e.getMessage}")
       }
     }

@@ -43,7 +43,9 @@ final class JsonRpcServe(serve: Serve) {
       catch { case scala.util.control.NonFatal(_) =>
         return Some("""{"jsonrpc":"2.0","id":null,"error":{"code":-32700,"message":"parse error"}}""")
       }
-    val id = Option(node.get("id")).filterNot(_.isNull).map(_.toString)
+    // per JSON-RPC 2.0: only an ABSENT id is a notification — an
+    // explicit "id":null still demands a response
+    val id = if (node.has("id")) Some(node.get("id").toString) else None
     val method = Option(node.get("method")).map(_.asText()).getOrElse("")
     def respond(body: String): Option[String] =
       id.map(i => s"""{"jsonrpc":"2.0","id":$i,$body}""")
@@ -51,9 +53,17 @@ final class JsonRpcServe(serve: Serve) {
       case "tools/list" =>
         respond(s""""result":{"tools":[${serve.tools.map("\"" + _ + "\"").mkString(",")}]}""")
       case m if serve.tools.contains(m) =>
-        val args = Option(node.get("params")).filter(_.isObject)
-          .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
-          .getOrElse(Map.empty[String, String])
+        val params = Option(node.get("params")).filter(_.isObject)
+          .map(_.properties().asScala.toSeq).getOrElse(Seq.empty)
+        // Serve's args are flat strings; an object/array param would be
+        // silently flattened to "" by asText() — reject it instead of
+        // serving wrong (unfiltered) results
+        val structured = params.filter(e => e.getValue.isContainerNode)
+        if (structured.nonEmpty)
+          return respond(s""""error":{"code":-32602,"message":${
+            mapper.writeValueAsString("params must be flat strings; got object/array for: " +
+              structured.map(_.getKey).mkString(", "))}}""")
+        val args = params.map(e => e.getKey -> e.getValue.asText()).toMap
         val result = serve.call(m, args)
         // report returns markdown, not JSON — wrap it. Everything else
         // is a JSON document, but possibly PRETTY-printed (Formatters

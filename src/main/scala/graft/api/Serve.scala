@@ -112,21 +112,21 @@ final class Serve(engine: GraftEngine) {
         s"""{"run_serial":$serial}"""
       }
     case "sql" =>
-      // Read-only contract: the reference serve surface exposes only
-      // query-style tools, and a served session's catalog must survive
-      // any caller. Parse first and reject anything that is a command
-      // (DDL/SET/DROP/...) or a write, before execution.
+      // Read-only, registered-views-only contract: the reference serve
+      // surface exposes only query-style tools over the store's views,
+      // and a served session must survive any caller. Parse first and
+      // reject (a) commands/writes (DDL/SET/DROP/INSERT), (b) relations
+      // outside the session catalog — `SELECT * FROM text.`/etc/passwd``
+      // style direct-path scans would otherwise read arbitrary host
+      // files — and (c) JVM-reflection functions (reflect/java_method),
+      // the env-var/exfiltration escape hatch.
       val q = args("q")
+      engine.install() // views must exist before the catalog check below
       val parsed = engine.spark.sessionState.sqlParser.parsePlan(q)
-      val mutating = parsed.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.logical.Command] ||
-        parsed.exists {
-          case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement => true
-          case _: org.apache.spark.sql.catalyst.plans.logical.ParsedStatement => true
-          case _ => false
-        }
-      if (mutating) err("sql tool is read-only: only SELECT-style queries are served")
-      else json(engine.sql(q), intArg(args, "limit", 100))
+      Serve.sqlGuardViolation(engine.spark, parsed) match {
+        case Some(reason) => err(reason)
+        case None => json(engine.sql(q), intArg(args, "limit", 100))
+      }
     case "source_context" =>
       // P10 surface: ref_file is untrusted parser output — the resolve
       // refuses absolute/.. escapes out of `root` (SourceContext).
@@ -139,6 +139,58 @@ final class Serve(engine: GraftEngine) {
 }
 
 object Serve {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+  import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}
+
+  /** JVM-reflection SQL functions a serving surface must never run. */
+  private[api] val bannedSqlFunctions: Set[String] =
+    Set("reflect", "java_method")
+
+  /** The parsed plan plus every plan nested inside subquery
+    * expressions (EXISTS / IN / scalar subqueries) — TreeNode.collect
+    * alone does not descend into expression-embedded plans. */
+  private def allPlans(p: LogicalPlan): Seq[LogicalPlan] = {
+    val subs = p.flatMap(_.expressions.flatMap(_.collect {
+      case s: SubqueryExpression => s.plan
+    }))
+    p +: subs.flatMap(allPlans)
+  }
+
+  /** Why a parsed SQL statement must not be served, or None if safe:
+    * commands/writes, relations outside the session catalog (blocks
+    * direct-path scans like ``text.`/etc/passwd` ``), and
+    * JVM-reflection functions. */
+  private[api] def sqlGuardViolation(spark: SparkSession,
+      parsed: LogicalPlan): Option[String] = {
+    val plans = allPlans(parsed)
+    val mutating = parsed.isInstanceOf[Command] || plans.exists(_.exists {
+      case _: InsertIntoStatement => true
+      case _: ParsedStatement => true
+      case _ => false
+    })
+    lazy val unknownRelations = plans.flatMap(_.collect {
+      case r: UnresolvedRelation
+          if !spark.catalog.tableExists(r.multipartIdentifier.mkString(".")) =>
+        r.multipartIdentifier.mkString(".")
+    }).distinct
+    lazy val bannedFns = plans.flatMap(_.flatMap(_.expressions.flatMap(_.collect {
+      case f: UnresolvedFunction
+          if bannedSqlFunctions.contains(
+            f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+        f.nameParts.mkString(".")
+    }))).distinct
+    if (mutating)
+      Some("sql tool is read-only: only SELECT-style queries are served")
+    else if (unknownRelations.nonEmpty)
+      Some(s"sql tool serves registered views only; unknown relation(s): " +
+        unknownRelations.mkString(", "))
+    else if (bannedFns.nonEmpty)
+      Some(s"sql tool refuses reflection functions: ${bannedFns.mkString(", ")}")
+    else None
+  }
+
   private def json(df: DataFrame, limit: Int = 100): String = Formatters.json(df, limit)
   private def intArg(args: Map[String, String], k: String, dflt: Int): Int =
     args.get(k).map(_.toInt).getOrElse(dflt)

@@ -113,9 +113,14 @@ final class Runner(store: EventStore, blobs: BlobStore,
       if (formatHint != "auto") formatHint
       else FormatRegistry.detectFormatFromCommand(cmdLine)
     val parsed = FormatRegistry.parse(output, hint)
-    store.appendRun(inv, Seq.empty)
+    // Same commit order as the import paths: events and output land
+    // BEFORE the invocation row, so a crash mid-write leaves dangling
+    // (joined-away) events, never a committed run claiming zero events.
+    // The attempt/outcome lifecycle rows above are unaffected — status-
+    // from-absence semantics come from those, not from invocations.
     writeEvents(attemptId, started, parsed)
     writeOutput(attemptId, started, output)
+    store.appendRun(inv, Seq.empty)
 
     val errors = parsed.count(_.severity == Severity.Error).toLong
     val warnings = parsed.count(_.severity == Severity.Warning).toLong

@@ -75,11 +75,15 @@ object PytestParser extends LogParser {
   val format = "pytest_text"
   val tool = "pytest"
   // FAILED tests/test_x.py::test_name - AssertionError: ...
-  private val result = """^(FAILED|PASSED|ERROR|SKIPPED|XFAIL|XPASS)\s+([^\s:]+)::(\S+?)(?:\s+-\s+(.*))?$""".r
+  // (test id group spans spaces for parametrized ids; the first
+  // " - " separates id from message)
+  private val result = """^(FAILED|PASSED|ERROR|SKIPPED|XFAIL|XPASS)\s+([^\s:]+)::(.+?)(?:\s+-\s+(.*))?$""".r
   // -v / verbose reporter puts the status AFTER the id (and often a
-  // trailing percent gauge): tests/test_x.py::test_name PASSED  [ 42%]
+  // trailing percent gauge): tests/test_x.py::test_name PASSED  [ 42%].
+  // The id group is (.+?), not (\S+?): parametrized ids render their
+  // params verbatim and may contain spaces — test_parse[two words].
   private val verbose =
-    """^([^\s:]+)::(\S+?)\s+(FAILED|PASSED|ERROR|SKIPPED|XFAIL|XPASS)(?:\s+\[\s*\d+%\])?\s*$""".r
+    """^([^\s:]+)::(.+?)\s+(FAILED|PASSED|ERROR|SKIPPED|XFAIL|XPASS)(?:\s+\[\s*\d+%\])?\s*$""".r
   private val sessionStart = """^=+ test session starts =+$""".r
   private val shortSummary = """^=+ short test summary info =+$""".r
 

@@ -70,24 +70,34 @@ object SarifParser extends LogParser {
 object TapParser extends LogParser {
   val format = "tap_text"
   val tool = "tap"
-  private val result = """^(ok|not ok)\s+(\d+)(?:\s+-?\s*([^#]*?))?\s*(?:#\s*(SKIP|TODO)\b.*)?$""".r
+  // the test number is OPTIONAL per the TAP spec (`ok - desc`,
+  // `not ok desc` are valid and common in node-tap subtest output)
+  private val result = """^(ok|not ok)(?:\s+(\d+))?(?:\s+-?\s*([^#]*?))?\s*(?:#\s*(SKIP|TODO)\b.*)?$""".r
   private val plan = """^1\.\.(\d+)$""".r
   private val version = """^TAP version \d+$""".r
   private val yamlMsg = """^\s+message:\s*['"]?(.*?)['"]?\s*$""".r
 
-  def sniff(lines: Array[String]): Int =
-    lines.count(l => result.findFirstIn(l).isDefined) +
-      lines.count(l => plan.findFirstIn(l).isDefined ||
-        version.findFirstIn(l).isDefined) * 2
+  def sniff(lines: Array[String]): Int = {
+    // Detection requires a plan (1..N) or version anchor: with the
+    // test number optional, a lone "ok <words>" line in some OTHER
+    // tool's output would otherwise auto-detect as TAP whenever the
+    // hinted format yields no events (the registry's fallback).
+    val anchors = lines.count(l => plan.findFirstIn(l).isDefined ||
+      version.findFirstIn(l).isDefined)
+    if (anchors == 0) 0
+    else lines.count(l => result.findFirstIn(l).isDefined) + anchors * 2
+  }
 
   def parse(content: String): Seq[ParsedEvent] = {
     val buf = scala.collection.mutable.ArrayBuffer[ParsedEvent]()
     var idx = 0L
     var lastFail = -1 // buf index of the most recent failure
+    var seq = 0 // running count for unnumbered results
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
       case result(okNot, num, desc, directive) =>
+        seq += 1
         val name = Option(desc).map(_.trim).filter(_.nonEmpty)
-          .getOrElse(s"test $num")
+          .getOrElse(s"test ${Option(num).getOrElse(seq.toString)}")
         val sev =
           if (directive != null) Severity.Info // SKIP / TODO
           else if (okNot == "ok") Severity.TestPass

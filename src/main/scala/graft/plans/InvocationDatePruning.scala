@@ -38,21 +38,39 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object InvocationDatePruning extends Rule[LogicalPlan] with PredicateHelper {
 
-  private val registry = new ConcurrentHashMap[String, String => Option[String]]()
+  /** What a store contributes: a per-id date lookup plus a liveness
+    * flag. The registry holds it WEAKLY — a store (and the
+    * SparkSession its lookup closes over) must not be retained for
+    * the JVM lifetime just because it once registered, and a stale
+    * entry for a stopped session must disable pruning, not fail the
+    * querying session. */
+  trait DateSource {
+    def invocationDate(id: String): Option[String]
+    def active: Boolean
+  }
+
+  private val registry =
+    new ConcurrentHashMap[String, java.lang.ref.WeakReference[DateSource]]()
 
   private def normalize(p: String): String =
     p.replaceFirst("^file:/*", "/").stripSuffix("/")
 
-  /** Register a store's events table path with its id→date lookup. */
-  def register(eventsPath: String, lookup: String => Option[String]): Unit =
-    registry.put(normalize(eventsPath), lookup)
+  /** Register a store's events table path with its date source. */
+  def register(eventsPath: String, source: DateSource): Unit =
+    registry.put(normalize(eventsPath), new java.lang.ref.WeakReference(source))
 
-  private def lookupFor(rel: LogicalRelation): Option[String => Option[String]] =
+  private def lookupFor(rel: LogicalRelation): Option[DateSource] =
     rel.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.iterator
-          .map(rp => registry.get(normalize(rp.toUri.getPath)))
-          .collectFirst { case l if l != null => l }
+        fs.location.rootPaths.iterator.flatMap { rp =>
+          val key = normalize(rp.toUri.getPath)
+          Option(registry.get(key)).flatMap { ref =>
+            val src = ref.get()
+            if (src == null) { registry.remove(key, ref); None }
+            else if (!src.active) None
+            else Some(src)
+          }
+        }.nextOption()
       case _ => None
     }
 
@@ -77,17 +95,22 @@ object InvocationDatePruning extends Rule[LogicalPlan] with PredicateHelper {
       (rel.output.find(_.name == "date"),
         rel.output.find(_.name == "invocation_id"),
         lookupFor(rel)) match {
-        case (Some(dAttr), Some(iAttr), Some(lookup))
+        case (Some(dAttr), Some(iAttr), Some(src))
             if dAttr.dataType == DateType =>
           val conjuncts = splitConjunctivePredicates(cond)
           val ids = conjuncts.flatMap(idLiterals(_, iAttr.asInstanceOf[AttributeReference])).distinct
           val alreadyPruned = conjuncts.exists(_.references.contains(dAttr))
           if (ids.isEmpty || alreadyPruned) f
           else {
-            val dates = ids.flatMap(lookup(_)).distinct
+            // a lookup failure (stopped session, IO) must degrade to
+            // "no prune", never fail the querying plan
+            def safe(id: String): Option[String] =
+              try src.invocationDate(id) catch { case _: Exception => None }
+            val resolved = ids.map(id => id -> safe(id))
+            val dates = resolved.flatMap(_._2).distinct
             // every id must resolve, or the prune could drop rows for
             // ids the lookup has not (yet) seen
-            if (dates.isEmpty || ids.exists(lookup(_).isEmpty)) f
+            if (dates.isEmpty || resolved.exists(_._2.isEmpty)) f
             else {
               val dLits = dates.map(d => Literal.create(java.sql.Date.valueOf(d), DateType))
               val pred = if (dLits.size == 1) EqualTo(dAttr, dLits.head)

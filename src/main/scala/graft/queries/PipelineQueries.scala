@@ -280,7 +280,10 @@ object PipelineQueries {
     // pairs exist only where overlap exists — never an all-pairs scan.
     // At 100 TB the eval-set shingle side is small and broadcasts.
     "q64_decontaminate" -> { (s, dir) =>
+      // persist: both join branches derive from sh, and without it the
+      // tokenize/gram/explode pipeline (the expensive part) runs twice
       val sh = TextDedup.shingleTable(t(s, dir, "documents"), 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val eval = sh.filter(col("doc_id") < 25)
         .select(col("shingle"), col("doc_id").as("eval_id"))
       val train = sh.filter(col("doc_id") >= 25)

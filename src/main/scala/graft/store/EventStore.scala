@@ -37,25 +37,34 @@ class EventStore(val spark: SparkSession, val root: String) {
   // arbitrary SQL filtering events on invocation_id gets the date
   // partition filter the write layout guarantees) -----------------------
   private val invDates = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  @volatile private var invDatesLoaded = false
 
-  /** Date (as ISO string) of an invocation id, from the tiny
-    * invocations dimension; loaded lazily once, kept fresh by the
-    * append path. Unknown ids → None (the rule then declines to
-    * prune — safe under concurrent external writers). */
-  def invocationDate(id: String): Option[String] = {
-    if (!invDatesLoaded) synchronized {
-      if (!invDatesLoaded) {
-        if (exists("invocations"))
-          invocations.select($"id", $"date".cast("string"))
-            .collect().foreach(r => invDates.put(r.getString(0), r.getString(1)))
-        invDatesLoaded = true
-      }
+  /** Date (as ISO string) of an invocation id, from the invocations
+    * dimension. Resolved PER ID (a filtered scan of the dimension),
+    * cached, and seeded by the append path — never a full-dimension
+    * collect: years of runs would otherwise be pulled into driver heap
+    * during query optimization to serve a single point lookup. Unknown
+    * ids → None (the rule then declines to prune — safe under
+    * concurrent external writers). */
+  def invocationDate(id: String): Option[String] =
+    Option(invDates.get(id)).orElse {
+      val fetched =
+        if (!exists("invocations")) None
+        else invocations.filter($"id" === id)
+          .select($"date".cast("string")).limit(1)
+          .collect().headOption.map(_.getString(0))
+      fetched.foreach(invDates.put(id, _))
+      fetched
     }
-    Option(invDates.get(id))
-  }
 
-  graft.plans.InvocationDatePruning.register(path("events"), invocationDate _)
+  // held as a field: the registry references it WEAKLY, so the source
+  // must live exactly as long as the store that owns it
+  private val dateSource: graft.plans.InvocationDatePruning.DateSource =
+    new graft.plans.InvocationDatePruning.DateSource {
+      def invocationDate(id: String): Option[String] =
+        EventStore.this.invocationDate(id)
+      def active: Boolean = !spark.sparkContext.isStopped
+    }
+  graft.plans.InvocationDatePruning.register(path("events"), dateSource)
 
   private def writer[T](ds: Dataset[T], cols: Seq[String]) =
     ds.write.mode(SaveMode.Append)

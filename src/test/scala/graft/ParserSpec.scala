@@ -824,6 +824,31 @@ class ParserSpec extends SparkSpec {
       .message.get.contains("ListItemsV2"))
   }
 
+  test("tap: unnumbered results still parse (spec-optional test number)") {
+    val evs = TapParser.parse(
+      """ok - connects
+        |not ok - database connection refused
+        |ok third thing
+        |1..3""".stripMargin)
+    assert(evs.count(_.severity == Severity.TestPass) === 2)
+    val fail = evs.filter(_.severity == Severity.TestFail)
+    assert(fail.length === 1)
+    assert(fail.head.test_name === Some("database connection refused"))
+  }
+
+  test("pytest: parametrized ids with spaces parse in verbose and summary lines") {
+    val evs = PytestParser.parse(
+      """tests/test_q.py::test_parse[two words] FAILED                     [ 50%]
+        |tests/test_q.py::test_parse[solo] PASSED                          [100%]
+        |=========================== short test summary info ============================
+        |FAILED tests/test_q.py::test_parse[two words] - AssertionError: boom""".stripMargin)
+    assert(evs.count(_.severity == Severity.TestPass) === 1)
+    val fails = evs.filter(_.severity == Severity.TestFail)
+    assert(fails.length === 1) // verbose + summary dedup to one
+    assert(fails.head.test_name === Some("test_parse[two words]"))
+    assert(fails.head.message.get.contains("AssertionError"))
+  }
+
   test("markdownlint: MD codes + aliased rules, optional column") {
     val evs = MarkdownlintParser.parse(fixture("markdownlint_out.txt"))
     assert(evs.length === 7)

@@ -94,6 +94,28 @@ class ServeSpec extends SparkSpec {
       .contains("\"n\""))
   }
 
+  test("sql tool: direct-path scans and reflection functions refused") {
+    val s = mkServe()
+    val secret = Files.createTempFile("serve_secret", ".txt")
+    Files.writeString(secret, "top-secret-content")
+    // direct-path table scan would read arbitrary host files
+    val scan = s.call("sql", Map("q" -> s"SELECT * FROM text.`$secret`"))
+    assert(scan.contains("\"error\"") && !scan.contains("top-secret-content"))
+    // subquery placement must not dodge the relation check
+    val sub = s.call("sql", Map("q" ->
+      s"SELECT 1 WHERE EXISTS (SELECT * FROM text.`$secret`)"))
+    assert(sub.contains("\"error\"") && !sub.contains("top-secret-content"))
+    // JVM reflection reads env vars / invokes arbitrary statics
+    for (fn <- Seq("reflect", "java_method")) {
+      val out = s.call("sql", Map("q" ->
+        s"SELECT $fn('java.lang.System','getenv','HOME') AS v"))
+      assert(out.contains("\"error\""), s"$fn was served: $out")
+    }
+    // plain view queries still fine after all the rejections
+    assert(s.call("sql", Map("q" -> "SELECT count(*) AS n FROM blq_events"))
+      .contains("\"n\""))
+  }
+
   test("source_context tool: P10 path-escape guard refuses traversal") {
     import graft.api.SourceContext
     val root = Files.createTempDirectory("srcroot")
@@ -146,6 +168,20 @@ class ServeSpec extends SparkSpec {
     assert(lines(3).contains("\"markdown\""))
     assert(lines(4).contains("-32601"))
     assert(lines(5).contains("-32700"))
+  }
+
+  test("json-rpc: explicit null id answered; structured params rejected") {
+    import graft.api.JsonRpcServe
+    val rpc = new JsonRpcServe(mkServe())
+    // "id":null is NOT a notification per spec — it must get a response
+    val nullId = rpc.handle("""{"jsonrpc":"2.0","id":null,"method":"status"}""")
+    assert(nullId.isDefined && nullId.get.contains("\"id\":null"))
+    // object-valued params would be flattened to "" by asText and
+    // silently serve unfiltered results — must be -32602 instead
+    val structured = rpc.handle(
+      """{"jsonrpc":"2.0","id":9,"method":"query","params":{"filter":{"severity":"error"}}}""")
+    assert(structured.isDefined && structured.get.contains("-32602"))
+    assert(structured.get.contains("filter"))
   }
 
   test("query tool honors limits above the formatter default (100)") {
