@@ -285,9 +285,87 @@ object CoreQueries {
             .as("events_json"),
           count(lit(1)).as("n"))
         .orderBy(col("user_id"))
+    },
+
+    // TPC-H Q3 shape (shipping priority): selective dim filter on the
+    // broadcast customer side, date range split across orders/lineitem
+    // (both pushed to the scans), revenue top-10. Per-order revenue
+    // sums are few-row groups, so double rounding is engine-stable.
+    "q65_shipping_priority" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"), col("ord_ms"), col("o_orderpriority"))
+    },
+
+    // TPC-H Q14 shape (promo revenue share): one month of lineitem
+    // joined to the broadcast part dim, conditional-vs-total ratio in
+    // a single aggregate pass.
+    "q66_promo_share" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp"))
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      li.join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev), 4)
+          .as("promo_share"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): left join
+    // keeps zero-order customers, then a second aggregation over the
+    // first's results — the classic double-agg plan.
+    "q67_cust_order_distribution" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy(col("n_cust").desc, col("n_orders").desc)
     })
 
   val oracles: Map[String, String] = Map(
+    "q65_shipping_priority" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | epoch_ms(o_orderdate) AS ord_ms, o_orderpriority
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, ord_ms, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q66_promo_share" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01'""".stripMargin,
+
+    "q67_cust_order_distribution" ->
+      """SELECT n_orders, count(*) AS n_cust FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY n_orders ORDER BY n_cust DESC, n_orders DESC""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
