@@ -295,6 +295,56 @@ object PipelineQueries {
         .orderBy(col("train_id"))
     },
 
+    // PII scrubbing: redact emails, IPv4s and phone-ish numbers with
+    // typed placeholders — the standard pre-training hygiene pass.
+    // The synthetic corpus contains no PII, so deterministic PII is
+    // synthesized per doc_id FIRST (identically in the oracle) and the
+    // scrub is verified by redaction counts + a hash of the scrubbed
+    // text: the gate checks the exact transformation. Pure per-row
+    // regexp work (no shuffle, full codegen); patterns are RE2-safe so
+    // DuckDB runs them verbatim.
+    "q68_pii_scrub" -> { (s, dir) =>
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+      val phone = "\\b\\d{3}[-]\\d{3}[-]\\d{4}\\b"
+      val id = col("doc_id")
+      val full = concat(col("text"),
+        when(id % 2 === 0,
+          concat(lit(" reach me at u"), id.cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(id % 3 === 0,
+          concat(lit(" from 10.2."), (id % 200).cast("string"), lit(".7")))
+          .otherwise(lit("")),
+        when(id % 5 === 0, lit(" call 555-867-5309")).otherwise(lit("")))
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(full, email, "<EMAIL>"),
+            ip, "<IP>"),
+          phone, "<PHONE>")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (size(split(full, email, -1)) - 1).cast("long").as("n_emails"),
+          (size(split(full, ip, -1)) - 1).cast("long").as("n_ips"),
+          md5(scrubbed).as("scrubbed_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-source document cap (the "domain capping" web-corpus op:
+    // no single source may dominate the mix): keep at most 40 docs
+    // per source, chosen deterministically by content-hash order.
+    // One shuffle on the source key; survives any corpus size because
+    // the window never leaves its partition.
+    "q69_source_cap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 40)
+        .select(col("doc_id"), col("source"), col("rnk"))
+        .orderBy(col("doc_id"))
+    },
+
     // Distribution profile per group: exact interpolated percentiles
     // (Spark `percentile` == DuckDB `quantile_cont`, both linear
     // interpolation), sample stddev, and value↔time correlation. The
@@ -538,6 +588,37 @@ object PipelineQueries {
          |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
     },
+
+    "q68_pii_scrub" -> {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b(?:\d{1,3}\.){3}\d{1,3}\b"""
+      val phone = """\b\d{3}[-]\d{3}[-]\d{4}\b"""
+      s"""WITH full_t AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN ' reach me at u' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0
+         |      THEN ' from 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309' ELSE '' END
+         |    AS full_text FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_split_to_array(full_text, '$email')) - 1 AS n_emails,
+         |  len(regexp_split_to_array(full_text, '$ip')) - 1 AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(full_text,
+         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS scrubbed_hash
+         |FROM full_t ORDER BY doc_id""".stripMargin
+    },
+
+    "q69_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY md5(text), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT doc_id, source, rnk FROM ranked
+        |WHERE rnk <= 40 ORDER BY doc_id""".stripMargin,
 
     "q61_hash_split" ->
       """SELECT doc_id,
