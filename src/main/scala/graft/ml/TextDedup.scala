@@ -163,6 +163,43 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Posting-list variant of [[jaccardPairs]]: group docs per shingle
+    * (the inverted index as actual lists), drop hot shingles by list
+    * size, and emit each list's pairs with per-row array math. Replaces
+    * the window-sort df filter + self-join with plain groupBys — no
+    * sort anywhere, and the pair fan-out is bounded by dfCap²/2 per
+    * shingle. Results identical to jaccardPairs by construction. */
+  def jaccardPairsPostings(docs: DataFrame, n: Int, threshold: Double,
+      dfCap: Int = 50): DataFrame = {
+    val sh = shingleKeyTable(docs, n)
+    val postings = sh.groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = postings.select(explode(col("docs")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // materialize the sorted list BEFORE the pair lambda references it
+    // (no CSE inside lambda bodies — see tokTable)
+    val sorted = col("docs_s")
+    val pairs = postings
+      .select(array_sort(col("docs")).as("docs_s"))
+      .select(explode(flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)),
+          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Pairwise n-gram Jaccard via inverted index with stop-shingle cap.
     * Output: (doc_a, doc_b, jaccard) for jaccard >= threshold, a < b.
     * Shingles with document frequency > dfCap are dropped on BOTH the

@@ -47,6 +47,9 @@ object Profile {
     time("q31_no_orderby") {
       graft.ml.TextDedup.jaccardPairs(t(spark, sfDir, "documents"), 3, 0.3, 50).count()
     }
+    time("q31_postings") {
+      graft.ml.TextDedup.jaccardPairsPostings(t(spark, sfDir, "documents"), 3, 0.3, 50).count()
+    }
     time("q32_full") {
       graft.ml.TextDedup.minhashLshPairs(t(spark, sfDir, "documents"), 3, 12, 4, 0.3)
         .orderBy(col("doc_a"), col("doc_b")).count()

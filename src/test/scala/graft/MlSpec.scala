@@ -150,6 +150,21 @@ class MlSpec extends SparkSpec {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("posting-list jaccard variant matches the window form exactly") {
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy cat today",
+      3L -> "completely different content about query engines here",
+      4L -> "the quick brown fox jumps over the lazy dog today",
+      5L -> "tiny doc")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val a = norm(TextDedup.jaccardPairs(df, n = 3, threshold = 0.2, dfCap = 50))
+    val b = norm(TextDedup.jaccardPairsPostings(df, n = 3, threshold = 0.2, dfCap = 50))
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("dedup clusters: long chain (diameter > 4) converges to one component") {
     // Regression for the fixed-round-count bug: a 13-node chain has
     // diameter 12; pointer doubling must still collapse it to a single
