@@ -179,16 +179,28 @@ object TextDedup {
     val sizes = postings.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // materialize the sorted list BEFORE the pair lambda references it
-    // (no CSE inside lambda bodies — see tokTable)
+    // (no CSE inside lambda bodies — see tokTable); singleton lists
+    // are dropped with a cheap size filter, and explode_outer avoids
+    // the inferred size>0 filter re-evaluating the whole pair
+    // expression (the shingleTable trap again)
     val sorted = col("docs_s")
     val pairs = postings
+      .filter(size(col("docs")) >= 2)
       .select(array_sort(col("docs")).as("docs_s"))
-      .select(explode(flatten(transform(sorted, (a, i) =>
+      .select(explode_outer(flatten(transform(sorted, (a, i) =>
         transform(slice(sorted, i + lit(2), size(sorted)),
           b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
+    finalizeJaccard(pairs, sizes, threshold)
+  }
+
+  /** Shared tail of both jaccard forms: attach per-doc set sizes,
+    * compute the ratio, apply the threshold. Kept in ONE place so the
+    * two implementations cannot silently diverge. */
+  private def finalizeJaccard(pairs: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
@@ -198,7 +210,6 @@ object TextDedup {
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Pairwise n-gram Jaccard via inverted index with stop-shingle cap.
     * Output: (doc_a, doc_b, jaccard) for jaccard >= threshold, a < b.
@@ -227,18 +238,11 @@ object TextDedup {
     val sizes = rareSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = rareSh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = rareSh.select(col("doc_id").as("doc_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
+    val pairs = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    finalizeJaccard(pairs, sizes, threshold)
   }
 
   /** Permutation constants for [[minhashSignatures]]: small odd

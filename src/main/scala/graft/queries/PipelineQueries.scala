@@ -323,6 +323,9 @@ object PipelineQueries {
             ip, "<IP>"),
           phone, "<PHONE>")
       t(s, dir, "documents")
+        // single-file table => one input partition; spread the regex
+        // work (the whole cost of this query) across cores first
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           (size(split(full, email, -1)) - 1).cast("long").as("n_emails"),
           (size(split(full, ip, -1)) - 1).cast("long").as("n_ips"),
@@ -331,8 +334,11 @@ object PipelineQueries {
     },
 
     // Per-source document cap (the "domain capping" web-corpus op:
-    // no single source may dominate the mix): keep at most 40 docs
+    // no single source may dominate the mix): keep at most 20 docs
     // per source, chosen deterministically by content-hash order.
+    // 20 is deliberately BELOW the sf0.01 per-source maximum (25) so
+    // the gate verifies rows are actually dropped — a cap the data
+    // never reaches would hash-match even if the filter were broken.
     // One shuffle on the source key; survives any corpus size because
     // the window never leaves its partition.
     "q69_source_cap" -> { (s, dir) =>
@@ -340,7 +346,7 @@ object PipelineQueries {
       val w = Window.partitionBy(col("source")).orderBy(md5(col("text")), col("doc_id"))
       t(s, dir, "documents")
         .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 40)
+        .filter(col("rnk") <= 20)
         .select(col("doc_id"), col("source"), col("rnk"))
         .orderBy(col("doc_id"))
     },
@@ -618,7 +624,7 @@ object PipelineQueries {
         |    PARTITION BY source ORDER BY md5(text), doc_id) AS rnk
         |  FROM documents)
         |SELECT doc_id, source, rnk FROM ranked
-        |WHERE rnk <= 40 ORDER BY doc_id""".stripMargin,
+        |WHERE rnk <= 20 ORDER BY doc_id""".stripMargin,
 
     "q61_hash_split" ->
       """SELECT doc_id,

@@ -24,6 +24,10 @@ object Profile {
       val t1 = System.nanoTime(); val n2 = f
       val t2 = System.nanoTime()
       println(f"$name%-28s run1=${(t1 - t0) / 1e9}%6.2fs run2=${(t2 - t1) / 1e9}%6.2fs rows=$n2")
+      // measurements must not depend on earlier stages' persisted
+      // frames piling up (the same pollution Bench clears between
+      // queries); run 2 above still reuses run 1's cache
+      spark.catalog.clearCache()
     }
 
     val docs = t(spark, sfDir, "documents")

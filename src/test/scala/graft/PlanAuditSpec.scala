@@ -60,9 +60,9 @@ class PlanAuditSpec extends SparkSpec {
   test("TPC-H q65: selective dim broadcasts; both date filters pushed") {
     val p = plans("q65_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
-    // both scans carry their date predicate
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
-      p.contains("LessThan(o_orderdate"), p.take(3000))
+    // both scans carry their RANGE predicate — IsNotNull alone is not
+    // enough (it would still be pushed if the range pushdown broke)
+    assert(p.contains("LessThan(o_orderdate"), p.take(3000))
     assert(p.contains("GreaterThan(l_shipdate"), p.take(3000))
   }
 }
