@@ -83,6 +83,71 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("every registered parser is total and well-formed on arbitrary text") {
+    // stronger than the auto-detect property above: run EVERY parser
+    // directly (no detection gate) over adversarial-ish line soup —
+    // colons, numbers, brackets, the shapes diag regexes anchor on.
+    val lineGen = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      for {
+        f <- Gen.oneOf("a.c", "b/c.py", "x.rs", "y.java", "z.go", "w.rb", "m.md")
+        l <- Gen.chooseNum(0, 99999); c <- Gen.chooseNum(0, 999)
+        w <- Gen.oneOf("error", "warning", "ok", "not ok", "FAILED", "[ERROR]")
+        m <- Gen.asciiPrintableStr
+      } yield s"$f:$l:$c: $w: $m")
+    val textGen = Gen.listOfN(12, lineGen).map(_.mkString("\n"))
+    val parsers = graft.parse.FormatRegistry.parsers
+    check("all-parsers", Prop.forAll(textGen) { content =>
+      parsers.forall { p =>
+        val evs = p.parse(content)
+        evs.zipWithIndex.forall { case (e, i) =>
+          e.event_index == i.toLong &&
+            e.severity.nonEmpty &&
+            e.log_line_start.forall(_ >= 1) &&
+            e.log_line_end.forall(end => e.log_line_start.forall(_ <= end))
+        }
+      }
+    })
+  }
+
+  test("vec_dot / vec_l2sq kernels: match plain folds, metric-ish properties") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.plans.VectorOps
+    def arr(xs: Seq[Double]): ArrayData =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(xs.toArray)
+    val vecGen = Gen.chooseNum(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6)))
+    check("dot-matches-fold", Prop.forAll(vecGen, vecGen) { (a, b) =>
+      if (a.length != b.length) VectorOps.dot(arr(a), arr(b)) == null
+      else {
+        val expect = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+        VectorOps.dot(arr(a), arr(b)).doubleValue() == expect
+      }
+    })
+    check("l2sq-nonneg-and-sym", Prop.forAll(vecGen, vecGen) { (a, b) =>
+      if (a.length != b.length) true
+      else {
+        val d = VectorOps.l2sq(arr(a), arr(b)).doubleValue()
+        d >= 0.0 && d == VectorOps.l2sq(arr(b), arr(a)).doubleValue()
+      }
+    })
+    check("dot-symmetric", Prop.forAll(vecGen) { a =>
+      VectorOps.dot(arr(a), arr(a)).doubleValue() >= 0.0
+    })
+  }
+
+  test("minhash slot arithmetic: in range, overflow-free for 32-bit halves") {
+    import graft.ml.TextDedup.{permA, permB, minhashP}
+    val half = Gen.chooseNum(0L, (1L << 32) - 1)
+    val slot = Gen.chooseNum(0, 63)
+    check("range", Prop.forAll(half, half, slot) { (h1, h2, j) =>
+      val v = (h1 * permA(j) + h2 * permB(j) + j) % minhashP
+      // no Long overflow upstream (both products stay under 2^50, sum
+      // under 2^51) and the slot value lands in [0, p)
+      h1 * permA(j) >= 0 && h2 * permB(j) >= 0 && v >= 0 && v < minhashP
+    })
+  }
+
   test("fingerprint template: number-insensitive normalization") {
     val msgGen = for {
       base <- Gen.oneOf("undefined variable", "missing include", "bad cast at line")
