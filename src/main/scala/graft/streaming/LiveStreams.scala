@@ -63,6 +63,24 @@ object LiveStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("severity"), col("n"))
 
+  /** Error-storm detector: fingerprints recurring ≥ `minCount` times
+    * inside a watermarked tumbling window — the streaming analog of
+    * the batch repeated-error rollup (A8/q17), and the alerting shape
+    * a continuously-ingesting pipeline runs ("the same failure
+    * fingerprint just fired 50 times in 5 minutes"). Watermark bounds
+    * the state; the HAVING-style filter keeps the sink to genuinely
+    * hot keys. Works identically on batch frames. */
+  def hotFingerprints(events: DataFrame, tsCol: String,
+      windowDur: String, watermark: String, minCount: Long): DataFrame =
+    events.filter(col("severity").isin("error", "test_fail") &&
+        col("fingerprint").isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("fingerprint"))
+      .agg(count(lit(1)).as("n"), max(col("message")).as("sample_message"))
+      .filter(col("n") >= minCount)
+      .select(col("window.start").as("window_start"),
+        col("fingerprint"), col("n"), col("sample_message"))
+
   /** Exactly-once ingest dedup: drop re-delivered events by id within
     * the watermark horizon — the streaming half of exact dedup for a
     * continuously-ingesting training pipeline (at-least-once sources

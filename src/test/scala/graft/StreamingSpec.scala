@@ -146,6 +146,32 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("error-storm detector: hot fingerprints cross the threshold, cold ones don't") {
+    import Fixtures._
+    val store = new graft.store.EventStore(spark,
+      java.nio.file.Files.createTempDirectory("storm_store").toString)
+    store.appendRun(inv("i1", 1L, Some("b"), "2026-08-01 10:00:00", Some(1)),
+      Seq(
+        ev("e1", "i1", 0, "error", "boom", fp = Some("fp_hot")),
+        ev("e2", "i1", 1, "error", "boom again", fp = Some("fp_hot")),
+        ev("e3", "i1", 2, "error", "boom third", fp = Some("fp_hot")),
+        ev("e4", "i1", 3, "error", "once only", fp = Some("fp_cold")),
+        ev("e5", "i1", 4, "error", "no fp"), // null fingerprint skipped
+        ev("e6", "i1", 5, "warning", "warn", fp = Some("fp_warn"))))
+    val hot = LiveStreams.hotFingerprints(
+      store.eventsStream, "timestamp", "5 minutes", "10 minutes", minCount = 2L)
+    val query = hot.writeStream.format("memory").queryName("storm_t")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      query.processAllAvailable()
+      val rows = spark.table("storm_t")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(rows === Map("fp_hot" -> 3L)) // cold/warning/null excluded
+      val sample = spark.table("storm_t").collect().head.getString(3)
+      assert(sample.startsWith("boom"))
+    } finally query.stop()
+  }
+
   test("live tail: streaming file source parses appended diagnostics") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("live_tail").toString
