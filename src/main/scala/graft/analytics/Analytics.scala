@@ -111,7 +111,12 @@ final class Analytics(store: EventStore) {
     * events in `serial` whose fingerprint never appeared in any earlier
     * run — a left-anti join against the fingerprint history. */
   def newErrors(serial: Long): DataFrame = {
-    val current = flat.filter(col("run_serial") === serial && col("severity") === "error")
+    // fingerprint-less errors are excluded outright (reference builds
+    // its fp sets from truthy fingerprints only, ci_cmd.py:163-171) —
+    // a NULL key never matches an anti-join, so without this filter
+    // such events would be reported "new" on every run forever.
+    val current = flat.filter(col("run_serial") === serial &&
+      col("severity") === "error" && col("fingerprint").isNotNull)
     val past = flat.filter(col("run_serial") < serial && col("fingerprint").isNotNull)
       .select(col("fingerprint")).distinct()
     current.join(past, Seq("fingerprint"), "left_anti")
@@ -152,7 +157,10 @@ final class Analytics(store: EventStore) {
     if (suppressFingerprints.nonEmpty)
       df = df.filter(col("fingerprint").isNull ||
         !col("fingerprint").isin(suppressFingerprints: _*))
-    filePattern.foreach(p => df = df.filter(col("ref_file").contains(p)))
+    // SQL LIKE semantics, matching the reference's documented contract
+    // ("ref_file LIKE ?", e.g. '%main%'; services/query.py:303) — a
+    // substring contains() would treat the '%' wildcards literally.
+    filePattern.foreach(p => df = df.filter(col("ref_file").like(p)))
     runSerial.foreach(s => df = df.filter(col("run_serial") === s))
     df.orderBy(col("started_at").desc, col("event_index").asc).limit(limit)
   }
@@ -170,15 +178,18 @@ final class Analytics(store: EventStore) {
     * tool/category rollup, hot files, recent history — the same
     * relations the CLI report renders, composed through Formatters. */
   def report(historyLimit: Int = 10, fileLimit: Int = 10): String = {
+    // render limits are explicit: Formatters.markdown defaults to 20
+    // rows, which would silently truncate a wide status board or a
+    // history limit above 20
     val sections = Seq(
-      "## Source status" -> sourceStatus(),
-      "## Tool summary (errors/warnings)" -> summary(),
-      s"## Hot files (top $fileLimit)" -> errorsByFile(fileLimit),
-      s"## Recent runs (last $historyLimit)" -> history(historyLimit)
+      ("## Source status", sourceStatus(), 1000),
+      ("## Tool summary (errors/warnings)", summary(), 1000),
+      (s"## Hot files (top $fileLimit)", errorsByFile(fileLimit), fileLimit),
+      (s"## Recent runs (last $historyLimit)", history(historyLimit)
         .select(col("run_serial"), col("source_name"), col("started_at"),
-          col("status_badge"), col("errors"), col("warnings")))
-    sections.map { case (title, df) =>
-      title + "\n\n" + graft.api.Formatters.markdown(df)
+          col("status_badge"), col("errors"), col("warnings")), historyLimit))
+    sections.map { case (title, df, n) =>
+      title + "\n\n" + graft.api.Formatters.markdown(df, n)
     }.mkString("# Build log report\n\n", "\n\n", "\n")
   }
 }
@@ -208,12 +219,22 @@ object Lines {
     val from = """^\+?(\d+)\s*-$""".r
     val upTo = """^-\s*(\d+)$""".r
     val single = """^(\d+)$""".r
+    // saturating parse: a generated ref can exceed Int range, and the
+    // contract is the total fallback window, never a NumberFormat
+    // crash or a wrapped-negative bound
+    def num(x: String): Int =
+      x.toLongOption.map(v => math.min(v, Int.MaxValue.toLong).toInt)
+        .getOrElse(Int.MaxValue)
+    def plus(a: Int, b: Int): Int = {
+      val v = a.toLong + b.toLong
+      math.min(v, Int.MaxValue.toLong).toInt
+    }
     s match {
-      case around(n, d) => (math.max(1, n.toInt - d.toInt), n.toInt + d.toInt)
-      case range(a, b)  => (a.toInt, b.toInt)
-      case from(a)      => (a.toInt, Int.MaxValue)
-      case upTo(b)      => (1, b.toInt)
-      case single(n)    => (n.toInt, n.toInt)
+      case around(n, d) => (math.max(1, num(n) - num(d)), plus(num(n), num(d)))
+      case range(a, b)  => (num(a), num(b))
+      case from(a)      => (num(a), Int.MaxValue)
+      case upTo(b)      => (1, num(b))
+      case single(n)    => (num(n), num(n))
       case _            => (1, Int.MaxValue)
     }
   }
@@ -235,7 +256,13 @@ object Lines {
           col("line_number") >= col("start") && col("line_number") <= col("end"),
           "left")
         .groupBy(col("line_number"), col("line"))
-        .agg(coalesce(first(col("mark_s"), ignoreNulls = true), lit("")).as("mark"))
+        // deterministic under overlapping marks: the (start, end, mark)
+        // struct-min picks the earliest/narrowest mark, where first()
+        // would return whichever row the shuffle happened to deliver
+        .agg(coalesce(
+          min(when(col("mark_s").isNotNull,
+            struct(col("start"), col("end"), col("mark_s")))).getField("mark_s"),
+          lit("")).as("mark"))
         .orderBy(col("line_number"))
     }
   }

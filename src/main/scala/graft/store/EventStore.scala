@@ -71,16 +71,41 @@ class EventStore(val spark: SparkSession, val root: String) {
       .option("compression", "zstd")
       .partitionBy(cols: _*)
 
+  // Registered temp views (Views.registerAll) hold LogicalRelations
+  // whose InMemoryFileIndex snapshots the file listing at creation —
+  // refreshByPath only refreshes CACHED datasets, so without active
+  // re-registration, rows appended AFTER registration are invisible
+  // through spark.sql() while the Scala facade (fresh reads per call)
+  // sees them. Views.registerAll installs itself here; every append
+  // re-registers with fresh listings.
+  @volatile private var refreshHook: () => Unit = () => ()
+
+  /** Install the post-append refresh (single slot, idempotent to
+    * re-registration). */
+  def onAppendRefresh(f: () => Unit): Unit = refreshHook = f
+
+  private def refreshed(table: String): Unit = {
+    try spark.catalog.refreshByPath(path(table))
+    catch { case scala.util.control.NonFatal(_) => }
+    refreshHook()
+  }
+
   // ---- write path (S9/S10) -------------------------------------------
 
-  def appendAttempts(attempts: Seq[Attempt]): Unit =
+  def appendAttempts(attempts: Seq[Attempt]): Unit = {
     writer(attempts.toDS(), Seq("date")).parquet(path("attempts"))
+    refreshed("attempts")
+  }
 
-  def appendOutcomes(outcomes: Seq[Outcome]): Unit =
+  def appendOutcomes(outcomes: Seq[Outcome]): Unit = {
     writer(outcomes.toDS(), Seq("date")).parquet(path("outcomes"))
+    refreshed("outcomes")
+  }
 
-  def appendOutputs(outputs: Seq[Output]): Unit =
+  def appendOutputs(outputs: Seq[Output]): Unit = {
     writer(outputs.toDS(), Seq("date")).parquet(path("outputs"))
+    refreshed("outputs")
+  }
 
   /** Write one completed run: its invocation row + parsed events.
     * Caller assigns run_serial via [[nextRunSerial]]. */
@@ -88,6 +113,7 @@ class EventStore(val spark: SparkSession, val root: String) {
     writer(Seq(inv).toDS(), Seq("date")).parquet(path("invocations"))
     if (events.nonEmpty)
       writer(events.toDS(), Seq("date")).parquet(path("events"))
+    refreshed("invocations"); refreshed("events")
     invDates.put(inv.id, inv.date.toString)
   }
 
@@ -103,6 +129,7 @@ class EventStore(val spark: SparkSession, val root: String) {
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
     writer(aligned.as[Event], Seq("date")).parquet(path("events"))
+    refreshed("events")
   }
 
   /** Next run serial. Single-writer discipline (reference holds a DB

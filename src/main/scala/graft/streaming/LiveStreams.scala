@@ -42,14 +42,34 @@ object LiveStreams {
       completed_ms: Option[Long],
       exit_code: Option[Int])
 
-  /** T2: tail a live output directory — every appended file's lines are
-    * parsed into diagnostic events. Line-oriented formats only (the
-    * compile/lint family); multi-line diagnostics re-parse at
-    * completion, exactly like the reference (bird.py:1009-1126). */
+  /** T2: tail a live output directory — each file's lines are parsed
+    * into diagnostic events.
+    *
+    * Ingestion unit is the FILE: Spark's file source treats files as
+    * immutable, so a file is read once, when first listed — new FILES
+    * in the dir stream in; lines appended to an already-listed file do
+    * not. That matches log-chunk/rotation layouts; for a single
+    * still-growing file, mid-run inspection is the on-demand partial
+    * re-parse (`Runner` + `Analytics.Lines`), which is exactly the
+    * reference's own live-output behavior (bird.py:1009-1126 parses
+    * the partial log per request — it has no tailing stream either);
+    * the settled file is ingested in full when the run completes.
+    *
+    * A non-"auto" format is parsed STRICTLY with that parser: the
+    * registry's empty-result fallback would otherwise auto-detect each
+    * non-matching line in isolation and emit misattributed events the
+    * completion-time re-parse of the whole file would not (e.g. a make
+    * banner line inside a gcc log), paying a full detect() sweep per
+    * line for the privilege. Line-oriented formats only; multi-line
+    * diagnostics re-parse at completion. */
   def liveTail(spark: SparkSession, dir: String, format: String = "auto"): DataFrame = {
     import spark.implicits._
+    val strict = if (format == "auto") None else FormatRegistry(format)
     spark.readStream.text(dir).as[String]
-      .flatMap(line => FormatRegistry.parse(line, format))
+      .flatMap(line => strict match {
+        case Some(p) => p.parse(line)
+        case None => FormatRegistry.parse(line, format)
+      })
       .toDF()
       .withColumn("ingest_ts", current_timestamp())
   }
@@ -95,10 +115,15 @@ object LiveStreams {
 
   /** T3: debounce file-change bursts with a session window — one row
     * per (path, quiet-gap-delimited burst), the idiomatic Spark form of
-    * the reference's 0.5 s debounce+coalesce loop. */
+    * the reference's 0.5 s debounce+coalesce loop. The watermark is
+    * required for STREAMING input (a session-window aggregation can
+    * only run incrementally in append mode with a watermark closing
+    * the sessions); on batch frames it is a no-op. */
   def debounceChanges(changes: DataFrame, tsCol: String,
-      gap: String = "500 milliseconds"): DataFrame =
+      gap: String = "500 milliseconds",
+      watermark: String = "5 seconds"): DataFrame =
     changes
+      .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col("path"))
       .agg(count(lit(1)).as("n_changes"),
         max(col(tsCol)).as("last_change"))
@@ -125,32 +150,45 @@ object LiveStreams {
       .mapGroupsWithState[AttemptStatus, AttemptStatus](timeoutConf) {
         (id: String, events: Iterator[LifecycleEvent], state: GroupState[AttemptStatus]) =>
           if (state.hasTimedOut) {
-            val orphaned = state.get.copy(status = "orphaned")
+            val cur = state.get
             state.remove()
-            orphaned
-          } else {
-            val evs = events.toSeq
-            val start = evs.find(_.kind == "attempt")
-            val outcome = evs.find(_.kind == "outcome")
-            val startedMs = start.map(_.ts_ms)
-              .orElse(state.getOption.map(_.started_ms)).getOrElse(0L)
-            val status = outcome match {
-              case Some(o) if o.timeout =>
-                AttemptStatus(id, "timeout", startedMs, Some(o.ts_ms), o.exit_code)
-              case Some(o) if o.exit_code.isEmpty =>
-                AttemptStatus(id, "orphaned", startedMs, Some(o.ts_ms), None)
-              case Some(o) if o.exit_code.contains(0) =>
-                AttemptStatus(id, "ok", startedMs, Some(o.ts_ms), o.exit_code)
-              case Some(o) =>
-                AttemptStatus(id, "failed", startedMs, Some(o.ts_ms), o.exit_code)
-              case None =>
-                AttemptStatus(id, "pending", startedMs, None, None)
-            }
-            if (status.status == "pending") {
+            // only a still-pending state orphans on timeout; a kept
+            // completed marker just ages out
+            if (cur.status == "pending") cur.copy(status = "orphaned") else cur
+          } else state.getOption match {
+            // Completed groups keep a marker: an at-least-once source
+            // can deliver the attempt record AFTER its outcome (or
+            // re-deliver it), and without the marker that would
+            // resurrect the group as "pending" — overwriting the final
+            // status in an Update sink and later firing a bogus
+            // orphan timeout. Re-emit the settled status instead
+            // (idempotent for the sink). With orphanAfterMs > 0 the
+            // marker ages out on the same timeout; with no timeout it
+            // persists (bounded by completed-attempt cardinality —
+            // use the batch reconciliation path for long-lived jobs).
+            case Some(prior) if prior.status != "pending" =>
+              prior
+            case prior =>
+              val evs = events.toSeq
+              val start = evs.find(_.kind == "attempt")
+              val outcome = evs.find(_.kind == "outcome")
+              val startedMs = start.map(_.ts_ms)
+                .orElse(prior.map(_.started_ms)).getOrElse(0L)
+              val status = outcome match {
+                case Some(o) if o.timeout =>
+                  AttemptStatus(id, "timeout", startedMs, Some(o.ts_ms), o.exit_code)
+                case Some(o) if o.exit_code.isEmpty =>
+                  AttemptStatus(id, "orphaned", startedMs, Some(o.ts_ms), None)
+                case Some(o) if o.exit_code.contains(0) =>
+                  AttemptStatus(id, "ok", startedMs, Some(o.ts_ms), o.exit_code)
+                case Some(o) =>
+                  AttemptStatus(id, "failed", startedMs, Some(o.ts_ms), o.exit_code)
+                case None =>
+                  AttemptStatus(id, "pending", startedMs, None, None)
+              }
               state.update(status)
               if (orphanAfterMs > 0) state.setTimeoutDuration(orphanAfterMs)
-            } else state.remove()
-            status
+              status
           }
       }
   }

@@ -99,8 +99,17 @@ object Views {
     store.events.filter(col("date") >= date_sub(current_date(), days))
 
   /** Register every relation as a temp view so spark.sql() works like
-    * the reference's macro surface (§3.2). */
+    * the reference's macro surface (§3.2). Registration re-runs after
+    * every store append (via the store's refresh hook): a temp view's
+    * file listing is a snapshot, so without re-registration the SQL
+    * surface would silently serve pre-append data while the Scala
+    * facade (fresh reads) serves current data. */
   def registerAll(store: EventStore): Unit = {
+    store.onAppendRefresh(() => registerViews(store))
+    registerViews(store)
+  }
+
+  private def registerViews(store: EventStore): Unit = {
     val s = store.spark
     store.events.createOrReplaceTempView("events_raw")
     store.invocations.createOrReplaceTempView("invocations")

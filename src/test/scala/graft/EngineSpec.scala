@@ -176,4 +176,22 @@ class EngineSpec extends SparkSpec {
       .collect().head.getLong(0)
     assert(n === 4L)
   }
+
+  test("sql surface: views see runs appended AFTER registration") {
+    // regression: temp views hold LogicalRelations whose file index
+    // snapshots the listing at creation — without the append-path
+    // refreshByPath, post-registration runs were invisible to sql()
+    // while the Scala facade saw them
+    val root = java.nio.file.Files.createTempDirectory("fresh_store").toString
+    val s2 = new graft.store.EventStore(spark, root)
+    s2.appendRun(Fixtures.inv("fa", 1L, Some("t"), "2026-08-01 10:00:00", Some(0)),
+      Seq(Fixtures.ev("fe1", "fa", 0, "error", "one")))
+    Views.registerAll(s2)
+    assert(spark.sql("SELECT count(*) FROM events_raw").head().getLong(0) === 1L)
+    s2.appendRun(Fixtures.inv("fb", 2L, Some("t"), "2026-08-01 11:00:00", Some(1)),
+      Seq(Fixtures.ev("fe2", "fb", 0, "error", "two"),
+        Fixtures.ev("fe3", "fb", 1, "warning", "three")))
+    assert(spark.sql("SELECT count(*) FROM events_raw").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM blq_events").head().getLong(0) === 3L)
+  }
 }
