@@ -50,8 +50,13 @@ object Annotators {
           concat(
             lit("""{"annotations":["""),
             concat_ws(",",
-              // pre-existing annotations array content, if any
-              when(get_json_object(col("metadata"), "$.annotations").isNotNull,
+              // pre-existing NON-EMPTY annotations array content: an
+              // existing `[]` strips to "" and concat_ws skips only
+              // NULLs, so the empty case must map to null or the
+              // rebuilt JSON gets a leading comma (malformed)
+              when(length(regexp_replace(
+                  get_json_object(col("metadata"), "$.annotations"),
+                  "^\\[|\\]$", "")) > 0,
                 regexp_replace(get_json_object(col("metadata"), "$.annotations"),
                   "^\\[|\\]$", "")),
               concat_ws(",", additions)),

@@ -66,7 +66,9 @@ object Formatters {
   def csv(df: DataFrame, limit: Int = 1000): String = {
     val (cols, rows) = cells(df, limit)
     def esc(v: String): String =
-      if (v.exists(c => c == ',' || c == '"' || c == '\n'))
+      // '\r' included: a bare carriage return in an unquoted field
+      // splits the record for RFC-4180 readers
+      if (v.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + v.replace("\"", "\"\"") + "\""
       else v
     (cols.map(esc).mkString(",") +:
@@ -75,9 +77,12 @@ object Formatters {
 
   def markdown(df: DataFrame, limit: Int = 20): String = {
     val (cols, rows) = cells(df, limit)
-    val header = cols.mkString("| ", " | ", " |")
+    // pipes/newlines in cell values would split the table structure
+    def esc(v: String): String =
+      v.replace("|", "\\|").replace("\r", " ").replace("\n", " ")
+    val header = cols.map(esc).mkString("| ", " | ", " |")
     val sep = cols.map(_ => "---").mkString("| ", " | ", " |")
-    val body = rows.map(_.map(_.getOrElse("")).mkString("| ", " | ", " |"))
+    val body = rows.map(_.map(_.map(esc).getOrElse("")).mkString("| ", " | ", " |"))
     (header +: sep +: body).mkString("\n")
   }
 }

@@ -79,9 +79,18 @@ object RefResolver {
           .limit(1)
       case ParsedRef(_, tagOpt, Some(serial), _, _) =>
         val base = runs.filter(col("run_serial") === serial)
-        tagOpt.map(t => base.filter(col("tag") === t || col("source_name") === t)
-          .unionByName(base.filter(lit(t).isNull)).limit(1))
-          .getOrElse(base)
+        tagOpt.map { t =>
+          // prefer the tag/source match; fall back to an UNTAGGED run
+          // with that serial (the old lit(t).isNull fallback compared
+          // a non-null literal — constant false, dead branch — and
+          // union+limit(1) had no preference order anyway)
+          val tagged = base.filter(col("tag") === t || col("source_name") === t)
+            .withColumn("__pref", lit(0))
+          val untagged = base.filter(col("tag").isNull && col("source_name").isNull)
+            .withColumn("__pref", lit(1))
+          tagged.unionByName(untagged)
+            .orderBy(col("__pref")).limit(1).drop("__pref")
+        }.getOrElse(base)
       case ParsedRef(_, Some(tag), _, _, _) =>
         runs.filter(col("source_name") === tag || col("tag") === tag)
           .orderBy(col("started_at").desc, col("invocation_id").desc)

@@ -67,11 +67,13 @@ final class Serve(engine: GraftEngine) {
       val limit = intArg(args, "limit", 100)
       json(df.limit(limit), limit)
     case "events" =>
-      engine.run(args.getOrElse("ref", "-1")).select("run_serial")
+      // default = most recent run ("~1"); a "-1" literal would parse as
+      // run_serial -1, which can never match
+      engine.run(args.getOrElse("ref", "~1")).select("run_serial")
         .collect().headOption match {
         case Some(row) =>
           json(engine.analytics.eventsForRun(row.getLong(0)), intArg(args, "limit", 100))
-        case None => err(s"no run matches ref '${args.getOrElse("ref", "-1")}'")
+        case None => err(s"no run matches ref '${args.getOrElse("ref", "~1")}'")
       }
     case "errors" =>
       val n = intArg(args, "limit", 10); json(engine.errors(n), n)
@@ -125,7 +127,9 @@ final class Serve(engine: GraftEngine) {
       val parsed = engine.spark.sessionState.sqlParser.parsePlan(q)
       Serve.sqlGuardViolation(engine.spark, parsed) match {
         case Some(reason) => err(reason)
-        case None => json(engine.sql(q), intArg(args, "limit", 100))
+        // spark.sql directly — engine.sql would run install() a second
+        // time on this hot path
+        case None => json(engine.spark.sql(q), intArg(args, "limit", 100))
       }
     case "source_context" =>
       // P10 surface: ref_file is untrusted parser output — the resolve
@@ -170,9 +174,17 @@ object Serve {
       case _: ParsedStatement => true
       case _ => false
     })
+    // CTE-defined names are legitimate relations local to the query —
+    // WITH t AS (...) SELECT ... FROM t must not be rejected as unknown
+    lazy val cteNames: Set[String] = plans.flatMap(_.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten).toSet
     lazy val unknownRelations = plans.flatMap(_.collect {
       case r: UnresolvedRelation
-          if !spark.catalog.tableExists(r.multipartIdentifier.mkString(".")) =>
+          if !cteNames.contains(
+            r.multipartIdentifier.mkString(".").toLowerCase(java.util.Locale.ROOT)) &&
+            !spark.catalog.tableExists(r.multipartIdentifier.mkString(".")) =>
         r.multipartIdentifier.mkString(".")
     }).distinct
     lazy val bannedFns = plans.flatMap(_.flatMap(_.expressions.flatMap(_.collect {

@@ -24,7 +24,10 @@ final class CiGate(analytics: Analytics) {
 
   def check(baselineSerial: Long, candidateSerial: Long,
       maxSamples: Int = 5): Verdict = {
+    // persisted: the verdict counts AND the sample join both consume
+    // this three-join graph — uncached it would execute twice
     val diff = analytics.fingerprintDiff(baselineSerial, candidateSerial)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fd = diff
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -42,6 +45,7 @@ final class CiGate(analytics: Analytics) {
           Seq("fingerprint"), "left_semi")
         .select(col("message")).limit(maxSamples)
         .collect().map(r => Option(r.getString(0)).getOrElse("")).toSeq
+    diff.unpersist()
     Verdict(
       pass = fresh == 0,
       newErrors = fresh,

@@ -36,10 +36,15 @@ final class Watcher(dir: String, debounceMs: Long = 500L) {
           key.pollEvents().asScala.foreach { ev =>
             ev.context() match {
               case ctx: Path => pending += p.resolve(ctx).toString
-              case _ =>
+              // OVERFLOW events carry no Path — changes were dropped by
+              // the OS queue; conservatively mark the whole dir changed
+              // so the burst still fires instead of being lost
+              case _ => pending += p.toString
             }
           }
-          key.reset()
+          // an invalid key (watched dir deleted/unmounted) can never
+          // deliver again — exit instead of spinning blind forever
+          if (!key.reset()) stopped.set(true)
           lastChange = System.currentTimeMillis()
         }
         if (pending.nonEmpty &&

@@ -107,12 +107,15 @@ class EventStore(val spark: SparkSession, val root: String) {
     refreshed("outputs")
   }
 
-  /** Write one completed run: its invocation row + parsed events.
-    * Caller assigns run_serial via [[nextRunSerial]]. */
+  /** Write one completed run: its parsed events, THEN its invocation
+    * row — the same crash-consistency order as every Runner write path
+    * (a crash mid-write leaves dangling, joined-away events, never a
+    * committed run row claiming zero events). Caller assigns
+    * run_serial via [[nextRunSerial]]. */
   def appendRun(inv: Invocation, events: Seq[Event]): Unit = {
-    writer(Seq(inv).toDS(), Seq("date")).parquet(path("invocations"))
     if (events.nonEmpty)
       writer(events.toDS(), Seq("date")).parquet(path("events"))
+    writer(Seq(inv).toDS(), Seq("date")).parquet(path("invocations"))
     refreshed("invocations"); refreshed("events")
     invDates.put(inv.id, inv.date.toString)
   }

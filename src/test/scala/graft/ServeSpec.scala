@@ -114,6 +114,18 @@ class ServeSpec extends SparkSpec {
     // plain view queries still fine after all the rejections
     assert(s.call("sql", Map("q" -> "SELECT count(*) AS n FROM blq_events"))
       .contains("\"n\""))
+    // CTE names are query-local relations, not unknown tables
+    val cte = s.call("sql", Map("q" ->
+      "WITH t AS (SELECT severity FROM blq_events) SELECT count(*) AS n FROM t"))
+    assert(!cte.contains("\"error\""), cte)
+    assert(cte.contains("\"n\""))
+  }
+
+  test("events tool without a ref defaults to the most recent run") {
+    val s = mkServe()
+    val out = s.call("events")
+    assert(!out.startsWith("""{"error""""), out)
+    assert(out.contains("not callable")) // run 2's event
   }
 
   test("source_context tool: P10 path-escape guard refuses traversal") {
