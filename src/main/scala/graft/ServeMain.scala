@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * speaks line-delimited JSON-RPC 2.0 on stdin/stdout until EOF.
   *
   * {{{
-  *   java -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+  *   java -cp "<spark-jars>:target/scala-2.13/classes" \
   *     graft.ServeMain /data/bird
   *   {"jsonrpc":"2.0","id":1,"method":"status"}
   *   {"jsonrpc":"2.0","id":2,"method":"errors","params":{"limit":"5"}}
