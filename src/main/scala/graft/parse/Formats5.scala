@@ -15,7 +15,7 @@ object PylintParser extends LogParser {
   val tool = "pylint"
   // app/models.py:42:8: E1101: Instance of 'User' has no 'emial' member (no-member)
   private val diag =
-    """^([^:\s]+\.py):(\d+):(\d+):\s*([CRWEF]\d{4}):\s*(.*?)\s*\(([\w-]+)\)$""".r
+    """^([^:\s]+\.pyi?):(\d+):(\d+):\s*([CRWEF]\d{4}):\s*(.*?)\s*\(([\w-]+)\)$""".r
   private val module = """^\*+ Module\s+(\S+)$""".r
   private val score = """^Your code has been rated at .*$""".r
 

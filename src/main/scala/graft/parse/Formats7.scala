@@ -13,7 +13,7 @@ object SbtParser extends LogParser {
   val tool = "scalac"
   // [error] /work/src/main/scala/Foo.scala:12:34: not found: value bar
   private val diag =
-    """^\[(error|warn)\]\s+([^:\s]+\.scala):(\d+)(?::(\d+))?:\s*(.*)$""".r
+    """^\[(error|warn)\]\s+([^:\s]+\.(?:scala|java)):(\d+)(?::(\d+))?:\s*(.*)$""".r
   // [error] (Compile / compileIncremental) Compilation failed
   private val phase = """^\[(error)\]\s+\((.+?)\)\s+(.*)$""".r
 

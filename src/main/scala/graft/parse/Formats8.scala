@@ -14,7 +14,7 @@ object Flake8Parser extends LogParser {
   // app.py:12:1: E302 expected 2 blank lines, got 1
   // (distinct from pylint: no colon after the code, no (symbolic) suffix)
   private val diag =
-    """^([^:\s]+\.py):(\d+):(\d+):\s*([EWF]\d{1,3}|C\d{3})\s+(.*)$""".r
+    """^([^:\s]+\.pyi?):(\d+):(\d+):\s*([EWF]\d{1,3}|C\d{3})\s+(.*)$""".r
 
   def sniff(lines: Array[String]): Int =
     lines.count(l => diag.findFirstIn(l).isDefined)
