@@ -41,6 +41,16 @@ object Bench {
     // Warmup: touch every table + exercise shuffle/codegen paths once.
     try SparkEntry.queries("q04_region_revenue")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // Scale-experiment dirs (tools/ScaleGen) carry only documents/
+    // embeddings, so the q04 warmup above no-ops there and the first
+    // measured query would eat JVM/codegen startup: run the first
+    // in-filter query once untimed as well (for full driver runs this
+    // is one extra q01 execution before its two timed runs — harmless).
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .find { case (name, _) => nameFilter.forall(p => p.r.findFirstIn(name).isDefined) }
+      .foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => } }
+    spark.catalog.clearCache()
     // Two timed runs per query, report the min: the first run pays
     // one-time Janino codegen compilation (seconds for the nested
     // lambda expressions) which is not a property of the plan; min of

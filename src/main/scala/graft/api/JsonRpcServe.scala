@@ -5,26 +5,37 @@ import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 
-/** Line-delimited JSON-RPC 2.0 binding for [[Serve]] — the transport
-  * half of the reference's MCP server (serve.py's FastMCP session;
-  * MCP's own wire format is JSON-RPC over stdio, so this adapter IS
-  * the protocol shape minus the MCP SDK handshake, which isn't
-  * available in this environment). One request per line in, one
-  * response per line out:
+/** Line-delimited JSON-RPC 2.0 + MCP binding for [[Serve]] — the
+  * transport of the reference's MCP server (serve.py's FastMCP
+  * session). MCP's wire format is JSON-RPC over stdio, and this
+  * adapter speaks both layers from the public spec, no SDK:
   *
-  *   {"jsonrpc":"2.0","id":1,"method":"status","params":{}}
-  *   → {"jsonrpc":"2.0","id":1,"result":{...tool JSON...}}
+  *  - MCP lifecycle: `initialize` (echoes the client's
+  *    protocolVersion, declares the tools capability + serverInfo),
+  *    `notifications/initialized` (accepted, no response), `ping`.
+  *  - MCP tools: `tools/list` returns `{name, description,
+  *    inputSchema}` entries generated from [[Serve.toolSpecs]];
+  *    `tools/call` takes `{name, arguments}` and wraps the tool's
+  *    output in the MCP `content: [{type:"text", text}]` envelope,
+  *    with tool-level failures flagged `isError: true` (per MCP,
+  *    execution errors live in the result so the model can see them —
+  *    protocol errors use JSON-RPC error objects).
+  *  - Direct binding (pre-MCP shape, kept for simple callers):
+  *    `method` = tool name, `params` = flat object coerced to the
+  *    string args Serve.call takes; raw tool JSON as the result.
   *
-  * `method` is the tool name; `params` is a flat object whose values
-  * are coerced to the string args Serve.call takes. `tools/list`
-  * returns the registry. Per JSON-RPC: parse failures → -32700,
-  * unknown methods → -32601, tool-level failures stay inside `result`
-  * as the standard error document (the call itself succeeded).
-  * Requests without an `id` are notifications — executed, no response.
-  * Uses Jackson from Spark's own classpath; no protocol library.
+  * Per JSON-RPC: parse failures → -32700, unknown methods → -32601,
+  * bad params → -32602. Requests without an `id` are notifications —
+  * executed, no response. Uses Jackson from Spark's own classpath; no
+  * protocol library.
   */
 final class JsonRpcServe(serve: Serve) {
   private val mapper = new ObjectMapper()
+
+  /** MCP protocol revision this server was written against; initialize
+    * echoes the client's requested version (the lifecycle/tools subset
+    * spoken here is stable across published revisions). */
+  private val defaultProtocolVersion = "2025-03-26"
 
   /** Serve until EOF. Blocking; run on a dedicated thread if the
     * caller needs to keep working. */
@@ -50,35 +61,97 @@ final class JsonRpcServe(serve: Serve) {
     def respond(body: String): Option[String] =
       id.map(i => s"""{"jsonrpc":"2.0","id":$i,$body}""")
     method match {
+      case "initialize" =>
+        val pv = Option(node.get("params"))
+          .flatMap(p => Option(p.get("protocolVersion")))
+          .filter(_.isTextual).map(_.asText())
+          .getOrElse(defaultProtocolVersion)
+        respond(s""""result":{"protocolVersion":${mapper.writeValueAsString(pv)},""" +
+          s""""capabilities":{"tools":{"listChanged":false}},""" +
+          s""""serverInfo":{"name":"graft","version":"0.4.0"}}""")
+      case "notifications/initialized" =>
+        // lifecycle notification: accepted silently. A (non-conforming)
+        // client that attached an id still gets the response JSON-RPC
+        // owes every non-notification request.
+        respond(""""result":{}""")
+      case "ping" =>
+        respond(""""result":{}""")
       case "tools/list" =>
-        respond(s""""result":{"tools":[${serve.tools.map("\"" + _ + "\"").mkString(",")}]}""")
+        val entries = Serve.toolSpecs.map(toolListEntry).mkString(",")
+        respond(s""""result":{"tools":[$entries]}""")
+      case "tools/call" =>
+        val p = Option(node.get("params")).filter(_.isObject)
+        val name = p.flatMap(o => Option(o.get("name"))).filter(_.isTextual)
+          .map(_.asText()).getOrElse("")
+        if (!serve.tools.contains(name))
+          return respond(s""""error":{"code":-32602,"message":${
+            mapper.writeValueAsString(s"unknown tool: $name")}}""")
+        val argNode = p.flatMap(o => Option(o.get("arguments"))).filter(_.isObject)
+        callTool(name, argNode.map(_.properties().asScala.toSeq).getOrElse(Seq.empty)) match {
+          case Left(badParams) => respond(badParams)
+          case Right(json) =>
+            // MCP envelope: the tool's document rides as one text
+            // content block; a tool-level error document (the call ran,
+            // the tool refused) is flagged isError so the model sees it.
+            val isErr =
+              try {
+                val t = mapper.readTree(json); t.isObject && t.has("error")
+              } catch { case scala.util.control.NonFatal(_) => false }
+            respond(s""""result":{"content":[{"type":"text","text":${
+              mapper.writeValueAsString(json)}}],"isError":$isErr}""")
+        }
       case m if serve.tools.contains(m) =>
         val params = Option(node.get("params")).filter(_.isObject)
           .map(_.properties().asScala.toSeq).getOrElse(Seq.empty)
-        // Serve's args are flat strings; an object/array param would be
-        // silently flattened to "" by asText() — reject it instead of
-        // serving wrong (unfiltered) results
-        val structured = params.filter(e => e.getValue.isContainerNode)
-        if (structured.nonEmpty)
-          return respond(s""""error":{"code":-32602,"message":${
-            mapper.writeValueAsString("params must be flat strings; got object/array for: " +
-              structured.map(_.getKey).mkString(", "))}}""")
-        val args = params.map(e => e.getKey -> e.getValue.asText()).toMap
-        val result = serve.call(m, args)
-        // report returns markdown, not JSON — wrap it. Everything else
-        // is a JSON document, but possibly PRETTY-printed (Formatters
-        // emits multi-line arrays) — re-serialize compact, because the
-        // framing here is one response per LINE.
-        val json = if (m == "report") mapper.writeValueAsString(
-            mapper.createObjectNode().put("markdown", result))
-          else
-            try mapper.writeValueAsString(mapper.readTree(result))
-            catch { case scala.util.control.NonFatal(_) =>
-              mapper.writeValueAsString(result) }
-        respond(s""""result":$json""")
+        callTool(m, params) match {
+          case Left(badParams) => respond(badParams)
+          case Right(json) => respond(s""""result":$json""")
+        }
       case m =>
         val msg = mapper.writeValueAsString(s"method not found: $m")
         respond(s""""error":{"code":-32601,"message":$msg}""")
     }
+  }
+
+  /** Dispatch one tool with raw JSON params: coerces scalar values to
+    * Serve's string args, rejects container values (they would be
+    * silently flattened to "" by asText and serve WRONG — unfiltered —
+    * results), normalizes the output to one compact JSON document.
+    * Left = a ready "error":{...} body (-32602). */
+  private def callTool(m: String,
+      params: Seq[java.util.Map.Entry[String, com.fasterxml.jackson.databind.JsonNode]])
+      : Either[String, String] = {
+    val structured = params.filter(e => e.getValue.isContainerNode)
+    if (structured.nonEmpty)
+      return Left(s""""error":{"code":-32602,"message":${
+        mapper.writeValueAsString("params must be flat scalars; got object/array for: " +
+          structured.map(_.getKey).mkString(", "))}}""")
+    val args = params.map(e => e.getKey -> e.getValue.asText()).toMap
+    val result = serve.call(m, args)
+    // report returns markdown, not JSON — wrap it. Everything else is
+    // a JSON document, but possibly PRETTY-printed (Formatters emits
+    // multi-line arrays) — re-serialize compact, because the framing
+    // here is one response per LINE.
+    Right(
+      if (m == "report")
+        mapper.writeValueAsString(mapper.createObjectNode().put("markdown", result))
+      else
+        try mapper.writeValueAsString(mapper.readTree(result))
+        catch { case scala.util.control.NonFatal(_) =>
+          mapper.writeValueAsString(result) })
+  }
+
+  /** One MCP tools/list entry: {name, description, inputSchema} with a
+    * JSON-Schema object generated from the ToolSpec. */
+  private def toolListEntry(spec: Serve.ToolSpec): String = {
+    val props = spec.params.map { p =>
+      s"${mapper.writeValueAsString(p.name)}:{"+
+        s""""type":"${p.tpe}","description":${mapper.writeValueAsString(p.description)}}"""
+    }.mkString(",")
+    val required = spec.params.filter(_.required)
+      .map(p => mapper.writeValueAsString(p.name)).mkString(",")
+    s"""{"name":${mapper.writeValueAsString(spec.name)},""" +
+      s""""description":${mapper.writeValueAsString(spec.description)},""" +
+      s""""inputSchema":{"type":"object","properties":{$props},"required":[$required]}}"""
   }
 }

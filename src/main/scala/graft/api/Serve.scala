@@ -37,9 +37,7 @@ import graft.GraftEngine
 final class Serve(engine: GraftEngine) {
   import Serve._
 
-  val tools: Seq[String] = Seq("query", "events", "errors", "warnings",
-    "status", "history", "summary", "diff", "report", "ci_check",
-    "output", "import", "sql", "source_context")
+  val tools: Seq[String] = Serve.toolSpecs.map(_.name)
 
   /** Dispatch one tool call; returns a JSON document (or for `report`,
     * markdown). Unknown tools and bad args return a JSON error object
@@ -144,6 +142,83 @@ final class Serve(engine: GraftEngine) {
 
 object Serve {
   import org.apache.spark.sql.SparkSession
+
+  /** One declared tool argument: `tpe` is a JSON-Schema primitive type
+    * name ("string"/"integer"). The wire layer coerces every scalar to
+    * the string args [[Serve.call]] takes; the declared type is client
+    * guidance (and what an MCP client renders in its tool UI). */
+  final case class ToolParam(name: String, tpe: String, description: String,
+      required: Boolean = false)
+
+  /** Transport-agnostic tool metadata: enough for any RPC binding to
+    * render a registry entry — MCP's tools/list `{name, description,
+    * inputSchema}` shape is generated 1:1 from this by
+    * [[JsonRpcServe]]. Tool semantics mirror the reference's serve
+    * surface (serve.py's @mcp.tool functions); see the class scaladoc
+    * mapping table. */
+  final case class ToolSpec(name: String, description: String,
+      params: Seq[ToolParam])
+
+  val toolSpecs: Seq[ToolSpec] = Seq(
+    ToolSpec("query",
+      "Filter the flat events view with the filter mini-language; returns matching events as JSON rows.",
+      Seq(
+        ToolParam("filter", "string",
+          "';'-separated filter clauses, e.g. \"severity=error;ref_file~src/%\""),
+        ToolParam("select", "string", "comma-separated column list to project"),
+        ToolParam("limit", "integer", "max rows to return (default 100)"))),
+    ToolSpec("events",
+      "List events for one run, addressed by run ref (serial, ~N for N-back, or source:last).",
+      Seq(
+        ToolParam("ref", "string", "run reference; default ~1 (most recent run)"),
+        ToolParam("limit", "integer", "max rows to return (default 100)"))),
+    ToolSpec("errors", "Most recent error events across runs.",
+      Seq(ToolParam("limit", "integer", "max rows (default 10)"))),
+    ToolSpec("warnings", "Most recent warning events across runs.",
+      Seq(ToolParam("limit", "integer", "max rows (default 10)"))),
+    ToolSpec("status", "Latest-run status board per source.", Seq.empty),
+    ToolSpec("history", "Run history, newest first.",
+      Seq(ToolParam("limit", "integer", "max rows (default 20)"))),
+    ToolSpec("summary", "Grouped error rollup (fingerprint, count, example).",
+      Seq.empty),
+    ToolSpec("diff", "Fingerprint/count diff between two runs.",
+      Seq(
+        ToolParam("run1", "integer", "baseline run serial", required = true),
+        ToolParam("run2", "integer", "candidate run serial", required = true))),
+    ToolSpec("report", "Markdown status report (history + hot files).",
+      Seq(
+        ToolParam("history", "integer", "history depth (default 10)"),
+        ToolParam("files", "integer", "hot-file count (default 10)"))),
+    ToolSpec("ci_check",
+      "CI gate verdict between a baseline and candidate run: new/fixed/unchanged errors plus samples.",
+      Seq(
+        ToolParam("baseline", "integer", "baseline run serial", required = true),
+        ToolParam("candidate", "integer", "candidate run serial", required = true))),
+    ToolSpec("output",
+      "Captured output of an invocation: full body, a line window, or grep with context.",
+      Seq(
+        ToolParam("invocation_id", "string", "invocation to read", required = true),
+        ToolParam("grep", "string", "regex to search for"),
+        ToolParam("ctx", "integer", "grep context lines (default 2)"),
+        ToolParam("lines", "string", "line window spec, e.g. 10:20"))),
+    ToolSpec("import",
+      "Ingest a log file (or glob of files, parsed distributed) into the store.",
+      Seq(
+        ToolParam("path", "string", "file path or glob", required = true),
+        ToolParam("format", "string", "named format or 'auto' (default auto)"),
+        ToolParam("tag", "string", "optional run tag"))),
+    ToolSpec("sql",
+      "Read-only SQL over the registered views (SELECT/WITH only; registered relations only).",
+      Seq(
+        ToolParam("q", "string", "the SQL text", required = true),
+        ToolParam("limit", "integer", "max rows to return (default 100)"))),
+    ToolSpec("source_context",
+      "Source window around an event's file:line; refuses paths escaping the given root.",
+      Seq(
+        ToolParam("ref_file", "string", "file path from the event", required = true),
+        ToolParam("ref_line", "integer", "line number (default 1)"),
+        ToolParam("root", "string", "source root the path must stay under", required = true),
+        ToolParam("context", "integer", "lines of context each side (default 5)"))))
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
   import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}

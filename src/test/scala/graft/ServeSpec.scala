@@ -182,6 +182,46 @@ class ServeSpec extends SparkSpec {
     assert(lines(5).contains("-32700"))
   }
 
+  test("mcp: initialize → initialized → tools/list → tools/call → errors through the stdio loop") {
+    import graft.api.JsonRpcServe
+    val rpc = new JsonRpcServe(mkServe())
+    // a stock MCP client's opening frames, then tool traffic
+    val requests = Seq(
+      """{"jsonrpc":"2.0","id":0,"method":"initialize","params":{"protocolVersion":"2024-11-05","capabilities":{},"clientInfo":{"name":"test-client","version":"1.0"}}}""",
+      """{"jsonrpc":"2.0","method":"notifications/initialized"}""",
+      """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""",
+      """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"errors","arguments":{"limit":5}}}""",
+      """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"diff","arguments":{"run1":"1","run2":"2"}}}""",
+      """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"output","arguments":{"invocation_id":"nope"}}}""",
+      """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"no_such_tool","arguments":{}}}""",
+      """{"jsonrpc":"2.0","id":6,"method":"ping"}""").mkString("\n")
+    val in = new java.io.ByteArrayInputStream(
+      requests.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new java.io.ByteArrayOutputStream()
+    rpc.loop(in, out)
+    val lines = out.toString("UTF-8").trim.split("\n")
+    // 8 frames, one notification → 7 responses
+    assert(lines.length === 7, lines.mkString("\n"))
+    // initialize: echoes the requested protocol version, declares tools
+    assert(lines(0).contains("\"protocolVersion\":\"2024-11-05\""))
+    assert(lines(0).contains("\"tools\"") && lines(0).contains("\"serverInfo\""))
+    // tools/list: MCP-shaped entries with JSON-Schema inputSchema
+    assert(lines(1).contains("\"inputSchema\""))
+    assert(lines(1).contains("\"type\":\"object\""))
+    assert(lines(1).contains("\"source_context\""))
+    assert(lines(1).contains("\"required\":[\"run1\",\"run2\"]"))
+    // tools/call: content envelope; integer argument coerced
+    assert(lines(2).contains("\"content\"") && lines(2).contains("not callable"))
+    assert(lines(2).contains("\"isError\":false"))
+    assert(lines(3).contains("delta"))
+    // tool-level failure → isError:true inside the result
+    assert(lines(4).contains("\"isError\":true"))
+    // unknown tool → protocol-level -32602
+    assert(lines(5).contains("-32602") && lines(5).contains("no_such_tool"))
+    // ping → empty result
+    assert(lines(6).contains("\"id\":6") && lines(6).contains("\"result\":{}"))
+  }
+
   test("json-rpc: explicit null id answered; structured params rejected") {
     import graft.api.JsonRpcServe
     val rpc = new JsonRpcServe(mkServe())
