@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * processed in partition-local batches.
   *
   * The Spark-side contract (schema, partitioning, batch shape) is real
-  * and tested; the codec itself is a STUB — this container has no
-  * image/audio libraries, so [[DecodeStub]] derives deterministic fake
-  * dimensions/features from the bytes. Swapping in a real codec changes
-  * only the function body, never the plan shape: decode stays a
-  * narrow per-partition map (no shuffle), feature vectors flow into
-  * [[Similarity]] unchanged.
+  * and tested. Decode is two-tier: [[HeaderCodec]] is a REAL pure-JVM
+  * container-header parser (PNG IHDR, JPEG SOFn, GIF logical screen
+  * descriptor → true width/height/format, from the published container
+  * specs); payloads it doesn't recognize fall back to [[DecodeStub]],
+  * which derives deterministic fake dimensions/features from the bytes
+  * (this container has no full codec libraries — pixel decode, audio
+  * frames). Swapping in a full codec changes only the function body,
+  * never the plan shape: decode stays a narrow per-partition map (no
+  * shuffle), feature vectors flow into [[Similarity]] unchanged.
   */
 object Multimodal {
 
@@ -38,9 +41,91 @@ object Multimodal {
     * the [[Similarity]] operators directly). */
   case class MediaFeature(media_id: Long, embedding: Array[Float])
 
-  /** STUB codec: deterministic pseudo-decode from the payload bytes.
-    * A real implementation would parse the container header (JPEG SOF,
-    * WAV fmt, MP4 moov) — the call site and batch shape are identical. */
+  /** Real container-header decode, pure JVM (no codec libraries):
+    * extracts true (format, width, height) from the published header
+    * layouts of the three ubiquitous image containers. Anything it
+    * does not positively identify returns None and flows to the
+    * [[DecodeStub]] fallback — a truncated or lying payload must never
+    * throw inside an executor task. */
+  object HeaderCodec {
+
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def be16(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (always first):
+      * 4-byte length, "IHDR", width/height as big-endian u32. */
+    private def png(b: Array[Byte]): Option[(String, Int, Int)] =
+      if (b.length >= 24 &&
+          (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          (b(4) & 0xff) == 0x0d && (b(5) & 0xff) == 0x0a &&
+          (b(6) & 0xff) == 0x1a && (b(7) & 0xff) == 0x0a &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+        Some(("png", be32(b, 16), be32(b, 20)))
+      else None
+
+    /** JPEG: FF D8 then marker segments; the frame header (SOF0-15,
+      * minus DHT/JPG/DAC which share the Cx range) carries
+      * [len][precision][height][width]. Walks segment lengths; bails
+      * (None) on any malformed structure. */
+    private def jpeg(b: Array[Byte]): Option[(String, Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        // fill bytes: consecutive FFs pad before a marker
+        while (i + 1 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+        if (i + 3 >= b.length) return None
+        val marker = b(i + 1) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS: no frame header seen
+        val len = be16(b, i + 2)
+        if (len < 2 || i + 2 + len > b.length) return None
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 7) return None
+          return Some(("jpeg", be16(b, i + 7), be16(b, i + 5)))
+        }
+        i += 2 + len
+      }
+      None
+    }
+
+    /** GIF: "GIF87a"/"GIF89a" then the logical screen descriptor's
+      * little-endian u16 width/height. */
+    private def gif(b: Array[Byte]): Option[(String, Int, Int)] =
+      if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+          b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        Some(("gif", le16(b, 6), le16(b, 8)))
+      else None
+
+    /** (format, width, height) if the payload starts with a recognized
+      * image container header. */
+    def imageHeader(b: Array[Byte]): Option[(String, Int, Int)] =
+      try png(b).orElse(jpeg(b)).orElse(gif(b))
+      catch { case _: IndexOutOfBoundsException => None }
+
+    /** Full decode: real header metadata when recognized (the detected
+      * format overrides the envelope mime — headers don't lie,
+      * envelopes do), stub pseudo-decode otherwise. */
+    def decode(r: MediaRow): MediaMeta =
+      imageHeader(r.payload) match {
+        case Some((fmt, w, h)) =>
+          MediaMeta(r.media_id, s"image/$fmt", r.payload.length,
+            width = w, height = h, n_frames = 1, duration_ms = 0L)
+        case None => DecodeStub.decode(r)
+      }
+  }
+
+  /** STUB codec: deterministic pseudo-decode from the payload bytes,
+    * the fallback for containers [[HeaderCodec]] doesn't parse (full
+    * pixel/audio decode needs codec libraries this container lacks) —
+    * the call site and batch shape are identical. */
   object DecodeStub {
     def decode(r: MediaRow): MediaMeta = {
       val n = r.payload.length
@@ -83,11 +168,13 @@ object Multimodal {
 
   /** Decode stage: partition-local batched map — the Scala analog of a
     * `mapInPandas` decode UDF. Batch shape = one iterator per parquet
-    * row-group-sized partition; no shuffle, codegen resumes after. */
+    * row-group-sized partition; no shuffle, codegen resumes after.
+    * Real header decode for PNG/JPEG/GIF payloads, stub fallback for
+    * the rest ([[HeaderCodec.decode]]). */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(DecodeStub.decode))
+    media.mapPartitions(_.map(HeaderCodec.decode))
   }
 
   /** Feature-extract stage, same batch shape as [[decodeMeta]]. */

@@ -61,6 +61,21 @@ object Skew {
       .agg(sum(col("__n")).as("n"), sum(col("__sum")).as("total"))
   }
 
+  /** Projected reducer loads: rows per shuffle bucket if `df` were
+    * hash-partitioned on `keys` into `parts` reducers — the same
+    * murmur3 key hash Spark's HashPartitioning applies. This is the
+    * planning diagnostic behind [[saltedJoin]]: compare the max load
+    * on (key) vs (key, salt) to see what salting buys BEFORE running
+    * the join (task wall time is proportional to reducer records at
+    * fixed per-record work, and unlike measured task times this is
+    * deterministic — no machine noise, no AQE coalescing of the
+    * test-scale partitions). */
+  def reducerLoads(df: DataFrame, keys: Seq[String], parts: Int): DataFrame = {
+    require(parts > 0, "parts must be positive")
+    df.groupBy(pmod(hash(keys.map(col): _*), lit(parts)).as("bucket"))
+      .agg(count(lit(1)).as("rows"))
+  }
+
   /** Key histogram — find the keys that need salting (or filtering):
     * top `n` keys by row count with their share of the table. */
   def hotKeys(df: DataFrame, key: String, n: Int = 20): DataFrame = {

@@ -93,6 +93,44 @@ class MaintenanceIvfSpec extends SparkSpec {
     assert(hot.getAs[Double]("share") === 0.9)
   }
 
+  test("salting demonstrably collapses the hot key's reducer-load spread (its reason to exist)") {
+    // 90%-one-key corpus: 18k "hot" rows + 2k singletons. The spread
+    // measurement is Skew.reducerLoads — projected records per shuffle
+    // reducer under Spark's own key hash — because at test scale
+    // measured task times are all noise and AQE coalesces the tiny
+    // partitions anyway; records-per-reducer is the deterministic
+    // quantity task time is proportional to.
+    val n = 20000
+    val big = spark.range(n).select(
+      when(col("id") < n * 9 / 10, "hot")
+        .otherwise(concat(lit("k"), col("id"))).as("key"),
+      col("id").as("payload"))
+    val parts = 32
+    val unsaltedMax = Skew.reducerLoads(big, Seq("key"), parts)
+      .agg(max(col("rows"))).as[Long].head()
+    // the exact salted key set saltedJoin shuffles on (position-derived
+    // salt, 16 buckets — mirrors the helper's internals)
+    val salts = 16
+    val saltedBig = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val saltedMax = Skew.reducerLoads(saltedBig, Seq("key", "__salt"), parts)
+      .agg(max(col("rows"))).as[Long].head()
+    // unsalted: one reducer owns >= the whole hot key (90% of the table)
+    assert(unsaltedMax >= n * 9 / 10, s"unsalted max: $unsaltedMax")
+    // salted: the hot key spreads over `salts` buckets; even with a few
+    // buckets co-hashing onto one reducer the worst load collapses
+    assert(saltedMax <= unsaltedMax / 3, s"salted max: $saltedMax vs $unsaltedMax")
+    assert(saltedMax < 6000, s"salted max: $saltedMax")
+    // and the salted join result is exactly the plain join's
+    val small = Seq(("hot", "H"), ("k19990", "A")).toDF("key", "tag")
+    val plain = big.join(small, Seq("key"))
+      .agg(count(lit(1)), sum(col("payload"))).as[(Long, Long)].head()
+    val salted = Skew.saltedJoin(big, small, "key", salts)
+      .agg(count(lit(1)), sum(col("payload"))).as[(Long, Long)].head()
+    assert(salted === plain)
+    assert(plain._1 === (n * 9 / 10 + 1).toLong)
+  }
+
   test("salted join spreads IDENTICAL duplicate rows across salt buckets") {
     // The canonical hot-key pathology: many fully-identical rows. A
     // content-derived salt puts all of them in one bucket; the

@@ -189,6 +189,48 @@ class MlSpec extends SparkSpec {
     assert(byId(1L).width === byId(4L).width)
   }
 
+  test("multimodal: real PNG/JPEG/GIF header bytes decode to true dimensions") {
+    import Multimodal.{HeaderCodec, MediaRow}
+    // real fixture bytes: actual encoders (javax.imageio ships with the
+    // JVM), not hand-assembled headers
+    def encoded(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xff8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val png = encoded("png", 1, 1)
+    val jpg = encoded("jpg", 3, 2)
+    val gif = encoded("gif", 5, 4)
+    assert(HeaderCodec.imageHeader(png) === Some(("png", 1, 1)))
+    assert(HeaderCodec.imageHeader(jpg) === Some(("jpeg", 3, 2)))
+    assert(HeaderCodec.imageHeader(gif) === Some(("gif", 5, 4)))
+    // lying envelope mime: the header wins
+    val m = HeaderCodec.decode(MediaRow(7L, "application/octet-stream", jpg, "s"))
+    assert(m.mime === "image/jpeg" && m.width === 3 && m.height === 2)
+    assert(m.n_frames === 1 && m.duration_ms === 0L)
+    // truncated payloads and garbage must fall back to the stub, never throw
+    for (bad <- Seq(png.take(10), jpg.take(3), Array[Byte](),
+        Array.fill(64)(0xff.toByte), "just text".getBytes("UTF-8"))) {
+      val r = MediaRow(8L, "image/png", bad, "s")
+      assert(HeaderCodec.imageHeader(bad).isEmpty)
+      assert(HeaderCodec.decode(r) === Multimodal.DecodeStub.decode(r))
+    }
+    // and through the distributed decode stage: mixed real/opaque batch
+    val rows = Seq(
+      MediaRow(1L, "image/png", png, "s"),
+      MediaRow(2L, "image/jpeg", jpg, "s"),
+      MediaRow(3L, "application/octet-stream", "opaque".getBytes("UTF-8"), "s"))
+    val meta = Multimodal.decodeMeta(spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow]))
+      .collect().map(x => x.media_id -> x).toMap
+    assert(meta(1L).width === 1 && meta(1L).height === 1)
+    assert(meta(2L).width === 3 && meta(2L).height === 2)
+    assert(meta(3L).width >= 64) // stub-derived
+  }
+
   test("multimodal: frame sampling explodes only multi-frame assets") {
     val media = Multimodal.fakeMediaTable(corpus.withColumn("source", lit("s")))
     val meta = Multimodal.decodeMeta(media)
