@@ -254,7 +254,11 @@ object CondaParser extends LogParser {
   val tool = "conda"
   // PackagesNotFoundError: The following packages are not available from current channels:
   // ResolvePackageNotFound:  /  - nosuchpkg=9.9
-  private val errHead = """^(\w*(?:Error|NotFound)\w*):\s*(.*)$""".r
+  // Requires a NAMED error class (PackagesNotFoundError, CondaError…):
+  // a bare "Error:" head is not conda-specific — terraform, generic CLI
+  // and many tools emit it, and the old \w* form made conda outscore
+  // them all in the registry (found by the terraform deep fixture).
+  private val errHead = """^(\w+(?:Error|NotFound)\w*):\s*(.*)$""".r
   private val missing = """^\s+-\s+(\S+)$""".r
   private val solving = """^Solving environment: .*$""".r
   private val done = """^# To activate this environment.*$""".r

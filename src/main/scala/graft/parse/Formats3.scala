@@ -81,6 +81,14 @@ object JunitXmlParser extends LogParser {
   private val classRe = """classname="([^"]*)"""".r
   private val failRe = """<(failure|error)\b[^>]*?(?:\bmessage="([^"]*)"[^>]*)?>""".r
 
+  /** XML attribute values carry escaped entities (&lt;4&gt; in every
+    * assertEquals message); unescape the five predefined ones so event
+    * messages read as the original text. &amp; last, so "&amp;lt;"
+    * round-trips correctly. */
+  private def unescape(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")
+
   def sniff(lines: Array[String]): Int =
     lines.count(l => l.contains("<testsuite") || l.contains("<testcase"))
 
@@ -95,8 +103,8 @@ object JunitXmlParser extends LogParser {
     var idx = 0L
     var m = caseRe.findAllMatchIn(content).toSeq
     for (c <- m) {
-      val name = c.group(1)
-      val cls = classRe.findFirstMatchIn(c.matched).map(_.group(1))
+      val name = unescape(c.group(1))
+      val cls = classRe.findFirstMatchIn(c.matched).map(m => unescape(m.group(1)))
       val selfClosed = c.group(2) == "/"
       val rest = content.substring(c.end,
         math.min(content.length, content.indexOf("</testcase>", c.end) match {
@@ -108,7 +116,8 @@ object JunitXmlParser extends LogParser {
       fail match {
         case Some(f) =>
           out += mk(idx, ln, Severity.TestFail,
-            Option(f.group(2)).getOrElse(s"$name failed"), c.matched.take(120),
+            Option(f.group(2)).map(unescape).getOrElse(s"$name failed"),
+            c.matched.take(120),
             "test", test = Some(name), file = cls)
         case None =>
           out += mk(idx, ln, Severity.TestPass, name, c.matched.take(120),
@@ -181,11 +190,19 @@ object MsbuildParser extends LogParser {
   def parse(content: String): Seq[ParsedEvent] = {
     val out = Seq.newBuilder[ParsedEvent]
     var idx = 0L
+    // MSBuild re-echoes every diagnostic after "Build FAILED."/"Build
+    // succeeded." — one event per distinct diagnostic, not two. Keyed
+    // on the full identity tuple so genuinely repeated diagnostics at
+    // different sites still both emit.
+    val seen = scala.collection.mutable.Set.empty[(String, Int, Int, String, String)]
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
       case diag(file, line, colN, sev, code, msg) =>
-        out += mk(idx, i + 1, sev, msg, raw, "compile", code = Some(code),
-          file = Some(file.trim), line = Some(line.toInt), col = Some(colN.toInt))
-        idx += 1
+        val key = (file.trim, line.toInt, colN.toInt, code, msg)
+        if (seen.add(key)) {
+          out += mk(idx, i + 1, sev, msg, raw, "compile", code = Some(code),
+            file = Some(file.trim), line = Some(line.toInt), col = Some(colN.toInt))
+          idx += 1
+        }
       case _ =>
     }
     out.result()

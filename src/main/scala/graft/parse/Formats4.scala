@@ -13,6 +13,14 @@ object PhpunitParser extends LogParser {
   // 1) UserTest::testEmail  /  Failed asserting that false is true.
   private val item = """^\d+\)\s+([\w\\]+)::(\w+)$""".r
   private val loc = """^(/[^:\s]+\.php):(\d+)$""".r
+  // Section headers restart item numbering and set item severity:
+  // failures/errors → test_fail, skipped/incomplete → info, warnings/
+  // risky → warning (phpunit prints each as its own "There were N …:"
+  // block with 1)-numbered items).
+  private val section =
+    """^There (?:were \d+|was \d+|was one|were) (failure|error|skipped test|incomplete test|warning|risky test)s?.*:$""".r
+  private val tally = """^Tests: \d+.*$""".r
+  private val ok = """^OK \(\d+ tests?.*\)$""".r
   private val summary = """^(?:OK \(\d+ tests?|FAILURES!|Tests: \d+).*$""".r
 
   def sniff(lines: Array[String]): Int =
@@ -23,17 +31,33 @@ object PhpunitParser extends LogParser {
     var idx = 0L
     var current: Option[(String, String, Int)] = None // class, test, line no
     var message: Option[String] = None
+    var sectionSev: String = Severity.TestFail
     def flush(file: Option[String], line: Option[Int]): Unit =
       current.foreach { case (cls, test, ln) =>
-        out += mk(idx, ln, Severity.TestFail,
+        out += mk(idx, ln, sectionSev,
           message.getOrElse(s"$cls::$test failed"), s"$cls::$test", "test",
           test = Some(s"$cls::$test"), file = file, line = line)
         idx += 1
         current = None; message = None
       }
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
+      case section(kind) =>
+        flush(None, None)
+        sectionSev = kind match {
+          case "failure" | "error" => Severity.TestFail
+          case "warning" | "risky test" => Severity.Warning
+          case _ => Severity.Info // skipped / incomplete
+        }
       case item(cls, test) => flush(None, None); current = Some((cls, test, i + 1))
       case loc(file, line) => flush(Some(file), Some(line.toInt))
+      case l if tally.findFirstIn(l).isDefined =>
+        flush(None, None)
+        out += mk(idx, i + 1, Severity.Error, l.trim, l, "test-summary")
+        idx += 1
+      case l if ok.findFirstIn(l).isDefined =>
+        flush(None, None)
+        out += mk(idx, i + 1, Severity.Info, l.trim, l, "test-summary")
+        idx += 1
       case l if current.isDefined && l.trim.nonEmpty && message.isEmpty =>
         message = Some(l.trim)
       case _ =>

@@ -43,6 +43,11 @@ object ClangTidyParser extends LogParser {
   // /src/foo.cpp:42:10: warning: do not use C-style casts [cppcoreguidelines-pro-type-cstyle-cast]
   private val diag =
     """^([^:\s]+\.(?:c|cc|cpp|cxx|h|hpp|m|mm)):(\d+):(\d+):\s*(error|warning|note):\s*(.*?)\s*\[([\w.,-]+)\]$""".r
+  // notes carry no [check] suffix ("note: insert an explicit cast…") —
+  // parse them too, but keep them OUT of sniff: the suffix is what
+  // separates clang-tidy from plain gcc output in registry scoring.
+  private val noteDiag =
+    """^([^:\s]+\.(?:c|cc|cpp|cxx|h|hpp|m|mm)):(\d+):(\d+):\s*note:\s*(.*)$""".r
 
   // gcc's regex matches these lines too; the mandatory [check-name]
   // suffix + tripled score wins the tie on clang-tidy output while
@@ -58,6 +63,10 @@ object ClangTidyParser extends LogParser {
         out += mk(idx, i + 1, sev, msg, raw, "static-analysis",
           rule = Some(check), file = Some(file), line = Some(line.toInt),
           col = Some(colN.toInt))
+        idx += 1
+      case noteDiag(file, line, colN, msg) =>
+        out += mk(idx, i + 1, "note", msg, raw, "static-analysis",
+          file = Some(file), line = Some(line.toInt), col = Some(colN.toInt))
         idx += 1
       case _ =>
     }

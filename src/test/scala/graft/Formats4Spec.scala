@@ -19,11 +19,14 @@ class Formats4Spec extends AnyFunSuite {
         |FAILURES!
         |Tests: 2, Assertions: 3, Failures: 1.""".stripMargin
     val evs = PhpunitParser.parse(log)
-    assert(evs.length === 1)
+    assert(evs.length === 2) // the failure + the Tests:-tally summary
     assert(evs.head.test_name === Some("App\\Tests\\UserTest::testEmail"))
     assert(evs.head.message === Some("Failed asserting that false is true."))
     assert(evs.head.ref_file === Some("/src/tests/UserTest.php"))
     assert(evs.head.ref_line === Some(42))
+    assert(evs(1).category === Some("test-summary"))
+    assert(evs(1).severity === graft.model.Severity.Error)
+    assert(evs(1).message.exists(_.startsWith("Tests: 2")))
   }
 
   test("rubocop: severity letters map, cop name as rule") {
