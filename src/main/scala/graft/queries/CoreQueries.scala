@@ -334,6 +334,104 @@ object CoreQueries {
         .groupBy(col("n_orders"))
         .agg(count(lit(1)).as("n_cust"))
         .orderBy(col("n_cust").desc, col("n_orders").desc)
+    },
+
+    // TPC-H Q5 shape (local supplier volume): the classic snowflake —
+    // region→nation→supplier chained BROADCAST dims (each stays small:
+    // the fact table never shuffles for a dim), date-pruned orders, and
+    // the same-nation customer⋈supplier correlation as a broadcast
+    // equi-join on (custkey, nationkey). One fact-side shuffle total
+    // (the final nation rollup). Revenue sums span thousands of rows,
+    // magnitude ~1e7: double accumulation error ~1e-5 ≪ the 2dp
+    // rounding unit, so the rounded emission is engine-stable.
+    "q70_local_supplier_volume" -> { (s, dir) =>
+      val asiaNations = t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = t(s, dir, "supplier").join(broadcast(asiaNations),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): one quarter of orders,
+    // returned lineitems only, revenue per customer with the nation dim
+    // broadcast, top-20.
+    //
+    // Revenue is computed EXACTLY, in integer 1e-4-dollar units:
+    // price and discount are 2dp decimals, so ep_cents*(100-disc_pct)
+    // is an exact long, its sum is exact, ranking compares exact
+    // integers, and the one emitted division (sum/10000.0) performs
+    // the identical IEEE-754 operation on the identical integer in
+    // both engines. Rounding a float SUM is not portable here: the
+    // first attempt put one customer's sum near a .005 boundary where
+    // Spark (shortest-decimal-string HALF_UP) and DuckDB (binary
+    // round) disagree — accumulation order plus rounding convention
+    // both bite at boundaries, and a fixed corpus keeps the boundary
+    // forever.
+    "q71_returned_items" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val revE4 = (round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("rev_e4")
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revE4)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      val cust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      rev.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+        .orderBy(col("rev_e4").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          (col("rev_e4") / lit(10000.0)).as("revenue"), col("acctbal"), col("n_name"))
+    },
+
+    // TPC-H Q18 shape (large-volume customers): the double-lineitem
+    // plan — aggregate lineitem to find >300-quantity orders (a tiny
+    // key set), semi-join it back into orders, re-aggregate. The big
+    // key list stays a join (never a collect): at 100 TB it is still
+    // millions of keys, and AQE broadcasts it only if it measures
+    // small.
+    "q72_large_volume_cust" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val bigOrders = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(round(col("sq"), 4) > 300)
+        .select(col("l_orderkey").as("big_orderkey"))
+      t(s, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("big_orderkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(100)
     })
 
   val oracles: Map[String, String] = Map(
@@ -365,6 +463,50 @@ object CoreQueries {
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
         |GROUP BY n_orders ORDER BY n_cust DESC, n_orders DESC""".stripMargin,
+
+    "q70_local_supplier_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q71_returned_items" ->
+      """SELECT c_custkey, c_name, rev_e4 / 10000.0 AS revenue, acctbal, n_name
+        |FROM (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS rev_e4
+        |  FROM lineitem
+        |   JOIN orders ON l_orderkey = o_orderkey
+        |   JOIN customer ON o_custkey = c_custkey
+        |   JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY c_custkey, c_name, round(c_acctbal, 2), n_name)
+        |ORDER BY rev_e4 DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q72_large_volume_cust" ->
+      """SELECT c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate) AS ord_ms,
+        | round(o_totalprice, 2) AS totalprice,
+        | round(sum(l_quantity), 2) AS total_qty
+        |FROM orders
+        | JOIN (SELECT l_orderkey AS big_orderkey FROM lineitem
+        |       GROUP BY l_orderkey HAVING round(sum(l_quantity), 4) > 300)
+        |   ON o_orderkey = big_orderkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate),
+        |  round(o_totalprice, 2)
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,

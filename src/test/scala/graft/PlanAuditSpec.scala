@@ -65,4 +65,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LessThan(o_orderdate"), p.take(3000))
     assert(p.contains("GreaterThan(l_shipdate"), p.take(3000))
   }
+
+  test("TPC-H q70 snowflake: every dim side broadcast, date range pushed to orders scan") {
+    val p = plans("q70_local_supplier_volume")
+    // region→nation (inside the supplier build), supplier, customer:
+    // the fact table must meet only broadcast joins before its rollup
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p.take(3000))
+    assert(p.contains("LessThan(o_orderdate"), p.take(3000))
+  }
+
+  test("TPC-H q72 double-lineitem: big-order key set joined (never collected), customer broadcast") {
+    val p = plans("q72_large_volume_cust")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000)) // customer dim
+    // the >300-qty key set arrives via a join on l_orderkey/o_orderkey —
+    // two lineitem scans is the intended classic Q18 plan
+    assert("FileScan parquet".r.findAllIn(p).size >= 3, p.take(3000))
+  }
 }
