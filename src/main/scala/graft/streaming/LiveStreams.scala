@@ -113,6 +113,46 @@ object LiveStreams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Continuous ingest: land a parsed live-tail stream in the
+    * [[graft.store.EventStore]] — the streaming composition of T2 with
+    * the S9 parquet sink, so a long-running tail feeds the same store
+    * every batch query reads. Each micro-batch is enriched to the full
+    * Event schema (ids, fingerprint, partition date) and appended via
+    * foreachBatch; the checkpoint makes restarts resume from the last
+    * committed file offset.
+    *
+    * Delivery contract: at-least-once. A batch retried after a crash
+    * between the parquet append and the checkpoint commit re-appends
+    * (parquet appends are not transactional); run
+    * [[dedupStream]] upstream to bound duplicates within the watermark
+    * horizon, and reconcile settled runs through the batch import path
+    * (exec/Runner) — the same layering the reference uses (live view
+    * is advisory, completion-time ingest is authoritative).
+    *
+    * Event ids hash the batch id + per-batch row id: unique within a
+    * delivery, not stable across a replayed batch — consistent with
+    * the at-least-once contract above. */
+  def sinkToStore(parsed: DataFrame, store: graft.store.EventStore,
+      invocationId: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    parsed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val enriched = batch
+          .withColumn("invocation_id", lit(invocationId))
+          .withColumn("timestamp", col("ingest_ts"))
+          .withColumn("date", to_date(col("ingest_ts")))
+          .withColumn("fingerprint", graft.functions.BlqFunctions.fingerprint(
+            col("tool_name"), col("category"), col("code"),
+            col("ref_file"), col("message")))
+          .withColumn("id", md5(concat_ws("|", lit(invocationId),
+            lit(batchId), monotonically_increasing_id(),
+            coalesce(col("raw_text"), lit("")))))
+        store.appendEvents(enriched)
+      }
+      .start()
+
   /** T3: debounce file-change bursts with a session window — one row
     * per (path, quiet-gap-delimited burst), the idiomatic Spark form of
     * the reference's 0.5 s debounce+coalesce loop. The watermark is

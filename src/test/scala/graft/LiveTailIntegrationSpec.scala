@@ -115,4 +115,36 @@ class LiveTailIntegrationSpec extends SparkSpec {
       assert(stateRows > 0 && stateRows <= 60, s"state rows: $stateRows")
     } finally query.stop()
   }
+
+  test("continuous ingest: live tail lands in the EventStore across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("live_store").toString
+    val store = new EventStore(spark, s"$root/store")
+    val liveDir = Files.createDirectories(
+      java.nio.file.Paths.get(root, "chunks")).toString
+    val query = LiveStreams.sinkToStore(
+      LiveStreams.liveTail(spark, liveDir, "gcc_text"),
+      store, invocationId = "live-run-1", checkpoint = s"$root/ckpt")
+    try {
+      Files.writeString(java.nio.file.Paths.get(liveDir, "chunk-000.log"),
+        "src/a.c:1:1: error: first\nsrc/b.c:2:2: warning: second\n")
+      query.processAllAvailable()
+      assert(store.events.count() === 2)
+
+      Files.writeString(java.nio.file.Paths.get(liveDir, "chunk-001.log"),
+        "src/c.c:3:3: error: third\n")
+      query.processAllAvailable()
+      val evs = store.events
+      assert(evs.count() === 3)
+      // full Event schema landed: ids unique, fingerprints computed,
+      // invocation attribution and date partition present
+      assert(evs.select("id").distinct().count() === 3)
+      assert(evs.filter(col("fingerprint").isNull).count() === 0)
+      assert(evs.filter(col("invocation_id") === "live-run-1").count() === 3)
+      assert(evs.filter(col("date").isNull).count() === 0)
+      assert(evs.filter(col("severity") === "error").count() === 2)
+      // and the store's normal read path (partition-pruned scan) serves it
+      assert(store.events.filter(col("ref_file") === "src/c.c").count() === 1)
+    } finally query.stop()
+  }
 }
