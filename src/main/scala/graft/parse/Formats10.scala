@@ -210,7 +210,8 @@ object NpmParser extends LogParser {
     val out = Seq.newBuilder[ParsedEvent]
     var idx = 0L
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
-      case diag(level, kind, msg) =>
+      // bare "npm ERR!" separator lines carry no content — not events
+      case diag(level, kind, msg) if kind.nonEmpty || msg.trim.nonEmpty =>
         val severity = if (level == "ERR!") Severity.Error else Severity.Warning
         val code = if (kind == "code") msg.split("\\s+").headOption else None
         out += mk(idx, i + 1, severity,

@@ -19,23 +19,34 @@ object GtestParser extends LogParser {
   private val ok = """^\[\s*OK\s*\]\s+([\w./]+).*$""".r
   private val failed = """^\[\s*FAILED\s*\]\s+([\w./]+)(?:\s+\(.*\))?$""".r
   private val loc = """^([^:\s]+\.(?:cc|cpp|h)):(\d+):\s*Failure\s*$""".r
-  private val expect = """^(?:Expected|Value of|Actual|Which is):\s*(.*)$""".r
+  // whole-line capture: EXPECT_EQ's real first line is "Expected
+  // equality of these values:" (keyword NOT followed by a colon), and
+  // the keyword-prefixed line reads better as the message than its
+  // post-colon tail alone
+  private val expect = """^((?:Expected|Value of|Actual|Which is)\b.*)$""".r
 
   def sniff(lines: Array[String]): Int =
     lines.count(l => run.findFirstIn(l).isDefined || ok.findFirstIn(l).isDefined ||
       failed.findFirstIn(l).isDefined)
+
+  // [  PASSED  ] 6 tests. / [  FAILED  ] 3 tests, listed below: — after
+  // this marker gtest RE-LISTS every failed test; those lines must not
+  // double-count.
+  private val tally = """^\[\s*(?:PASSED|FAILED)\s*\]\s+\d+ tests?[.,].*$""".r
 
   def parse(content: String): Seq[ParsedEvent] = {
     val out = Seq.newBuilder[ParsedEvent]
     var idx = 0L
     var lastLoc: Option[(String, Int)] = None
     var lastExpect: Option[String] = None
+    var done = false
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
-      case ok(test) =>
+      case tally() => done = true
+      case ok(test) if !done =>
         out += mk(idx, i + 1, Severity.TestPass, s"$test passed", test,
           "test", test = Some(test))
         idx += 1; lastLoc = None; lastExpect = None
-      case failed(test) =>
+      case failed(test) if !done =>
         out += mk(idx, i + 1, Severity.TestFail,
           lastExpect.getOrElse(s"$test failed"), test, "test",
           test = Some(test), file = lastLoc.map(_._1), line = lastLoc.map(_._2))
@@ -273,14 +284,32 @@ object GhcParser extends LogParser {
   def parse(content: String): Seq[ParsedEvent] = {
     val out = Seq.newBuilder[ParsedEvent]
     var idx = 0L
+    // GHC's standard layout puts the message on the following indented
+    // lines ("src/Foo.hs:31:12: error:" then the text) — when the head
+    // line carries no message, adopt the first non-empty continuation.
+    var pending: Option[(String, Int, Int, String, Option[String], Int)] = None
+    def flush(msg: Option[String]): Unit = pending.foreach {
+      case (file, line, colN, sev, flag, ln) =>
+        // a pending head with no continuation seen falls back to a
+        // location-derived message built from ITS OWN fields
+        val m = msg.getOrElse(s"$sev at $file:$line")
+        out += mk(idx, ln, sev, m, m, "compile",
+          rule = flag, file = Some(file), line = Some(line), col = Some(colN))
+        idx += 1; pending = None
+    }
     for ((raw, i) <- content.linesIterator.zipWithIndex) raw match {
       case diag(file, line, colN, sev, flag, msg) =>
-        out += mk(idx, i + 1, sev, msg, raw, "compile",
-          rule = Option(flag), file = Some(file),
-          line = Some(line.toInt), col = Some(colN.toInt))
-        idx += 1
+        flush(None)
+        if (msg.trim.nonEmpty)
+          out += { val e = mk(idx, i + 1, sev, msg, raw, "compile",
+            rule = Option(flag), file = Some(file),
+            line = Some(line.toInt), col = Some(colN.toInt)); idx += 1; e }
+        else pending = Some((file, line.toInt, colN.toInt, sev, Option(flag), i + 1))
+      case l if pending.isDefined && l.trim.nonEmpty =>
+        flush(Some(l.trim))
       case _ =>
     }
+    flush(None)
     out.result()
   }
 }

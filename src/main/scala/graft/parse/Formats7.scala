@@ -190,8 +190,10 @@ object ValgrindParser extends LogParser {
   val tool = "valgrind"
   // ==1234== Invalid read of size 4
   // ==1234==    at 0x4005E4: main (foo.c:42)
+  // byte counts carry thousands separators in real valgrind output
+  // ("1,024 bytes in 1 blocks are definitely lost") — [\d,]+ not \d+
   private val issue =
-    """^==\d+==\s+(Invalid (?:read|write).*|Conditional jump.*|\d+ bytes in \d+ blocks.*(?:lost|reachable).*|Use of uninitialised.*|Mismatched free.*|Invalid free.*|Source and destination overlap.*)$""".r
+    """^==\d+==\s+(Invalid (?:read|write).*|Conditional jump.*|[\d,]+ bytes in [\d,]+ blocks.*(?:lost|reachable).*|Use of uninitialised.*|Mismatched free.*|Invalid free.*|Source and destination overlap.*)$""".r
   private val frame = """^==\d+==\s+(?:at|by)\s+0x[0-9A-Fa-f]+:\s+(\S+)\s+\(([^:)]+):(\d+)\)$""".r
   private val summary = """^==\d+== ERROR SUMMARY: (\d+) errors? from .*$""".r
 
