@@ -369,6 +369,63 @@ object TextDedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** Incremental MinHash+LSH near-dup detection: pairs between a NEW
+    * batch and the EXISTING corpus (plus within the new batch), never
+    * corpus × corpus — the shape a continuously-ingesting pipeline
+    * actually runs. A 100 TB corpus is deduped ONCE; every subsequent
+    * ingest only needs its new documents checked against the corpus's
+    * (stored) band table and against each other. Candidate generation
+    * is identical to [[minhashLshPairs]] — bucket-list groupBy on
+    * (band, key) — but the triangular expansion keeps only pairs with
+    * at least one new member, so the corpus side contributes rows ONLY
+    * to buckets a new document also lands in; corpus-only buckets
+    * short-circuit to zero pairs. At scale the corpus band table is
+    * bucketed by (band, key) on disk and this probe is a co-located
+    * join; the quadratic corpus-self-pairing term is gone entirely.
+    *
+    * `isNew` marks the new batch (e.g. `col("ingest_ts") > watermark`
+    * or an id range). Output: (doc_a, doc_b, jaccard), a < b, at least
+    * one side new, same verify + minAgree semantics as
+    * [[minhashLshPairs]]. */
+  def minhashLshPairsIncremental(docs: DataFrame, isNew: Column, n: Int,
+      k: Int, bands: Int, threshold: Double, minAgree: Int = 0): DataFrame = {
+    require(bands * (k / bands) == k, "k must divide into bands evenly")
+    val rowsPerBand = k / bands
+    val sets = shingleSets(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(sets, k)
+    val bandStructs = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", slots: _*).as("key"))
+    }
+    // attach the new-batch flag (two-column frame, broadcast-friendly)
+    val sigN = sig.join(docs.select(col("doc_id"), isNew.as("is_new")), Seq("doc_id"))
+    val bk = sigN.select(col("doc_id"), col("is_new"),
+        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("is_new"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val ds2 = col("ds2")
+    val pairs = bk
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"), col("is_new"))).as("ds"))
+      // corpus-only buckets can never produce a qualifying pair
+      .filter(size(col("ds")) >= 2 &&
+        exists(col("ds"), d => d.getField("is_new")))
+      .select(array_sort(col("ds")).as("ds2"))
+      .select(explode_outer(flatten(transform(ds2, (a, i) =>
+        transform(slice(ds2, i + lit(2), size(ds2)), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            (a.getField("is_new") || b.getField("is_new")).as("touches_new"),
+            size(filter(zip_with(a.getField("sig"), b.getField("sig"),
+              (p, q) => p === q), hit => hit)).as("agree")))))).as("p"))
+      .filter(col("p.touches_new") && col("p.agree") >= lit(minAgree))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    verifyJaccard(pairs.distinct(), sets, threshold)
+  }
+
   /** 32-bit SimHash signature as a '0'/'1' bit string (packed-long-free
     * so the exact same computation is expressible in any SQL engine).
     * Bit i of md5(token): hex char i/4, bit (i%4) of its value; per-doc

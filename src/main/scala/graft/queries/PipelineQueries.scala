@@ -420,6 +420,38 @@ object PipelineQueries {
         .orderBy(col("o_orderkey"))
     },
 
+    // Incremental near-dup detection — the CONTINUOUS-INGESTION dedup
+    // shape: docs with id >= 400 stand in for a newly-ingested batch,
+    // the rest for the already-deduped corpus. Only new↔corpus and
+    // new↔new pairs are generated (corpus-only LSH buckets
+    // short-circuit); at 100 TB the corpus band table is stored
+    // bucketed by (band, key) and each ingest probes it co-located —
+    // the corpus×corpus quadratic term never exists. Same
+    // minhash/band/minAgree parameters as q32; the oracle is q32's
+    // with the at-least-one-new condition mirrored in the cand CTE.
+    "q73_incremental_dedup" -> { (s, dir) =>
+      TextDedup.minhashLshPairsIncremental(t(s, dir, "documents"),
+        isNew = col("doc_id") >= 400, n = 3, k = 12, bands = 4,
+        threshold = 0.3, minAgree = 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Quality-weighted deterministic sampling: acceptance probability
+    // equals the document's quality score, decided by a content-hash
+    // uniform draw — reproducible across runs/engines (no random()),
+    // and a pure per-row expression (zero shuffle at any scale). The
+    // standard "keep more of the good text" downsampling pass.
+    "q74_quality_sample" -> { (s, dir) =>
+      val q4 = round(TextAnalysis.qualityScore(col("text")), 4)
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), q4.as("quality"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000)
+            .as("bucket"))
+        .filter(col("bucket") < col("quality") * 10000)
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode itself is stubbed (graft.ml.Multimodal); this query proves
     // the binary-column path: utf8 encode → byte length, content hash,
@@ -485,6 +517,62 @@ object PipelineQueries {
   private def langScoreSql(words: Seq[String]): String =
     words.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
 
+  /** TextAnalysis.qualityScore mirrored in DuckDB SQL — ONE definition
+    * shared by the q39 profile oracle and the q74 sampling oracle so
+    * the two can never drift apart. */
+  private val qualitySql: String = {
+    val stop = langScoreSql(Seq("the", "a", "of", "is", "and"))
+    s"""(CASE WHEN length(text) >= 200 AND length(text) <= 2000 THEN 1.0
+       |        WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
+       |  + least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) * 2.0, 1.0) * 0.3
+       |  + least(CAST($stop AS DOUBLE) / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2
+       |  + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
+       |      / length(text) * 10.0, 1.0)) * 0.2""".stripMargin
+  }
+
+  /** The q32 minhash+LSH oracle pipeline, parameterized on an extra
+    * cand-CTE condition (q73 adds the at-least-one-new predicate). */
+  private def minhashLshOracle(candExtra: String): String = {
+    import TextDedup.{permA, permB, minhashP}
+    val mhs = (0 until 12).map(j =>
+      s"min((h1 * ${permA(j)} + h2 * ${permB(j)} + $j) % $minhashP) AS mh$j")
+      .mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val ks = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $ks AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until 12)
+      .map(j => s"(CASE WHEN sx.mh$j = sy.mh$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+       |hv AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+       |  CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2 FROM sh),
+       |sigs AS (SELECT doc_id, $mhs FROM hv GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+       |   AND x.doc_id < y.doc_id
+       |  JOIN sigs sx ON sx.doc_id = x.doc_id
+       |  JOIN sigs sy ON sy.doc_id = y.doc_id
+       |  WHERE $agree >= 5$candExtra),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS shared
+       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+       |   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT s.doc_a, s.doc_b,
+       | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+       |FROM shared s JOIN sizes sa ON s.doc_a = sa.doc_id
+       | JOIN sizes sb ON s.doc_b = sb.doc_id
+       |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
       """SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' ')) AS content_hash,
@@ -512,45 +600,19 @@ object PipelineQueries {
     // A/B constants generated by the same permA/permB functions the
     // Spark side uses — byte-identical arithmetic in both engines. The
     // cand CTE mirrors the minAgree=5 slot-agreement estimate pre-filter.
-    "q32_minhash_lsh" -> {
-      import TextDedup.{permA, permB, minhashP}
-      val mhs = (0 until 12).map(j =>
-        s"min((h1 * ${permA(j)} + h2 * ${permB(j)} + $j) % $minhashP) AS mh$j")
-        .mkString(", ")
-      val bandSelects = (0 until 4).map { b =>
-        val ks = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
-          .mkString(" || '|' || ")
-        s"SELECT doc_id, $b AS band, $ks AS key FROM sigs"
-      }.mkString(" UNION ALL ")
-      val agree = (0 until 12)
-        .map(j => s"(CASE WHEN sx.mh$j = sy.mh$j THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH $shingleCte,
-         |hv AS (SELECT doc_id,
-         |  CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
-         |  CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2 FROM sh),
-         |sigs AS (SELECT doc_id, $mhs FROM hv GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
-         |   AND x.doc_id < y.doc_id
-         |  JOIN sigs sx ON sx.doc_id = x.doc_id
-         |  JOIN sigs sy ON sy.doc_id = y.doc_id
-         |  WHERE $agree >= 5),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-         |shared AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS shared
-         |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-         |   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-         |  GROUP BY 1, 2)
-         |SELECT s.doc_a, s.doc_b,
-         | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
-         |FROM shared s JOIN sizes sa ON s.doc_a = sa.doc_id
-         | JOIN sizes sb ON s.doc_b = sb.doc_id
-         |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q32_minhash_lsh" -> minhashLshOracle(""),
+
+    // q32's pipeline with the at-least-one-new condition (docs >= 400
+    // form the incoming batch) — mirrors minhashLshPairsIncremental.
+    "q73_incremental_dedup" ->
+      minhashLshOracle(" AND (x.doc_id >= 400 OR y.doc_id >= 400)"),
+
+    "q74_quality_sample" ->
+      s"""WITH scored AS (SELECT doc_id, round($qualitySql, 4) AS quality,
+         |  CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, quality, bucket FROM scored
+         |WHERE bucket < quality * 10000 ORDER BY doc_id""".stripMargin,
 
     "q33_simhash" ->
       s"""WITH $simhashCte
@@ -811,22 +873,13 @@ object PipelineQueries {
          |FROM scored ORDER BY doc_id""".stripMargin
     },
 
-    "q39_text_profile" -> {
-      val stop = langScoreSql(Seq("the", "a", "of", "is", "and"))
+    "q39_text_profile" ->
       s"""SELECT doc_id,
          | len(string_split(text, ' ')) AS n_tokens,
          | len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_subwords,
          | len(list_distinct(string_split(text, ' '))) AS n_distinct,
-         | round(
-         |  (CASE WHEN length(text) >= 200 AND length(text) <= 2000 THEN 1.0
-         |        WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
-         |  + least(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) * 2.0, 1.0) * 0.3
-         |  + least(CAST($stop AS DOUBLE) / len(string_split(text, ' ')) * 5.0, 1.0) * 0.2
-         |  + (1.0 - least(CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS DOUBLE)
-         |      / length(text) * 10.0, 1.0)) * 0.2, 4) AS quality
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+         | round($qualitySql, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q40_doc_fingerprint" ->
       s"""WITH $shingleCte

@@ -52,6 +52,30 @@ class MlSpec extends SparkSpec {
     assert(exact.exists(_._3 === 1.0)) // identical docs always bucket together
   }
 
+  test("incremental minhash equals the new-touching subset of the full run") {
+    // doc 4 (exact dup of 1) and doc 5 form the "new batch"; the full
+    // run's pairs filtered to at-least-one-new must equal the
+    // incremental run exactly — and corpus-only pairs (1,2) must NOT
+    // appear even though they share buckets.
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val full = asSet(TextDedup.minhashLshPairs(corpus, n = 3, k = 12,
+      bands = 4, threshold = 0.3))
+    val inc = asSet(TextDedup.minhashLshPairsIncremental(corpus,
+      isNew = $"doc_id" >= 4L, n = 3, k = 12, bands = 4, threshold = 0.3))
+    assert(inc === full.filter(p => p._1 >= 4L || p._2 >= 4L))
+    assert(inc.contains((1L, 4L, 1.0))) // corpus↔new pair found
+    assert(full.exists(p => p._1 == 1L && p._2 == 2L)) // corpus-only pair exists...
+    assert(!inc.exists(p => p._1 == 1L && p._2 == 2L)) // ...and is excluded
+    // minAgree pre-filter flows through identically
+    val incAgree = asSet(TextDedup.minhashLshPairsIncremental(corpus,
+      isNew = $"doc_id" >= 4L, n = 3, k = 12, bands = 4, threshold = 0.3,
+      minAgree = 5))
+    assert(incAgree.subsetOf(inc))
+    assert(incAgree.contains((1L, 4L, 1.0))) // identical docs agree on all slots
+  }
+
   test("simhash: identical docs share signature, near-dups are close") {
     val sigs = TextDedup.simhashSignatures(corpus)
       .as[(Long, String)].collect().toMap
