@@ -288,9 +288,17 @@ object CoreQueries {
     },
 
     // TPC-H Q3 shape (shipping priority): selective dim filter on the
-    // broadcast customer side, date range split across orders/lineitem
-    // (both pushed to the scans), revenue top-10. Per-order revenue
-    // sums are few-row groups, so double rounding is engine-stable.
+    // customer side, date range split across orders/lineitem (both
+    // pushed to the scans), revenue top-10. Per-order revenue sums are
+    // few-row groups, so double rounding is engine-stable.
+    //
+    // Customer carries NO broadcast() hint: it is the second-largest
+    // TPC-H relation (~orders/4 rows), and a forced broadcast at the
+    // 100 TB target is an executor OOM — the hint would override
+    // exactly the size check AQE exists to apply. At small SF the
+    // size estimate (or AQE at runtime) still picks a broadcast join;
+    // PlanAuditSpec pins that, so dropping the hint costs nothing
+    // where broadcasting is actually safe.
     "q65_shipping_priority" -> { (s, dir) =>
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
@@ -298,7 +306,7 @@ object CoreQueries {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
           col("o_orderpriority"))
@@ -337,13 +345,17 @@ object CoreQueries {
     },
 
     // TPC-H Q5 shape (local supplier volume): the classic snowflake —
-    // region→nation→supplier chained BROADCAST dims (each stays small:
-    // the fact table never shuffles for a dim), date-pruned orders, and
-    // the same-nation customer⋈supplier correlation as a broadcast
-    // equi-join on (custkey, nationkey). One fact-side shuffle total
-    // (the final nation rollup). Revenue sums span thousands of rows,
-    // magnitude ~1e7: double accumulation error ~1e-5 ≪ the 2dp
-    // rounding unit, so the rounded emission is engine-stable.
+    // region→nation→supplier chained BROADCAST dims (those three stay
+    // small at any scale: the fact table never shuffles for them),
+    // date-pruned orders, and the same-nation customer⋈supplier
+    // correlation on (custkey, nationkey). Customer is NOT hinted:
+    // at ~orders/4 rows it is not broadcast-safe at 100 TB, so the
+    // size decision is left to the planner/AQE (which still
+    // broadcasts it at small SF — PlanAuditSpec pins the executed
+    // plan; at cluster scale it degrades to a shuffle join instead
+    // of an OOM). Revenue sums span thousands of rows, magnitude
+    // ~1e7: double accumulation error ~1e-5 ≪ the 2dp rounding unit,
+    // so the rounded emission is engine-stable.
     "q70_local_supplier_volume" -> { (s, dir) =>
       val asiaNations = t(s, dir, "nation")
         .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
@@ -362,7 +374,7 @@ object CoreQueries {
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(cust),
+        .join(cust,
           col("o_custkey") === col("c_custkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
@@ -396,11 +408,14 @@ object CoreQueries {
         .filter(col("l_returnflag") === "R")
         .select(col("l_orderkey"), revE4)
         .join(ord, col("l_orderkey") === col("o_orderkey"))
+      // nation (25 rows) keeps its hint; the customer⋈nation result is
+      // customer-sized and therefore NOT hinted — AQE broadcasts it at
+      // small SF (PlanAuditSpec pins this) and shuffle-joins at scale.
       val cust = t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      rev.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      rev.join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"),
           round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
         .agg(sum(col("rev_e4")).as("rev_e4"))
@@ -425,7 +440,8 @@ object CoreQueries {
       t(s, dir, "orders")
         .join(bigOrders, col("o_orderkey") === col("big_orderkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        // customer unhinted for the same 100 TB reason as q65/q70/q71
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
           unix_millis(col("o_orderdate").cast("timestamp")).as("ord_ms"),
           round(col("o_totalprice"), 2).as("totalprice"))

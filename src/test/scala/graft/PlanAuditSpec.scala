@@ -83,4 +83,24 @@ class PlanAuditSpec extends SparkSpec {
     // two lineitem scans is the intended classic Q18 plan
     assert("FileScan parquet".r.findAllIn(p).size >= 3, p.take(3000))
   }
+
+  // Customer is the second-largest TPC-H relation: a forced broadcast()
+  // hint on it would override AQE's size check and OOM an executor at
+  // the 100 TB target, so q65/q70/q71/q72 carry NO hint on any
+  // customer-sized side. This test proves the perf story is unchanged
+  // where broadcasting IS safe: at sf0.1 the executed (AQE-final) plan
+  // must still join customer via BroadcastHashJoin, chosen by measured
+  // size rather than by decree.
+  test("unhinted customer dims still broadcast at sf0.1 (AQE size check)") {
+    val sf01 = "/root/testdata/sf0.1"
+    for (q <- Seq("q65_shipping_priority", "q70_local_supplier_volume",
+        "q71_returned_items", "q72_large_volume_cust")) {
+      val df = SparkEntry.queries(q)(spark, sf01)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("c_custkey")),
+        s"$q: customer join not broadcast in AQE-final plan:\n${p.take(4000)}")
+    }
+  }
 }
