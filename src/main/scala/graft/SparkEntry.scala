@@ -21,11 +21,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ScalarQueries.queries ++ PipelineQueries.queries ++
-      WindowQueries.queries ++ CorpusQueries.queries ++ CorpusQueries.queries2
+      WindowQueries.queries ++ CorpusQueries.queries ++ CorpusQueries.queries2 ++
+      RunnerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ScalarQueries.oracles ++ PipelineQueries.oracles ++
-      WindowQueries.oracles ++ CorpusQueries.oracles
+      WindowQueries.oracles ++ CorpusQueries.oracles ++ RunnerQueries.oracles
 }

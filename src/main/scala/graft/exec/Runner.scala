@@ -51,17 +51,27 @@ final class Runner(store: EventStore, blobs: BlobStore,
     p
   }
 
+  /** Git/CI/env context for a run: the explicit override wins (tests,
+    * synthetic fixtures), otherwise capture from the run's cwd — the
+    * reference captures on EVERY run (record_cmd.py:99-100), so the
+    * denormalized branch/commit/CI columns are never dead schema. */
+  private def contextFor(cwd: Option[String],
+      context: Option[ExecContext.Captured]): ExecContext.Captured =
+    context.getOrElse(ExecContext.capture(cwd))
+
   def exec(command: Seq[String],
       tag: Option[String] = None,
       sourceName: Option[String] = None,
       formatHint: String = "auto",
       cwd: Option[String] = None,
-      timeoutMs: Long = 600000L): RunResult = {
+      timeoutMs: Long = 600000L,
+      context: Option[ExecContext.Captured] = None): RunResult = {
     val attemptId = UUID.randomUUID().toString
     val started = now()
     val cmdLine = command.mkString(" ")
     val hostname =
       try java.net.InetAddress.getLocalHost.getHostName catch { case _: Exception => "unknown" }
+    val ctx = contextFor(cwd, context)
 
     // Phase 1: the attempt is visible BEFORE the outcome exists.
     store.appendAttempts(Seq(Attempt(
@@ -70,8 +80,9 @@ final class Runner(store: EventStore, blobs: BlobStore,
       pid = None, format_hint = Some(formatHint), hostname = Some(hostname),
       username = sys.props.get("user.name"), tag = tag,
       source_name = sourceName, source_type = SourceType.Exec,
-      git_commit = None, git_branch = None, git_dirty = None,
-      environment = None, ci = None, date = dateOf(started))))
+      git_commit = ctx.git.commit, git_branch = ctx.git.branch,
+      git_dirty = ctx.git.dirty,
+      environment = ctx.environment, ci = ctx.ci, date = dateOf(started))))
 
     // Run, streaming combined output to the live file.
     val live = liveDir(attemptId).resolve("output.log")
@@ -106,8 +117,10 @@ final class Runner(store: EventStore, blobs: BlobStore,
       exit_code = Some(exit), hostname = Some(hostname),
       platform = Some(sys.props.getOrElse("os.name", "unknown")),
       arch = Some(sys.props.getOrElse("os.arch", "unknown")),
-      git_commit = None, git_branch = None, git_dirty = None,
-      environment = None, ci = None, metadata = None, date = dateOf(started))
+      git_commit = ctx.git.commit, git_branch = ctx.git.branch,
+      git_dirty = ctx.git.dirty,
+      environment = ctx.environment, ci = ctx.ci, metadata = None,
+      date = dateOf(started))
 
     val hint =
       if (formatHint != "auto") formatHint
@@ -136,9 +149,11 @@ final class Runner(store: EventStore, blobs: BlobStore,
     * (S7: file import / stdin capture; execution.py:1562-1628). */
   def importContent(content: String, format: String = "auto",
       tag: Option[String] = None, sourceName: Option[String] = None,
-      sourceType: String = SourceType.Import): RunResult = {
+      sourceType: String = SourceType.Import,
+      context: Option[ExecContext.Captured] = None): RunResult = {
     val id = UUID.randomUUID().toString
     val started = now()
+    val ctx = contextFor(None, context)
     val parsed = FormatRegistry.parse(content, format)
     val serial = store.nextRunSerial()
     val errors = parsed.count(_.severity == Severity.Error).toLong
@@ -156,8 +171,9 @@ final class Runner(store: EventStore, blobs: BlobStore,
       started_at = started, duration_ms = None,
       exit_code = Some(if (errors > 0) 1 else 0),
       hostname = None, platform = None, arch = None,
-      git_commit = None, git_branch = None, git_dirty = None,
-      environment = None, ci = None, metadata = None,
+      git_commit = ctx.git.commit, git_branch = ctx.git.branch,
+      git_dirty = ctx.git.dirty,
+      environment = ctx.environment, ci = ctx.ci, metadata = None,
       date = dateOf(started)), Seq.empty)
     val status =
       if (errors > 0) "FAIL" else if (warnings > 0) "WARN" else "OK"
@@ -177,9 +193,11 @@ final class Runner(store: EventStore, blobs: BlobStore,
     * At 100 TB of logs this shape is embarrassingly parallel: no
     * shuffle anywhere — the only synchronization is the final count. */
   def importDirectory(pathGlob: String, format: String = "auto",
-      tag: Option[String] = None): RunResult = {
+      tag: Option[String] = None,
+      context: Option[ExecContext.Captured] = None): RunResult = {
     val id = UUID.randomUUID().toString
     val started = now()
+    val ctx = contextFor(None, context)
     val serial = store.nextRunSerial()
     val parsed = graft.parse.LogSource.readLogFiles(store.spark, pathGlob, format)
       .withColumn("id", expr("uuid()"))
@@ -206,8 +224,9 @@ final class Runner(store: EventStore, blobs: BlobStore,
         started_at = started, duration_ms = None,
         exit_code = Some(if (errors > 0) 1 else 0),
         hostname = None, platform = None, arch = None,
-        git_commit = None, git_branch = None, git_dirty = None,
-        environment = None, ci = None, metadata = None,
+        git_commit = ctx.git.commit, git_branch = ctx.git.branch,
+        git_dirty = ctx.git.dirty,
+        environment = ctx.environment, ci = ctx.ci, metadata = None,
         date = dateOf(started)), Seq.empty)
       val status =
         if (errors > 0) "FAIL" else if (warnings > 0) "WARN" else "OK"

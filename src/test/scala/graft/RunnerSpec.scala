@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.exec.Runner
+import graft.exec.{ExecContext, Runner}
 import graft.store.{BlobStore, EventStore}
 import graft.views.Views
 
@@ -90,6 +90,96 @@ class RunnerSpec extends SparkSpec {
     assert(r.exitCode === 127)
     assert(r.status === "FAIL")
     assert(store.outcomes.count() === 1)
+  }
+
+  test("exec: real git context captured from the run's cwd") {
+    val repo = Files.createTempDirectory("runner_git").toString
+    def git(args: String*): Option[String] =
+      ExecContext.runGit(Some(repo), 5000, args: _*)
+    git("init", "-b", "trunk")
+    Files.writeString(java.nio.file.Paths.get(repo, "hello.txt"), "hi\n")
+    git("add", "hello.txt")
+    git("-c", "user.email=t@example.com", "-c", "user.name=t",
+      "commit", "-m", "initial")
+
+    val (runner, store) = mkRunner()
+    runner.exec(Seq("sh", "-c", "echo captured"), cwd = Some(repo))
+    val inv = store.invocations.collect().head
+    val commit = inv.getAs[String]("git_commit")
+    assert(commit != null && commit.matches("[0-9a-f]{40}"))
+    assert(inv.getAs[String]("git_branch") === "trunk")
+    assert(inv.getAs[Boolean]("git_dirty") === false)
+    // attempts carry the same denormalized context
+    val att = store.attempts.collect().head
+    assert(att.getAs[String]("git_commit") === commit)
+    assert(att.getAs[String]("git_branch") === "trunk")
+    // environment snapshot present (PATH/HOME exist in any test env)
+    val env = att.getAs[Map[String, String]]("environment")
+    assert(env != null && env.nonEmpty && env.keySet.subsetOf(
+      ExecContext.DefaultCaptureEnv.toSet))
+
+    // an untracked file flips dirty on the next run
+    Files.writeString(java.nio.file.Paths.get(repo, "scratch.txt"), "wip\n")
+    runner.exec(Seq("sh", "-c", "echo again"), cwd = Some(repo))
+    val dirtyRun = store.invocations
+      .orderBy(col("run_serial").desc).collect().head
+    assert(dirtyRun.getAs[Boolean]("git_dirty") === true)
+    assert(dirtyRun.getAs[String]("git_commit") === commit)
+  }
+
+  test("exec: non-repo cwd degrades to null git context, run still succeeds") {
+    val plain = Files.createTempDirectory("runner_nogit").toString
+    val (runner, store) = mkRunner()
+    val r = runner.exec(Seq("sh", "-c", "echo fine"), cwd = Some(plain))
+    assert(r.status === "OK")
+    val inv = store.invocations.collect().head
+    assert(inv.getAs[String]("git_commit") === null)
+    assert(inv.getAs[String]("git_branch") === null)
+  }
+
+  test("ciContext: provider detection, short keys, generic fallback") {
+    val gh = ExecContext.ciContext(Map(
+      "GITHUB_ACTIONS" -> "true", "GITHUB_RUN_ID" -> "12345",
+      "GITHUB_REF" -> "refs/heads/main", "IRRELEVANT" -> "x")).get
+    assert(gh("provider") === "github")
+    assert(gh("run_id") === "12345") // GITHUB_ prefix stripped, lowered
+    assert(gh("ref") === "refs/heads/main")
+    assert(!gh.contains("irrelevant"))
+
+    val gl = ExecContext.ciContext(Map(
+      "GITLAB_CI" -> "true", "CI_JOB_ID" -> "9", "GITLAB_USER_LOGIN" -> "u")).get
+    assert(gl("provider") === "gitlab")
+    assert(gl("job_id") === "9")
+    assert(gl("gitlab_user_login") === "u") // no matching prefix: kept whole
+
+    // generic CI=true with no recognized provider
+    assert(ExecContext.ciContext(Map("CI" -> "true")) ===
+      Some(Map("provider" -> "unknown", "ci" -> "true")))
+    // not in CI at all
+    assert(ExecContext.ciContext(Map("HOME" -> "/root")) === None)
+    // provider detection var present but empty does not trigger
+    assert(ExecContext.ciContext(Map("GITHUB_ACTIONS" -> "")) === None)
+  }
+
+  test("captureEnvironment: present vars only; empty snapshot is None") {
+    val got = ExecContext.captureEnvironment(
+      Seq("CC", "CXX", "NOPE"), Map("CC" -> "gcc", "CXX" -> "g++", "OTHER" -> "x"))
+    assert(got === Some(Map("CC" -> "gcc", "CXX" -> "g++")))
+    assert(ExecContext.captureEnvironment(Seq("NOPE"), Map("A" -> "b")) === None)
+  }
+
+  test("importContent: injected synthetic context lands on the invocation row") {
+    val (runner, store) = mkRunner()
+    runner.importContent("src/x.c:1:1: error: e\n", format = "gcc_text",
+      context = Some(ExecContext.Captured(
+        ExecContext.GitContext(Some("c" * 40), Some("release-1.2"), Some(true)),
+        ci = Some(Map("provider" -> "github", "run_id" -> "77")),
+        environment = None)))
+    val inv = store.invocations.collect().head
+    assert(inv.getAs[String]("git_branch") === "release-1.2")
+    assert(inv.getAs[Boolean]("git_dirty") === true)
+    assert(inv.getAs[Map[String, String]]("ci") ===
+      Map("provider" -> "github", "run_id" -> "77"))
   }
 
   test("importDirectory: many files parse and land in one distributed job") {
