@@ -142,14 +142,16 @@ object TextDedup {
     tokTable(docs)
       .select(col("doc_id"), shinglesFrom(col("toks"), n).as("sh"))
 
-  /** Attach both docs' shingle arrays to candidate (doc_a, doc_b) pairs
-    * and emit verified Jaccard >= threshold. Candidates are small
-    * relative to the corpus (that is the point of candidate
-    * generation) so AQE broadcasts them when they measure small — but
-    * no forced hint: a skewed LSH run can produce a candidate list too
-    * big to broadcast, and the hint would turn that into an OOM
-    * instead of a shuffle join. The set algebra is array_intersect on
-    * co-located rows either way. */
+  /** Attach both docs' shingle-set arrays to candidate (doc_a, doc_b)
+    * pairs and emit verified Jaccard >= threshold. `sets` may carry the
+    * string shingles or (the fast path) their 63-bit md5-derived keys
+    * from [[keySetsFromDigests]] — the set algebra is identical; the
+    * key form shuffles and intersects 8-byte longs instead of ~20-char
+    * strings. Candidates are small relative to the corpus (that is the
+    * point of candidate generation) so AQE broadcasts them when they
+    * measure small — but no forced hint: a skewed LSH run can produce
+    * a candidate list too big to broadcast, and the hint would turn
+    * that into an OOM instead of a shuffle join. */
   private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -163,14 +165,53 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** (doc_id, dig) — each doc's distinct shingles md5'd once. The ONE
+    * digest pass both the minhash signatures and the verify keys are
+    * derived from; persist THIS frame when both consumers run. */
+  def shingleDigests(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), transform(col("sh"), s => md5(s)).as("dig"))
+
+  /** 63-bit shingle keys from the digest frame, as a distinct-key set
+    * array: key = (h1 mod 2^31)·2^32 + h2 with h1/h2 the digest's two
+    * leading 32-bit halves — the same md5-half arithmetic the minhash
+    * slots use, so DuckDB computes the identical keys
+    * (CAST('0x'||substr(md5(s),…) AS BIGINT); xxhash64 has no DuckDB
+    * counterpart, which is why this is NOT [[shingleKeyTable]]'s
+    * xxhash64). Max value (2^31-1)·2^32 + 2^32-1 = 2^63-1: no overflow
+    * in Spark's wrapping longs or DuckDB's checked BIGINTs. The
+    * array_distinct mirrors the oracle's SELECT DISTINCT, so a key
+    * collision (≈1e-10 at 10^5 shingles) perturbs both engines
+    * identically — the comparison stays exact, not just close. */
+  def keySetsFromDigests(withDig: DataFrame): DataFrame =
+    withDig.select(col("doc_id"),
+      array_distinct(transform(col("dig"), d =>
+        (conv(substring(d, 1, 8), 16, 10).cast("long") % lit(2147483648L)) *
+          lit(4294967296L) +
+          conv(substring(d, 9, 8), 16, 10).cast("long"))).as("sh"))
+
   /** Posting-list variant of [[jaccardPairs]]: group docs per shingle
     * (the inverted index as actual lists), drop hot shingles by list
     * size, and emit each list's pairs with per-row array math. Replaces
     * the window-sort df filter + self-join with plain groupBys — no
     * sort anywhere, and the pair fan-out is bounded by dfCap²/2 per
-    * shingle. Results identical to jaccardPairs by construction. */
+    * shingle. Results identical to jaccardPairs by construction.
+    *
+    * When doc_id is a 32-bit-or-narrower integer, each pair is packed
+    * LOSSLESSLY into one long ((a<<32)|(b&0xffffffff), bitwise so
+    * negatives cannot overflow) and the co-occurrence groupBy runs on
+    * a single 8-byte key instead of a two-field struct — measured 40%
+    * faster on the pair stage (0.76→0.47 s warm at sf0.1, 1.13M pair
+    * rows), which was the dominant q31 cost. Long doc_ids keep the
+    * struct form: a >2³¹-doc corpus genuinely needs the width, and
+    * packing two longs is impossible — the struct path IS the 100 TB
+    * shape; the packed path covers every corpus that fits int keys. */
   def jaccardPairsPostings(docs: DataFrame, n: Int, threshold: Double,
       dfCap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val packIds = docs.schema("doc_id").dataType match {
+      case IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
     val sh = shingleKeyTable(docs, n)
     val postings = sh.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("docs"))
@@ -184,15 +225,32 @@ object TextDedup {
     // the inferred size>0 filter re-evaluating the whole pair
     // expression (the shingleTable trap again)
     val sorted = col("docs_s")
-    val pairs = postings
+    val expanded = postings
       .filter(size(col("docs")) >= 2)
       .select(array_sort(col("docs")).as("docs_s"))
-      .select(explode_outer(flatten(transform(sorted, (a, i) =>
-        transform(slice(sorted, i + lit(2), size(sorted)),
-          b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val pairs =
+      if (packIds)
+        expanded
+          .select(explode_outer(flatten(transform(sorted, (a, i) =>
+            transform(slice(sorted, i + lit(2), size(sorted)), b =>
+              shiftleft(a.cast("long"), 32)
+                .bitwiseOR(b.cast("long").bitwiseAND(lit(0xFFFFFFFFL))))))).as("pk"))
+          .groupBy(col("pk"))
+          .agg(count(lit(1)).as("shared"))
+          // unpack: both halves sign-extended via shifts (in-int-range
+          // before the cast, so ANSI-safe), a < b preserved from the
+          // sorted expansion
+          .select(shiftright(col("pk"), 32).cast("int").as("doc_a"),
+            shiftright(shiftleft(col("pk"), 32), 32).cast("int").as("doc_b"),
+            col("shared"))
+      else
+        expanded
+          .select(explode_outer(flatten(transform(sorted, (a, i) =>
+            transform(slice(sorted, i + lit(2), size(sorted)),
+              b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared"))
     finalizeJaccard(pairs, sizes, threshold)
   }
 
@@ -267,12 +325,15 @@ object TextDedup {
     * (CAST('0x'||substr(md5(s),…) AS BIGINT)), preserving the
     * exact-oracle contract. Input: shingleSets frame (doc_id, sh).
     * Returns doc_id, mh0..mh{k-1} LONG. */
-  def minhashSignatures(sets: DataFrame, k: Int): DataFrame = {
-    // digests materialized once: h1 and h2 each reference the digest
-    // array, and an inline expression would md5 every shingle twice
-    // (no CSE across the two transforms — see tokTable).
-    val withDig = sets.select(col("doc_id"),
-      transform(col("sh"), s => md5(s)).as("dig"))
+  def minhashSignatures(sets: DataFrame, k: Int): DataFrame =
+    minhashSignaturesFromDigests(shingleDigests(sets), k)
+
+  /** [[minhashSignatures]] over a pre-built [[shingleDigests]] frame —
+    * so pipelines that also need the verify keys md5 each shingle
+    * exactly once across both consumers. */
+  def minhashSignaturesFromDigests(withDig: DataFrame, k: Int): DataFrame = {
+    // h1 and h2 each reference the digest array, and an inline md5
+    // would run twice (no CSE across the two transforms — see tokTable).
     val base = withDig.select(col("doc_id"),
       transform(col("dig"), d => conv(substring(d, 1, 8), 16, 10).cast("long")).as("h1"),
       transform(col("dig"), d => conv(substring(d, 9, 8), 16, 10).cast("long")).as("h2"))
@@ -325,12 +386,17 @@ object TextDedup {
       threshold: Double, minAgree: Int = 0): DataFrame = {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
     val rowsPerBand = k / bands
-    val sets = shingleSets(docs, n)
+    // The digest frame is the shared upstream of BOTH consumers
+    // (signatures, verify keys): one md5 per shingle, persisted once.
+    // The verify join then shuffles/intersects 8-byte key arrays, not
+    // ~20-char shingle strings — same set algebra, several× less
+    // payload (the r4-measured q32 gap was exactly this join).
+    val withDig = shingleDigests(shingleSets(docs, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Signatures and band keys are per-row array math (no shuffle);
     // the only shuffles in the whole pipeline are the groupBy hiding in
     // the band self-join (docs·bands rows) and the candidate distinct.
-    val sig = minhashSignatures(sets, k)
+    val sig = minhashSignaturesFromDigests(withDig, k)
     // Band keys AND the full signature array in one projection — the
     // estimate must not cost a join back to the signature frame.
     val bandStructs = (0 until bands).map { b =>
@@ -366,7 +432,7 @@ object TextDedup {
       .filter(col("p.agree") >= lit(minAgree))
       .select(col("p.doc_a"), col("p.doc_b"))
     val candidates = pairs.distinct()
-    verifyJaccard(candidates, sets, threshold)
+    verifyJaccard(candidates, keySetsFromDigests(withDig), threshold)
   }
 
   /** Incremental MinHash+LSH near-dup detection: pairs between a NEW
@@ -391,9 +457,10 @@ object TextDedup {
       k: Int, bands: Int, threshold: Double, minAgree: Int = 0): DataFrame = {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
     val rowsPerBand = k / bands
-    val sets = shingleSets(docs, n)
+    // same one-md5-pass digest sharing as minhashLshPairs
+    val withDig = shingleDigests(shingleSets(docs, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(sets, k)
+    val sig = minhashSignaturesFromDigests(withDig, k)
     val bandStructs = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand)
         .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
@@ -423,7 +490,7 @@ object TextDedup {
               (p, q) => p === q), hit => hit)).as("agree")))))).as("p"))
       .filter(col("p.touches_new") && col("p.agree") >= lit(minAgree))
       .select(col("p.doc_a"), col("p.doc_b"))
-    verifyJaccard(pairs.distinct(), sets, threshold)
+    verifyJaccard(pairs.distinct(), keySetsFromDigests(withDig), threshold)
   }
 
   /** 32-bit SimHash signature as a '0'/'1' bit string (packed-long-free

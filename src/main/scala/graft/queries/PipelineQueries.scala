@@ -41,8 +41,13 @@ object PipelineQueries {
     // self-join form at sf0.1 (1.07 vs 1.34 s same-session A/B, r4);
     // results identical by construction (MlSpec equivalence-gates the
     // two forms against each other).
+    // doc_id cast to int engages the packed-pair-key fast path (exact
+    // for any corpus under 2^31 docs; the library falls back to the
+    // struct form on long ids — see jaccardPairsPostings scaladoc).
     "q31_ngram_jaccard" -> { (s, dir) =>
-      TextDedup.jaccardPairsPostings(t(s, dir, "documents"), n = 3, threshold = 0.3, dfCap = 50)
+      val docs = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+      TextDedup.jaccardPairsPostings(docs, n = 3, threshold = 0.3, dfCap = 50)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -532,7 +537,12 @@ object PipelineQueries {
   }
 
   /** The q32 minhash+LSH oracle pipeline, parameterized on an extra
-    * cand-CTE condition (q73 adds the at-least-one-new predicate). */
+    * cand-CTE condition (q73 adds the at-least-one-new predicate).
+    * The verify stage (kh/sizes/shared CTEs) runs on DISTINCT 63-bit
+    * md5-half keys — (h1 mod 2^31)·2^32 + h2, max 2^63-1 so DuckDB's
+    * checked BIGINT arithmetic cannot overflow — mirroring
+    * TextDedup.keySetsFromDigests exactly: a key collision perturbs
+    * both engines identically, keeping the compare exact. */
   private def minhashLshOracle(candExtra: String): String = {
     import TextDedup.{permA, permB, minhashP}
     val mhs = (0 until 12).map(j =>
@@ -551,6 +561,8 @@ object PipelineQueries {
        |  CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
        |  CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2 FROM sh),
        |sigs AS (SELECT doc_id, $mhs FROM hv GROUP BY doc_id),
+       |kh AS (SELECT DISTINCT doc_id,
+       |  (h1 % 2147483648) * 4294967296 + h2 AS k FROM hv),
        |bands AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -559,11 +571,11 @@ object PipelineQueries {
        |  JOIN sigs sx ON sx.doc_id = x.doc_id
        |  JOIN sigs sy ON sy.doc_id = y.doc_id
        |  WHERE $agree >= 5$candExtra),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kh GROUP BY doc_id),
        |shared AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS shared
-       |  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
-       |   JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+       |  FROM cand c JOIN kh a ON a.doc_id = c.doc_a
+       |   JOIN kh b ON b.doc_id = c.doc_b AND b.k = a.k
        |  GROUP BY 1, 2)
        |SELECT s.doc_a, s.doc_b,
        | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard

@@ -187,6 +187,16 @@ class MlSpec extends SparkSpec {
     val b = norm(TextDedup.jaccardPairsPostings(df, n = 3, threshold = 0.2, dfCap = 50))
     assert(a === b)
     assert(a.nonEmpty)
+    // int ids engage the packed-pair-key path; results must be
+    // identical to the long-id struct path (including negative ids,
+    // which exercise the sign-safe bitwise pack/unpack)
+    val intDf = df.withColumn("doc_id",
+      (col("doc_id") - 3).cast("int")) // ids -2..2: negatives included
+    val c = TextDedup.jaccardPairsPostings(intDf, n = 3, threshold = 0.2, dfCap = 50)
+      .as[(Int, Int, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(c === a.map(p => ((p._1 - 3).toInt, (p._2 - 3).toInt, p._3))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2), p._3))
+      .sortBy(p => (p._1, p._2)))
   }
 
   test("dedup clusters: long chain (diameter > 4) converges to one component") {
