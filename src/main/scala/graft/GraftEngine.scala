@@ -41,8 +41,9 @@ final class GraftEngine private (val spark: SparkSession, val root: String) {
 
   /** Run a command; capture, parse, store (S8). */
   def exec(command: Seq[String], tag: Option[String] = None,
-      sourceName: Option[String] = None, formatHint: String = "auto"): Runner.RunResult =
-    runner.exec(command, tag, sourceName, formatHint)
+      sourceName: Option[String] = None, formatHint: String = "auto",
+      timeoutMs: Long = 600000L): Runner.RunResult =
+    runner.exec(command, tag, sourceName, formatHint, timeoutMs = timeoutMs)
 
   /** Import an existing log file as a run (S7). */
   def importLog(path: String, format: String = "auto",

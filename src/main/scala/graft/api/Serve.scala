@@ -26,16 +26,50 @@ import graft.GraftEngine
   *  - import           → file or directory ingest (distributed for globs)
   *  - sql              → read-only SQL over the registered views
   *  - source_context   → P10-guarded source window around an event ref
+  *  - register_command / commands / unregister_command
+  *                     → named-command registry (CommandRegistry,
+  *                       reference serve.py:1986-2177)
+  *  - run              → execute a registered command by name with
+  *                       template args (serve.py's run tool; expansion
+  *                       shell-quotes every caller value)
+  *  - event            → single-event detail by full ref
+  *                       (serve.py:1034)
+  *  - info             → run detail by ref/uuid/source (serve.py:1583)
+  *  - last             → most recent run summary + optional event
+  *                       slice (serve.py:2792)
   *
   * Deliberately NOT here (driver/CLI concerns with no DataFrame
-  * surface, same scoping as COVERAGE.md P10/F6): run/exec (spawning
-  * subprocesses belongs to the caller's host, not the analytics
-  * service), register_command/commands/config (CLI registry state),
-  * sandbox_info (local sandbox introspection), clean (operates on
-  * local blob dirs via Maintenance directly).
+  * surface, same scoping as COVERAGE.md P10/F6): sandbox_info (local
+  * sandbox introspection), config (CLI config state), clean (operates
+  * on local blob dirs via Maintenance directly).
   */
 final class Serve(engine: GraftEngine) {
   import Serve._
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Registry file lives beside the store — named commands are
+    * project-durable state, like the reference's .lq/commands.toml. */
+  private val registry =
+    new CommandRegistry(java.nio.file.Paths.get(engine.root, "commands.json"))
+
+  /** Parse a JSON-object-valued string arg ({"k":"v",...}) — the wire
+    * layer only passes flat scalars, so map args ride JSON-encoded. */
+  private def mapArg(args: Map[String, String], k: String): Map[String, String] =
+    args.get(k).filter(_.trim.nonEmpty).map { s =>
+      val n = mapper.readTree(s)
+      require(n.isObject, s"'$k' must be a JSON object")
+      import scala.jdk.CollectionConverters._
+      n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty)
+
+  private def seqArg(args: Map[String, String], k: String): Seq[String] =
+    args.get(k).filter(_.trim.nonEmpty).map { s =>
+      val n = mapper.readTree(s)
+      require(n.isArray, s"'$k' must be a JSON array")
+      import scala.jdk.CollectionConverters._
+      n.elements().asScala.map(_.asText()).toSeq
+    }.getOrElse(Nil)
 
   val tools: Seq[String] = Serve.toolSpecs.map(_.name)
 
@@ -129,6 +163,117 @@ final class Serve(engine: GraftEngine) {
         // time on this hot path
         case None => json(engine.spark.sql(q), intArg(args, "limit", 100))
       }
+    case "register_command" =>
+      val name = args("name")
+      val rc = CommandRegistry.RegisteredCommand(
+        name = name,
+        cmd = args.get("cmd").filter(_.nonEmpty),
+        tpl = args.get("tpl").filter(_.nonEmpty),
+        defaults = mapArg(args, "defaults"),
+        description = args.getOrElse("description", ""),
+        timeoutMs = args.get("timeout").map(_.toLong),
+        // auto-detect from the command text, like the reference
+        format = args.get("format").filter(_.nonEmpty).getOrElse(
+          graft.parse.FormatRegistry.detectFormatFromCommand(
+            args.get("tpl").orElse(args.get("cmd")).getOrElse(""))))
+      registry.register(rc, force = args.get("force").exists(_.toBoolean)) match {
+        case Left(reason) => err(reason)
+        case Right((cmd, existed)) =>
+          s"""{"success":true,"existing":$existed,"name":${quote(cmd.name)},""" +
+            s""""command":${quote(cmd.template)},"format":${quote(cmd.format)}}"""
+      }
+    case "commands" =>
+      val entries = registry.list().map { c =>
+        s"""{"name":${quote(c.name)},""" +
+          (if (c.isTemplate) s""""tpl":${quote(c.template)},"""
+           else s""""cmd":${quote(c.template)},""") +
+          (if (c.defaults.nonEmpty)
+            s""""defaults":{${c.defaults.toSeq.sortBy(_._1)
+              .map { case (k, v) => s"${quote(k)}:${quote(v)}" }.mkString(",")}},"""
+           else "") +
+          s""""description":${quote(c.description)},"format":${quote(c.format)}}"""
+      }
+      s"""{"commands":[${entries.mkString(",")}]}"""
+    case "unregister_command" =>
+      registry.unregister(args("name")) match {
+        case Left(reason) => err(reason)
+        case Right(_) => s"""{"success":true,"name":${quote(args("name"))}}"""
+      }
+    case "run" =>
+      val name = args("command")
+      registry.get(name) match {
+        case None =>
+          err(s"command '$name' not registered (see the commands tool)")
+        case Some(rc) =>
+          // registry-level defaults fill known placeholders only (an
+          // unused default is config noise, not a caller error — the
+          // unknown-arg check is for CALLER args)
+          val known = CommandRegistry.parsePlaceholders(rc.template).map(_.name).toSet
+          val rendered = CommandRegistry.expand(rc.template,
+            rc.defaults.view.filterKeys(known).toMap ++ mapArg(args, "args"),
+            seqArg(args, "positional"), seqArg(args, "extra"))
+          val r = engine.exec(Seq("sh", "-c", rendered), tag = Some(name),
+            sourceName = Some(name), formatHint = rc.format,
+            timeoutMs = rc.timeoutMs.getOrElse(600000L))
+          s"""{"run_serial":${r.runSerial},"invocation_id":${quote(r.invocationId)},""" +
+            s""""status":${quote(r.status)},"exit_code":${r.exitCode},""" +
+            s""""errors":${r.errors},"warnings":${r.warnings},""" +
+            s""""command":${quote(rendered)}}"""
+      }
+    case "event" =>
+      val ref = args("ref")
+      val parsed = RefResolver.parse(ref)
+      parsed.eventId match {
+        case None => err(s"ref '$ref' has no event index (use run:serial:event)")
+        case Some(eventId) =>
+          import org.apache.spark.sql.functions.col
+          val run = engine.run(ref).select("invocation_id").collect().headOption
+          run match {
+            case None => err(s"no run matches ref '$ref'")
+            case Some(row) =>
+              val df = engine.events
+                .filter(col("invocation_id") === row.getString(0) &&
+                  col("event_index") === eventId)
+                .select("ref", "run_ref", "run_serial", "event_index", "severity",
+                  "ref_file", "ref_line", "ref_column", "message", "tool_name",
+                  "category", "fingerprint", "raw_text", "log_line_start",
+                  "log_line_end", "cwd", "executable_path", "hostname",
+                  "platform", "arch", "git_commit", "git_branch", "git_dirty")
+              if (df.isEmpty) err(s"no event $eventId in run '$ref'")
+              else json(df, 1)
+          }
+      }
+    case "info" =>
+      val ref = args.getOrElse("ref", "~1")
+      val df = engine.run(ref)
+        .select("run_ref", "run_serial", "invocation_id", "source_name", "tag",
+          "command", "status_badge", "exit_code", "started_at", "duration_ms",
+          "event_count", "errors", "warnings", "unique_errors", "hostname",
+          "platform", "arch", "git_commit", "git_branch", "git_dirty")
+      if (df.isEmpty) err(s"no run matches ref '$ref'") else json(df, 1)
+    case "last" =>
+      import org.apache.spark.sql.functions.col
+      val lastRun = engine.runs
+        .orderBy(col("run_serial").desc).limit(1)
+        .select("run_ref", "run_serial", "invocation_id", "source_name",
+          "command", "status_badge", "exit_code", "started_at",
+          "errors", "warnings", "git_branch", "git_commit")
+      lastRun.collect().headOption match {
+        case None => err("no runs found")
+        case Some(row) =>
+          val summary = json(lastRun, 1)
+          val sev = args.get("severity")
+            .orElse(if (args.get("errors").exists(_.toBoolean)) Some("error") else None)
+          val evs = sev.map { s =>
+            val slice = engine.events
+              .filter(col("run_serial") === row.getAs[Long]("run_serial") &&
+                col("severity") === s)
+              .orderBy(col("event_index"))
+              .select("ref", "severity", "location", "message")
+            s""","events":${json(slice, intArg(args, "limit", 20))}"""
+          }.getOrElse("")
+          s"""{"run":$summary$evs}"""
+      }
     case "source_context" =>
       // P10 surface: ref_file is untrusted parser output — the resolve
       // refuses absolute/.. escapes out of `root` (SourceContext).
@@ -218,7 +363,41 @@ object Serve {
         ToolParam("ref_file", "string", "file path from the event", required = true),
         ToolParam("ref_line", "integer", "line number (default 1)"),
         ToolParam("root", "string", "source root the path must stay under", required = true),
-        ToolParam("context", "integer", "lines of context each side (default 5)"))))
+        ToolParam("context", "integer", "lines of context each side (default 5)"))),
+    ToolSpec("register_command",
+      "Register a named command or {param} template in the durable command registry.",
+      Seq(
+        ToolParam("name", "string", "command name", required = true),
+        ToolParam("cmd", "string", "simple command (exclusive with tpl)"),
+        ToolParam("tpl", "string",
+          "template with {name}/{name=default}/{name:}/{name:=default} placeholders"),
+        ToolParam("defaults", "string", "JSON object of default placeholder values"),
+        ToolParam("description", "string", "human description"),
+        ToolParam("timeout", "integer", "timeout in milliseconds"),
+        ToolParam("format", "string", "log format (default: detected from the command)"),
+        ToolParam("force", "string", "overwrite an existing different command (true/false)"))),
+    ToolSpec("commands", "List registered commands.", Seq.empty),
+    ToolSpec("unregister_command", "Remove a command from the registry.",
+      Seq(ToolParam("name", "string", "command name", required = true))),
+    ToolSpec("run",
+      "Execute a registered command by name; caller values are shell-quoted into the template.",
+      Seq(
+        ToolParam("command", "string", "registered command name", required = true),
+        ToolParam("args", "string", "JSON object of named template args"),
+        ToolParam("positional", "string", "JSON array of positional args"),
+        ToolParam("extra", "string", "JSON array of passthrough args appended quoted"))),
+    ToolSpec("event",
+      "Full detail of one event, addressed by a ref that includes an event index (e.g. build:5:2).",
+      Seq(ToolParam("ref", "string", "run:serial:event reference", required = true))),
+    ToolSpec("info",
+      "Run detail by ref, invocation UUID, or source name (latest run of that source).",
+      Seq(ToolParam("ref", "string", "run reference; default ~1 (most recent)"))),
+    ToolSpec("last",
+      "Most recent run summary, optionally with a severity-filtered event slice.",
+      Seq(
+        ToolParam("severity", "string", "include events of this severity"),
+        ToolParam("errors", "string", "true = shorthand for severity=error"),
+        ToolParam("limit", "integer", "max events to include (default 20)"))))
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
   import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}

@@ -22,6 +22,75 @@ class ServeSpec extends SparkSpec {
     new Serve(g)
   }
 
+  test("command registry: register → run → query round-trip, durable on disk") {
+    val root = Files.createTempDirectory("serve_reg").toString
+    val g = GraftEngine(spark, root)
+    val s = new Serve(g)
+    // template with a positional-able required param and a kw default
+    val reg = s.call("register_command", Map(
+      "name" -> "fakecc",
+      "tpl" -> "printf '%s:1:2: error: broken\\n' {file:} {flags=}",
+      "description" -> "fake compiler", "format" -> "gcc_text"))
+    assert(reg.contains("\"success\":true") && reg.contains("\"existing\":false"))
+    // idempotent re-register of the identical command
+    assert(s.call("register_command", Map("name" -> "fakecc",
+      "tpl" -> "printf '%s:1:2: error: broken\\n' {file:} {flags=}"))
+      .contains("\"existing\":true"))
+    // same name, different command: refused without force
+    assert(s.call("register_command",
+      Map("name" -> "fakecc", "cmd" -> "true")).contains("error"))
+    // run by name with a positional arg; value lands shell-quoted
+    val run = s.call("run", Map(
+      "command" -> "fakecc", "positional" -> """["src/x.c"]"""))
+    assert(run.contains("\"status\":\"FAIL\"") && run.contains("\"errors\":1"), run)
+    // the parsed event is queryable through the normal surface
+    assert(s.call("errors", Map("limit" -> "5")).contains("src/x.c"))
+    // registry survives a fresh Serve over the same root (file-backed)
+    val s2 = new Serve(GraftEngine(spark, root))
+    assert(s2.call("commands").contains("fakecc"))
+    assert(s2.call("unregister_command", Map("name" -> "fakecc"))
+      .contains("\"success\":true"))
+    assert(!s2.call("commands").contains("fakecc"))
+    assert(s2.call("run", Map("command" -> "fakecc")).contains("not registered"))
+  }
+
+  test("run tool shell-quotes caller values (injection stays literal)") {
+    val root = Files.createTempDirectory("serve_inj").toString
+    val g = GraftEngine(spark, root)
+    val s = new Serve(g)
+    s.call("register_command", Map(
+      "name" -> "echoer", "tpl" -> "echo {msg}", "format" -> "auto"))
+    val evil = """x"; touch /tmp/serve_pwned_graft; echo "y"""
+    val run = s.call("run", Map("command" -> "echoer",
+      "args" -> s"""{"msg":${com.fasterxml.jackson.databind.json.JsonMapper.builder().build().writeValueAsString(evil)}}"""))
+    assert(run.contains("\"exit_code\":0"))
+    assert(!Files.exists(java.nio.file.Paths.get("/tmp/serve_pwned_graft")))
+    // the echoed output contains the literal value, not its execution
+    val outs = g.output(run.split("\"invocation_id\":\"")(1).takeWhile(_ != '"'))
+    assert(outs.exists(_.contains("touch /tmp/serve_pwned_graft")))
+  }
+
+  test("event / info / last tools resolve refs against stored runs") {
+    val s = mkServe()
+    // event detail by tag:serial:event_index
+    val ev = s.call("event", Map("ref" -> "types:2:1"))
+    assert(ev.contains("not callable") && ev.contains("\"severity\""), ev)
+    // ref without an event index is a usage error, not a crash
+    assert(s.call("event", Map("ref" -> "types:2")).contains("error"))
+    // info by explicit ref, by source name, and default (most recent)
+    val info = s.call("info", Map("ref" -> "types:1"))
+    assert(info.contains("\"run_serial\": 1") || info.contains("\"run_serial\":1"))
+    assert(s.call("info", Map("ref" -> "types")).contains("\"run_ref\""))
+    assert(s.call("info").contains("\"run_ref\""))
+    assert(s.call("info", Map("ref" -> "nope:99")).contains("error"))
+    // last: newest run summary + error slice on demand
+    val last = s.call("last", Map("errors" -> "true"))
+    assert(last.contains("\"run\":"))
+    assert(last.contains("not callable")) // error events included
+    val bare = s.call("last")
+    assert(bare.contains("\"run\":") && !bare.contains("\"events\":"))
+  }
+
   test("query tool: filter mini-language + select + limit → json") {
     val s = mkServe()
     val out = s.call("query", Map(
