@@ -30,4 +30,28 @@ object Bucketing {
   def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
       leftTable: String, rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Re-layout a store's J1 tables as co-bucketed catalog tables:
+    * events bucketed on its foreign key, invocations on its id (the
+    * rename to the common join name happens in the view — bucketing
+    * survives the alias via Spark's alias-aware output partitioning).
+    * One write-time shuffle, amortized over every later flat-view
+    * query. */
+  def writeStoreBucketed(store: EventStore, prefix: String,
+      buckets: Int): Unit = {
+    writeBucketed(store.events, s"${prefix}_events", "invocation_id", buckets)
+    writeBucketed(store.invocations, s"${prefix}_invocations", "id", buckets)
+  }
+
+  /** The UNCHANGED flat-view join shape over the bucketed layout —
+    * same code path as Views.eventsFlat (Views.flatJoin), no broadcast
+    * hint so the co-bucketing is what removes the shuffle. This is the
+    * SCALING.md claim "J1 can be made shuffle-free by bucketing
+    * without changing any query", as a callable. */
+  def flatView(spark: org.apache.spark.sql.SparkSession,
+      prefix: String): DataFrame =
+    graft.views.Views.flatJoin(
+      spark.table(s"${prefix}_events"),
+      spark.table(s"${prefix}_invocations"),
+      hintBroadcast = false)
 }

@@ -17,17 +17,26 @@ object Views {
     * side never shuffles for this join at any scale. run_serial is read
     * from the persisted column (assigned at write, §7.4 risk 1) instead
     * of the reference's global ROW_NUMBER window. */
-  def eventsFlat(store: EventStore): DataFrame = {
-    val e = store.events
-    val i = store.invocations
-    val inv = broadcast(i
+  def eventsFlat(store: EventStore): DataFrame =
+    flatJoin(store.events, store.invocations, hintBroadcast = true)
+
+  /** The J1 flat-view join SHAPE over explicit frames — one definition
+    * for every storage layout. `hintBroadcast = true` for the standard
+    * partitioned-parquet store (invocations ≪ events at any scale);
+    * false for co-bucketed catalog tables ([[graft.store.Bucketing]]),
+    * where the point is a shuffle-free sort-merge join and a broadcast
+    * hint would throw the write-time bucketing away. */
+  def flatJoin(events: DataFrame, invocations: DataFrame,
+      hintBroadcast: Boolean): DataFrame = {
+    val invBase = invocations
       .withColumnRenamed("id", "invocation_id")
       .withColumnRenamed("metadata", "run_metadata")
-      .withColumnRenamed("date", "log_date"))
+      .withColumnRenamed("date", "log_date")
+    val inv = if (hintBroadcast) broadcast(invBase) else invBase
     // Keep the EVENTS-side date (the big fact's partition column) as
     // `date`: a recency filter through the flat view then prunes event
     // partitions. The run's own date survives as log_date.
-    e.withColumnRenamed("timestamp", "event_timestamp")
+    events.withColumnRenamed("timestamp", "event_timestamp")
       .join(inv, Seq("invocation_id"))
       .withColumn("run_ref", blqRunRef(col("tag"), col("run_serial")))
       .withColumn("ref", blqEventRef(col("tag"), col("run_serial"), col("event_index")))
