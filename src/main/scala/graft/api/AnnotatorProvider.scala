@@ -53,6 +53,50 @@ object AnnotatorProvider {
     loadAll().filter(p => !eagerOnly || p.eager).map(_.annotator)
 }
 
+/** Late (side-table) annotator plugins: enrichments that cannot be a
+  * pure Column — they call out of the JVM (git blame) or read external
+  * state — and therefore run as bounded driver-side maintenance jobs
+  * producing (event_id, annotation_json) for
+  * [[Annotators.annotateFromSide]]. Discovered via ServiceLoader on
+  * `META-INF/services/graft.api.SideAnnotatorProvider`, same contract
+  * as [[AnnotatorProvider]]. */
+trait SideAnnotatorProvider {
+  def name: String
+  def sideTable(store: graft.store.EventStore): org.apache.spark.sql.DataFrame
+}
+
+object SideAnnotatorProvider {
+  def loadAll(): Seq[SideAnnotatorProvider] = {
+    val it = java.util.ServiceLoader.load(classOf[SideAnnotatorProvider]).iterator()
+    val out = Seq.newBuilder[SideAnnotatorProvider]
+    var more = true
+    var errors = 0
+    while (more && errors < 100) {
+      try {
+        more = it.hasNext
+        if (more) out += it.next()
+      } catch {
+        case e: java.util.ServiceConfigurationError =>
+          errors += 1
+          System.err.println(s"[graft] skipping broken side-annotator provider: ${e.getMessage}")
+      }
+    }
+    out.result()
+  }
+}
+
+/** Git blame enrichment as a discoverable plugin (reference
+  * git.py:150-208 via `blq info`): repo root comes from the
+  * `graft.annotate.gitRoot` system property (default: the process
+  * cwd), since ServiceLoader plugins are no-arg constructed. */
+final class GitBlameAnnotatorProvider extends SideAnnotatorProvider {
+  val name = "git_blame"
+  def sideTable(store: graft.store.EventStore): org.apache.spark.sql.DataFrame =
+    GitAnnotator.sideTable(store,
+      sys.props.getOrElse("graft.annotate.gitRoot",
+        sys.props.getOrElse("user.dir", ".")))
+}
+
 /** Built-in providers, registered through the same META-INF/services
   * mechanism external jars would use — the discovery path in tests is
   * the real one, not a shortcut. */

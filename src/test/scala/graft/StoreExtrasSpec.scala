@@ -96,6 +96,61 @@ class StoreExtrasSpec extends SparkSpec {
     assert(out("e2").get.contains("triaged"))
   }
 
+  test("git blame annotator: last commit/author per ref location from a fixture repo") {
+    import graft.api.GitAnnotator
+    import graft.exec.ExecContext
+    // fixture repo: Alice commits 5 lines, Bob rewrites line 2
+    val repo = Files.createTempDirectory("blame_repo").toString
+    def git(args: String*) = ExecContext.runGit(Some(repo), 5000, args: _*)
+    git("init", "-b", "main")
+    val src = java.nio.file.Paths.get(repo, "src")
+    Files.createDirectories(src)
+    Files.writeString(src.resolve("app.c"),
+      "int a;\nint broken;\nint c;\nint d;\nint e;\n")
+    git("add", ".")
+    git("-c", "user.name=Alice", "-c", "user.email=a@x", "commit", "-m", "initial")
+    Files.writeString(src.resolve("app.c"),
+      "int a;\nint fixed_differently;\nint c;\nint d;\nint e;\n")
+    git("add", ".")
+    git("-c", "user.name=Bob", "-c", "user.email=b@x", "commit", "-m", "rework line 2")
+
+    // primitives: blame + history
+    val b2 = GitAnnotator.blame(repo, "src/app.c", 2).get
+    val b4 = GitAnnotator.blame(repo, "src/app.c", 4).get
+    assert(b2.author === "Bob" && b4.author === "Alice")
+    assert(b2.commit.matches("[0-9a-f]{40}"))
+    assert(b2.commit !== b4.commit)
+    val hist = GitAnnotator.fileHistory(repo, "src/app.c")
+    assert(hist.map(_.author) === Seq("Bob", "Alice"))
+    assert(GitAnnotator.blame(repo, "src/app.c", 999).isEmpty) // past EOF
+    assert(GitAnnotator.blame(repo, "nope.c", 1).isEmpty)
+
+    // end-to-end: store events at those locations -> side table -> join
+    val root = Files.createTempDirectory("blame_store").toString
+    val store = new graft.store.EventStore(spark, root)
+    val runner = new graft.exec.Runner(store, new BlobStore(s"$root/blobs"))
+    runner.importContent(
+      "src/app.c:2:1: error: still broken\nsrc/app.c:4:1: warning: fishy\n" +
+        "elsewhere.c:9:1: error: unrelated\n",
+      format = "gcc_text",
+      context = Some(ExecContext.Captured.empty))
+    val side = GitAnnotator.sideTable(store, repo)
+    val rows = side.collect()
+    assert(rows.length === 2) // elsewhere.c is not in the repo: no row
+    val byId = Annotators.annotateFromSide(store.events, side)
+      .select($"ref_line", $"late_annotation")
+      .as[(Int, Option[String])].collect().toMap
+    assert(byId(2).get.contains("\"last_author\":\"Bob\""))
+    assert(byId(2).get.contains("git_blame"))
+    assert(byId(2).get.contains("rework line 2")) // recent_commits rides along
+    assert(byId(4).get.contains("\"last_author\":\"Alice\""))
+    assert(byId(9).isEmpty)
+
+    // plugin discovery: the blame provider is ServiceLoader-visible
+    val providers = graft.api.SideAnnotatorProvider.loadAll()
+    assert(providers.exists(_.name === "git_blame"))
+  }
+
   test("schema migration: adapt + rewrite round trip (add, rename, widen)") {
     import graft.store.{GraftMigrations, SchemaMigration}
     val root = Files.createTempDirectory("migrate").toString
