@@ -112,14 +112,135 @@ object Multimodal {
 
     /** Full decode: real header metadata when recognized (the detected
       * format overrides the envelope mime — headers don't lie,
-      * envelopes do), stub pseudo-decode otherwise. */
+      * envelopes do), stub pseudo-decode otherwise. Audio WAV decode is
+      * REAL end-to-end ([[AudioCodec]]): header fields from the RIFF
+      * chunks, duration from the data-chunk length. */
     def decode(r: MediaRow): MediaMeta =
       imageHeader(r.payload) match {
         case Some((fmt, w, h)) =>
           MediaMeta(r.media_id, s"image/$fmt", r.payload.length,
             width = w, height = h, n_frames = 1, duration_ms = 0L)
-        case None => DecodeStub.decode(r)
+        case None => AudioCodec.decode(r).getOrElse(DecodeStub.decode(r))
       }
+  }
+
+  /** REAL audio decode for the one container the JVM handles natively:
+    * RIFF/WAVE PCM via the JDK's javax.sound.sampled (java.desktop) —
+    * no external codec library. Header metadata (channels, sample
+    * rate, bit depth, duration) comes from a manual RIFF chunk walk
+    * (the published container layout: "RIFF"…"WAVE", "fmt " chunk
+    * le16/le32 fields, "data" chunk length), and feature extraction
+    * DECODES THE ACTUAL SAMPLES through AudioSystem into an RMS energy
+    * envelope — a genuine audio feature, embedding-shaped so it flows
+    * into [[Similarity]] exactly like the stub vectors. Anything
+    * non-WAV (or malformed) returns None and falls through to
+    * [[DecodeStub]]; a lying payload must never throw in an executor. */
+  object AudioCodec {
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    final case class WavHeader(channels: Int, sampleRate: Int,
+        bitsPerSample: Int, dataBytes: Long) {
+      def frames: Long =
+        if (channels == 0 || bitsPerSample == 0) 0L
+        else dataBytes / (channels.toLong * (bitsPerSample / 8).max(1))
+      def durationMs: Long =
+        if (sampleRate == 0) 0L else frames * 1000L / sampleRate
+    }
+
+    /** RIFF chunk walk: "RIFF"<sz>"WAVE", then aligned (id, le32 size)
+      * chunks; "fmt " yields the format fields, "data" the payload
+      * length. None unless both chunks parse and the format is PCM or
+      * IEEE float (codes 1 / 3 — what javax.sound decodes too). */
+    def wavHeader(b: Array[Byte]): Option[WavHeader] = {
+      if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // code, channels, rate, bits
+      var dataLen: Option[Long] = None
+      try {
+        while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+          val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val size = le32(b, i + 4)
+          if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+            fmt = Some((le16(b, i + 8), le16(b, i + 10),
+              le32(b, i + 12).toInt, le16(b, i + 22)))
+          if (id == "data") dataLen = Some(size)
+          // chunks are word-aligned: odd sizes carry a pad byte
+          i += 8 + size.toInt + (size % 2).toInt
+          if (size < 0 || i < 0) return None
+        }
+      } catch { case _: IndexOutOfBoundsException => return None }
+      for {
+        (code, ch, rate, bits) <- fmt
+        dl <- dataLen
+        if (code == 1 || code == 3) && ch > 0 && rate > 0 && bits > 0
+      } yield WavHeader(ch, rate, bits, dl)
+    }
+
+    def decode(r: MediaRow): Option[MediaMeta] =
+      wavHeader(r.payload).map { h =>
+        MediaMeta(r.media_id, "audio/wav", r.payload.length,
+          width = 0, height = 0,
+          // n_frames = PCM frames (samples per channel) — the audio
+          // analog of the video frame count
+          n_frames = h.frames.min(Int.MaxValue).toInt,
+          duration_ms = h.durationMs)
+      }
+
+    /** REAL feature extraction: decode the PCM samples with
+      * javax.sound's AudioSystem and compute a `dim`-window RMS energy
+      * envelope, peak-normalized — the classic first audio feature
+      * (how loudness evolves over the clip). Mono-mixes multi-channel
+      * input. None for anything AudioSystem can't decode. */
+    def energyEnvelope(payload: Array[Byte], dim: Int = 16): Option[Array[Float]] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = in.getFormat
+          if (f.getSampleSizeInBits != 16 &&
+              f.getSampleSizeInBits != 8) return None
+          val bytes = in.readAllBytes()
+          val bytesPerSample = f.getSampleSizeInBits / 8
+          val frameBytes = bytesPerSample * f.getChannels
+          val nFrames = bytes.length / frameBytes.max(1)
+          if (nFrames == 0) return None
+          val env = new Array[Double](dim)
+          val counts = new Array[Long](dim)
+          var fr = 0
+          while (fr < nFrames) {
+            // mono mix of this frame
+            var acc = 0.0
+            var c = 0
+            while (c < f.getChannels) {
+              val off = fr * frameBytes + c * bytesPerSample
+              val s =
+                if (bytesPerSample == 2) {
+                  val lo = bytes(off + (if (f.isBigEndian) 1 else 0)) & 0xff
+                  val hi = bytes(off + (if (f.isBigEndian) 0 else 1))
+                  ((hi << 8) | lo).toShort / 32768.0
+                } else // 8-bit WAV PCM is unsigned
+                  ((bytes(off) & 0xff) - 128) / 128.0
+              acc += s
+              c += 1
+            }
+            val sample = acc / f.getChannels
+            val w = (fr.toLong * dim / nFrames).toInt.min(dim - 1)
+            env(w) += sample * sample
+            counts(w) += 1
+            fr += 1
+          }
+          val rms = env.indices.map(i =>
+            if (counts(i) == 0) 0.0 else math.sqrt(env(i) / counts(i)))
+          val peak = rms.max
+          Some(rms.map(v => if (peak == 0) 0f else (v / peak).toFloat).toArray)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** STUB codec: deterministic pseudo-decode from the payload bytes,
@@ -177,11 +298,18 @@ object Multimodal {
     media.mapPartitions(_.map(HeaderCodec.decode))
   }
 
-  /** Feature-extract stage, same batch shape as [[decodeMeta]]. */
+  /** Feature-extract stage, same batch shape as [[decodeMeta]]: WAV
+    * payloads get the REAL decoded-sample energy envelope
+    * ([[AudioCodec.energyEnvelope]]); everything else the stub vector.
+    * Either way one narrow per-partition map, dim-stable output. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions(_.map(r => DecodeStub.features(r, dim)))
+    media.mapPartitions(_.map { r =>
+      AudioCodec.energyEnvelope(r.payload, dim)
+        .map(MediaFeature(r.media_id, _))
+        .getOrElse(DecodeStub.features(r, dim))
+    })
   }
 
   /** Frame sampling plan: every `stride`-th frame index per video —

@@ -265,6 +265,57 @@ class MlSpec extends SparkSpec {
     assert(meta(3L).width >= 64) // stub-derived
   }
 
+  test("multimodal: real WAV decode — header metadata and sample-level energy envelope") {
+    import Multimodal.{AudioCodec, MediaRow}
+    // real fixture: a 0.5 s 16-bit mono 8 kHz clip written by the JDK's
+    // own WAV encoder — loud sine for the first half, silence after
+    val rate = 8000
+    val nSamples = rate / 2
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples / 2) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 20000).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    // header walk recovers the true format fields and duration
+    val h = AudioCodec.wavHeader(wav).get
+    assert(h.channels === 1 && h.sampleRate === rate && h.bitsPerSample === 16)
+    assert(h.frames === nSamples)
+    assert(h.durationMs === 500L)
+    // decode() integrates it as audio metadata (frames, duration)
+    val meta = Multimodal.HeaderCodec.decode(MediaRow(1L, "application/octet-stream", wav, "s"))
+    assert(meta.mime === "audio/wav" && meta.n_frames === nSamples &&
+      meta.duration_ms === 500L)
+    // REAL sample decode: the envelope hears the loud half and the
+    // silent half, peak-normalized
+    val env = AudioCodec.energyEnvelope(wav, dim = 8).get
+    assert(env.length === 8)
+    assert(env.take(4).forall(_ > 0.9f), env.toSeq) // sine half ≈ peak
+    assert(env.drop(4).forall(_ < 0.01f), env.toSeq) // silent half ≈ 0
+    // malformed/non-WAV payloads fall through, never throw
+    assert(AudioCodec.wavHeader(wav.take(20)).isEmpty)
+    assert(AudioCodec.wavHeader("RIFFgarbage".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.energyEnvelope("not audio".getBytes("UTF-8")).isEmpty)
+    // and through the distributed stages: WAV rows get the real
+    // envelope, others the stub vector — same batch shape
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", wav, "s"),
+      MediaRow(2L, "application/octet-stream", "opaque".getBytes("UTF-8"), "s"))
+    val feats = Multimodal.extractFeatures(spark.createDataset(rows)(
+        org.apache.spark.sql.Encoders.product[MediaRow]), dim = 8)
+      .collect().map(f => f.media_id -> f.embedding).toMap
+    assert(feats(1L).toSeq === env.toSeq)
+    assert(feats(2L).toSeq === Multimodal.DecodeStub.features(rows(1), 8).embedding.toSeq)
+  }
+
   test("multimodal: frame sampling explodes only multi-frame assets") {
     val media = Multimodal.fakeMediaTable(corpus.withColumn("source", lit("s")))
     val meta = Multimodal.decodeMeta(media)
