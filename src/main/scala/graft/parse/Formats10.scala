@@ -138,8 +138,12 @@ object BiomeParser extends LogParser {
   val tool = "biome"
   // src/app.js:12:5 lint/style/noVar  FIXABLE  ━━━━
   //   ✖ Use let or const instead of var.
+  // The category may be BARE (`format`, `parse`, `organizeImports` —
+  // biome prints those without a slash for formatter/parser/assist
+  // diagnostics); the tier-4 deep fixture caught the slash-required
+  // form dropping every formatter diagnostic.
   private val head =
-    """^([^:\s]+):(\d+):(\d+)\s+((?:lint|format|suppressions?)/[\w/.-]+).*$""".r
+    """^([^:\s]+):(\d+):(\d+)\s+((?:lint|suppressions?)/[\w/.-]+|(?:format|parse|organizeImports|assists?)(?:/[\w/.-]+)?)(?:\s.*)?$""".r
   private val msgLine = """^\s*[✖⚠ℹ]\s+(.*)$""".r
   private val summary = """^Checked \d+ files? in .*$""".r
 

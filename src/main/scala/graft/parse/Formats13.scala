@@ -282,7 +282,15 @@ object CondaParser extends LogParser {
       case missing(pkg) if inError =>
         out += mk(idx, i + 1, Severity.Error, s"not found: $pkg", raw, "deps")
         idx += 1
-      case _ => if (raw.trim.isEmpty) inError = false
+      // Real conda output separates the error head from its package
+      // list with a BLANK line (tier-4 deep fixture caught the old
+      // blank-line reset dropping the entire list). The list ends at
+      // the next non-indented prose line instead ("Current channels:",
+      // "Note: …"), which also keeps the indented channel-URL bullets
+      // under "Current channels:" from being misread as packages.
+      case _ =>
+        if (raw.trim.nonEmpty && !raw.startsWith(" ") && !raw.startsWith("\t"))
+          inError = false
     }
     out.result()
   }
