@@ -359,6 +359,31 @@ object TextDedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** (doc_id, sig ARRAY<LONG>, band, key) — each doc exploded to its
+    * `bands` LSH bucket keys with the full signature riding along (so
+    * downstream slot-agreement estimates never join back). Shared by
+    * the batch pipelines below and the streaming checker
+    * ([[graft.streaming.StreamingDedup]]); pure per-row expressions,
+    * zero shuffle. */
+  def bandKeyTable(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
+      struct(lit(b).as("band"), concat_ws("|", slots: _*).as("key"))
+    }
+    sig.select(col("doc_id"),
+        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Slot-agreement count between two k-slot signature arrays — the
+    * in-row Jaccard estimate (E[agree/k] = j). */
+  def sigAgreement(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (p, q) => p === q), hit => hit))
+
   /** MinHash+LSH near-duplicate detection: candidates = docs sharing any
     * band bucket; verified with true Jaccard on the shingle table.
     * Output: (doc_a, doc_b, jaccard) with jaccard >= threshold, a < b.
@@ -385,7 +410,6 @@ object TextDedup {
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, minAgree: Int = 0): DataFrame = {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
-    val rowsPerBand = k / bands
     // The digest frame is the shared upstream of BOTH consumers
     // (signatures, verify keys): one md5 per shingle, persisted once.
     // The verify join then shuffles/intersects 8-byte key arrays, not
@@ -399,16 +423,7 @@ object TextDedup {
     val sig = minhashSignaturesFromDigests(withDig, k)
     // Band keys AND the full signature array in one projection — the
     // estimate must not cost a join back to the signature frame.
-    val bandStructs = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand)
-        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), concat_ws("|", slots: _*).as("key"))
-    }
-    val bk = sig.select(col("doc_id"),
-        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bk = bandKeyTable(sig, k, bands)
     // Bucket-list candidate generation: ONE shuffle (groupBy band+key)
     // instead of a self-join's write + two reads. Buckets are collected
     // as (doc_id, sig) struct lists — array_sort on the struct sorts by
@@ -427,8 +442,7 @@ object TextDedup {
         transform(slice(ds2, i + lit(2), size(ds2)), b =>
           struct(a.getField("doc_id").as("doc_a"),
             b.getField("doc_id").as("doc_b"),
-            size(filter(zip_with(a.getField("sig"), b.getField("sig"),
-              (p, q) => p === q), hit => hit)).as("agree")))))).as("p"))
+            sigAgreement(a.getField("sig"), b.getField("sig")).as("agree")))))).as("p"))
       .filter(col("p.agree") >= lit(minAgree))
       .select(col("p.doc_a"), col("p.doc_b"))
     val candidates = pairs.distinct()
@@ -456,23 +470,13 @@ object TextDedup {
   def minhashLshPairsIncremental(docs: DataFrame, isNew: Column, n: Int,
       k: Int, bands: Int, threshold: Double, minAgree: Int = 0): DataFrame = {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
-    val rowsPerBand = k / bands
     // same one-md5-pass digest sharing as minhashLshPairs
     val withDig = shingleDigests(shingleSets(docs, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignaturesFromDigests(withDig, k)
-    val bandStructs = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand)
-        .map(r => col(s"mh${b * rowsPerBand + r}").cast("string"))
-      struct(lit(b).as("band"), concat_ws("|", slots: _*).as("key"))
-    }
     // attach the new-batch flag (two-column frame, broadcast-friendly)
-    val sigN = sig.join(docs.select(col("doc_id"), isNew.as("is_new")), Seq("doc_id"))
-    val bk = sigN.select(col("doc_id"), col("is_new"),
-        array((0 until k).map(j => col(s"mh$j")): _*).as("sig"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("is_new"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bk = bandKeyTable(sig, k, bands)
+      .join(docs.select(col("doc_id"), isNew.as("is_new")), Seq("doc_id"))
     val ds2 = col("ds2")
     val pairs = bk
       .groupBy(col("band"), col("key"))
@@ -486,8 +490,7 @@ object TextDedup {
           struct(a.getField("doc_id").as("doc_a"),
             b.getField("doc_id").as("doc_b"),
             (a.getField("is_new") || b.getField("is_new")).as("touches_new"),
-            size(filter(zip_with(a.getField("sig"), b.getField("sig"),
-              (p, q) => p === q), hit => hit)).as("agree")))))).as("p"))
+            sigAgreement(a.getField("sig"), b.getField("sig")).as("agree")))))).as("p"))
       .filter(col("p.touches_new") && col("p.agree") >= lit(minAgree))
       .select(col("p.doc_a"), col("p.doc_b"))
     verifyJaccard(pairs.distinct(), keySetsFromDigests(withDig), threshold)

@@ -172,6 +172,70 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup: batches screened against a static corpus index") {
+    import graft.streaming.StreamingDedup
+    import graft.ml.TextDedup
+    import org.apache.spark.sql.functions.{col, lit}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the yard today"),
+      (2L, "completely different content about distributed query engines here"),
+      (3L, "training data pipelines need deduplication at petabyte scale now"),
+      (4L, "a third unrelated corpus document about streaming watermarks"))
+      .toDF("doc_id", "text")
+    val index = StreamingDedup.indexCorpus(corpus, n = 3, k = 12, bands = 4)
+
+    // batch: one near-dup of corpus doc 1, one internal dup pair, one clean
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog in the yard tonight"),
+      (102L, "brand new text that matches nothing else in any collection"),
+      (103L, "brand new text that matches nothing else in any collection"),
+      (104L, "entirely fresh material with no duplicate partner anywhere"))
+      .toDF("doc_id", "text")
+    val got = StreamingDedup.checkBatch(batch, index, n = 3, k = 12, bands = 4,
+      threshold = 0.3)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getString(3))).toSet
+    got.unpersist()
+    assert(rows.map(t => (t._1, t._2, t._4)) ===
+      Set((101L, 1L, "corpus"), (102L, 103L, "batch")))
+    assert(rows.forall(_._3 >= 0.3))
+
+    // differential: same pairs as the incremental batch operator on the
+    // unioned corpus (canonical min/max orientation)
+    val union = corpus.unionByName(batch)
+    val expected = TextDedup
+      .minhashLshPairsIncremental(union, col("doc_id") >= lit(100L),
+        n = 3, k = 12, bands = 4, threshold = 0.3)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(rows.map(t => (math.min(t._1, t._2), math.max(t._1, t._2), t._3)) ===
+      expected)
+
+    // end-to-end through a streaming query: two micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Map[Long, Set[(Long, Long, String)]]()
+    val q = StreamingDedup.run(
+      input.toDF().toDF("doc_id", "text"), index,
+      n = 3, k = 12, bands = 4, threshold = 0.3) { (batchId, matches) =>
+      collected.synchronized {
+        collected(batchId) = matches.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSet
+      }
+    }
+    try {
+      input.addData((201L,
+        "training data pipelines need deduplication at petabyte scale soon"))
+      q.processAllAvailable()
+      input.addData(
+        (202L, "nothing at all like anything that ever came before this"),
+        (203L, "the quick brown fox jumps over the lazy dog in the yard today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(collected(0L) === Set((201L, 3L, "corpus")))
+    assert(collected(1L) === Set((203L, 1L, "corpus")))
+  }
+
   test("live tail: streaming file source parses appended diagnostics") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("live_tail").toString
