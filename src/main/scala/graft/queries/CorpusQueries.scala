@@ -102,7 +102,36 @@ object CorpusQueries {
       .orderBy(col("cluster_id"))
   }
 
-  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(q50, q51)
+  // Canonical document selection — the policy step a production dedup
+  // pipeline runs AFTER clustering: within each near-dup cluster keep
+  // the highest-quality member (ties: lowest doc_id), drop the rest.
+  // q51 labels clusters by min-id; this replaces the arbitrary min-id
+  // keeper with a quality-ranked one — the "keep the best copy"
+  // behavior that actually matters when near-dups differ in quality
+  // (truncated mirrors, boilerplate-wrapped copies). Window is
+  // partitioned by cluster (clusters are small by construction), so
+  // the ranking never leaves its partition at any corpus size. keep
+  // is emitted as BIGINT 1/0: the parity gate compares str-rendered
+  // values, and engine boolean renderings aren't guaranteed to agree.
+  private val q77 = "q77_canonical_selection" -> { (s: SparkSession, dir: String) =>
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ml.TextDedup.minhashLshPairs(docs, n = 3, k = 12,
+      bands = 4, threshold = 0.3, minAgree = 5)
+    val scored = docs.select(col("doc_id"),
+      round(graft.ml.TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    graft.ml.DedupClusters.assign(docs.select(col("doc_id")), pairs)
+      .join(scored, Seq("doc_id"))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("sz") > 1)
+      .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+      .select(col("cluster_id"), col("doc_id"), col("quality"), col("keep"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  val queries2: Map[String, (SparkSession, String) => DataFrame] =
+    Map(q50, q51, q77)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -143,6 +172,33 @@ object CorpusQueries {
          | array_to_string(list_sort(list(doc_id)), ',') AS members
          |FROM labels GROUP BY cluster_id HAVING count(*) > 1
          |ORDER BY cluster_id""".stripMargin
+    },
+
+    // q51's component labels + the shared quality score, keeper =
+    // row_number 1 over (quality DESC, doc_id) within cluster.
+    "q77_canonical_selection" -> {
+      val pairSql = PipelineQueries.oracles("q32_minhash_lsh")
+      s"""WITH RECURSIVE pairs AS ($pairSql),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+         |labels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         |scored AS (SELECT doc_id, round(${PipelineQueries.qualitySql}, 4) AS quality
+         |  FROM documents),
+         |mem AS (
+         |  SELECT l.cluster_id, l.doc_id, s.quality,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS sz,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY s.quality DESC, l.doc_id) AS rn
+         |  FROM labels l JOIN scored s USING (doc_id))
+         |SELECT cluster_id, doc_id, quality,
+         | CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM mem WHERE sz > 1 ORDER BY cluster_id, doc_id""".stripMargin
     },
 
     "q49_sessionize" ->

@@ -457,6 +457,48 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Duplicated-substring removal (Lee et al. 2022 exact substring
+    // dedup at 5-gram granularity): any 5-token span occurring in more
+    // than one document is excised from every document — the passage-
+    // level complement of whole-document dedup. Inverted-count shape:
+    // positional gram keys (per-row), ONE corpus shuffle to count
+    // distinct docs per gram, hot grams semi-join back, covered
+    // positions resolved per-row. Never O(docs²). Spark joins on
+    // xxhash64 gram keys while the oracle joins the gram strings —
+    // same q31 precedent: outputs agree modulo 64-bit collision odds.
+    "q76_span_dedup" -> { (s, dir) =>
+      graft.ml.SpanDedup.removeDuplicateSpans(t(s, dir, "documents"), k = 5, dfMax = 1)
+        .orderBy(col("doc_id"))
+    },
+
+    // Temperature-scaled language mixture (the multilingual-LM
+    // alpha-sampling pass, XLM-R style): effective language counts are
+    // flattened toward n^α (α = 0.5) by DOWNSAMPLING only — keep rate
+    // r_l = sqrt(n_min / n_l), so the rarest language keeps 100% and
+    // dominant ones shed proportionally (the corpus's `lang` column is
+    // genuinely skewed, 218 en vs 64 fr at sf0.01, so the filter is
+    // actually exercised — `source` is uniform and would gate
+    // nothing). Acceptance is the same deterministic content-hash
+    // draw as q74 (reproducible across runs/engines). Per-language
+    // rates come from a lang-cardinality agg broadcast back onto the
+    // corpus: the docs table itself never shuffles — the 100 TB
+    // shape. sqrt and double division are IEEE correctly-rounded in
+    // both engines, so the filter is exact.
+    "q78_lang_mixture" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+        .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_lang")))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter((conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000)
+          < col("rate") * 10000)
+        .select(col("doc_id"), col("lang"), col("n_lang"),
+          round(col("rate"), 4).as("rate"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal plumbing: opaque binary column + typed metadata. The
     // decode itself is stubbed (graft.ml.Multimodal); this query proves
     // the binary-column path: utf8 encode → byte length, content hash,
@@ -523,9 +565,9 @@ object PipelineQueries {
     words.map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))").mkString(" + ")
 
   /** TextAnalysis.qualityScore mirrored in DuckDB SQL — ONE definition
-    * shared by the q39 profile oracle and the q74 sampling oracle so
-    * the two can never drift apart. */
-  private val qualitySql: String = {
+    * shared by the q39 profile oracle, the q74 sampling oracle and the
+    * q77 canonical-selection oracle so they can never drift apart. */
+  private[queries] val qualitySql: String = {
     val stop = langScoreSql(Seq("the", "a", "of", "is", "and"))
     s"""(CASE WHEN length(text) >= 200 AND length(text) <= 2000 THEN 1.0
        |        WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END) * 0.3
@@ -908,6 +950,47 @@ object PipelineQueries {
       """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
         | count(*) AS n
         |FROM documents GROUP BY ROLLUP(lang, source) ORDER BY lang, source""".stripMargin,
+
+    // Mirrors SpanDedup.removeDuplicateSpans(k=5, dfMax=1) on gram
+    // STRINGS (Spark joins 64-bit gram keys — q31 precedent). 1-based
+    // positions throughout (Spark's are 0-based; indices are internal,
+    // the outputs are position-free). Docs shorter than 5 tokens
+    // contribute no grams and pass through unchanged via the left
+    // joins.
+    "q76_span_dedup" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos0 AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 4)) AS s, toks FROM tt),
+        |g AS (SELECT doc_id, s, array_to_string(toks[s:s+4], ' ') AS gram FROM pos0),
+        |hot AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) > 1),
+        |hs AS (SELECT doc_id, s FROM g JOIN hot USING (gram)),
+        |ptok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS p, toks FROM tt),
+        |cov AS (SELECT DISTINCT ptok.doc_id, ptok.p FROM ptok
+        |  JOIN hs ON ptok.doc_id = hs.doc_id AND ptok.p BETWEEN hs.s AND hs.s + 4),
+        |kept AS (
+        |  SELECT k.doc_id, array_to_string(list(k.toks[k.p] ORDER BY k.p), ' ') AS cleaned,
+        |    count(*) AS n_kept
+        |  FROM (SELECT ptok.doc_id, ptok.p, ptok.toks FROM ptok
+        |        LEFT JOIN cov ON ptok.doc_id = cov.doc_id AND ptok.p = cov.p
+        |        WHERE cov.p IS NULL) k
+        |  GROUP BY k.doc_id)
+        |SELECT tt.doc_id, CAST(len(tt.toks) AS BIGINT) AS n_tokens,
+        | CAST(len(tt.toks) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed,
+        | md5(coalesce(kept.cleaned, '')) AS cleaned_hash
+        |FROM tt LEFT JOIN kept USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors q78: keep rate sqrt(n_min/n_l) per language, content-
+    // hash acceptance draw. DuckDB '/' on integers is float division,
+    // but the cast keeps it explicit and engine-proof.
+    "q78_lang_mixture" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_lang) AS n_min FROM counts),
+        |rates AS (SELECT lang, n_lang,
+        |  sqrt(CAST(n_min AS DOUBLE) / n_lang) AS rate FROM counts CROSS JOIN m)
+        |SELECT doc_id, lang, n_lang, round(rate, 4) AS rate
+        |FROM documents JOIN rates USING (lang)
+        |WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < rate * 10000
+        |ORDER BY doc_id""".stripMargin,
 
     "q43_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash,

@@ -333,4 +333,59 @@ class MlSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L)) // identical payloads
   }
+
+  test("span dedup: repeated passage excised, unique text kept") {
+    // "alpha beta gamma delta epsilon" is a 5-gram planted in docs 1+2;
+    // everything else is unique. dfMax=1 => exactly that span goes.
+    val c = docs(
+      1L -> "alpha beta gamma delta epsilon unique one tail words here",
+      2L -> "prefix words alpha beta gamma delta epsilon other suffix text",
+      3L -> "totally unrelated content with no repeated span at all")
+    val out = graft.ml.SpanDedup.removeDuplicateSpans(c, k = 5, dfMax = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._1 === 10 && out(1L)._2 === 5)
+    assert(out(2L)._1 === 10 && out(2L)._2 === 5)
+    assert(out(3L)._2 === 0)
+    // cleaned text is the original minus the covered window, in order
+    val h1 = c.sparkSession.range(1)
+      .select(md5(lit("unique one tail words here"))).head().getString(0)
+    assert(out(1L)._3 === h1)
+    // doc 3 untouched: hash of its full text
+    val h3 = c.sparkSession.range(1)
+      .select(md5(lit("totally unrelated content with no repeated span at all")))
+      .head().getString(0)
+    assert(out(3L)._3 === h3)
+  }
+
+  test("span dedup: overlapping hot spans merge their coverage") {
+    // docs 1+2 share a 6-token run => two overlapping hot 5-grams in
+    // each; coverage must be the union (6 tokens), not double-counted.
+    val c = docs(
+      1L -> "a b c d e f unique1 unique2 unique3 unique4",
+      2L -> "x0 a b c d e f other1 other2 other3")
+    val out = graft.ml.SpanDedup.removeDuplicateSpans(c, k = 5, dfMax = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 6)
+    assert(out(2L) === 6)
+  }
+
+  test("span dedup: docs shorter than k pass through unchanged") {
+    val c = docs(1L -> "tiny doc", 2L -> "tiny doc", 3L -> "one two three four")
+    val out = graft.ml.SpanDedup.removeDuplicateSpans(c, k = 5, dfMax = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((2L, 0L)) && out(2L) === ((2L, 0L)))
+    assert(out(3L) === ((4L, 0L)))
+  }
+
+  test("span dedup: within-doc repetition alone does not trigger removal") {
+    // the same 5-gram twice in ONE doc stays (df counts DISTINCT docs)
+    val c = docs(
+      1L -> "r1 r2 r3 r4 r5 middle r1 r2 r3 r4 r5 end",
+      2L -> "entirely different second document text here now")
+    val out = graft.ml.SpanDedup.removeDuplicateSpans(c, k = 5, dfMax = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === 0)
+    assert(out(2L) === 0)
+  }
 }
