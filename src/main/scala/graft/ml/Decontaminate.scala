@@ -109,6 +109,52 @@ object Decontaminate {
         countDistinct(col("eval_id")).as("eval_docs"))
   }
 
+  /** Precomputed eval side for continuous ingestion: the serialized
+    * Bloom filter plus the exact gram table it screens for. Built ONCE
+    * from the eval/benchmark set; every arriving batch probes it.
+    * `grams` is benchmark-sized — persist it (or let AQE broadcast it
+    * into each batch's verify join). */
+  final case class EvalIndex(bloom: Array[Byte], grams: DataFrame)
+
+  def indexEval(evalDocs: DataFrame, n: Int, expectedGrams: Long,
+      fpp: Double = 0.01): EvalIndex = {
+    val grams = TextDedup.shingleKeyTable(evalDocs, n)
+      .select(col("shingle"), col("doc_id").as("eval_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    EvalIndex(bloomOf(grams.select(col("shingle")).distinct(), "shingle",
+      expectedGrams, fpp), grams)
+  }
+
+  /** Screen ONE batch of arriving documents (doc_id, text) against a
+    * prebuilt [[EvalIndex]] — [[screened]]'s tail without rebuilding
+    * the eval side: per-row gram keys, map-side bloom screen, exact
+    * join on the admitted remnant. Output (doc_id, shared_grams,
+    * eval_docs); clean documents produce no row. Usable directly on a
+    * static frame or inside foreachBatch. */
+  def screenBatch(newDocs: DataFrame, index: EvalIndex, n: Int): DataFrame =
+    TextDedup.shingleKeyTable(newDocs, n)
+      .filter(mightContain(index.bloom, col("shingle")))
+      .join(index.grams, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("shingle")).as("shared_grams"),
+        countDistinct(col("eval_id")).as("eval_docs"))
+
+  /** Wire a streaming documents frame (doc_id, text) through
+    * [[screenBatch]]; `onFlagged(batchId, flagged)` receives each
+    * micro-batch's contaminated documents. The screen is stateless
+    * (per-row predicate + stream-static join within the batch), so
+    * state never accumulates across batches — a pipeline can run this
+    * on its ingest stream indefinitely. */
+  def runStream(stream: DataFrame, index: EvalIndex, n: Int)(
+      onFlagged: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onFlagged(batchId, screenBatch(batch, index, n))
+      }
+      .start()
+
   /** The exact inverted-index form (q64's shape) over the same inputs —
     * the differential oracle for [[screened]]. */
   def exact(docs: DataFrame, isEval: Column, n: Int): DataFrame = {

@@ -71,4 +71,41 @@ class DecontaminateSpec extends SparkSpec {
       expectedEvalGrams = 10, fpp = 0.01)
     assert(noEval.count() === 0)
   }
+
+  test("streaming screen: micro-batches flagged against a prebuilt eval index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val index = Decontaminate.indexEval(corpus.filter(isEval), n = 3,
+      expectedGrams = 100)
+
+    // static batch first: equals the batch operator's verdict
+    val batch = Seq(
+      50L -> "the standard benchmark question about gravity quoted again",
+      51L -> "wholly original writing with no benchmark overlap at all")
+      .toDF("doc_id", "text")
+    val static = Decontaminate.screenBatch(batch, index, n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(static.map(_._1) === Set(50L))
+
+    // end-to-end through a streaming query: two micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = Decontaminate.runStream(
+      input.toDF().toDF("doc_id", "text"), index, n = 3) { (batchId, flagged) =>
+      collected.synchronized {
+        collected(batchId) = flagged.collect().map(_.getLong(0)).toSet
+      }
+    }
+    try {
+      input.addData(50L ->
+        "the standard benchmark question about gravity quoted once more")
+      q.processAllAvailable()
+      input.addData(
+        51L -> "nothing remotely evaluation flavored in this batch text",
+        52L -> "compute the integral of x squared over the interval verbatim")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(collected(0L) === Set(50L))
+    assert(collected(1L) === Set(52L))
+  }
 }
