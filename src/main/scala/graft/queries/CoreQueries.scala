@@ -448,6 +448,90 @@ object CoreQueries {
         .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
         .orderBy(col("totalprice").desc, col("o_orderkey"))
         .limit(100)
+    },
+
+    // TPC-H Q4 shape (order priority checking): orders in a quarter
+    // having AT LEAST ONE very-late lineitem (shipped > 90 days after
+    // the order date — the testdata has no commit/receipt dates, so
+    // lateness is vs the order date). The EXISTS compiles to a
+    // LeftSemi join between two FACT tables with a non-equi residual:
+    // unlike the dim joins above there is no broadcast-able side at
+    // scale — both sides shuffle on the order key once, and the semi
+    // form never duplicates an order no matter how many late items it
+    // has (a plain join + distinct would shuffle the blowup first).
+    "q79_late_order_priority" -> { (s, dir) =>
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q17 shape (small-quantity-order revenue): per-part average
+    // quantity aggregated from the fact itself, joined BACK to the
+    // fact — the classic agg-join-back plan for correlated scalar
+    // subqueries. Both branches hash-partition on l_partkey, so the
+    // join reuses the aggregation's shuffle; the agg side is
+    // part-cardinality (AQE broadcasts it at small SF, shuffle-joins
+    // at scale — part is customer-sized, so no forced hint, same
+    // policy as q65/q70-q72). Determinism: l_quantity is integral
+    // (1..50), so per-part sums are EXACT doubles and avg = the
+    // identical IEEE division in both engines; the 0.5 multiplier is
+    // a power of two, so the filter boundary cannot drift. Revenue is
+    // summed in exact integer cents (the q71 lesson) and divided once
+    // on emission.
+    "q80_small_qty_revenue" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("ep_cents"))
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      li.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("aq"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("ep_cents")) / lit(100.0)).as("revenue"))
+    },
+
+    // TPC-H Q21 shape (sole late supplier): suppliers whose lineitem
+    // shipped > 60 days after the order date on a multi-supplier
+    // order where NO OTHER supplier was late — the hardest TPC-H plan:
+    // a fact⋈fact join to establish lateness, then a semi join AND an
+    // anti join of the late set against per-order supplier sets. All
+    // three joins key on l_orderkey, so one hash partitioning is
+    // reused across the chain; supplier (a bounded dim ~orders/150)
+    // broadcasts for the name lookup. The semi/anti pair never
+    // expands pairs: each probes, keeps-or-drops, and moves on.
+    "q81_sole_late_supplier" -> { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = l
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sole = late.alias("t")
+        .join(l.select(col("l_orderkey"), col("l_suppkey").as("other"))
+          .alias("a"),
+          col("t.l_orderkey") === col("a.l_orderkey") &&
+            col("other") =!= col("t.l_suppkey"), "left_semi")
+        .join(late.select(col("l_orderkey"), col("l_suppkey").as("other_late"))
+          .alias("b"),
+          col("t.l_orderkey") === col("b.l_orderkey") &&
+            col("other_late") =!= col("t.l_suppkey"), "left_anti")
+      sole
+        .join(broadcast(t(s, dir, "supplier")),
+          col("t.l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -523,6 +607,41 @@ object CoreQueries {
         |GROUP BY c_custkey, c_name, o_orderkey, epoch_ms(o_orderdate),
         |  round(o_totalprice, 2)
         |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q79_late_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q80_small_qty_revenue" ->
+      """WITH aq AS (
+        |  SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_items,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |   AS revenue
+        |FROM lineitem JOIN aq USING (l_partkey)
+        |WHERE l_quantity < 0.5 * aq""".stripMargin,
+
+    "q81_sole_late_supplier" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+        |late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM l JOIN orders ON l.l_orderkey = o_orderkey
+        |  WHERE l.l_shipdate > o_orderdate + INTERVAL 60 DAY),
+        |sole AS (
+        |  SELECT t.l_orderkey, t.l_suppkey FROM late t
+        |  WHERE EXISTS (SELECT 1 FROM l l2
+        |          WHERE l2.l_orderkey = t.l_orderkey AND l2.l_suppkey <> t.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late o
+        |          WHERE o.l_orderkey = t.l_orderkey AND o.l_suppkey <> t.l_suppkey))
+        |SELECT s_name, count(*) AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
