@@ -103,4 +103,37 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: customer join not broadcast in AQE-final plan:\n${p.take(4000)}")
     }
   }
+
+  test("TPC-H q79/q81: EXISTS compiles to semi join, sole-late to semi+anti — no pair expansion") {
+    val p79 = plans("q79_late_order_priority")
+    assert(p79.contains("LeftSemi"), p79.take(3000))
+    // the lateness residual must ride the semi join, not a post-join filter
+    assert(!p79.contains("CartesianProduct"))
+    val p81 = plans("q81_sole_late_supplier")
+    assert(p81.contains("LeftSemi"), p81.take(3000))
+    assert(p81.contains("LeftAnti"), p81.take(3000))
+  }
+
+  test("q76 span dedup: consumers read the persisted token table, no doc-pair join") {
+    val p = plans("q76_span_dedup")
+    // every branch (gram count, probe, reassembly) reads the cached
+    // token table, not a fresh parquet scan (each InMemoryTableScan
+    // PRINTS its build subtree, so FileScan occurrences can't be
+    // counted textually — cache-read occurrences can)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+    // gram df count is a partial-aggregated groupBy, not a window sort
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("q78 mixture: corpus never shuffles — rates broadcast back onto docs") {
+    val df = SparkEntry.queries("q78_lang_mixture")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the docs→rates join must be broadcast (rates is lang-cardinality)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("lang")),
+      p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p.take(4000))
+  }
 }
