@@ -130,8 +130,38 @@ object CorpusQueries {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  // TF-IDF keyword extraction: top-3 terms per document by
+  // tf·ln(N/df). The classic corpus-statistics op (indexing, topic
+  // labeling, search-side of a training-data pipeline). One explode
+  // pass; tf persists because BOTH the df aggregation and the scoring
+  // join consume it; N arrives as a broadcast 1-row cross join (never
+  // a driver collect). Determinism: tf/df/N are exact integers, both
+  // engines compute the identical tf·ln(N/df) double, ranking ties
+  // break on (rounded score, tok).
+  private val q82 = "q82_tfidf_keywords" -> { (s: SparkSession, dir: String) =>
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 6).desc, col("tok"))
+    tf.join(dfq, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok"), round(col("score"), 4).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
-    Map(q50, q51, q77)
+    Map(q50, q51, q77, q82)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -200,6 +230,22 @@ object CorpusQueries {
          | CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM mem WHERE sz > 1 ORDER BY cluster_id, doc_id""".stripMargin
     },
+
+    "q82_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, tok, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY round(score, 6) DESC, tok) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, tok, round(score, 4) AS score FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     "q49_sessionize" ->
       """WITH gaps AS (
