@@ -378,6 +378,55 @@ class MlSpec extends SparkSpec {
     assert(out(3L) === ((4L, 0L)))
   }
 
+  test("span dedup: randomized differential vs brute-force reference") {
+    // 60 seeded-random docs over a 12-word vocab (every 5th a light
+    // perturbation of its predecessor, so cross-doc shared grams are
+    // guaranteed, plus natural collisions); SpanDedup must equal a
+    // direct quadratic recomputation on every doc.
+    val k = 4; val dfMax = 1
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll")
+    val raw = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    for (id <- 0 until 60) {
+      val text =
+        if (id % 5 == 4 && raw.nonEmpty) {
+          val prev = raw(id - 1)._2.split(" ")
+          prev.map(t => if (rng.nextDouble() < 0.1) vocab(rng.nextInt(12)) else t)
+            .mkString(" ")
+        } else
+          Vector.fill(2 + rng.nextInt(13))(vocab(rng.nextInt(12))).mkString(" ")
+      raw += ((id.toLong, text))
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // brute force: positional grams, df over distinct docs, covered union
+    val toksById = raw.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val grams = for {
+      (id, tk) <- toksById.toSeq
+      i <- 0 to tk.length - k
+    } yield (id, i, tk.slice(i, i + k).mkString(" "))
+    val hot = grams.groupBy(_._3).collect {
+      case (g, xs) if xs.map(_._1).distinct.size > dfMax => g
+    }.toSet
+    val expected = toksById.map { case (id, tk) =>
+      val covered = grams
+        .filter(x => x._1 == id && hot(x._3))
+        .flatMap(x => x._2 until x._2 + k).toSet
+      val kept = tk.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      id -> ((tk.size.toLong, (tk.size - kept.size).toLong, md5hex(kept.mkString(" "))))
+    }
+    val got = graft.ml.SpanDedup
+      .removeDuplicateSpans(raw.toSeq.toDF("doc_id", "text"), k, dfMax)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === expected)
+    // the generator must have actually produced removals
+    assert(expected.values.exists(_._2 > 0))
+  }
+
   test("span dedup: within-doc repetition alone does not trigger removal") {
     // the same 5-gram twice in ONE doc stays (df counts DISTINCT docs)
     val c = docs(
