@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Decontaminate, DedupClusters, SpanDedup, TextDedup}
+
+/** Degenerate-input behavior for the pipeline operators: empty corpus,
+  * single document, all-duplicate corpus. The parity gate runs only on
+  * the populated testdata tables, so an operator that throws on the
+  * empty frame a real pipeline's first-ever run (or a fully-filtered
+  * branch) produces would pass every other gate and still take down a
+  * job at 3am.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+  private val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("empty corpus: dedup family returns empty, never throws") {
+    assert(TextDedup.exactDuplicates(empty, md5($"text")).count() === 0)
+    assert(TextDedup.jaccardPairsPostings(empty, 3, 0.3).count() === 0)
+    assert(TextDedup.minhashLshPairs(empty, 3, 12, 4, 0.3).count() === 0)
+    assert(TextDedup.simhashPairs(empty, 8, 8).count() === 0)
+    assert(SpanDedup.removeDuplicateSpans(empty, 5).count() === 0)
+  }
+
+  test("single document: no pairs, span dedup passes it through") {
+    val one = docs(1L -> "just one lonely document with nothing to match")
+    assert(TextDedup.minhashLshPairs(one, 3, 12, 4, 0.3).count() === 0)
+    assert(TextDedup.jaccardPairsPostings(one, 3, 0.3).count() === 0)
+    val sd = SpanDedup.removeDuplicateSpans(one, 5).collect()
+    assert(sd.length === 1 && sd.head.getLong(2) === 0)
+  }
+
+  test("all-duplicate corpus: every doc pairs, one cluster, one keeper") {
+    val same = docs((1L to 5L).map(i => i -> "identical text repeated in every document here"): _*)
+    val pairs = TextDedup.minhashLshPairs(same, 3, 12, 4, 0.9)
+    assert(pairs.count() === 10) // C(5,2), all jaccard 1.0
+    val clusters = DedupClusters.assign(same.select($"doc_id"), pairs)
+    assert(clusters.filter($"keep").count() === 1)
+    assert(clusters.select(countDistinct($"cluster_id")).head().getLong(0) === 1)
+  }
+
+  test("clusters with no edges: everyone is their own keeper") {
+    val solo = docs(1L -> "aa bb cc", 2L -> "dd ee ff")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = DedupClusters.assign(solo.select($"doc_id"), noPairs).collect()
+    assert(out.length === 2 && out.forall(_.getBoolean(2)))
+  }
+
+  test("decontamination with empty train side returns empty") {
+    val allEval = docs(1L -> "every doc is eval here", 2L -> "and this one too")
+    assert(Decontaminate.screened(allEval, lit(true), 3, 10).count() === 0)
+    assert(Decontaminate.exact(allEval, lit(true), 3).count() === 0)
+  }
+}
