@@ -1,0 +1,126 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fluent end-to-end training-data pipeline over a documents frame
+  * (doc_id, text, ...) — the composition a real corpus build runs, in
+  * the order the big public pipelines run it (C4/Gopher/RefinedWeb
+  * shape): heuristic quality gate → repeated-passage excision →
+  * exact dedup → near-dedup with best-copy selection → benchmark
+  * decontamination → language-mixture downsampling → split
+  * assignment. Every stage is one of the individually oracle- or
+  * differential-gated operators in graft.ml; this class only chains
+  * them and keeps the bookkeeping honest.
+  *
+  * Each stage materializes its output (persist + count) before the
+  * next runs: the count IS the product (per-stage retention is the
+  * first thing a pipeline owner asks for), it truncates the lineage a
+  * 7-stage chain would otherwise accumulate, and it releases the
+  * previous stage's cache immediately — at 100 TB you would replace
+  * the persist with a checkpoint table between stages (same call
+  * sites, one writer swap), never run the chain as one lazy plan.
+  *
+  * Stats are (stage, docsIn, docsOut); a stage that only rewrites
+  * text (spanDedup) or adds a column (split) keeps docsIn == docsOut.
+  */
+final class CorpusPipeline private (
+    val docs: DataFrame, val stats: Vector[CorpusPipeline.StageStat]) {
+  import CorpusPipeline.StageStat
+
+  private def step(name: String)(f: DataFrame => DataFrame): CorpusPipeline = {
+    val in = stats.lastOption.map(_.docsOut).getOrElse(docs.count())
+    val out = f(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = out.count()
+    docs.unpersist()
+    new CorpusPipeline(out, stats :+ StageStat(name, in, n))
+  }
+
+  /** Drop documents scoring below `minQuality` on the heuristic
+    * quality score (q39's scorer). Per-row, zero shuffle. */
+  def qualityFilter(minQuality: Double): CorpusPipeline =
+    step(s"quality>=$minQuality")(
+      _.filter(TextAnalysis.qualityScore(col("text")) >= minQuality))
+
+  /** Excise every k-token passage appearing in more than dfMax docs
+    * (SpanDedup); text is REWRITTEN, no document is dropped. */
+  def spanDedup(k: Int, dfMax: Int = 1): CorpusPipeline =
+    step(s"spanDedup(k=$k)")(SpanDedup.cleanDocs(_, k, dfMax))
+
+  /** Keep one document per exact content hash (minimum doc_id). */
+  def exactDedup(): CorpusPipeline =
+    step("exactDedup") { d =>
+      val keep = TextDedup.exactDuplicates(d, md5(col("text")))
+        .select(col("keep_id").as("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+    }
+
+  /** Near-duplicate removal with best-copy selection: MinHash+LSH
+    * pairs → connected components → keep the highest-quality member
+    * of each cluster (ties: lowest doc_id) — the q77 policy. */
+  def nearDedup(n: Int, k: Int, bands: Int, threshold: Double,
+      minAgree: Int = 0): CorpusPipeline =
+    step(s"nearDedup(j>=$threshold)") { d =>
+      val pairs = TextDedup.minhashLshPairs(d, n, k, bands, threshold, minAgree)
+      val scored = d.select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 4).as("q"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("q").desc, col("doc_id"))
+      val keep = DedupClusters.assign(d.select(col("doc_id")), pairs)
+        .join(scored, Seq("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+    }
+
+  /** Drop documents sharing any n-gram with the eval set
+    * (Bloom-screened + exact-verified, `ml/Decontaminate`). */
+  def decontaminate(evalDocs: DataFrame, n: Int, expectedEvalGrams: Long,
+      fpp: Double = 0.01): CorpusPipeline =
+    step("decontaminate") { d =>
+      val index = Decontaminate.indexEval(evalDocs, n, expectedEvalGrams, fpp)
+      val flagged = Decontaminate.screenBatch(d, index, n).select(col("doc_id"))
+      d.join(flagged, Seq("doc_id"), "left_anti")
+    }
+
+  /** Temperature-scaled language downsampling (q78: keep rate
+    * (n_min/n_lang)^(1-alpha), deterministic content-hash draw).
+    * Requires a `lang` column. */
+  def langMixture(alpha: Double = 0.5): CorpusPipeline =
+    step(s"langMixture(a=$alpha)") { d =>
+      val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val rates = counts
+        .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("n_min"))))
+        .withColumn("rate",
+          pow(col("n_min").cast("double") / col("n_lang"), 1.0 - alpha))
+      d.join(broadcast(rates.select(col("lang"), col("rate"))), Seq("lang"))
+        .filter((conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000)
+          < col("rate") * 10000)
+        .drop("rate")
+    }
+
+  /** Append the deterministic content-hash split column (q61). */
+  def split(trainPct: Int = 90, validationPct: Int = 5): CorpusPipeline =
+    step("split") { d =>
+      val bucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+        .cast("long") % 100)
+      d.withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validationPct, "validation")
+          .otherwise("test"))
+    }
+
+  /** Human-readable retention report. */
+  def report: String =
+    stats.map(s => f"${s.stage}%-22s ${s.docsIn}%7d -> ${s.docsOut}%7d").mkString("\n")
+}
+
+object CorpusPipeline {
+  final case class StageStat(stage: String, docsIn: Long, docsOut: Long)
+
+  def apply(docs: DataFrame): CorpusPipeline =
+    new CorpusPipeline(
+      docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      Vector.empty)
+}

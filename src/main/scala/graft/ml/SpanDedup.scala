@@ -57,7 +57,29 @@ object SpanDedup {
     * elimination inside higher-order-function lambdas — see
     * TextDedup.tokTable), and the token array persists because both
     * the gram pass and the reassembly pass consume it. */
-  def removeDuplicateSpans(docs: DataFrame, k: Int, dfMax: Int = 1): DataFrame = {
+  def removeDuplicateSpans(docs: DataFrame, k: Int, dfMax: Int = 1): DataFrame =
+    withCleaned(docs, k, dfMax)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", col("kept"))).as("cleaned_hash"))
+
+  /** [[removeDuplicateSpans]] emitting the cleaned TEXT itself:
+    * (doc_id, text, n_removed) with every other input column carried
+    * through — the form a pipeline stage consumes (the hash form
+    * exists for the oracle gate, where a text column would bloat the
+    * compared payload for no extra evidence). */
+  def cleanDocs(docs: DataFrame, k: Int, dfMax: Int = 1): DataFrame = {
+    val carried = docs.columns.filter(c => c != "doc_id" && c != "text").toSeq
+    val cleaned = withCleaned(docs.select(col("doc_id"), col("text")), k, dfMax)
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+    if (carried.isEmpty) cleaned
+    else cleaned.join(docs.select((col("doc_id") +: carried.map(col)): _*), Seq("doc_id"))
+  }
+
+  /** Shared core: (doc_id, toks, kept) per document. */
+  private def withCleaned(docs: DataFrame, k: Int, dfMax: Int): DataFrame = {
     val sess = docs.sparkSession
     val toks = docs
       .repartition(sess.sparkContext.defaultParallelism, col("doc_id"))
@@ -102,9 +124,6 @@ object SpanDedup {
         coalesce(starts, array().cast("array<int>")).as("starts"))
       .withColumn("kept", filter(col("toks"), (tok, i) =>
         !exists(starts, s => i >= s && i < s + lit(k))))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
-        md5(concat_ws(" ", col("kept"))).as("cleaned_hash"))
+      .select(col("doc_id"), col("toks"), col("kept"))
   }
 }

@@ -62,7 +62,11 @@ object TextAnalysis {
       .map(w => wordHits(text, w)).reduce(_ + _)
     val stopRatio = stopHits.cast("double") / nToks
     val punctCount = size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0)))
-    val punctRatio = punctCount.cast("double") / nChars
+    // greatest(.,1): total on the EMPTY string (a span-dedup pass can
+    // legitimately excise a whole document) — ANSI mode turns the bare
+    // division into a job-killing error there; identical result for
+    // every non-empty text, so the q39/q74/q77 oracles are untouched.
+    val punctRatio = punctCount.cast("double") / greatest(nChars, lit(1))
     val lenScore = when(nChars >= 200 && nChars <= 2000, 1.0)
       .when(nChars >= 50, 0.5).otherwise(0.0)
     val score = lenScore * 0.3 +

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.CorpusPipeline
+
+/** End-to-end corpus build through the fluent pipeline: every stage is
+  * individually gated elsewhere (parity queries / differential specs);
+  * this suite checks the COMPOSITION — ordering, bookkeeping, column
+  * flow, and that each stage's effect survives the stages around it.
+  *
+  * Stage interaction is real and the corpus is crafted around it: span
+  * dedup runs at dfMax=2 (boilerplate = a passage in 3+ docs), so the
+  * pair-shared text that the exact/near dedup stages must see (df=2)
+  * survives the excision pass — the same threshold separation a real
+  * pipeline relies on.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boiler = "subscribe to our newsletter for updates today"
+
+  // doc_id, text, lang — every stage has work to do:
+  //  - 1: punctuation garbage (scores 0.45: no stopwords, full punct
+  //    penalty; every real doc scores >= 0.65 -> the 0.5 gate drops it)
+  //  - 2/3/9: carry the 7-token boilerplate (df=3 > dfMax=2 → excised)
+  //  - 4/5: exact duplicates (one survives)
+  //  - 6/7: near-duplicates, 7 higher-quality (7 must win)
+  //  - 8: contaminated by the eval set (decontaminate drops it)
+  //  - 9-14: en filler, mutually distinct; 15: the lone fr doc
+  private def corpus = Seq(
+    (1L, "!!! ??? *** ((( ))) %%% $$$ ### @@@ ^^^ &&& ~~~ ``` ||| ;;;", "en"),
+    (2L, s"alpha beta gamma opening words then $boiler and a closing thought", "en"),
+    (3L, s"different intro sentence here $boiler with its own unique ending phrase", "en"),
+    (4L, "the identical pair of documents is exactly the same in both copies here", "en"),
+    (5L, "the identical pair of documents is exactly the same in both copies here", "en"),
+    (6L, "the shared near duplicate core sentence about spark engines runs here now", "en"),
+    (7L, "the shared near duplicate core sentence about spark engines runs here now and this better copy has extra original detail appended of real value", "en"),
+    (8L, "training text quoting benchmark question rho sigma tau upsilon verbatim inside", "en"),
+    (9L, s"ninth document opens differently $boiler but stays otherwise its own text", "en"),
+    (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening", "en"),
+    (11L, "eleven elephants wander dusty savannah trails seeking distant water holes", "en"),
+    (12L, "quantum processors entangle qubits across supercooled silicon lattices quietly", "en"),
+    (13L, "ancient manuscripts reveal forgotten recipes for honeyed barley bread loaves", "en"),
+    (14L, "fourteen fiddlers rehearse lively reels inside the old coastal tavern", "en"),
+    (15L, "le document francais reste seul de sa langue et doit survivre entier", "fr"))
+    .toDF("doc_id", "text", "lang")
+
+  private val evalSet = Seq(
+    (100L, "benchmark question rho sigma tau upsilon"))
+    .toDF("doc_id", "text")
+
+  test("full chain: quality -> span -> exact -> near -> decontaminate -> split") {
+    // (langMixture is covered by its own test below: its hash draw
+    // legitimately drops arbitrary en docs, which would make every
+    // membership assertion here about the draw, not the stages.)
+    val p = CorpusPipeline(corpus)
+      .qualityFilter(0.5)
+      .spanDedup(k = 5, dfMax = 2)
+      .exactDedup()
+      .nearDedup(n = 3, k = 12, bands = 4, threshold = 0.3)
+      .decontaminate(evalSet, n = 3, expectedEvalGrams = 50)
+      .split()
+    val out = p.docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+
+    assert(!out.contains(1L)) // quality gate
+    // boilerplate excised from every survivor that carried it, with
+    // the unique remainder kept
+    assert(Seq(2L, 3L, 9L).exists(out.contains))
+    for (id <- Seq(2L, 3L, 9L) if out.contains(id)) {
+      assert(!out(id).contains(boiler), s"doc $id kept boilerplate")
+      assert(out(id).nonEmpty)
+    }
+    assert(out.contains(4L) !== out.contains(5L)) // exactly one exact-dup copy
+    // near-dup: the higher-quality doc 7 wins over 6
+    assert(out.contains(7L) && !out.contains(6L))
+    assert(!out.contains(8L)) // decontaminated
+    assert(out.contains(15L)) // the fr doc flows through untouched
+
+    // bookkeeping: 6 stages, docsIn of each == docsOut of the previous
+    assert(p.stats.length === 6)
+    p.stats.sliding(2).foreach { case Vector(a, b) =>
+      assert(a.docsOut === b.docsIn)
+    }
+    assert(p.stats.head.docsIn === 15)
+    // text-rewrite and column-append stages drop nothing
+    assert(p.stats(1).docsIn === p.stats(1).docsOut)
+    assert(p.stats(5).docsIn === p.stats(5).docsOut)
+    // split column present and valued
+    val splits = p.docs.select(col("split")).distinct().as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "validation", "test")))
+    assert(p.report.linesIterator.size === 6)
+  }
+
+  test("langMixture: rarest language fully kept, dominant language downsampled") {
+    val p = CorpusPipeline(corpus).langMixture(alpha = 0.5)
+    val kept = p.docs.select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(kept.exists(_._2 == "fr")) // rate 1.0 — the lone fr doc stays
+    val enIn = 14
+    val enOut = kept.count(_._2 == "en")
+    // rate = sqrt(1/14) ≈ 0.27: the draw is deterministic (content
+    // hash), so this bound is exact for this corpus, not flaky
+    assert(enOut < enIn, s"mixture kept all $enOut en docs")
+    assert(p.stats.head.docsOut === kept.length)
+  }
+
+  test("stages are independent: near-dedup alone keeps the best copy per cluster") {
+    val p = CorpusPipeline(corpus).nearDedup(3, 12, 4, 0.3)
+    val kept = p.docs.select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(7L) && !kept.contains(6L))
+    // exact dups are ALSO near-dups at threshold 0.3: one of 4/5 kept
+    assert(kept.contains(4L) !== kept.contains(5L))
+  }
+
+  test("quality score is total on the empty string (post-excision docs)") {
+    val q = Seq((1L, "")).toDF("doc_id", "text")
+      .select(graft.ml.TextAnalysis.qualityScore(col("text")).as("q"))
+      .head().getDouble(0)
+    assert(q >= 0.0 && q <= 1.0)
+  }
+}
