@@ -30,10 +30,12 @@ final class CorpusPipeline private (
 
   private def step(name: String)(f: DataFrame => DataFrame): CorpusPipeline = {
     val in = stats.lastOption.map(_.docsOut).getOrElse(docs.count())
+    val t0 = System.nanoTime()
     val out = f(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = out.count()
+    val secs = math.rint((System.nanoTime() - t0) / 1e5) / 1e4
     docs.unpersist()
-    new CorpusPipeline(out, stats :+ StageStat(name, in, n))
+    new CorpusPipeline(out, stats :+ StageStat(name, in, n, secs))
   }
 
   /** Drop documents scoring below `minQuality` on the heuristic
@@ -113,11 +115,14 @@ final class CorpusPipeline private (
 
   /** Human-readable retention report. */
   def report: String =
-    stats.map(s => f"${s.stage}%-22s ${s.docsIn}%7d -> ${s.docsOut}%7d").mkString("\n")
+    stats.map(s =>
+      f"${s.stage}%-22s ${s.docsIn}%7d -> ${s.docsOut}%7d  (${s.secs}%.2f s)")
+      .mkString("\n")
 }
 
 object CorpusPipeline {
-  final case class StageStat(stage: String, docsIn: Long, docsOut: Long)
+  final case class StageStat(stage: String, docsIn: Long, docsOut: Long,
+      secs: Double)
 
   def apply(docs: DataFrame): CorpusPipeline =
     new CorpusPipeline(
