@@ -121,6 +121,26 @@ final class CorpusPipeline private (
           .otherwise("test"))
     }
 
+  /** Write the pipeline product: the corpus as zstd parquet under
+    * `<path>/corpus` — partitioned by `split` when [[split]] ran, so a
+    * trainer reads `split=train` via partition pruning without
+    * touching the rest — plus the retention/timing stats as
+    * `<path>/stats.json`. Storage-agnostic (Hadoop FileSystem), so the
+    * same call writes local disk, HDFS or object stores. */
+  def writeTo(path: String): Unit = {
+    val w = docs.write.mode("overwrite").option("compression", "zstd")
+    (if (docs.columns.contains("split")) w.partitionBy("split") else w)
+      .parquet(s"$path/corpus")
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val json = stats.map(s =>
+      s"""{"stage":${q(s.stage)},"docs_in":${s.docsIn},""" +
+        s""""docs_out":${s.docsOut},"secs":${s.secs}}""").mkString("[", ",", "]")
+    val p = new org.apache.hadoop.fs.Path(s"$path/stats.json")
+    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
   /** Human-readable retention report. */
   def report: String =
     stats.map(s =>

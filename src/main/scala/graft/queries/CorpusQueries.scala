@@ -160,8 +160,53 @@ object CorpusQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  // BM25 retrieval: the text-side similarity-search baseline (the ANN
+  // family covers embeddings; this covers lexical search over the
+  // corpus — the retrieval half of a dedup-against-queries or
+  // RAG-indexing pipeline). Queries = the first 5 documents' distinct
+  // tokens; score(q,d) = Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl))
+  // with k1=1.2, b=0.75, idf = ln((N-df+0.5)/(df+0.5)+1) (the
+  // Robertson-Sparck-Jones form, always positive). Scale shape: query
+  // terms are a bounded broadcast side; the corpus tf table joins it
+  // map-side, then ONE shuffle groups (query, doc) contributions.
+  // Determinism: tf/df/dl/N are exact integers, avgdl and every idf
+  // are the identical IEEE doubles in both engines; ranking ties break
+  // on (rounded score, doc_id).
+  private val q83 = "q83_bm25_search" -> { (s: SparkSession, dir: String) =>
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.crossJoin(broadcast(
+      dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = tf.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("term")).distinct()
+    val contrib = tf
+      .join(broadcast(qterms), Seq("term"))
+      .join(dfq, Seq("term"))
+      .join(stats, Seq("doc_id"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c",
+        col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("doc_id"), round(col("score"), 4).as("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
-    Map(q50, q51, q77, q82)
+    Map(q50, q51, q77, q82, q83)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -230,6 +275,31 @@ object CorpusQueries {
          | CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM mem WHERE sz > 1 ORDER BY cluster_id, doc_id""".stripMargin
     },
+
+    // Mirrors q83 term-for-term; float-sum portability rests on the
+    // q65/q70 magnitude argument (≤ ~60 addends of magnitude ~1-30 →
+    // accumulation error ~1e-14 ≪ the 1e-4/1e-6 rounding units).
+    "q83_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 5),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS c
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM ranked
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "q82_tfidf_keywords" ->
       """WITH toks AS (

@@ -112,6 +112,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept.contains(4L) !== kept.contains(5L))
   }
 
+  test("writeTo: split-partitioned corpus + stats.json round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("pipe_out").toString
+    val p = CorpusPipeline(corpus).qualityFilter(0.5).split()
+    p.writeTo(dir)
+    val back = spark.read.parquet(s"$dir/corpus")
+    assert(back.count() === p.docs.count())
+    assert(back.columns.contains("split"))
+    // partition dirs exist (pruned reads for the trainer)
+    val parts = new java.io.File(s"$dir/corpus").listFiles()
+      .filter(_.getName.startsWith("split=")).map(_.getName).toSet
+    assert(parts.nonEmpty)
+    val stats = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/stats.json"))
+    assert(stats.contains("\"stage\":\"quality>=0.5\""))
+    assert(stats.contains("\"docs_in\":15"))
+  }
+
   test("quality score is total on the empty string (post-excision docs)") {
     val q = Seq((1L, "")).toDF("doc_id", "text")
       .select(graft.ml.TextAnalysis.qualityScore(col("text")).as("q"))
