@@ -31,19 +31,29 @@ import org.apache.spark.sql.functions._
   * text (spanDedup) or adds a column (split) keeps docsIn == docsOut.
   */
 final class CorpusPipeline private (
-    val docs: DataFrame, val stats: Vector[CorpusPipeline.StageStat]) {
+    val docs: DataFrame, val stats: Vector[CorpusPipeline.StageStat],
+    checkpointDir: Option[String]) {
   import CorpusPipeline.StageStat
 
   private def step(name: String)(f: DataFrame => DataFrame): CorpusPipeline = {
     val in = stats.lastOption.map(_.docsOut).getOrElse(docs.count())
     val t0 = System.nanoTime()
-    // eager: materializes AND truncates lineage (see class scaladoc);
-    // the previous stage's blocks are reclaimed by the ContextCleaner
-    // once the old frame is unreachable.
-    val out = f(docs).localCheckpoint(true)
+    // Materialize AND truncate lineage (see class scaladoc). Default:
+    // eager localCheckpoint (executor blocks — fast, but lost with an
+    // executor). With a checkpointDir: a real parquet stage table —
+    // reliable storage, and a killed job restarts from the last
+    // completed stage by re-reading its directory instead of
+    // recomputing the chain. The 100 TB mode.
+    val out = checkpointDir match {
+      case None => f(docs).localCheckpoint(true)
+      case Some(dir) =>
+        val path = s"$dir/stage_${stats.length}_${name.takeWhile(_.isLetterOrDigit)}"
+        f(docs).write.mode("overwrite").option("compression", "zstd").parquet(path)
+        docs.sparkSession.read.parquet(path)
+    }
     val n = out.count()
     val secs = math.rint((System.nanoTime() - t0) / 1e5) / 1e4
-    new CorpusPipeline(out, stats :+ StageStat(name, in, n, secs))
+    new CorpusPipeline(out, stats :+ StageStat(name, in, n, secs), checkpointDir)
   }
 
   /** Drop documents scoring below `minQuality` on the heuristic
@@ -152,6 +162,15 @@ object CorpusPipeline {
   final case class StageStat(stage: String, docsIn: Long, docsOut: Long,
       secs: Double)
 
+  /** In-memory stage materialization (localCheckpoint) — the
+    * interactive/bench mode. */
   def apply(docs: DataFrame): CorpusPipeline =
-    new CorpusPipeline(docs, Vector.empty)
+    new CorpusPipeline(docs, Vector.empty, None)
+
+  /** Durable stage materialization: every stage writes a zstd parquet
+    * table under `checkpointDir` and continues from the re-read — the
+    * restartable production mode (a failed 100 TB build resumes from
+    * the last completed stage directory). */
+  def checkpointed(docs: DataFrame, checkpointDir: String): CorpusPipeline =
+    new CorpusPipeline(docs, Vector.empty, Some(checkpointDir))
 }

@@ -129,6 +129,23 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stats.contains("\"docs_in\":15"))
   }
 
+  test("checkpointed mode: stage tables on disk, same results as in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("pipe_ckpt").toString
+    val mem = CorpusPipeline(corpus).qualityFilter(0.5).exactDedup()
+    val ck = CorpusPipeline.checkpointed(corpus, dir).qualityFilter(0.5).exactDedup()
+    val memIds = mem.docs.select($"doc_id").as[Long].collect().toSet
+    val ckIds = ck.docs.select($"doc_id").as[Long].collect().toSet
+    assert(ckIds === memIds)
+    assert(ck.stats.map(s => (s.stage, s.docsIn, s.docsOut)) ===
+      mem.stats.map(s => (s.stage, s.docsIn, s.docsOut)))
+    // one parquet stage table per stage, re-readable on their own
+    val stageDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("stage_")).map(_.getName).sorted
+    assert(stageDirs.length === 2, stageDirs.mkString(", "))
+    val resumed = spark.read.parquet(s"$dir/${stageDirs.last}")
+    assert(resumed.select($"doc_id").as[Long].collect().toSet === ckIds)
+  }
+
   test("quality score is total on the empty string (post-excision docs)") {
     val q = Seq((1L, "")).toDF("doc_id", "text")
       .select(graft.ml.TextAnalysis.qualityScore(col("text")).as("q"))
