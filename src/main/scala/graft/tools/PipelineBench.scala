@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * first 20 documents (deterministic, scale-independent definition —
   * a real pipeline would pass its benchmark suite here).
   *
-  * Usage: runMain graft.tools.PipelineBench <sfDir>
+  * Usage: runMain graft.tools.PipelineBench <sfDir> [ckpt]
+  * (second arg `ckpt` = durable parquet stage tables instead of
+  * localCheckpoint — measures the restartable mode's write overhead.)
   */
 object PipelineBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    val durable = args.length > 1 && args(1) == "ckpt"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +32,12 @@ object PipelineBench {
     val docs = graft.Tables.t(spark, sfDir, "documents")
     val evalSet = docs.filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
     val t0 = System.nanoTime()
-    val p = graft.ml.CorpusPipeline(docs)
+    val base =
+      if (durable)
+        graft.ml.CorpusPipeline.checkpointed(docs,
+          java.nio.file.Files.createTempDirectory("pipe_ckpt").toString)
+      else graft.ml.CorpusPipeline(docs)
+    val p = base
       .qualityFilter(0.3)
       .spanDedup(k = 5, dfMax = 3)
       .exactDedup()
@@ -39,7 +47,8 @@ object PipelineBench {
       .split()
     val total = (System.nanoTime() - t0) / 1e9
     println(p.report)
-    println(s"""{"sf":"$sfDir","pipeline_total_sec":${math.rint(total * 100) / 100},""" +
+    println(s"""{"sf":"$sfDir","mode":"${if (durable) "ckpt" else "mem"}",""" +
+      s""""pipeline_total_sec":${math.rint(total * 100) / 100},""" +
       s""""docs_in":${p.stats.head.docsIn},"docs_out":${p.stats.last.docsOut}}""")
     spark.stop()
   }
