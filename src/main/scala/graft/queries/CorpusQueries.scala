@@ -205,8 +205,23 @@ object CorpusQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // The BPE training loop's inner counting step as an oracle-gated
+  // query: top-20 adjacent token pairs across the corpus (count desc,
+  // pair asc — the exact selection order ml/Bpe.train uses each
+  // iteration; the full iterative loop is differential-gated in
+  // BpeSpec against an in-memory reference). One explode + one
+  // groupBy; pair structs come from a positional zip_with, per-row.
+  private val q84 = "q84_bpe_pairs" -> { (s: SparkSession, dir: String) =>
+    val toks = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    graft.ml.Bpe.pairCounts(toks)
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
-    Map(q50, q51, q77, q82, q83)
+    Map(q50, q51, q77, q82, q83, q84)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -300,6 +315,14 @@ object CorpusQueries {
         |  FROM scored)
         |SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM ranked
         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "q84_bpe_pairs" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+        |        FROM tt)
+        |SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS n
+        |FROM pos GROUP BY 1, 2
+        |ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
 
     "q82_tfidf_keywords" ->
       """WITH toks AS (
