@@ -33,4 +33,32 @@ class MultiProjectSpec extends SparkSpec {
     assert(beta.getAs[Long]("n_events") === 2L)
     assert(beta.getAs[Long]("errors") === 1L)
   }
+
+  test("sync: standalone store into the central root, incremental re-sync") {
+    import graft.store.{EventStore, SyncStore}
+    val local = Files.createTempDirectory("local_store").toString
+    val central = Files.createTempDirectory("central_root").toString
+    val store = new EventStore(spark, local)
+    store.appendRun(inv("s1", 1L, Some("test"), "2026-08-02 09:00:00", Some(1)),
+      Seq(ev("se1", "s1", 0, "error", "standalone boom", fp = Some("sf1"))))
+
+    val first = SyncStore.sync(spark, local, central, "laptop", "team", "gamma")
+    assert(first.copied > 0 && first.skipped === 0)
+    // the synced project is now visible to the multi-project scan
+    val all = MultiProjectStore.readAll(spark, central, "events")
+    assert(all.filter(col("project") === "gamma").count() === 1)
+
+    // idempotent: a second sync copies nothing
+    val second = SyncStore.sync(spark, local, central, "laptop", "team", "gamma")
+    assert(second.copied === 0 && second.skipped === first.copied)
+
+    // incremental: one more run copies only the new files, and the
+    // central copy never loses what it had
+    store.appendRun(inv("s2", 2L, Some("test"), "2026-08-03 09:00:00", Some(0)),
+      Seq(ev("se2", "s2", 0, "warning", "second run", fp = Some("sf2"))))
+    val third = SyncStore.sync(spark, local, central, "laptop", "team", "gamma")
+    assert(third.copied > 0 && third.skipped >= second.skipped)
+    val after = MultiProjectStore.readAll(spark, central, "events")
+    assert(after.filter(col("project") === "gamma").count() === 2)
+  }
 }
