@@ -67,7 +67,7 @@ final class JsonRpcServe(serve: Serve) {
           .filter(_.isTextual).map(_.asText())
           .getOrElse(defaultProtocolVersion)
         respond(s""""result":{"protocolVersion":${mapper.writeValueAsString(pv)},""" +
-          s""""capabilities":{"tools":{"listChanged":false}},""" +
+          s""""capabilities":{"tools":{"listChanged":false},"prompts":{"listChanged":false}},""" +
           s""""serverInfo":{"name":"graft","version":"0.4.0"}}""")
       case "notifications/initialized" =>
         // lifecycle notification: accepted silently. A (non-conforming)
@@ -76,6 +76,34 @@ final class JsonRpcServe(serve: Serve) {
         respond(""""result":{}""")
       case "ping" =>
         respond(""""result":{}""")
+      case "prompts/list" =>
+        val entries = Prompts.specs.map { s =>
+          val args = s.args.map(a =>
+            s"""{"name":${mapper.writeValueAsString(a.name)},""" +
+              s""""description":${mapper.writeValueAsString(a.description)},""" +
+              s""""required":${a.required}}""").mkString(",")
+          s"""{"name":${mapper.writeValueAsString(s.name)},""" +
+            s""""description":${mapper.writeValueAsString(s.description)},""" +
+            s""""arguments":[$args]}"""
+        }.mkString(",")
+        respond(s""""result":{"prompts":[$entries]}""")
+      case "prompts/get" =>
+        val p = Option(node.get("params")).filter(_.isObject)
+        val name = p.flatMap(o => Option(o.get("name"))).filter(_.isTextual)
+          .map(_.asText()).getOrElse("")
+        val args = p.flatMap(o => Option(o.get("arguments"))).filter(_.isObject)
+          .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+          .getOrElse(Map.empty[String, String])
+        Prompts.get(serve.engine, name, args) match {
+          case None =>
+            respond(s""""error":{"code":-32602,"message":${
+              mapper.writeValueAsString(s"unknown prompt: $name")}}""")
+          case Some(text) =>
+            val desc = Prompts.specs.find(_.name == name).map(_.description).getOrElse("")
+            respond(s""""result":{"description":${mapper.writeValueAsString(desc)},""" +
+              s""""messages":[{"role":"user","content":{"type":"text",""" +
+              s""""text":${mapper.writeValueAsString(text)}}}]}""")
+        }
       case "tools/list" =>
         val entries = Serve.toolSpecs.map(toolListEntry).mkString(",")
         respond(s""""result":{"tools":[$entries]}""")

@@ -43,7 +43,7 @@ import graft.GraftEngine
   * sandbox introspection), config (CLI config state), clean (operates
   * on local blob dirs via Maintenance directly).
   */
-final class Serve(engine: GraftEngine) {
+final class Serve(private[api] val engine: GraftEngine) {
   import Serve._
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -291,6 +291,39 @@ class ServeSpec extends SparkSpec {
     assert(lines(6).contains("\"id\":6") && lines(6).contains("\"result\":{}"))
   }
 
+  test("mcp prompts: list + get return data-grounded templates") {
+    import graft.api.JsonRpcServe
+    val rpc = new JsonRpcServe(mkServe())
+    val init = rpc.handle(
+      """{"jsonrpc":"2.0","id":0,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}""").get
+    assert(init.contains("\"prompts\""))
+    val list = rpc.handle("""{"jsonrpc":"2.0","id":1,"method":"prompts/list"}""").get
+    for (p <- Seq("fix-errors", "analyze-regression", "summarize-run", "investigate-flaky"))
+      assert(list.contains("\"" + p + "\""), list)
+    assert(list.contains("\"arguments\"") && list.contains("\"required\":false"))
+    // fix-errors: the stored error rows are interpolated into the body
+    val fix = rpc.handle(
+      """{"jsonrpc":"2.0","id":2,"method":"prompts/get","params":{"name":"fix-errors","arguments":{"limit":"5"}}}""").get
+    assert(fix.contains("\"messages\"") && fix.contains("\"role\":\"user\""))
+    assert(fix.contains("Errors to Fix") && fix.contains("not callable"), fix.take(600))
+    // summarize-run: newest run's counts
+    val sum = rpc.handle(
+      """{"jsonrpc":"2.0","id":3,"method":"prompts/get","params":{"name":"summarize-run"}}""").get
+    assert(sum.contains("Run Details") && sum.contains("**Errors:** 2"))
+    // analyze-regression: defaults pick newest run as bad
+    val reg = rpc.handle(
+      """{"jsonrpc":"2.0","id":4,"method":"prompts/get","params":{"name":"analyze-regression"}}""").get
+    assert(reg.contains("Error Deltas") && reg.contains("New Errors"))
+    // flaky: history table over both runs
+    val flaky = rpc.handle(
+      """{"jsonrpc":"2.0","id":5,"method":"prompts/get","params":{"name":"investigate-flaky","arguments":{"lookback":"5"}}}""").get
+    assert(flaky.contains("Test History"))
+    // unknown prompt: protocol-level -32602
+    val bad = rpc.handle(
+      """{"jsonrpc":"2.0","id":6,"method":"prompts/get","params":{"name":"nope"}}""").get
+    assert(bad.contains("-32602") && bad.contains("nope"))
+  }
+
   test("json-rpc: explicit null id answered; structured params rejected") {
     import graft.api.JsonRpcServe
     val rpc = new JsonRpcServe(mkServe())
