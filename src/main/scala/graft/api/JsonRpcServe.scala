@@ -67,7 +67,8 @@ final class JsonRpcServe(serve: Serve) {
           .filter(_.isTextual).map(_.asText())
           .getOrElse(defaultProtocolVersion)
         respond(s""""result":{"protocolVersion":${mapper.writeValueAsString(pv)},""" +
-          s""""capabilities":{"tools":{"listChanged":false},"prompts":{"listChanged":false}},""" +
+          s""""capabilities":{"tools":{"listChanged":false},"prompts":{"listChanged":false},""" +
+          s""""resources":{"listChanged":false}},""" +
           s""""serverInfo":{"name":"graft","version":"0.4.0"}}""")
       case "notifications/initialized" =>
         // lifecycle notification: accepted silently. A (non-conforming)
@@ -76,6 +77,33 @@ final class JsonRpcServe(serve: Serve) {
         respond(""""result":{}""")
       case "ping" =>
         respond(""""result":{}""")
+      case "resources/list" =>
+        val entries = McpResources.statics.map(s =>
+          s"""{"uri":${mapper.writeValueAsString(s.uri)},""" +
+            s""""name":${mapper.writeValueAsString(s.name)},""" +
+            s""""description":${mapper.writeValueAsString(s.description)},""" +
+            s""""mimeType":${mapper.writeValueAsString(s.mime)}}""").mkString(",")
+        respond(s""""result":{"resources":[$entries]}""")
+      case "resources/templates/list" =>
+        val entries = McpResources.templates.map(t =>
+          s"""{"uriTemplate":${mapper.writeValueAsString(t.uriTemplate)},""" +
+            s""""name":${mapper.writeValueAsString(t.name)},""" +
+            s""""description":${mapper.writeValueAsString(t.description)},""" +
+            s""""mimeType":${mapper.writeValueAsString(t.mime)}}""").mkString(",")
+        respond(s""""result":{"resourceTemplates":[$entries]}""")
+      case "resources/read" =>
+        val uri = Option(node.get("params")).filter(_.isObject)
+          .flatMap(o => Option(o.get("uri"))).filter(_.isTextual)
+          .map(_.asText()).getOrElse("")
+        McpResources.read(serve, uri) match {
+          case None =>
+            respond(s""""error":{"code":-32002,"message":${
+              mapper.writeValueAsString(s"resource not found: $uri")}}""")
+          case Some((mime, body)) =>
+            respond(s""""result":{"contents":[{"uri":${mapper.writeValueAsString(uri)},""" +
+              s""""mimeType":${mapper.writeValueAsString(mime)},""" +
+              s""""text":${mapper.writeValueAsString(body)}}]}""")
+        }
       case "prompts/list" =>
         val entries = Prompts.specs.map { s =>
           val args = s.args.map(a =>

@@ -324,6 +324,38 @@ class ServeSpec extends SparkSpec {
     assert(bad.contains("-32602") && bad.contains("nope"))
   }
 
+  test("mcp resources: list, templates, and reads over blq:// uris") {
+    import graft.api.JsonRpcServe
+    val rpc = new JsonRpcServe(mkServe())
+    val init = rpc.handle(
+      """{"jsonrpc":"2.0","id":0,"method":"initialize","params":{"protocolVersion":"2024-11-05"}}""").get
+    assert(init.contains("\"resources\""))
+    val list = rpc.handle("""{"jsonrpc":"2.0","id":1,"method":"resources/list"}""").get
+    for (u <- Seq("blq://status", "blq://runs", "blq://errors", "blq://guide"))
+      assert(list.contains(u), list)
+    val tpl = rpc.handle("""{"jsonrpc":"2.0","id":2,"method":"resources/templates/list"}""").get
+    assert(tpl.contains("blq://event/{ref}") && tpl.contains("blq://errors/{run_serial}"))
+    // static read: stored error rows in the body
+    val errs = rpc.handle(
+      """{"jsonrpc":"2.0","id":3,"method":"resources/read","params":{"uri":"blq://errors"}}""").get
+    assert(errs.contains("\"contents\"") && errs.contains("not callable"))
+    // templated read: run-scoped errors via the filter mini-language
+    val run2 = rpc.handle(
+      """{"jsonrpc":"2.0","id":4,"method":"resources/read","params":{"uri":"blq://errors/2"}}""").get
+    assert(run2.contains("not callable"), run2.take(400))
+    val run1 = rpc.handle(
+      """{"jsonrpc":"2.0","id":5,"method":"resources/read","params":{"uri":"blq://errors/1"}}""").get
+    assert(!run1.contains("not callable") && run1.contains("bad type"))
+    // guide is markdown
+    val guide = rpc.handle(
+      """{"jsonrpc":"2.0","id":6,"method":"resources/read","params":{"uri":"blq://guide"}}""").get
+    assert(guide.contains("text/markdown") && guide.contains("Quick Reference"))
+    // unknown uri → -32002 (MCP resource-not-found)
+    val bad = rpc.handle(
+      """{"jsonrpc":"2.0","id":7,"method":"resources/read","params":{"uri":"blq://nope"}}""").get
+    assert(bad.contains("-32002"))
+  }
+
   test("json-rpc: explicit null id answered; structured params rejected") {
     import graft.api.JsonRpcServe
     val rpc = new JsonRpcServe(mkServe())
