@@ -18,14 +18,24 @@ import org.apache.spark.sql.SparkSession
   * multi-probe recovers the rest at constant extra cost; see
   * SCALING.md).
   *
-  * Usage: runMain graft.tools.ScaleVariants <sfDir> [bitsCsv]
-  * Prints one JSON line: {"sf":..., "q53_bits4":sec, "q53_bits8":sec, ...}
+  * The same experiment exists for q34 (simhash pairs): a FIXED
+  * `prefixBits` is a fixed bucket count, so per-bucket pair expansion
+  * grows with (n/2^bits)²; growing bits with log2(corpus) keeps
+  * occupancy flat. The recall trade per added prefix bit is the same
+  * SRP argument (prefix agreement is band agreement).
+  *
+  * Usage: runMain graft.tools.ScaleVariants <sfDir> [bitsCsv] [simhashBitsCsv]
+  * Prints one JSON line: {"sf":..., "q53_bits4":sec, ..., "q34_prefix8":sec, ...}
   */
 object ScaleVariants {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val bitsList = (if (args.length > 1) args(1) else "4,8,10")
-      .split(",").toSeq.map(_.trim.toInt)
+    // non-numeric tokens (e.g. "none") skip a family entirely
+    def bits(i: Int, dflt: String) =
+      (if (args.length > i) args(i) else dflt)
+        .split(",").toSeq.map(_.trim).filter(_.matches("\\d+")).map(_.toInt)
+    val bitsList = bits(1, "4,8,10")
+    val simhashBits = bits(2, "")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,7 +57,19 @@ object ScaleVariants {
       spark.catalog.clearCache()
       s""""q53_bits$bits":${math.rint(best * 1e4) / 1e4}"""
     }
-    println(s"""{"sf":"$sfDir",${results.mkString(",")}}""")
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val simResults = simhashBits.map { bits =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.ml.TextDedup.simhashPairs(docs, prefixBits = bits, maxHamming = 8)
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best = math.min(once(), once())
+      spark.catalog.clearCache()
+      s""""q34_prefix$bits":${math.rint(best * 1e4) / 1e4}"""
+    }
+    println(s"""{"sf":"$sfDir",${(results ++ simResults).mkString(",")}}""")
     spark.stop()
   }
 }
