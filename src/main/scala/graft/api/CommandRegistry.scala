@@ -211,14 +211,19 @@ object CommandRegistry {
           throw new IllegalArgumentException(s"missing required argument '${p.name}'")
       }
     }
-    var result = template
-    PlaceholderRe.findAllMatchIn(template).foreach { m =>
-      parsePlaceholders(m.matched).headOption.foreach { p =>
-        result = result.replaceFirst(
-          java.util.regex.Pattern.quote(m.matched),
-          java.util.regex.Matcher.quoteReplacement(shQuote(values(p.name))))
-      }
-    }
+    // SINGLE pass over the ORIGINAL template: substituted values are
+    // never rescanned. The previous form replaceFirst-ed over the
+    // evolving string, so a caller VALUE containing a later
+    // placeholder's literal text ("{b}") was itself re-substituted —
+    // inside the quotes shQuote had just added — letting a crafted
+    // pair of arguments splice an unquoted payload into the command
+    // line (injection through the serve `run` tool).
+    val result = PlaceholderRe.replaceAllIn(template, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        parsePlaceholders(m.matched).headOption match {
+          case Some(p) => shQuote(values(p.name))
+          case None => m.matched
+        }))
     val allExtra = remaining ++ extra
     if (allExtra.nonEmpty) result + " " + allExtra.map(shQuote).mkString(" ")
     else result

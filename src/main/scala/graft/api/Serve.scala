@@ -261,7 +261,13 @@ final class Serve(private[api] val engine: GraftEngine) {
       lastRun.collect().headOption match {
         case None => err("no runs found")
         case Some(row) =>
-          val summary = json(lastRun, 1)
+          // render the COLLECTED row (a local relation), never a
+          // second execution of the query: with concurrent ingestion
+          // a re-run can pick up a NEWER run than the one whose
+          // run_serial filters the events slice below — a silently
+          // inconsistent response (summary of run N+1, events of N).
+          val summary = json(engine.spark.createDataFrame(
+            java.util.List.of(row), lastRun.schema), 1)
           val sev = args.get("severity")
             .orElse(if (args.get("errors").exists(_.toBoolean)) Some("error") else None)
           val evs = sev.map { s =>

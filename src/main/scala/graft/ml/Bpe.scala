@@ -97,10 +97,21 @@ object Bpe {
   }
 
   /** Apply a learned merge table to (doc_id, text): returns
-    * (doc_id, toks) tokenized with all merges fused, in rule order. */
+    * (doc_id, toks) tokenized with all merges fused, in rule order.
+    *
+    * Truncates lineage every few rules: each mergePair nests an
+    * aggregate-HOF lambda, and folding a realistic merge table into
+    * ONE lazy plan re-creates exactly the k-deep expression blowup
+    * train() checkpoints against (Catalyst re-optimization time plus
+    * Janino's method-size ceiling on the generated code). Eight
+    * nested folds per materialization keeps both comfortably bounded
+    * at any table size. */
   def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.foldLeft(
+    merges.grouped(8).foldLeft(
       docs.select(col("doc_id"), split(col("text"), " ").as("toks"))) {
-      (df, m) => df.select(col("doc_id"), mergePair(col("toks"), m.a, m.b).as("toks"))
+      (df, group) =>
+        group.foldLeft(df) { (d, m) =>
+          d.select(col("doc_id"), mergePair(col("toks"), m.a, m.b).as("toks"))
+        }.localCheckpoint(true)
     }
 }

@@ -48,8 +48,18 @@ final class CorpusPipeline private (
       case None => f(docs).localCheckpoint(true)
       case Some(dir) =>
         val path = s"$dir/stage_${stats.length}_${name.takeWhile(_.isLetterOrDigit)}"
-        f(docs).write.mode("overwrite").option("compression", "zstd").parquet(path)
-        docs.sparkSession.read.parquet(path)
+        val spark = docs.sparkSession
+        // RESUME: a completed stage table (parquet commit marker
+        // present) is re-read, not recomputed — a killed build
+        // restarts from its last finished stage. The directory is
+        // keyed by stage index + name only: re-running a CHANGED
+        // chain against an old checkpointDir would resume stale data,
+        // so point an edited pipeline at a fresh directory.
+        val marker = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(marker))
+          f(docs).write.mode("overwrite").option("compression", "zstd").parquet(path)
+        spark.read.parquet(path)
     }
     val n = out.count()
     val secs = math.rint((System.nanoTime() - t0) / 1e5) / 1e4

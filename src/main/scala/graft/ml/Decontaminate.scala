@@ -50,10 +50,14 @@ object Decontaminate {
     // stat.bloomFilter NPEs on an empty input (its internal aggregate
     // yields null); an empty eval set legitimately means "nothing is
     // contaminated", so hand back an empty filter that rejects all.
+    // expectedItems is clamped to 1: the natural sizing for an empty
+    // set is 0, and BloomFilter.create requires a positive count —
+    // the guard added for emptiness must not itself throw on it.
+    val n = math.max(1L, expectedItems)
     val bf =
       if (keys.isEmpty)
-        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
-      else keys.stat.bloomFilter(keyCol, expectedItems, fpp)
+        org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+      else keys.stat.bloomFilter(keyCol, n, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -170,9 +170,17 @@ object Multimodal {
             fmt = Some((le16(b, i + 8), le16(b, i + 10),
               le32(b, i + 12).toInt, le16(b, i + 22)))
           if (id == "data") dataLen = Some(size)
-          // chunks are word-aligned: odd sizes carry a pad byte
-          i += 8 + size.toInt + (size % 2).toInt
-          if (size < 0 || i < 0) return None
+          // chunks are word-aligned: odd sizes carry a pad byte.
+          // Advance in LONG space: a lying 32-bit size near 2^32
+          // truncated through toInt went negative, and `i += 8 - 8`
+          // could leave i STATIONARY — an infinite loop inside an
+          // executor task, strictly worse than the throw this walk
+          // exists to avoid. le32 is non-negative, so the long step
+          // is always >= 8 (guaranteed progress); anything stepping
+          // past Int.MaxValue is a lying header on a <2 GiB payload.
+          val next = i.toLong + 8L + size + (size % 2)
+          if (next > Int.MaxValue.toLong) return None
+          i = next.toInt
         }
       } catch { case _: IndexOutOfBoundsException => return None }
       for {

@@ -409,14 +409,29 @@ object TextDedup {
     * verify-everything behavior. */
   def minhashLshPairs(docs: DataFrame, n: Int, k: Int, bands: Int,
       threshold: Double, minAgree: Int = 0): DataFrame = {
-    require(bands * (k / bands) == k, "k must divide into bands evenly")
     // The digest frame is the shared upstream of BOTH consumers
     // (signatures, verify keys): one md5 per shingle, persisted once.
     // The verify join then shuffles/intersects 8-byte key arrays, not
     // ~20-char shingle strings — same set algebra, several× less
     // payload (the r4-measured q32 gap was exactly this join).
+    // Persist lifetime: registered until the session clears it (Bench
+    // clears between queries; ContextCleaner reclaims once the result
+    // frame is unreachable). A caller invoking this PER MICRO-BATCH
+    // must use [[minhashLshPairsFromDigests]] with its own managed
+    // digest frame instead, or each batch leaks one pinned cache
+    // entry (see streaming.StreamingDedup.checkBatch).
     val withDig = shingleDigests(shingleSets(docs, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashLshPairsFromDigests(withDig, k, bands, threshold, minAgree)
+  }
+
+  /** [[minhashLshPairs]] over a caller-managed [[shingleDigests]]
+    * frame — the caller controls persist/unpersist (mandatory for
+    * per-micro-batch use, where an internal persist would pin one
+    * cache entry per batch forever). */
+  def minhashLshPairsFromDigests(withDig: DataFrame, k: Int, bands: Int,
+      threshold: Double, minAgree: Int): DataFrame = {
+    require(bands * (k / bands) == k, "k must divide into bands evenly")
     // Signatures and band keys are per-row array math (no shuffle);
     // the only shuffles in the whole pipeline are the groupBy hiding in
     // the band self-join (docs·bands rows) and the candidate distinct.

@@ -85,8 +85,15 @@ object StreamingDedup {
         .filter(col("jaccard") >= threshold)
         .select(col("new_id").as("doc_id"), col("dup_id"), col("jaccard"),
           lit("corpus").as("source"))
-      // batch×batch: the proven batch operator on the new docs alone
-      val inBatch = TextDedup.minhashLshPairs(newDocs, n, k, bands, threshold, minAgree)
+      // batch×batch: the proven batch operator, fed THIS method's
+      // already-persisted digest frame. Calling minhashLshPairs(docs)
+      // here would persist a SECOND internal digest frame per
+      // micro-batch that nothing ever unpersists — on a continuous
+      // stream that is one pinned cache entry per batch until the
+      // executors drown (the exact accumulated-persist failure
+      // CLAUDE.md records from the r2 bench).
+      val inBatch = TextDedup
+        .minhashLshPairsFromDigests(withDig, k, bands, threshold, minAgree)
         .select(col("doc_a").as("doc_id"), col("doc_b").as("dup_id"),
           col("jaccard"), lit("batch").as("source"))
       // materialize before unpersisting the shared digest frame

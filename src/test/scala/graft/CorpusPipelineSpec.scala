@@ -144,6 +144,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stageDirs.length === 2, stageDirs.mkString(", "))
     val resumed = spark.read.parquet(s"$dir/${stageDirs.last}")
     assert(resumed.select($"doc_id").as[Long].collect().toSet === ckIds)
+
+    // RESUME: re-running the same chain against the same dir re-reads
+    // completed stage tables instead of recomputing them (stage files
+    // untouched — same set, same modification times)
+    def fileState(d: String) = new java.io.File(s"$dir/$d").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = stageDirs.map(d => d -> fileState(d)).toMap
+    val rerun = CorpusPipeline.checkpointed(corpus, dir)
+      .qualityFilter(0.5).exactDedup()
+    assert(rerun.docs.select($"doc_id").as[Long].collect().toSet === ckIds)
+    for (d <- stageDirs)
+      assert(fileState(d) === before(d), s"stage $d was rewritten on resume")
   }
 
   test("quality score is total on the empty string (post-excision docs)") {

@@ -70,6 +70,12 @@ class DecontaminateSpec extends SparkSpec {
     val noEval = Decontaminate.screened(corpus, col("doc_id") < 0, n = 3,
       expectedEvalGrams = 10, fpp = 0.01)
     assert(noEval.count() === 0)
+    // the natural sizing for an empty eval set is ZERO expected grams;
+    // BloomFilter.create requires a positive count, so the empty
+    // guard must clamp rather than throw
+    val zeroSized = Decontaminate.screened(corpus, col("doc_id") < 0, n = 3,
+      expectedEvalGrams = 0, fpp = 0.01)
+    assert(zeroSized.count() === 0)
   }
 
   test("streaming screen: micro-batches flagged against a prebuilt eval index") {

@@ -378,6 +378,18 @@ class MlSpec extends SparkSpec {
     assert(out(3L) === ((4L, 0L)))
   }
 
+  test("wav header walk terminates on a lying chunk size (no executor hang)") {
+    // RIFF/WAVE preamble + one chunk whose 32-bit size is 0xFFFFFFF8:
+    // through toInt that is -8, and the pre-fix walk advanced i by
+    // 8 + (-8) = 0 — a STATIONARY infinite loop inside decode.
+    val b = new Array[Byte](64)
+    "RIFF".getBytes.copyToArray(b, 0)
+    "WAVE".getBytes.copyToArray(b, 8)
+    "junk".getBytes.copyToArray(b, 12)
+    b(16) = 0xF8.toByte; b(17) = 0xFF.toByte; b(18) = 0xFF.toByte; b(19) = 0xFF.toByte
+    assert(Multimodal.AudioCodec.wavHeader(b) === None)
+  }
+
   test("span dedup: randomized differential vs brute-force reference") {
     // 60 seeded-random docs over a 12-word vocab (every 5th a light
     // perturbation of its predecessor, so cross-doc shared grams are

@@ -68,6 +68,21 @@ class ServeSpec extends SparkSpec {
     // the echoed output contains the literal value, not its execution
     val outs = g.output(run.split("\"invocation_id\":\"")(1).takeWhile(_ != '"'))
     assert(outs.exists(_.contains("touch /tmp/serve_pwned_graft")))
+
+    // cross-placeholder injection: a VALUE carrying a later
+    // placeholder's literal ("{b}") must never be re-expanded — the
+    // pre-fix single-replaceFirst loop substituted b's payload INSIDE
+    // a's already-added quotes, splicing an unquoted command in.
+    s.call("register_command", Map(
+      "name" -> "two", "tpl" -> "echo {a} {b}", "format" -> "auto"))
+    val run2 = s.call("run", Map("command" -> "two",
+      "args" -> """{"a":"{b}","b":"x; touch /tmp/serve_pwned_graft2"}"""))
+    assert(run2.contains("\"exit_code\":0"), run2)
+    assert(!Files.exists(java.nio.file.Paths.get("/tmp/serve_pwned_graft2")))
+    val outs2 = g.output(run2.split("\"invocation_id\":\"")(1).takeWhile(_ != '"'))
+    // literal "{b}" printed, payload printed as text — nothing ran
+    assert(outs2.exists(o => o.contains("{b}") &&
+      o.contains("touch /tmp/serve_pwned_graft2")), outs2.mkString("|"))
   }
 
   test("event / info / last tools resolve refs against stored runs") {
