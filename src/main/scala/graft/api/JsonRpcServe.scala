@@ -122,11 +122,21 @@ final class JsonRpcServe(serve: Serve) {
         val args = p.flatMap(o => Option(o.get("arguments"))).filter(_.isObject)
           .map(_.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
           .getOrElse(Map.empty[String, String])
-        Prompts.get(serve.engine, name, args) match {
-          case None =>
+        // Client-supplied argument strings reach toInt/toLong inside the
+        // prompt builders; a malformed value must produce an error document,
+        // not kill the serve loop (same contract Serve.call gives tools).
+        (try Right(Prompts.get(serve.engine, name, args)) catch {
+          case _: NumberFormatException =>
+            Left(-32602 -> s"invalid prompt argument for $name: expected a number")
+          case scala.util.control.NonFatal(e) =>
+            Left(-32603 -> s"prompt $name failed: ${e.getMessage}")
+        }) match {
+          case Left((code, msg)) =>
+            respond(s""""error":{"code":$code,"message":${mapper.writeValueAsString(msg)}}""")
+          case Right(None) =>
             respond(s""""error":{"code":-32602,"message":${
               mapper.writeValueAsString(s"unknown prompt: $name")}}""")
-          case Some(text) =>
+          case Right(Some(text)) =>
             val desc = Prompts.specs.find(_.name == name).map(_.description).getOrElse("")
             respond(s""""result":{"description":${mapper.writeValueAsString(desc)},""" +
               s""""messages":[{"role":"user","content":{"type":"text",""" +

@@ -35,7 +35,15 @@ final class CorpusPipeline private (
     checkpointDir: Option[String]) {
   import CorpusPipeline.StageStat
 
-  private def step(name: String)(f: DataFrame => DataFrame): CorpusPipeline = {
+  private def step(name: String)(f: DataFrame => DataFrame): CorpusPipeline =
+    stepWithCleanup(name)(f)(() => ())
+
+  /** Like `step`, but runs `cleanup` AFTER the stage output is
+    * materialized — for stages that pin helper caches (e.g. the
+    * decontamination eval-gram persist) which must not outlive the
+    * stage in a long-lived session. */
+  private def stepWithCleanup(name: String)(f: DataFrame => DataFrame)(
+      cleanup: () => Unit): CorpusPipeline = {
     val in = stats.lastOption.map(_.docsOut).getOrElse(docs.count())
     val t0 = System.nanoTime()
     // Materialize AND truncate lineage (see class scaladoc). Default:
@@ -62,6 +70,7 @@ final class CorpusPipeline private (
         spark.read.parquet(path)
     }
     val n = out.count()
+    cleanup()
     val secs = math.rint((System.nanoTime() - t0) / 1e5) / 1e4
     new CorpusPipeline(out, stats :+ StageStat(name, in, n, secs), checkpointDir)
   }
@@ -107,12 +116,17 @@ final class CorpusPipeline private (
   /** Drop documents sharing any n-gram with the eval set
     * (Bloom-screened + exact-verified, `ml/Decontaminate`). */
   def decontaminate(evalDocs: DataFrame, n: Int, expectedEvalGrams: Long,
-      fpp: Double = 0.01): CorpusPipeline =
-    step("decontaminate") { d =>
-      val index = Decontaminate.indexEval(evalDocs, n, expectedEvalGrams, fpp)
+      fpp: Double = 0.01): CorpusPipeline = {
+    // The eval-gram index pins a persist; release it once this stage's
+    // checkpoint has materialized, or each pipeline run in a long-lived
+    // session leaks one cache entry.
+    var index: Decontaminate.EvalIndex = null
+    stepWithCleanup("decontaminate") { d =>
+      index = Decontaminate.indexEval(evalDocs, n, expectedEvalGrams, fpp)
       val flagged = Decontaminate.screenBatch(d, index, n).select(col("doc_id"))
       d.join(flagged, Seq("doc_id"), "left_anti")
-    }
+    } { () => if (index != null) index.grams.unpersist(false) }
+  }
 
   /** Temperature-scaled language downsampling (q78: keep rate
     * (n_min/n_lang)^(1-alpha), deterministic content-hash draw).

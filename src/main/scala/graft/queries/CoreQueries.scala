@@ -193,7 +193,7 @@ object CoreQueries {
         .orderBy(col("ts").desc, col("event_id").desc)
       t(s, dir, "events")
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") > 400)
+        .filter(col("rn") > 40)
         .select(col("user_id"), col("event_id"))
         .orderBy(col("user_id"), col("event_id"))
     },
@@ -725,7 +725,7 @@ object CoreQueries {
         |  SELECT user_id, event_id, row_number() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) sub
-        |WHERE rn > 400 ORDER BY user_id, event_id""".stripMargin,
+        |WHERE rn > 40 ORDER BY user_id, event_id""".stripMargin,
     "q14_union_status_board" ->
       """SELECT o_orderkey AS key, 'completed' AS status FROM orders WHERE o_orderstatus = 'F'
         |UNION ALL

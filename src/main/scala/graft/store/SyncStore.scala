@@ -49,8 +49,18 @@ object SyncStore {
       val f = it.next()
       val rel = srcUri.relativize(f.getPath.toUri).getPath
       val target = new Path(destBase, rel)
-      val upToDate = destFs.exists(target) &&
-        destFs.getFileStatus(target).getLen == f.getLen
+      // Length alone can't catch a same-length divergent copy; when the
+      // filesystem exposes checksums (HDFS does, local/raw FS returns
+      // null) compare those too. A null on either side degrades to the
+      // length check — safe while part files are write-once.
+      val upToDate = destFs.exists(target) && {
+        val st = destFs.getFileStatus(target)
+        st.getLen == f.getLen && {
+          val (cs, ct) = (srcFs.getFileChecksum(f.getPath),
+            destFs.getFileChecksum(target))
+          cs == null || ct == null || cs.equals(ct)
+        }
+      }
       if (upToDate) skipped += 1
       else {
         destFs.mkdirs(target.getParent)

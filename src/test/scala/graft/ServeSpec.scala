@@ -337,6 +337,14 @@ class ServeSpec extends SparkSpec {
     val bad = rpc.handle(
       """{"jsonrpc":"2.0","id":6,"method":"prompts/get","params":{"name":"nope"}}""").get
     assert(bad.contains("-32602") && bad.contains("nope"))
+    // malformed numeric argument: an error document, not a dead loop
+    val nan = rpc.handle(
+      """{"jsonrpc":"2.0","id":7,"method":"prompts/get","params":{"name":"fix-errors","arguments":{"limit":"abc"}}}""").get
+    assert(nan.contains("-32602") && nan.contains("invalid prompt argument"), nan)
+    // and the server still answers afterwards
+    val again = rpc.handle(
+      """{"jsonrpc":"2.0","id":8,"method":"prompts/get","params":{"name":"summarize-run"}}""").get
+    assert(again.contains("Run Details"), again.take(300))
   }
 
   test("mcp resources: list, templates, and reads over blq:// uris") {
