@@ -93,23 +93,54 @@ object Bench {
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)},""" +
         s""""queries":$qs}"""
     // File first (durable even if the print path dies). On stdout:
-    // the full line (with the 70+-entry queries map it runs ~2.3 KB),
-    // then a COMPACT totals-only line as the very last output. The
-    // driver's tail capture holds a bounded window of trailing bytes;
-    // BENCH_r04.parsed was null because the full line's head fell out
-    // of that window once the sbt epilogue followed it. The compact
-    // line is ~200 bytes, so it survives any plausible window intact;
-    // bench.json remains the durable full per-query record.
+    // the COMPACT totals line FIRST, then the full line (with the
+    // 70+-entry queries map it runs ~2.3 KB), then the compact line
+    // again LAST — the driver's capture holds a bounded window of
+    // bytes at an unknown offset (BENCH_r04/r05 parsed as null when
+    // the full line's head fell outside it), so a ~250-byte
+    // self-contained record bounds the output block on BOTH ends; any
+    // window that sees either end parses. The compact line carries
+    // the loadavg annotation (a loaded-machine number must be
+    // self-identifying wherever it's read) and, when a duckbench.json
+    // from tools/duckbench.py covers the same sf dir, the paired
+    // DuckDB total + ratio; bench.json remains the durable full
+    // per-query record.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     catch { case _: Throwable => }
+    val pairing = duckPairing(sfDir, r4(total))
     val compact =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""ingest_1k_files_sec":${r4(ingest)},"queries_in":"bench.json"}"""
+        s""""ingest_1k_files_sec":${r4(ingest)},""" +
+        s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
+        pairing + s""","queries_in":"bench.json"}"""
+    println(compact)
     println(json)
     println(compact)
     System.out.flush()
     spark.stop()
   }
+
+  /** `,"duck_total":…,"duck_ratio":…` when ./duckbench.json (written
+    * by tools/duckbench.py) exists and covers the same sf dir; empty
+    * string otherwise. Values are parsed with a two-field scrape, not
+    * a JSON library (none on the unmanaged classpath is guaranteed),
+    * and any failure degrades to the unpaired line. The ratio is only
+    * as fresh as the last duckbench run — the loadavg annotation on
+    * both records is what makes a stale pairing visible. */
+  private def duckPairing(sfDir: String, total: Double): String =
+    try {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("duckbench.json"))
+      val sfOk = s""""sf":\\s*"${java.util.regex.Pattern.quote(sfDir)}"""".r
+        .findFirstIn(txt).isDefined
+      val duck = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+      duck match {
+        case Some(d) if sfOk && d > 0 =>
+          s""","duck_total":$d,"duck_ratio":${math.rint(total / d * 100) / 100}"""
+        case _ => ""
+      }
+    } catch { case _: Throwable => "" }
 
   /** Distributed bulk-ingest benchmark: 1000 small gcc-style logs →
     * Runner.importDirectory (wholetext scan → executor parse → append),

@@ -32,16 +32,21 @@ import graft.GraftEngine
   *  - run              → execute a registered command by name with
   *                       template args (serve.py's run tool; expansion
   *                       shell-quotes every caller value)
-  *  - event            → single-event detail by full ref
-  *                       (serve.py:1034)
+  *  - event            → single-event detail by full ref, with the
+  *                       fingerprint's history + regression flag
+  *                       (serve.py:1034; events.py:585-648)
   *  - info             → run detail by ref/uuid/source (serve.py:1583)
   *  - last             → most recent run summary + optional event
   *                       slice (serve.py:2792)
+  *  - exec             → ad-hoc command run, registry-prefix matched
+  *                       (serve.py:2334,2350)
+  *  - clean            → confirm-gated store maintenance: data/schema
+  *                       clear, prune by days/runs/MB, full removal
+  *                       (serve.py:3299 via store.Maintenance)
   *
   * Deliberately NOT here (driver/CLI concerns with no DataFrame
   * surface, same scoping as COVERAGE.md P10/F6): sandbox_info (local
-  * sandbox introspection), config (CLI config state), clean (operates
-  * on local blob dirs via Maintenance directly).
+  * sandbox introspection), config (CLI config state).
   */
 final class Serve(private[api] val engine: GraftEngine) {
   import Serve._
@@ -52,6 +57,8 @@ final class Serve(private[api] val engine: GraftEngine) {
     * project-durable state, like the reference's .lq/commands.toml. */
   private val registry =
     new CommandRegistry(java.nio.file.Paths.get(engine.root, "commands.json"))
+
+  private val maintenance = new graft.store.Maintenance(engine.store)
 
   /** Parse a JSON-object-valued string arg ({"k":"v",...}) — the wire
     * layer only passes flat scalars, so map args ride JSON-encoded. */
@@ -239,8 +246,23 @@ final class Serve(private[api] val engine: GraftEngine) {
                   "category", "fingerprint", "raw_text", "log_line_start",
                   "log_line_end", "cwd", "executable_path", "hostname",
                   "platform", "arch", "git_commit", "git_branch", "git_dirty")
-              if (df.isEmpty) err(s"no event $eventId in run '$ref'")
-              else json(df, 1)
+              val rows = df.limit(1).collect()
+              if (rows.isEmpty) err(s"no event $eventId in run '$ref'")
+              else {
+                // Fingerprint history rides along (events.py:585-648):
+                // first/last seen, occurrences, and is_regression =
+                // the fingerprint skipped >=1 intervening run and came
+                // back. The fingerprint filter pushes through the
+                // history's window AND groupBy (it is the partition /
+                // grouping key), so this scans one fingerprint's rows,
+                // not the store.
+                val hist = Option(rows.head.getAs[String]("fingerprint"))
+                  .filter(_.nonEmpty).map { fp =>
+                    json(engine.analytics.fingerprintHistory()
+                      .filter(col("fingerprint") === fp), 1)
+                  }.getOrElse("null")
+                s"""{"event":${json(df, 1)},"history":$hist}"""
+              }
           }
       }
     case "info" =>
@@ -287,6 +309,99 @@ final class Serve(private[api] val engine: GraftEngine) {
           intArg(args, "ref_line", 1), args("root"), intArg(args, "context", 5))
         .map(c => s"""{"context":${quote(c)}}""")
         .getOrElse(err("no source context (missing file, bad line, or path escapes root)"))
+    case "exec" =>
+      // Ad-hoc command execution (serve.py:2334). A command line that
+      // extends a registered placeholder-free command is routed
+      // through the registry instead (serve.py:2350 — same tag and
+      // source as the `run` tool would assign, for cleaner refs).
+      val command = args("command").trim
+      require(command.nonEmpty, "command must be non-empty")
+      val extra = seqArg(args, "args")
+      val shell = args.get("shell").exists(_.toBoolean)
+      val timeoutMs = intArg(args, "timeout", 600000).toLong
+      def result(r: graft.exec.Runner.RunResult, rendered: String,
+          matched: Option[String]): String = {
+        val m = matched.map(n => s""","matched_command":${quote(n)}""").getOrElse("")
+        s"""{"run_serial":${r.runSerial},"invocation_id":${quote(r.invocationId)},""" +
+          s""""status":${quote(r.status)},"exit_code":${r.exitCode},""" +
+          s""""errors":${r.errors},"warnings":${r.warnings},""" +
+          s""""command":${quote(rendered)}$m}"""
+      }
+      registry.list().find { rc =>
+        !rc.isTemplate && rc.template.nonEmpty &&
+          (command == rc.template || command.startsWith(rc.template + " "))
+      } match {
+        case Some(rc) =>
+          val rest = command.stripPrefix(rc.template).trim
+          val extras = (if (rest.nonEmpty) rest.split("\\s+").toSeq else Nil) ++ extra
+          val rendered = CommandRegistry.expand(rc.template, Map.empty, Nil, extras)
+          val r = engine.exec(Seq("sh", "-c", rendered), tag = Some(rc.name),
+            sourceName = Some(rc.name), formatHint = rc.format,
+            timeoutMs = rc.timeoutMs.getOrElse(timeoutMs))
+          result(r, rendered, Some(rc.name))
+        case None =>
+          val argv =
+            if (shell)
+              Seq("sh", "-c",
+                (command +: extra.map(CommandRegistry.shQuote)).mkString(" "))
+            else command.split("\\s+").toSeq ++ extra
+          val r = engine.exec(argv, formatHint = args.getOrElse("format", "auto"),
+            timeoutMs = timeoutMs)
+          result(r, argv.mkString(" "), None)
+      }
+    case "clean" =>
+      // Store maintenance (serve.py:3299). Every destructive mode is
+      // confirm-gated: confirm=false returns a PREVIEW document with
+      // the delete targets, never touches data.
+      val mode = args.getOrElse("mode", "data")
+      val confirm = args.get("confirm").exists(_.toBoolean)
+      val tables = Seq("attempts", "outcomes", "invocations", "events", "outputs")
+      def jarr(xs: Seq[String]): String = xs.map(quote).mkString("[", ",", "]")
+      mode match {
+        case "prune" =>
+          val days = args.get("days").map(_.trim.toInt)
+          val maxRuns = args.get("max_runs").map(_.trim.toInt)
+          val maxMb = args.get("max_size_mb").map(_.trim.toLong)
+          require(days.isDefined || maxRuns.isDefined || maxMb.isDefined,
+            "prune needs at least one of: days, max_runs, max_size_mb")
+          val partTargets = (
+            days.toSeq.flatMap(d => tables.flatMap(t => maintenance.pruneByAge(t, d))) ++
+              maxMb.toSeq.flatMap(mb => Seq("events", "outputs")
+                .flatMap(t => maintenance.pruneBySize(t, mb * 1024L * 1024L)))
+            ).distinct
+          if (!confirm) {
+            val runsToPrune = maxRuns
+              .map(m => maintenance.pruneByCount(m).count()).getOrElse(0L)
+            s"""{"success":false,"preview":true,"mode":"prune",""" +
+              s""""partition_targets":${jarr(partTargets)},""" +
+              s""""runs_to_prune":$runsToPrune,""" +
+              s""""message":"set confirm=true to delete"}"""
+          } else {
+            val removed = maintenance.deleteTargets(partTargets)
+            val prunedRuns = maxRuns.map(maintenance.applyPruneByCount)
+              .getOrElse(Seq.empty)
+            s"""{"success":true,"mode":"prune","partitions_removed":$removed,""" +
+              s""""runs_pruned":${prunedRuns.size}}"""
+          }
+        case "data" | "schema" | "full" =>
+          // data/schema: clear run data (all table dirs + blobs), keep
+          // the command registry and any other config beside the store;
+          // a parquet store has no DDL, so the two reference modes
+          // coincide here. full: delete the whole store root.
+          val targets =
+            if (mode == "full") Seq(engine.root)
+            else tables.map(t => s"${engine.root}/$t") :+ s"${engine.root}/blobs"
+          if (!confirm)
+            s"""{"success":false,"preview":true,"mode":${quote(mode)},""" +
+              s""""targets":${jarr(targets)},""" +
+              s""""message":"set confirm=true to delete"}"""
+          else {
+            val removed = maintenance.deleteTargets(targets)
+            s"""{"success":true,"mode":${quote(mode)},"removed":$removed}"""
+          }
+        case other =>
+          err(s"unknown clean mode: $other (data, prune, schema, full)")
+      }
     case other => err(s"unknown tool: $other (available: ${tools.mkString(", ")})")
   }
 }
@@ -403,7 +518,23 @@ object Serve {
       Seq(
         ToolParam("severity", "string", "include events of this severity"),
         ToolParam("errors", "string", "true = shorthand for severity=error"),
-        ToolParam("limit", "integer", "max events to include (default 20)"))))
+        ToolParam("limit", "integer", "max events to include (default 20)"))),
+    ToolSpec("exec",
+      "Execute an ad-hoc command and capture/parse/store its output; a command extending a registered command runs through the registry (matched_command in the response).",
+      Seq(
+        ToolParam("command", "string", "command line to run (no shell syntax unless shell=true)", required = true),
+        ToolParam("args", "string", "JSON array of extra arguments"),
+        ToolParam("timeout", "integer", "timeout in milliseconds (default 600000)"),
+        ToolParam("shell", "string", "true = run via sh -c (allows pipes/redirects)"),
+        ToolParam("format", "string", "log format hint (default auto)"))),
+    ToolSpec("clean",
+      "Store maintenance: preview or delete run data (mode=data/schema), prune by age/count/size (mode=prune), or remove the whole store (mode=full). confirm=true required to delete.",
+      Seq(
+        ToolParam("mode", "string", "data | prune | schema | full (default data)"),
+        ToolParam("confirm", "string", "must be true to actually delete; false returns a preview"),
+        ToolParam("days", "integer", "prune: remove partitions older than this many days"),
+        ToolParam("max_runs", "integer", "prune: keep at most N runs per source"),
+        ToolParam("max_size_mb", "integer", "prune: keep events+outputs under N MB total"))))
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
   import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}

@@ -138,19 +138,25 @@ object CorpusQueries {
   // a driver collect). Determinism: tf/df/N are exact integers, both
   // engines compute the identical tf·ln(N/df) double, ranking ties
   // break on (rounded score, tok).
+  // Shape (r6): tf rows are unique per (doc, tok), so df is a COUNT
+  // over a tok-partitioned window on the tf table itself — the
+  // separate df aggregation + tf⋈df join of the first form collapsed
+  // into one exchange, and the tf persist (only needed because two
+  // consumers read it) is gone. Linear pipeline: explode → tf groupBy
+  // → tok window (df) → doc window (rank). In-session A/B
+  // (tools/AbBench, sf0.1): join form 1.13 s min → this 0.93 s.
   private val q82 = "q82_tfidf_keywords" -> { (s: SparkSession, dir: String) =>
     val docs = t(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val tf = docs
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val wDf = Window.partitionBy(col("tok"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 6).desc, col("tok"))
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(round(col("score"), 6).desc, col("tok"))
-    tf.join(dfq, Seq("tok"))
+      .withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
@@ -172,24 +178,47 @@ object CorpusQueries {
   // Determinism: tf/df/dl/N are exact integers, avgdl and every idf
   // are the identical IEEE doubles in both engines; ranking ties break
   // on (rounded score, doc_id).
+  // Shape (r6): only QUERY terms ever reach a shuffle. Doc length is
+  // per-row arithmetic (size(split)) carried through the explode as a
+  // grouping column, so tf and dl come out of ONE aggregation (the
+  // first form aggregated the full tf table twice more for dl and df
+  // and joined three times); exploded tokens are broadcast-semi-joined
+  // to the bounded query-term set BEFORE the tf groupBy, so the big
+  // exchange carries matching tokens only — df for those terms is
+  // still exact (every doc containing a query term passes the filter).
+  // Corpus-wide avgdl/N come from a separate cheap scan (1-row
+  // broadcast). df = window count over the unique (doc,term) rows, no
+  // join. At 100 TB the early-filter win dominates — the corpus-sized
+  // shuffle shrinks to |docs matching query vocabulary|.
   private val q83 = "q83_bm25_search" -> { (s: SparkSession, dir: String) =>
+    // The repartitioned raw docs feed THREE consumers (stats, query
+    // terms, the main pipeline) — persisted once or each consumer
+    // re-pays the repartition shuffle (measured: that cost more than
+    // the old tf-persist form). The early filter is a LEFT SEMI
+    // against the same broadcast(qterms) the query_id attach reuses
+    // (one broadcast build, ReusedExchange). A/B'd in-session via
+    // tools/AbBench: old 1.91 s → this 0.87 s min at sf0.1.
     val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dl.crossJoin(broadcast(
-      dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))))
-    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qterms = tf.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id"), col("term")).distinct()
-    val contrib = tf
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val qterms = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val tfq = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(qterms), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val contrib = tfq
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(broadcast(qterms), Seq("term"))
-      .join(dfq, Seq("term"))
-      .join(stats, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("c",

@@ -188,16 +188,20 @@ object PipelineQueries {
     // centroids) broadcast into a per-row array filter — the corpus
     // itself never shuffles for the pruning pass.
     "q56_stopword_prune" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      // Tokenized once, consumed twice (stop-list aggregation, then
+      // the per-row prune) — persisting after the repartition+split
+      // saves the second scan+shuffle+tokenize pass entirely.
+      val toks = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val stop = docs
-        .select(explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stop = toks
+        .select(explode(col("toks")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("tok")).limit(10)
         .select(col("tok")).collect().map(_.getString(0)).toSeq
       val stopArr = array(stop.map(lit): _*)
-      docs
-        .withColumn("toks", split(col("text"), " "))
+      toks
         .withColumn("kept", filter(col("toks"), tk => !array_contains(stopArr, tk)))
         .select(col("doc_id"),
           size(col("toks")).as("n_before"),

@@ -52,6 +52,75 @@ final class Maintenance(store: EventStore) {
     doomed.result()
   }
 
+  /** EXECUTE prune-by-count (the serve `clean` tool's max_runs mode):
+    * rewrite the affected `date=` partitions of invocations/events/
+    * outputs WITHOUT the pruned runs' rows — append-only parquet's
+    * equivalent of the reference's DELETE (serve.py:3299 →
+    * _clean_impl). Partition-bounded by construction: only date dirs
+    * that actually contain a doomed run are rewritten; every other
+    * partition is untouched, so the rewrite cost scales with the
+    * pruned data, not the store. Attempts/outcomes are run-lifecycle
+    * side tables pruned by age instead (their rows age out with their
+    * date partitions). Returns the pruned invocation ids. */
+  def applyPruneByCount(maxRuns: Int): Seq[String] = {
+    val doomed = pruneByCount(maxRuns)
+      .select(col("invocation_id"), col("date").cast("string"))
+      .collect()
+    val ids = doomed.map(_.getString(0)).toSeq
+    if (ids.isEmpty) return Seq.empty
+    val dates = doomed.map(_.getString(1)).distinct.toSeq
+    rewriteWithout("invocations", "id", ids, dates)
+    rewriteWithout("events", "invocation_id", ids, dates)
+    rewriteWithout("outputs", "invocation_id", ids, dates)
+    ids
+  }
+
+  /** Rewrite `table`'s listed date partitions excluding rows whose
+    * `keyCol` is in `ids`: each dir is rewritten to a dot-prefixed
+    * sibling (invisible to partition discovery), then swapped in. The
+    * id list rides a broadcast-able anti-join frame, not an isin
+    * literal — a large prune must not build a million-term predicate. */
+  private def rewriteWithout(table: String, keyCol: String,
+      ids: Seq[String], dates: Seq[String]): Unit = {
+    val spark = store.spark
+    import spark.implicits._
+    val base = new org.apache.hadoop.fs.Path(s"${store.root}/$table")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val idsDf = ids.toDF(keyCol)
+    dates.foreach { d =>
+      val dir = new org.apache.hadoop.fs.Path(base, s"date=$d")
+      if (fs.exists(dir)) {
+        val tmp = new org.apache.hadoop.fs.Path(base, s".prune_tmp_date=$d")
+        spark.read.parquet(dir.toString)
+          .join(broadcast(idsDf), Seq(keyCol), "left_anti")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(tmp.toString)
+        fs.delete(dir, true)
+        if (!fs.rename(tmp, dir))
+          throw new java.io.IOException(s"prune rename failed for $dir")
+      }
+    }
+    try spark.catalog.refreshByPath(base.toString)
+    catch { case scala.util.control.NonFatal(_) => }
+  }
+
+  /** Delete a list of partition-directory targets (the output of
+    * [[pruneByAge]]/[[pruneBySize]]) and refresh the affected table
+    * listings. Returns the count actually removed. */
+  def deleteTargets(targets: Seq[String]): Int = {
+    val spark = store.spark
+    var n = 0
+    targets.foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(t)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.delete(p, true)) n += 1
+    }
+    try spark.catalog.refreshByPath(store.root)
+    catch { case scala.util.control.NonFatal(_) => }
+    n
+  }
+
   /** Blob orphan reconciliation (J7; bird.py:1522-1527): hashes present
     * on disk but referenced by no outputs row — left_anti against the
     * outputs frame. Returns the orphaned hashes (delete targets). */

@@ -1,0 +1,215 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Interleaved A/B timing for plan-shape experiments: each registered
+  * variant runs `reps` times in A,B,...,A,B order inside ONE session,
+  * so machine-load drift between runs hits all variants equally —
+  * the only trustworthy way to compare sub-second plan changes on a
+  * shared box (single-shot runs swing ±30%, see CLAUDE.md). Reports
+  * min and median per variant as one JSON line.
+  *
+  * Usage: runMain graft.tools.AbBench <sfDir> <nameRegex> [reps]
+  * Variants are registered in [[variants]] — transient experiment
+  * bodies live here while a rewrite is being decided, then the winner
+  * moves into the query and the loser is deleted.
+  */
+object AbBench {
+  /** (name, body) pairs; bodies must consume the frame (count). */
+  def variants(spark: SparkSession, sfDir: String): Seq[(String, () => Long)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def docs = graft.Tables.t(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+    // q82 OLD: tf persist + separate df agg + join
+    def tfidfJoin(): Long = {
+      val d = docs
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("score"), 6).desc, col("tok"))
+      val r = tf.join(dfq, Seq("tok")).crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3).count()
+      tf.unpersist(false); r
+    }
+    // q82 NEW: df as window count over the tf table
+    def tfidfWindow(): Long = {
+      val d = docs
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("score"), 6).desc, col("tok"))
+      d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3).count()
+    }
+
+    // q83 OLD: full-corpus tf persist, dl/df aggs, three joins
+    def bm25Old(): Long = {
+      val d = docs
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val stats = dl.crossJoin(broadcast(
+        dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qterms = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("term")).distinct()
+      val contrib = tf.join(broadcast(qterms), Seq("term"))
+        .join(dfq, Seq("term")).join(stats, Seq("doc_id"))
+        .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("c", col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+      val r = contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5).count()
+      tf.unpersist(false); r
+    }
+    // q83 NEW: early query-term filter, fused tf+dl agg, window df
+    def bm25New(): Long = {
+      val d = docs
+      val stats = d.select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val qterms = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val tfq = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      val contrib = tfq
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("c", col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+      contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5).count()
+    }
+
+    // q83 NEW2: like NEW but the repartitioned raw docs are persisted
+    // once and feed all three consumers (stats, qterms, main) — NEW
+    // paid the repartition shuffle per consumer.
+    def bm25New2(): Long = {
+      val d = graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = d.select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val qterms = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val tfq = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      val contrib = tfq
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("c", col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+      val r = contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5).count()
+      d.unpersist(false); r
+    }
+
+    // q83 NEW3: NEW2 minus the qtermSet distinct job — the early
+    // filter is a LEFT SEMI against the same broadcast(qterms) the
+    // query_id attach uses, so one broadcast build serves both joins
+    // (ReusedExchange) and a whole job disappears.
+    def bm25New3(): Long = {
+      val d = graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val stats = d.select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+      val qterms = d.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), explode(split(col("text"), " ")).as("term"))
+        .distinct()
+      val tfq = d.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+          explode(split(col("text"), " ")).as("term"))
+        .join(broadcast(qterms), Seq("term"), "left_semi")
+        .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      val contrib = tfq
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("c", col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("score"), 6).desc, col("doc_id"))
+      val r = contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 5).count()
+      d.unpersist(false); r
+    }
+
+    Seq(
+      "q82_join" -> (() => tfidfJoin()),
+      "q82_window" -> (() => tfidfWindow()),
+      "q83_old" -> (() => bm25Old()),
+      "q83_new" -> (() => bm25New()),
+      "q83_new2" -> (() => bm25New2()),
+      "q83_new3" -> (() => bm25New3()))
+  }
+
+  def time(f: () => Long): Double = {
+    val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val re = if (args.length > 1) args(1) else ".*"
+    val reps = if (args.length > 2) args(2).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vs = variants(spark, sfDir).filter(_._1.matches(re))
+    // one untimed warmup each (codegen, scan cache)
+    vs.foreach { case (_, f) => f(); spark.catalog.clearCache() }
+    val times = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to reps; (name, f) <- vs) {
+      times(name) = times(name) :+ time(f)
+      spark.catalog.clearCache()
+    }
+    val parts = vs.map { case (name, _) =>
+      val ts = times(name).sorted
+      f""""$name":{"min":${ts.head}%.4f,"med":${ts(ts.size / 2)}%.4f}"""
+    }
+    println(s"""{"sf":"$sfDir","reps":$reps,${parts.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -402,4 +402,77 @@ class ServeSpec extends SparkSpec {
     val rows = "\"ref_file\"".r.findAllIn(out).length
     assert(rows === 120, s"expected all 120 rows, got $rows")
   }
+
+  test("event detail carries fingerprint history with a regression flag") {
+    val g = GraftEngine(spark, Files.createTempDirectory("serve_hist").toString)
+    // run 1: the flaky error present; run 2: FIXED (absent); run 3: back
+    g.importContent("a.py:1: error: flaky thing  [misc]",
+      format = "mypy_text", tag = Some("t"))
+    g.importContent("b.py:2: error: other thing  [misc]",
+      format = "mypy_text", tag = Some("t"))
+    g.importContent("a.py:1: error: flaky thing  [misc]",
+      format = "mypy_text", tag = Some("t"))
+    val s = new Serve(g)
+    val ev = s.call("event", Map("ref" -> "t:3:0"))
+    assert(ev.contains("\"event\":") && ev.contains("\"history\":"), ev.take(400))
+    assert(ev.contains("flaky thing"))
+    // skipped run 2 → gap of 2 in the run-serial sequence → regression
+    assert(ev.replaceAll("\\s", "").contains("\"is_regression\":true"), ev.take(800))
+    assert(ev.replaceAll("\\s", "").contains("\"occurrences\":2"), ev.take(800))
+    // the steady error (present only once) is NOT a regression
+    val ev2 = s.call("event", Map("ref" -> "t:2:0"))
+    assert(ev2.replaceAll("\\s", "").contains("\"is_regression\":false"), ev2.take(800))
+  }
+
+  test("exec tool: ad-hoc run stored; registered-command prefix match routes through the registry") {
+    val g = GraftEngine(spark, Files.createTempDirectory("serve_exec").toString)
+    val s = new Serve(g)
+    // direct argv exec (no shell) — parsed, stored, summarized
+    val out = s.call("exec", Map("command" -> "echo hello world"))
+    assert(out.contains("\"run_serial\":1") && out.contains("\"exit_code\":0"), out)
+    assert(!out.contains("matched_command"))
+    // shell mode allows pipes
+    val sh = s.call("exec", Map("command" -> "printf 'x:1:2: error: boom\\n' | cat",
+      "shell" -> "true", "format" -> "gcc_text"))
+    assert(sh.contains("\"errors\":1"), sh)
+    // a command line extending a registered simple command runs via
+    // the registry: tagged with the registered name, matched_command set
+    assert(s.call("register_command", Map("name" -> "greet",
+      "cmd" -> "echo hi", "format" -> "auto")).contains("\"success\":true"))
+    val m = s.call("exec", Map("command" -> "echo hi there"))
+    assert(m.contains("\"matched_command\":\"greet\""), m)
+    assert(m.contains("\"exit_code\":0"))
+    // its run is addressable by the registered name
+    assert(s.call("info", Map("ref" -> "greet")).contains("\"run_ref\""))
+  }
+
+  test("clean tool: preview never deletes; prune by count rewrites runs; data clear keeps commands") {
+    val root = Files.createTempDirectory("serve_clean").toString
+    val g = GraftEngine(spark, root)
+    for (i <- 1 to 3)
+      g.importContent(s"f$i.py:$i: error: e$i  [misc]",
+        format = "mypy_text", tag = Some("t"))
+    val s = new Serve(g)
+    // preview: targets listed, nothing removed
+    val prev = s.call("clean", Map("mode" -> "prune", "max_runs" -> "1"))
+    assert(prev.contains("\"preview\":true") && prev.contains("\"runs_to_prune\":2"), prev)
+    assert(g.history(10).count() === 3)
+    // confirmed prune: keep newest 1 run per source, others rewritten away
+    val pr = s.call("clean", Map("mode" -> "prune", "max_runs" -> "1",
+      "confirm" -> "true"))
+    assert(pr.contains("\"success\":true") && pr.contains("\"runs_pruned\":2"), pr)
+    assert(g.history(10).count() === 1)
+    // the surviving run is the newest and its events survived intact
+    assert(s.call("errors", Map("limit" -> "5")).contains("e3"))
+    // mode=data requires confirm, then clears runs but keeps commands
+    assert(s.call("register_command",
+      Map("name" -> "keepme", "cmd" -> "echo x")).contains("\"success\":true"))
+    assert(s.call("clean", Map("mode" -> "data")).contains("\"preview\":true"))
+    assert(s.call("clean", Map("mode" -> "data", "confirm" -> "true"))
+      .contains("\"success\":true"))
+    assert(g.history(10).count() === 0)
+    assert(s.call("commands").contains("keepme"))
+    // prune without any bound is a usage error document
+    assert(s.call("clean", Map("mode" -> "prune")).contains("error"))
+  }
 }

@@ -24,8 +24,15 @@ def main():
             best = min(best, time.time() - t0)
         times[name] = best
         total += best
-    print(json.dumps({"total": round(total, 3),
-                      "queries": {k: round(v, 4) for k, v in times.items()}}))
+    out = {"total": round(total, 3), "sf": sfdir,
+           "queries": {k: round(v, 4) for k, v in times.items()}}
+    print(json.dumps(out))
+    # Durable copy next to bench.json: graft.Bench reads it (if present
+    # and covering the same sf dir) to annotate its compact stdout line
+    # with the paired DuckDB total, so the driver's BENCH artifact
+    # carries the ratio without a separate pairing step.
+    with open("duckbench.json", "w") as f:
+        json.dump(out, f)
 
 if __name__ == "__main__":
     main()
