@@ -15,6 +15,12 @@ import org.apache.spark.sql.SparkSession
   * same-code idle re-run prompted this). */
 object Bench {
 
+  /** Deliberate all-pairs baseline queries — correctness-gated like
+    * everything else, excluded from the default bench suite (see the
+    * filter in main). */
+  val baselineQueries: Set[String] =
+    Set("q35_embedding_neardup", "q36_ann_brute")
+
   /** (1-min, 5-min, 15-min loadavg, runnable count) from /proc/loadavg;
     * zeros if unreadable (non-Linux). */
   private def loadavg(): (Double, Double, Double, Int) =
@@ -59,6 +65,17 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         nameFilter.forall(p => p.r.findFirstIn(name).isDefined) }
+      // The two deliberate all-pairs BASELINES (crossJoin quality
+      // yardsticks — q35's shipping scale path is q53, q36's are
+      // q37/q54) stay out of the default headline suite: a bench that
+      // leads with a plan you must never run at 100 TB misstates the
+      // engine. They still verify in parity every round and still run
+      // here when explicitly asked for (name filter matching them, or
+      // SPARK_GRAFT_BASELINES=1 for the full-suite-with-baselines run).
+      .filter { case (name, _) =>
+        !baselineQueries.contains(name) ||
+          nameFilter.exists(p => p.r.findFirstIn(name).isDefined) ||
+          sys.env.get("SPARK_GRAFT_BASELINES").exists(v => v == "1" || v == "true") }
       .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -87,11 +104,18 @@ object Bench {
     // yields the headline number; the file copy is the durable full
     // record either way (BENCH_r03's stdout capture parsed as null —
     // only bench.json survived).
+    val skipped = baselineQueries.filter(b =>
+      !results.exists(_._1 == b) && SparkEntry.queries.contains(b) &&
+        nameFilter.forall(p => p.r.findFirstIn(b).isDefined))
+    val skippedJson =
+      if (skipped.isEmpty) ""
+      else skipped.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString(""","baselines_skipped":[""", ",", "]")
     val json =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)},""" +
-        s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)},""" +
-        s""""queries":$qs}"""
+        s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
+        skippedJson + s""","queries":$qs}"""
     // File first (durable even if the print path dies). On stdout:
     // the COMPACT totals line FIRST, then the full line (with the
     // 70+-entry queries map it runs ~2.3 KB), then the compact line
@@ -107,7 +131,7 @@ object Bench {
     // per-query record.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     catch { case _: Throwable => }
-    val pairing = duckPairing(sfDir, r4(total))
+    val pairing = duckPairing(sfDir, r4(total), results.map(_._1).toSet)
     val compact =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)},""" +
@@ -120,25 +144,31 @@ object Bench {
     spark.stop()
   }
 
-  /** `,"duck_total":…,"duck_ratio":…` when ./duckbench.json (written
-    * by tools/duckbench.py) exists and covers the same sf dir; empty
-    * string otherwise. Values are parsed with a two-field scrape, not
-    * a JSON library (none on the unmanaged classpath is guaranteed),
-    * and any failure degrades to the unpaired line. The ratio is only
-    * as fresh as the last duckbench run — the loadavg annotation on
-    * both records is what makes a stale pairing visible. */
-  private def duckPairing(sfDir: String, total: Double): String =
+  /** `,"duck_total":…,"duck_ratio":…,"duck_matched":n` when
+    * ./duckbench.json (written by tools/duckbench.py) exists and
+    * covers the same sf dir; empty string otherwise. The DuckDB total
+    * is summed over the INTERSECTION of the two runs' query sets, so
+    * a filtered Spark run (or the baseline-skip default) pairs against
+    * the same queries it actually ran. Any parse failure degrades to
+    * the unpaired line. The ratio is only as fresh as the last
+    * duckbench run — the loadavg annotation on both records is what
+    * makes a stale pairing visible. */
+  private def duckPairing(sfDir: String, total: Double,
+      names: Set[String]): String =
     try {
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get("duckbench.json"))
-      val sfOk = s""""sf":\\s*"${java.util.regex.Pattern.quote(sfDir)}"""".r
-        .findFirstIn(txt).isDefined
-      val duck = """"total":\s*([0-9.]+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toDouble)
-      duck match {
-        case Some(d) if sfOk && d > 0 =>
-          s""","duck_total":$d,"duck_ratio":${math.rint(total / d * 100) / 100}"""
-        case _ => ""
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("duckbench.json")))
+      if (node.path("sf").asText() != sfDir) return ""
+      import scala.jdk.CollectionConverters._
+      val matched = node.path("queries").properties().asScala
+        .filter(e => names.contains(e.getKey))
+        .map(_.getValue.asDouble()).toSeq
+      if (matched.isEmpty) ""
+      else {
+        val d = math.rint(matched.sum * 1e3) / 1e3
+        s""","duck_total":$d,"duck_ratio":${math.rint(total / d * 100) / 100},""" +
+          s""""duck_matched":${matched.size}"""
       }
     } catch { case _: Throwable => "" }
 
