@@ -26,10 +26,24 @@ object DedupClusters {
     * the component; keep = doc_id == cluster_id.
     *
     * @param maxRounds safety cap; with pointer doubling this covers
-    *   component diameters ~2^maxRounds, far beyond any real dedup
-    *   graph. Hitting it indicates a pathological graph and logs a
-    *   warning rather than failing the job. */
-  def assign(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 16): DataFrame = {
+    *   component diameters ~2^(maxRounds−2) (measured: a 100k-node
+    *   CHAIN — pure worst-case diameter — converges in 19 rounds; a
+    *   500k-node power-law giant component with an extreme-degree hub
+    *   converges in 6, see SCALING.md's giant-component sweep). The
+    *   default covers diameters into the millions; converged rounds
+    *   stop early, so a generous cap costs nothing on real graphs.
+    *   Hitting it indicates a pathological graph and logs a warning
+    *   rather than failing the job. */
+  def assign(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 24): DataFrame =
+    assignWithStats(docs, pairs, maxRounds).labels
+
+  /** [[assign]] plus the convergence facts the scale experiments need
+    * (SCALING.md's giant-component sweep): how many propagation
+    * rounds actually ran, and whether a fixpoint was reached. */
+  final case class Assignment(labels: DataFrame, rounds: Int, converged: Boolean)
+
+  def assignWithStats(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 24): Assignment = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -76,8 +90,9 @@ object DedupClusters {
     val singletons = docs.select(col("doc_id"))
       .join(edgeDocs, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
-    labels.unionByName(singletons)
+    val out = labels.unionByName(singletons)
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("doc_id") === col("label")).as("keep"))
+    Assignment(out, round, converged)
   }
 }

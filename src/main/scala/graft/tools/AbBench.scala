@@ -172,13 +172,61 @@ object AbBench {
       d.unpersist(false); r
     }
 
+    // Full iterative BPE training loop (10 merges) — the per-merge
+    // 1-row collect + localCheckpoint pattern the SCALING sweep
+    // measures end-to-end (q84 only covers the inner counting step).
+    def bpeTrain10(): Long = {
+      val d = graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      graft.ml.Bpe.train(d, numMerges = 10).size.toLong
+    }
+
+    // Connected components under adversarial graph shapes (ignores
+    // sfDir — graphs are generated): one giant power-law component
+    // (every node's parent hash-biased hard toward the hubs — the
+    // "mirror of a mirror of the original" crawl shape, with extreme
+    // degree skew at the root) and one giant CHAIN (worst-case
+    // diameter — what the pointer-doubling step exists for). Each
+    // prints rounds-to-converge; the wall time is the variant's value.
+    def ccGraph(edgesDf: DataFrame, n: Long, tag: String): Long = {
+      import spark.implicits._
+      val docs = spark.range(n).select(col("id").cast("int").as("doc_id"))
+      val a = graft.ml.DedupClusters.assignWithStats(docs, edgesDf, maxRounds = 32)
+      val clusters = a.labels.agg(countDistinct(col("cluster_id"))).head().getLong(0)
+      println(s"[cc:$tag] rounds=${a.rounds} converged=${a.converged} clusters=$clusters")
+      clusters
+    }
+    def ccPowerlaw(): Long = {
+      val n = 500000L
+      // parent(i) = i * u^4 with u a per-row hash-uniform — heavily
+      // hub-biased: ~84% of nodes land a parent in the first 50% by
+      // u^4's mass at 0, the root's in-degree is ~n^(1/4)-ish hot.
+      val edges = spark.range(1, n)
+        .select(col("id").cast("int").as("doc_a"),
+          floor(col("id") *
+            pow(abs(hash(col("id"))).cast("double") / Int.MaxValue, 4.0))
+            .cast("int").as("doc_b"))
+        .filter(col("doc_b") < col("doc_a"))
+      ccGraph(edges, n, "powerlaw")
+    }
+    def ccChain(): Long = {
+      val n = 100000L
+      val edges = spark.range(1, n)
+        .select(col("id").cast("int").as("doc_a"),
+          (col("id") - 1).cast("int").as("doc_b"))
+      ccGraph(edges, n, "chain")
+    }
+
     Seq(
       "q82_join" -> (() => tfidfJoin()),
       "q82_window" -> (() => tfidfWindow()),
       "q83_old" -> (() => bm25Old()),
       "q83_new" -> (() => bm25New()),
       "q83_new2" -> (() => bm25New2()),
-      "q83_new3" -> (() => bm25New3()))
+      "q83_new3" -> (() => bm25New3()),
+      "bpe_train10" -> (() => bpeTrain10()),
+      "cc_powerlaw" -> (() => ccPowerlaw()),
+      "cc_chain" -> (() => ccChain()))
   }
 
   def time(f: () => Long): Double = {

@@ -210,6 +210,25 @@ class MlSpec extends SparkSpec {
     assert((1L to 13L).forall(out(_) === 1L), s"split clusters: $out")
   }
 
+  test("dedup clusters: skewed giant component (hub graph) converges in few rounds") {
+    // One hub-dominated component — the degree-skew shape of a crawl
+    // where thousands of mirrors all near-dup the same original. The
+    // hot hub key must be absorbed by map-side partial aggregation,
+    // and pointer doubling must converge well under the cap (the full
+    // 500k-node power-law run in SCALING.md measures 6 rounds).
+    val n = 400L
+    val docs = (0L until n).toDF("doc_id")
+    // nodes 1..199 chain off the hub's neighbor 1; 200..399 attach
+    // straight to hub 0 → one component, max degree ~200
+    val pairs = ((1L until 200L).map(i => (i, i + 1)) ++
+      (200L until n).map(i => (i, 0L)) :+ (0L, 1L)).toDF("doc_a", "doc_b")
+    val a = graft.ml.DedupClusters.assignWithStats(docs, pairs)
+    assert(a.converged, "did not converge")
+    assert(a.rounds <= 10, s"took ${a.rounds} rounds")
+    val out = a.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until n).forall(out(_) === 0L), "split clusters")
+  }
+
   test("multimodal: decode stub preserves batch shape and determinism") {
     val media = Multimodal.fakeMediaTable(
       corpus.withColumn("source", lit("srcA")).withColumnRenamed("doc_id", "doc_id"))
