@@ -197,4 +197,63 @@ object CorpusPipeline {
     * the last completed stage directory). */
   def checkpointed(docs: DataFrame, checkpointDir: String): CorpusPipeline =
     new CorpusPipeline(docs, Vector.empty, Some(checkpointDir))
+
+  /** The ingest-time form of the batch policy chain: every arriving
+    * micro-batch of (doc_id, text) runs quality gate → near-dup screen
+    * against a PREBUILT corpus index → decontamination screen against
+    * a PREBUILT eval index, and `onBatch(batchId, accepted, stats)`
+    * receives the surviving documents plus the same per-stage
+    * (docsIn, docsOut, secs) stats the batch pipeline reports. The
+    * same differential-tested operators run in both modes — this
+    * composes [[graft.streaming.StreamingDedup.checkBatch]] and
+    * [[Decontaminate.screenBatch]] inside one foreachBatch, it does
+    * not reimplement them.
+    *
+    * All three screens are stateless per batch (per-row predicate,
+    * stream-static joins against the two indexes), so state never
+    * accumulates across batches and the stream runs indefinitely;
+    * refresh the indexes at whatever cadence accepted batches are
+    * folded into the corpus. Duplicate policy matches the batch
+    * chain: a batch doc matching the corpus is dropped; within a
+    * batch the lower doc_id survives. */
+  def streaming(stream: DataFrame, minQuality: Double,
+      dedupIndex: graft.streaming.StreamingDedup.CorpusIndex,
+      n: Int, k: Int, bands: Int, threshold: Double, minAgree: Int,
+      evalIndex: Decontaminate.EvalIndex, evalN: Int)(
+      onBatch: (Long, DataFrame, Vector[StageStat]) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stats = Vector.newBuilder[StageStat]
+        def staged(name: String, in: Long, out: DataFrame, t0: Long): (DataFrame, Long) = {
+          val mat = out.localCheckpoint(true)
+          val nOut = mat.count()
+          stats += StageStat(name, in, nOut,
+            math.rint((System.nanoTime() - t0) / 1e5) / 1e4)
+          (mat, nOut)
+        }
+        val nIn = batch.count()
+        var t0 = System.nanoTime()
+        val (q, nQ) = staged(s"quality>=$minQuality", nIn,
+          batch.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
+        t0 = System.nanoTime()
+        val matches = graft.streaming.StreamingDedup
+          .checkBatch(q, dedupIndex, n, k, bands, threshold, minAgree)
+        // corpus match → the arriving doc is the duplicate; in-batch
+        // pair (a < b) → the higher id is the duplicate
+        val dropIds = matches.select(
+          when(col("source") === "corpus", col("doc_id"))
+            .otherwise(col("dup_id")).as("doc_id")).distinct()
+        val (d, nD) = staged("nearDedupScreen", nQ,
+          q.join(dropIds, Seq("doc_id"), "left_anti"), t0)
+        matches.unpersist()
+        t0 = System.nanoTime()
+        val flagged = Decontaminate.screenBatch(d, evalIndex, evalN)
+          .select(col("doc_id"))
+        val (accepted, _) = staged("decontaminateScreen", nD,
+          d.join(flagged, Seq("doc_id"), "left_anti"), t0)
+        onBatch(batchId, accepted, stats.result())
+      }
+      .start()
 }

@@ -164,4 +164,61 @@ class CorpusPipelineSpec extends SparkSpec {
       .head().getDouble(0)
     assert(q >= 0.0 && q <= 1.0)
   }
+
+  test("streaming ingest chain: quality + near-dup + decontamination screens over micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // prebuilt sides: the batch corpus (minus the junk/eval rows) as
+    // the dedup index, the same eval set as the decontamination index
+    val corpusDocs = corpus.filter($"doc_id" =!= 1L && $"doc_id" =!= 8L)
+      .select($"doc_id", $"text")
+    val dedupIdx = graft.streaming.StreamingDedup
+      .indexCorpus(corpusDocs, n = 3, k = 12, bands = 4)
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.Map[Long, Set[Long]]()
+    val stats = scala.collection.mutable.Map[Long, Vector[CorpusPipeline.StageStat]]()
+    val q = CorpusPipeline.streaming(
+      input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+      dedupIdx, n = 3, k = 12, bands = 4, threshold = 0.3, minAgree = 0,
+      evalIdx, evalN = 3) { (batchId, acc, st) =>
+      accepted.synchronized {
+        accepted(batchId) = acc.select($"doc_id").as[Long].collect().toSet
+        stats(batchId) = st
+      }
+    }
+    try {
+      // batch 0: 100 = near-dup of corpus doc 10; 101 = clean novel
+      // text; 102 = punctuation junk under the quality gate
+      input.addData(
+        100L -> "crimson harbors shelter weary sailors beneath amber lighthouse beams each morning",
+        101L -> "completely novel prose describing verdant terraced gardens above the river delta",
+        102L -> "!!! ??? *** ((( ))) %%% $$$ ### @@@ ^^^ &&& ~~~ ``` ||| ;;;")
+      q.processAllAvailable()
+      // batch 1: 200 = contaminated by the eval set; 201 = clean;
+      // 202/203 = in-batch near-dups (lower id must survive)
+      input.addData(
+        200L -> "quoting benchmark question rho sigma tau upsilon right in the middle here",
+        201L -> "another clean document about migratory cranes crossing mountain passes in autumn",
+        202L -> "the in batch duplicated passage appears twice with trailing marker alpha",
+        203L -> "the in batch duplicated passage appears twice with trailing marker beta")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(accepted(0L) === Set(101L),
+      s"batch 0 accepted ${accepted(0L)}")
+    assert(accepted(1L) === Set(201L, 202L),
+      s"batch 1 accepted ${accepted(1L)}")
+    // stats: three stages per batch, chained docsIn/docsOut
+    for (b <- Seq(0L, 1L)) {
+      val st = stats(b)
+      assert(st.map(_.stage) ===
+        Vector("quality>=0.5", "nearDedupScreen", "decontaminateScreen"))
+      assert(st.sliding(2).forall(w => w(0).docsOut == w(1).docsIn))
+    }
+    assert(stats(0L).head.docsIn === 3 && stats(1L).head.docsIn === 4)
+    evalIdx.grams.unpersist()
+  }
 }
