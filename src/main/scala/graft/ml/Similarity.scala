@@ -42,6 +42,34 @@ object Similarity {
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
 
+  /** Per-vector cosine against its own label's centroid — the
+    * embedding QUALITY SCREEN a pipeline runs before indexing
+    * (mislabeled or corrupt vectors sit far from their cluster's
+    * center; prune them before they poison ANN cells or centroid
+    * training). Centroid = positionwise mean over the label, rounded
+    * to 6 dp so cross-engine float-summation drift can never reach a
+    * comparison gate downstream. Scale shape: the centroid aggregation
+    * is one posexplode pass reduced to (labels × dims) rows —
+    * map-side partial aggregation bounds the shuffle by that
+    * cardinality, not the corpus — and the per-row cosine joins the
+    * tiny centroid table back via broadcast. Output: (vec_id, label,
+    * cos). */
+  def centroidCosine(embs: DataFrame): DataFrame = {
+    val p = prepared(embs)
+    val cent = p
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"),
+        transform(col("pc"), e => e.getField("c")).as("centroid"))
+      .withColumn("cnrm", l2Norm(col("centroid")))
+    p.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        (dot(col("v"), col("centroid")) / (col("nrm") * col("cnrm"))).as("cos"))
+  }
+
   /** Brute-force cosine top-k: every query row against every candidate
     * row. The candidate side is broadcast when small; at scale this is
     * the quality baseline you sample, not the serving path. */

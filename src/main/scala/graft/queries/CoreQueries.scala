@@ -544,6 +544,60 @@ object CoreQueries {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
+    },
+
+    // TPC-H Q22 shape (churned high-value customers): balance above
+    // the positive-balance average AND no order since the cutoff,
+    // rolled up per nation. The scalar subquery becomes a 1-row
+    // broadcast; the NOT EXISTS an anti join against the
+    // date-restricted fact — both sides shuffle on the customer key
+    // once at scale, and the date filter reaches the orders scan
+    // (PushedFilters) before any join. The average is rounded to 4 dp
+    // in BOTH engines so a balance sitting within float-summation
+    // drift of the threshold cannot flip sides; balances sum in exact
+    // integer cents (the q71 lesson).
+    "q86_churned_rich_customers" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(round(col("c_acctbal") * 100, 0).cast("long")) / lit(100.0))
+            .as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // TPC-H Q11 shape (revenue concentration): parts whose revenue
+    // share exceeds 1.5× the mean per-part share — a grouped
+    // aggregate HAVING-compared against scalar aggregates over the
+    // SAME grouped result. The per-part aggregate is computed once;
+    // the global total + part count re-aggregate its
+    // (part-cardinality) output, not the fact, and cross back as ONE
+    // 1-row broadcast. The share gate runs in decimal(38) (DuckDB:
+    // HUGEINT) — exact at any corpus size, no float boundary and no
+    // 64-bit product overflow (rev_e4 × nparts × 2 blows past a long
+    // at ~petabyte revenue volumes).
+    "q87_part_revenue_concentration" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .as("rev_e4"))
+      val total = rev.agg(sum(col("rev_e4")).as("total_e4"),
+        count(lit(1)).as("nparts"))
+      rev.crossJoin(broadcast(total))
+        .filter(col("rev_e4").cast("decimal(38,0)") * col("nparts") * 2 >
+          col("total_e4").cast("decimal(38,0)") * 3)
+        .select(col("l_partkey"), (col("rev_e4") / lit(10000.0)).as("revenue"),
+          round(col("rev_e4") * lit(10000.0) / col("total_e4"), 4).as("share_bp"))
+        .orderBy(col("revenue").desc, col("l_partkey"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -654,6 +708,35 @@ object CoreQueries {
         |SELECT s_name, count(*) AS numwait
         |FROM sole JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q86_churned_rich_customers" ->
+      """WITH ab AS (
+        |  SELECT round(avg(c_acctbal), 4) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |    AS total_bal
+        |FROM customer CROSS JOIN ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q87_part_revenue_concentration" ->
+      """WITH pr AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS rev_e4
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+        |               CAST(count(*) AS BIGINT) AS nparts FROM pr)
+        |SELECT l_partkey, rev_e4 / 10000.0 AS revenue,
+        |  round(rev_e4 * 10000.0 / total_e4, 4) AS share_bp
+        |FROM pr CROSS JOIN tot
+        |WHERE rev_e4::HUGEINT * nparts * 2 > total_e4::HUGEINT * 3
+        |ORDER BY revenue DESC, l_partkey""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,

@@ -249,8 +249,22 @@ object CorpusQueries {
       .limit(20)
   }
 
+  // Embedding outlier screen (r6): vectors whose cosine to their own
+  // label centroid falls below the gate — the quality filter run
+  // before ANN indexing (ml/Similarity.centroidCosine scaladoc for
+  // the scale shape). Threshold −0.05 flags the bottom ~5% of the
+  // driver corpus (labels are weak clusters, median own-centroid cos
+  // ≈ 0.15); the 6-dp filter guard + 4-dp output follow the q53
+  // float-portability pattern.
+  private val q85 = "q85_embedding_outliers" -> { (s: SparkSession, dir: String) =>
+    graft.ml.Similarity.centroidCosine(t(s, dir, "embeddings"))
+      .filter(round(col("cos"), 6) < -0.05)
+      .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
-    Map(q50, q51, q77, q82, q83, q84)
+    Map(q50, q51, q77, q82, q83, q84, q85)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -352,6 +366,26 @@ object CorpusQueries {
         |SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS n
         |FROM pos GROUP BY 1, 2
         |ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+
+    // Mirrors q85: identical rounded centroids (6 dp kills avg
+    // sum-order drift), identical sequential-fold dot products.
+    "q85_embedding_outliers" ->
+      """WITH pos AS (
+        |  SELECT label, unnest(generate_series(1, len(embedding))) AS pos, embedding
+        |  FROM embeddings),
+        |px AS (SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS x FROM pos),
+        |cent AS (
+        |  SELECT label, list(c ORDER BY pos) AS centroid FROM (
+        |    SELECT label, pos, round(avg(x), 6) AS c FROM px GROUP BY 1, 2)
+        |  GROUP BY label),
+        |sc AS (
+        |  SELECT vec_id, e.label,
+        |    list_dot_product(e.embedding::DOUBLE[], centroid) /
+        |      (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+        |       sqrt(list_dot_product(centroid, centroid))) AS cos
+        |  FROM embeddings e JOIN cent USING (label))
+        |SELECT vec_id, label, round(cos, 4) AS cos FROM sc
+        |WHERE round(cos, 6) < -0.05 ORDER BY vec_id""".stripMargin,
 
     "q82_tfidf_keywords" ->
       """WITH toks AS (
