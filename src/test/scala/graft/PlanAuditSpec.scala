@@ -76,12 +76,46 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LessThan(o_orderdate"), p.take(3000))
   }
 
-  test("TPC-H q72 double-lineitem: big-order key set joined (never collected), customer broadcast") {
+  test("TPC-H q72 single-pass: big-order aggregate reused as total_qty, customer broadcast") {
     val p = plans("q72_large_volume_cust")
     assert(p.contains("BroadcastHashJoin"), p.take(3000)) // customer dim
-    // the >300-qty key set arrives via a join on l_orderkey/o_orderkey —
-    // two lineitem scans is the intended classic Q18 plan
-    assert("FileScan parquet".r.findAllIn(p).size >= 3, p.take(3000))
+    // r6 rewrite: the >300-qty aggregate IS the final sum — lineitem
+    // is scanned exactly once (the old classic-Q18 plan rejoined it)
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem")) === 1, p.take(3000))
+  }
+
+  test("q83 BM25: query terms filter the corpus via broadcast joins, never a shuffle join") {
+    val p = plans("q83_bm25_search")
+    // both qterms joins (left-semi early filter + query_id attach)
+    // must be broadcast — the corpus side streams, the bounded query
+    // vocabulary builds
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin") || !p.contains("qterms"), p.take(3000))
+  }
+
+  test("q85 outliers: label centroids broadcast back onto the corpus") {
+    val p = plans("q85_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q86 churn: NOT EXISTS compiles to anti join; order-date filter pushed to the scan") {
+    val p = plans("q86_churned_rich_customers")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("orders.parquet") && l.contains("o_orderdate")
+        && l.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate")),
+      p.take(4000))
+  }
+
+  test("q87 concentration: the per-part aggregate's shuffle is computed once and reused") {
+    val df = SparkEntry.queries("q87_part_revenue_concentration")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the scalar total re-aggregates the SAME partial-agg exchange,
+    // not the fact — AQE must stitch a ReusedExchange
+    assert(p.contains("ReusedExchange"), p.take(4000))
   }
 
   // Customer is the second-largest TPC-H relation: a forced broadcast()
