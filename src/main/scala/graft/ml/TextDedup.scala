@@ -432,6 +432,15 @@ object TextDedup {
   def minhashLshPairsFromDigests(withDig: DataFrame, k: Int, bands: Int,
       threshold: Double, minAgree: Int): DataFrame = {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
+    // Measured alternative (r6, tools/AbBench q32_joinback): carry only
+    // doc_ids through the band shuffle and join signatures back onto
+    // the candidate pairs for the agreement estimate. ~10% faster at
+    // sf0.1 (0.85 vs 0.98 s min, interleaved) — but it joins the
+    // corpus-cardinality signature table TWICE after the distinct,
+    // which at 100 TB shuffles the whole sig table per join; the
+    // riding form pays bands×k longs per doc in ONE shuffle instead.
+    // Kept as-is: the toy-scale delta is stage-floor noise, the scale
+    // shape difference is structural.
     // Signatures and band keys are per-row array math (no shuffle);
     // the only shuffles in the whole pipeline are the groupBy hiding in
     // the band self-join (docs·bands rows) and the candidate distinct.

@@ -217,7 +217,56 @@ object AbBench {
       ccGraph(edges, n, "chain")
     }
 
+    // q32 as shipped: signatures ride the band shuffle for the in-row
+    // agreement estimate
+    def q32Current(): Long = {
+      val d = graft.Tables.t(spark, sfDir, "documents")
+      val r = graft.ml.TextDedup.minhashLshPairs(d, n = 3, k = 12,
+        bands = 4, threshold = 0.3, minAgree = 5).count()
+      spark.catalog.clearCache(); r
+    }
+    // variant: band shuffle carries ONLY (doc_id); agreement estimate
+    // joins signatures back onto the candidate pairs after the distinct
+    def q32JoinBack(): Long = {
+      import graft.ml.TextDedup
+      val d = graft.Tables.t(spark, sfDir, "documents")
+      val withDig = TextDedup.shingleDigests(TextDedup.shingleSets(d, 3))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = TextDedup.minhashSignaturesFromDigests(withDig, 12)
+        .select(col("doc_id"),
+          array((0 until 12).map(j => col(s"mh$j")): _*).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bk = TextDedup.lshBands(
+        TextDedup.minhashSignaturesFromDigests(withDig, 12), 4, 3)
+      val ds2 = col("ds2")
+      val cand = bk.groupBy(col("band"), col("key"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(array_sort(col("ds")).as("ds2"))
+        .select(explode_outer(flatten(transform(ds2, (a, i) =>
+          transform(slice(ds2, i + lit(2), size(ds2)), b =>
+            struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .distinct()
+        .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sa")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sb")), Seq("doc_b"))
+        .filter(TextDedup.sigAgreement(col("sa"), col("sb")) >= 5)
+        .select(col("doc_a"), col("doc_b"))
+      val keySets = TextDedup.keySetsFromDigests(withDig)
+      val a = keySets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = keySets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val r = cand.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", round(col("shared") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")), 4))
+        .filter(col("jaccard") >= 0.3)
+        .count()
+      spark.catalog.clearCache(); r
+    }
+
     Seq(
+      "q32_current" -> (() => q32Current()),
+      "q32_joinback" -> (() => q32JoinBack()),
       "q82_join" -> (() => tfidfJoin()),
       "q82_window" -> (() => tfidfWindow()),
       "q83_old" -> (() => bm25Old()),
