@@ -86,6 +86,57 @@ object TextAnalysis {
       .agg(min(md5(col("shingle"))).as("fingerprint"),
         count(lit(1)).as("n_shingles"))
 
+  /** Full winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * selection rule): hash every k-token gram, slide a window of w
+    * consecutive gram hashes, keep each window's minimum, dedup — the
+    * guarantee is that any shared run of w+k-1 tokens between two
+    * documents shares at least one selected fingerprint, with only
+    * ~2/(w+1) of grams retained. [[docFingerprint]] is the degenerate
+    * window=document form; this is the substring-matching-grade
+    * fingerprint an attribution / clone-detection pipeline stores.
+    *
+    * Entirely per-row array math (zero shuffle): toks → grams →
+    * 63-bit md5-half hashes (the portable key arithmetic
+    * [[TextDedup.keySetsFromDigests]] establishes — DuckDB computes
+    * the identical longs) → window minima → distinct set. Each
+    * derived array is its own projection so no lambda re-evaluates a
+    * computed array per element (the CSE trap CLAUDE.md records).
+    * Docs shorter than k tokens get an empty fingerprint set; docs
+    * with fewer than w grams get the single global minimum (the
+    * standard short-document degeneration).
+    *
+    * Output: (doc_id, n_grams, n_fp, fp_md5) — the fingerprint SET
+    * summarized as md5 over the sorted longs, so the oracle compare
+    * covers every selected hash without emitting corpus×fingerprints
+    * rows. */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val hash63 = (g: Column) => {
+      val d = md5(g)
+      (conv(substring(d, 1, 8), 16, 10).cast("long") % lit(2147483648L)) *
+        lit(4294967296L) + conv(substring(d, 9, 8), 16, 10).cast("long")
+    }
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("grams",
+        when(size(col("toks")) >= k,
+          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("hashes", transform(col("grams"), hash63))
+      .withColumn("mins",
+        when(size(col("hashes")) >= w,
+          transform(sequence(lit(1), size(col("hashes")) - (w - 1)),
+            i => array_min(slice(col("hashes"), i, lit(w)))))
+          .when(size(col("hashes")) > 0, array(array_min(col("hashes"))))
+          .otherwise(array().cast("array<long>")))
+      .withColumn("fp", array_sort(array_distinct(col("mins"))))
+      .select(col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(col("fp")).as("n_fp"),
+        md5(concat_ws(",", transform(col("fp"), x => x.cast("string"))))
+          .as("fp_md5"))
+  }
+
   /** Full per-document text profile. */
   def profile(docs: DataFrame): DataFrame = {
     val t = col("text")

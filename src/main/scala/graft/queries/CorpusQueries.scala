@@ -263,8 +263,20 @@ object CorpusQueries {
       .orderBy(col("vec_id"))
   }
 
+  // Winnowing fingerprints (r6): the MOSS selection rule, k=4-token
+  // grams winnowed through w=5 windows — per-row array math end to
+  // end, zero shuffle (scale story + guarantee in
+  // ml/TextAnalysis.winnowFingerprints).
+  private val q88 = "q88_winnow_fingerprints" -> { (s: SparkSession, dir: String) =>
+    graft.ml.TextAnalysis.winnowFingerprints(
+        t(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        k = 4, w = 5)
+      .orderBy(col("doc_id"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
-    Map(q50, q51, q77, q82, q83, q84, q85)
+    Map(q50, q51, q77, q82, q83, q84, q85, q88)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -366,6 +378,32 @@ object CorpusQueries {
         |SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS n
         |FROM pos GROUP BY 1, 2
         |ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+
+    // Mirrors q88 gram-for-gram: identical 63-bit md5-half hashes,
+    // identical window minima (integer min — no float anywhere),
+    // identical sorted-set md5 summary. Slices: Spark slice(x,i,len)
+    // == DuckDB x[i:i+len-1] (both 1-based, DuckDB's upper inclusive).
+    "q88_winnow_fingerprints" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) >= 4 THEN
+        |    [array_to_string(toks[i:i+3], ' ') FOR i IN generate_series(1, len(toks)-3)]
+        |  ELSE [] END AS grams FROM tt),
+        |h AS (SELECT doc_id, grams,
+        |  [(CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 2147483648) * 4294967296
+        |     + CAST('0x' || substr(md5(x), 9, 8) AS BIGINT) FOR x IN grams] AS hashes
+        |  FROM g),
+        |m AS (SELECT doc_id, grams,
+        |  CASE WHEN len(hashes) >= 5 THEN
+        |    [list_min(hashes[i:i+4]) FOR i IN generate_series(1, len(hashes)-4)]
+        |  WHEN len(hashes) > 0 THEN [list_min(hashes)]
+        |  ELSE [] END AS mins FROM h),
+        |f AS (SELECT doc_id, len(grams) AS n_grams,
+        |  list_sort(list_distinct(mins)) AS fp FROM m)
+        |SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+        |  CAST(len(fp) AS INT) AS n_fp,
+        |  md5(array_to_string(fp, ',')) AS fp_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // Mirrors q85: identical rounded centroids (6 dp kills avg
     // sum-order drift), identical sequential-fold dot products.
