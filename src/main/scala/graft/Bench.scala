@@ -131,7 +131,7 @@ object Bench {
     // per-query record.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     catch { case _: Throwable => }
-    val pairing = duckPairing(sfDir, r4(total), results.map(_._1).toSet)
+    val pairing = duckPairing(sfDir, results)
     val compact =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)},""" +
@@ -146,28 +146,29 @@ object Bench {
 
   /** `,"duck_total":…,"duck_ratio":…,"duck_matched":n` when
     * ./duckbench.json (written by tools/duckbench.py) exists and
-    * covers the same sf dir; empty string otherwise. The DuckDB total
-    * is summed over the INTERSECTION of the two runs' query sets, so
-    * a filtered Spark run (or the baseline-skip default) pairs against
-    * the same queries it actually ran. Any parse failure degrades to
-    * the unpaired line. The ratio is only as fresh as the last
-    * duckbench run — the loadavg annotation on both records is what
-    * makes a stale pairing visible. */
-  private def duckPairing(sfDir: String, total: Double,
-      names: Set[String]): String =
+    * covers the same sf dir; empty string otherwise. BOTH sides of
+    * the ratio are summed over the INTERSECTION of the two runs'
+    * query sets — a Spark query DuckDB didn't time (or vice versa)
+    * must not inflate either side of the headline number. Any parse
+    * failure degrades to the unpaired line. The ratio is only as
+    * fresh as the last duckbench run — the loadavg annotation on both
+    * records is what makes a stale pairing visible. */
+  private def duckPairing(sfDir: String,
+      results: Seq[(String, Double)]): String =
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(
           java.nio.file.Paths.get("duckbench.json")))
       if (node.path("sf").asText() != sfDir) return ""
       import scala.jdk.CollectionConverters._
-      val matched = node.path("queries").properties().asScala
-        .filter(e => names.contains(e.getKey))
-        .map(_.getValue.asDouble()).toSeq
+      val duck = node.path("queries").properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      val matched = results.filter(r => duck.contains(r._1))
       if (matched.isEmpty) ""
       else {
-        val d = math.rint(matched.sum * 1e3) / 1e3
-        s""","duck_total":$d,"duck_ratio":${math.rint(total / d * 100) / 100},""" +
+        val d = math.rint(matched.map(r => duck(r._1)).sum * 1e3) / 1e3
+        val sp = matched.map(_._2).sum
+        s""","duck_total":$d,"duck_ratio":${math.rint(sp / d * 100) / 100},""" +
           s""""duck_matched":${matched.size}"""
       }
     } catch { case _: Throwable => "" }

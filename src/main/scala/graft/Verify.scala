@@ -28,6 +28,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release each query's persisted frames (q56/q81/q83, TextDedup
+      // internals) — 88 queries in one session otherwise pin dozens of
+      // MEMORY_AND_DISK entries, the accumulated-persist storage
+      // pressure Bench already clears between measurements.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

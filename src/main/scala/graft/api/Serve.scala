@@ -327,17 +327,28 @@ final class Serve(private[api] val engine: GraftEngine) {
           s""""errors":${r.errors},"warnings":${r.warnings},""" +
           s""""command":${quote(rendered)}$m}"""
       }
-      registry.list().find { rc =>
-        !rc.isTemplate && rc.template.nonEmpty &&
-          (command == rc.template || command.startsWith(rc.template + " "))
-      } match {
+      // shell mode skips the match (serve.py:625's `if not shell:`) —
+      // quoting pipe tokens into a registered template would run a
+      // different command than the caller wrote
+      val matched =
+        if (shell) None
+        else registry.list().find { rc =>
+          !rc.isTemplate && rc.template.nonEmpty &&
+            (command == rc.template || command.startsWith(rc.template + " "))
+        }
+      matched match {
         case Some(rc) =>
           val rest = command.stripPrefix(rc.template).trim
           val extras = (if (rest.nonEmpty) rest.split("\\s+").toSeq else Nil) ++ extra
           val rendered = CommandRegistry.expand(rc.template, Map.empty, Nil, extras)
+          // caller-supplied timeout wins over the registered one (the
+          // reference forwards it through _run_impl); the registered
+          // value is the default when the caller sent none
+          val effTimeout = args.get("timeout").map(_.trim.toLong)
+            .orElse(rc.timeoutMs).getOrElse(timeoutMs)
           val r = engine.exec(Seq("sh", "-c", rendered), tag = Some(rc.name),
             sourceName = Some(rc.name), formatHint = rc.format,
-            timeoutMs = rc.timeoutMs.getOrElse(timeoutMs))
+            timeoutMs = effTimeout)
           result(r, rendered, Some(rc.name))
         case None =>
           val argv =
@@ -366,8 +377,8 @@ final class Serve(private[api] val engine: GraftEngine) {
             "prune needs at least one of: days, max_runs, max_size_mb")
           val partTargets = (
             days.toSeq.flatMap(d => tables.flatMap(t => maintenance.pruneByAge(t, d))) ++
-              maxMb.toSeq.flatMap(mb => Seq("events", "outputs")
-                .flatMap(t => maintenance.pruneBySize(t, mb * 1024L * 1024L)))
+              maxMb.toSeq.flatMap(mb => maintenance.pruneBySizeTotal(
+                Seq("events", "outputs"), mb * 1024L * 1024L))
             ).distinct
           if (!confirm) {
             val runsToPrune = maxRuns

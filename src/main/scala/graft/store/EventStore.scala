@@ -90,6 +90,19 @@ class EventStore(val spark: SparkSession, val root: String) {
     refreshHook()
   }
 
+  /** Invalidate every table's file listing AND re-register views —
+    * for DELETE-shaped maintenance (prune/clean): refreshByPath alone
+    * only refreshes cached datasets, while registered temp views keep
+    * their snapshot listings (see the refreshHook note above) and
+    * would plan against deleted part files. */
+  def refreshAllViews(): Unit = {
+    for (t <- Seq("attempts", "outcomes", "invocations", "events", "outputs"))
+      try spark.catalog.refreshByPath(path(t))
+      catch { case scala.util.control.NonFatal(_) => }
+    invDates.clear()
+    refreshHook()
+  }
+
   // ---- write path (S9/S10) -------------------------------------------
 
   def appendAttempts(attempts: Seq[Attempt]): Unit = {

@@ -72,6 +72,7 @@ final class Maintenance(store: EventStore) {
     rewriteWithout("invocations", "id", ids, dates)
     rewriteWithout("events", "invocation_id", ids, dates)
     rewriteWithout("outputs", "invocation_id", ids, dates)
+    store.refreshAllViews()
     ids
   }
 
@@ -101,13 +102,13 @@ final class Maintenance(store: EventStore) {
           throw new java.io.IOException(s"prune rename failed for $dir")
       }
     }
-    try spark.catalog.refreshByPath(base.toString)
-    catch { case scala.util.control.NonFatal(_) => }
   }
 
   /** Delete a list of partition-directory targets (the output of
-    * [[pruneByAge]]/[[pruneBySize]]) and refresh the affected table
-    * listings. Returns the count actually removed. */
+    * [[pruneByAge]]/[[pruneBySize]]/[[pruneBySizeTotal]]), then
+    * invalidate listings AND re-register views (refreshByPath alone
+    * leaves registered temp views planning against deleted files).
+    * Returns the count actually removed. */
   def deleteTargets(targets: Seq[String]): Int = {
     val spark = store.spark
     var n = 0
@@ -116,9 +117,35 @@ final class Maintenance(store: EventStore) {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p) && fs.delete(p, true)) n += 1
     }
-    try spark.catalog.refreshByPath(store.root)
-    catch { case scala.util.control.NonFatal(_) => }
+    store.refreshAllViews()
     n
+  }
+
+  /** Prune-by-size across SEVERAL tables under ONE shared byte budget
+    * (the serve `clean` max_size_mb contract — "events+outputs under
+    * N MB total"): all tables' `date=` partitions pooled, newest kept
+    * first, everything past the combined budget doomed. The
+    * single-table [[pruneBySize]] gives each table the full budget —
+    * right for a per-table cap, wrong for a total. */
+  def pruneBySizeTotal(tables: Seq[String], maxBytes: Long): Seq[String] = {
+    val conf = store.spark.sparkContext.hadoopConfiguration
+    val parts = tables.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"${store.root}/$t")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.startsWith("date="))
+        .map(s => (s.getPath, s.getPath.getName.stripPrefix("date="),
+          fs.getContentSummary(s.getPath).getLength))
+    }
+    val newestFirst = parts.sortBy(_._2)(Ordering[String].reverse)
+    var acc = 0L
+    val doomed = Seq.newBuilder[String]
+    newestFirst.foreach { case (path, _, size) =>
+      acc += size
+      if (acc > maxBytes) doomed += path.toString
+    }
+    doomed.result()
   }
 
   /** Blob orphan reconciliation (J7; bird.py:1522-1527): hashes present

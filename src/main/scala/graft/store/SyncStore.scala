@@ -52,13 +52,20 @@ object SyncStore {
       // Length alone can't catch a same-length divergent copy; when the
       // filesystem exposes checksums (HDFS does, local/raw FS returns
       // null) compare those too. A null on either side degrades to the
-      // length check — safe while part files are write-once.
+      // length check, and so does an ALGORITHM mismatch: HDFS embeds
+      // bytes-per-CRC/block-size in the algorithm name, so byte-identical
+      // files on differently-configured filesystems checksum unequal
+      // forever — treating that as divergence would recopy the whole
+      // store on every sync (the reason DistCp skips checksum compare
+      // across block sizes). Only a same-algorithm mismatch is proof
+      // of divergence.
       val upToDate = destFs.exists(target) && {
         val st = destFs.getFileStatus(target)
         st.getLen == f.getLen && {
           val (cs, ct) = (srcFs.getFileChecksum(f.getPath),
             destFs.getFileChecksum(target))
-          cs == null || ct == null || cs.equals(ct)
+          cs == null || ct == null ||
+            cs.getAlgorithmName != ct.getAlgorithmName || cs.equals(ct)
         }
       }
       if (upToDate) skipped += 1

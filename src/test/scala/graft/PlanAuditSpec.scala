@@ -89,9 +89,9 @@ class PlanAuditSpec extends SparkSpec {
     val p = plans("q83_bm25_search")
     // both qterms joins (left-semi early filter + query_id attach)
     // must be broadcast — the corpus side streams, the bounded query
-    // vocabulary builds
+    // vocabulary builds; no join in this plan may shuffle-sort
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
-    assert(!p.contains("SortMergeJoin") || !p.contains("qterms"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
   test("q85 outliers: label centroids broadcast back onto the corpus") {

@@ -444,6 +444,13 @@ class ServeSpec extends SparkSpec {
     assert(m.contains("\"exit_code\":0"))
     // its run is addressable by the registered name
     assert(s.call("info", Map("ref" -> "greet")).contains("\"run_ref\""))
+    // shell mode skips the prefix match (quoting pipe tokens into the
+    // registered template would run a different command) — the pipe
+    // must actually pipe
+    val shm = s.call("exec", Map("command" -> "echo hi there | cat",
+      "shell" -> "true"))
+    assert(!shm.contains("matched_command"), shm)
+    assert(shm.contains("\"exit_code\":0"), shm)
   }
 
   test("clean tool: preview never deletes; prune by count rewrites runs; data clear keeps commands") {
@@ -472,6 +479,11 @@ class ServeSpec extends SparkSpec {
       .contains("\"success\":true"))
     assert(g.history(10).count() === 0)
     assert(s.call("commands").contains("keepme"))
+    // the REGISTERED VIEWS must survive the delete too: without view
+    // re-registration the next sql call plans against the snapshot
+    // listing of deleted part files and throws FileNotFound
+    val sql = s.call("sql", Map("q" -> "SELECT count(*) AS n FROM blq_events"))
+    assert(sql.contains("\"n\": 0") || sql.contains("\"n\":0"), sql)
     // prune without any bound is a usage error document
     assert(s.call("clean", Map("mode" -> "prune")).contains("error"))
   }
