@@ -275,8 +275,41 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  // Per-source boilerplate detection (r6): the contrastive-df
+  // primitive behind per-domain cleanup in the big public corpora —
+  // n-grams frequent WITHIN a source (df_src >= 2 distinct docs) but
+  // confined to few sources globally (<= 3) are that source's
+  // headers/footers/navigation, not natural language; the top-3 per
+  // source by in-source df are the removal candidates a SpanDedup
+  // pass would then excise source-locally. One explode; the
+  // (gram, source) aggregation is the only corpus-sized shuffle
+  // (map-side partials bound it by distinct grams); the source-spread
+  // count is a window over the aggregated (already tiny) frame.
+  private val q89 = "q89_source_boilerplate" -> { (s: SparkSession, dir: String) =>
+    val docs = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+    val d = docs
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy(col("gram"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("df_src"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("df_src").desc, col("gram"))
+    d.withColumn("n_sources", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("df_src") >= 2 && col("n_sources") <= 3)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("source"), col("rnk"), col("gram"), col("df_src"),
+        col("n_sources"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
-    Map(q50, q51, q77, q82, q83, q84, q85, q88)
+    Map(q50, q51, q77, q82, q83, q84, q85, q88, q89)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -378,6 +411,25 @@ object CorpusQueries {
         |SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS n
         |FROM pos GROUP BY 1, 2
         |ORDER BY n DESC, a, b LIMIT 20""".stripMargin,
+
+    "q89_source_boilerplate" ->
+      """WITH tt AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, source, array_to_string(toks[i:i+2], ' ') AS gram
+        |      FROM (SELECT doc_id, source,
+        |              unnest(generate_series(1, len(toks) - 2)) AS i, toks
+        |            FROM tt)),
+        |d AS (SELECT gram, source, count(DISTINCT doc_id) AS df_src
+        |      FROM g GROUP BY 1, 2),
+        |s AS (SELECT gram, count(*) AS n_sources FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT d.source, d.gram, d.df_src, s.n_sources,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY d.df_src DESC, d.gram) AS rnk
+        |  FROM d JOIN s USING (gram)
+        |  WHERE df_src >= 2 AND n_sources <= 3)
+        |SELECT source, rnk, gram, df_src, n_sources FROM r
+        |WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
 
     // Mirrors q88 gram-for-gram: identical 63-bit md5-half hashes,
     // identical window minima (integer min — no float anywhere),
