@@ -54,4 +54,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Decontaminate.screened(allEval, lit(true), 3, 10).count() === 0)
     assert(Decontaminate.exact(allEval, lit(true), 3).count() === 0)
   }
+
+  test("winnowing: short-document branches (under k tokens, exactly k, under w grams)") {
+    val d = docs(
+      1L -> "one two",                    // < k tokens → no grams, no fp
+      2L -> "one two three four",         // exactly k → 1 gram, 1 fp
+      3L -> "one two three four five six",// 3 grams < w → global min, 1 fp
+      4L -> "a b c d e f g h i j k l")    // 9 grams ≥ w → windowed minima
+    val out = graft.ml.TextAnalysis.winnowFingerprints(d, k = 4, w = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_grams"), r.getAs[Int]("n_fp"))).toMap
+    assert(out(1L) === ((0, 0)))
+    assert(out(2L) === ((1, 1)))
+    assert(out(3L) === ((3, 1)))
+    assert(out(4L)._1 === 9 && out(4L)._2 >= 1 && out(4L)._2 <= 5)
+    // empty corpus is total
+    val e = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ml.TextAnalysis.winnowFingerprints(e, 4, 5).count() === 0)
+  }
+
+  test("centroid cosine: single-vector labels score 1.0; empty frame is total") {
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.6f, 0.8f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.ml.Similarity.centroidCosine(embs)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    // a label's only vector IS (a rounding of) its centroid
+    assert(math.abs(out(1L) - 1.0) < 1e-6 && math.abs(out(2L) - 1.0) < 1e-6)
+    val e = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(graft.ml.Similarity.centroidCosine(e).count() === 0)
+  }
 }
