@@ -22,11 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ScalarQueries.queries ++ PipelineQueries.queries ++
       WindowQueries.queries ++ CorpusQueries.queries ++ CorpusQueries.queries2 ++
-      RunnerQueries.queries
+      RunnerQueries.queries ++ ShapeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ScalarQueries.oracles ++ PipelineQueries.oracles ++
-      WindowQueries.oracles ++ CorpusQueries.oracles ++ RunnerQueries.oracles
+      WindowQueries.oracles ++ CorpusQueries.oracles ++ RunnerQueries.oracles ++
+      ShapeQueries.oracles
 }

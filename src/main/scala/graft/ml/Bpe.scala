@@ -114,4 +114,36 @@ object Bpe {
           d.select(col("doc_id"), mergePair(col("toks"), m.a, m.b).as("toks"))
         }.localCheckpoint(true)
     }
+
+  /** Tokenizer fertility per group (the standard tokenizer-eval
+    * metric): tokens emitted per whitespace word, and characters per
+    * emitted token, after applying `merges` — fertility near 1.0 means
+    * the merge table compresses that slice of the corpus well; a
+    * high-fertility language is under-served by the vocabulary
+    * (the classic multilingual-tokenizer skew diagnostic).
+    *
+    * Input needs (doc_id, text, <groupCol>). One encode pass (per-row
+    * folds, zero shuffle) + one groupBy on the grouping column —
+    * scale-bounded by group cardinality. Character counts exclude the
+    * Sep marker so a fused token costs exactly its visible characters. */
+  def fertility(docs: DataFrame, merges: Seq[Merge],
+      groupCol: String): DataFrame = {
+    val enc = encode(docs, merges)
+      .join(docs.select(col("doc_id"), col(groupCol),
+        size(split(col("text"), " ")).cast("long").as("n_words")), Seq("doc_id"))
+    enc
+      .select(col(groupCol), col("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + length(regexp_replace(t, Sep, ""))).as("n_chars"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(sum(col("n_tokens")) / sum(col("n_words")).cast("double"), 4)
+          .as("fertility"),
+        round(sum(col("n_chars")) / sum(col("n_tokens")).cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -207,6 +207,17 @@ object TextDedup {
     * shape; the packed path covers every corpus that fits int keys. */
   def jaccardPairsPostings(docs: DataFrame, n: Int, threshold: Double,
       dfCap: Int = 50): DataFrame = {
+    val (pairs, sizes) = postingsPairCounts(docs, n, dfCap)
+    finalizeJaccard(pairs, sizes, threshold)
+  }
+
+  /** Shared postings-index pair machinery: (pairs(doc_a, doc_b, shared),
+    * sizes(doc_id, n_sh)) over rare shingles (df <= dfCap). Both the
+    * Jaccard ([[jaccardPairsPostings]]) and the containment
+    * ([[containmentPairsPostings]]) measures finalize from these two
+    * frames — the expensive index/pair stages exist exactly once. */
+  private def postingsPairCounts(docs: DataFrame, n: Int,
+      dfCap: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
     val packIds = docs.schema("doc_id").dataType match {
       case IntegerType | ShortType | ByteType => true
@@ -251,7 +262,32 @@ object TextDedup {
           .select(col("p.doc_a"), col("p.doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("shared"))
-    finalizeJaccard(pairs, sizes, threshold)
+    (pairs, sizes)
+  }
+
+  /** Asymmetric near-containment pairs: shared / min(|A|, |B|) — the
+    * measure that catches a short document substantially CONTAINED in a
+    * longer one (quote reuse, boilerplate wrapping, partial mirrors),
+    * which size-symmetric Jaccard structurally under-scores: a 50-gram
+    * doc fully inside a 1000-gram doc has containment 1.0 but Jaccard
+    * 0.05. Same inverted-index cost model as [[jaccardPairsPostings]]
+    * (candidates only for docs sharing a rare shingle, hot shingles
+    * df-capped, never all-pairs); output (doc_a, doc_b, shared,
+    * containment) with doc_a < doc_b, containment >= threshold.
+    * Reference behavior spec: blq-cli's near-dup screens are symmetric
+    * only; this is the standard RefinedWeb/CCNet-style complement. */
+  def containmentPairsPostings(docs: DataFrame, n: Int, threshold: Double,
+      dfCap: Int = 50): DataFrame = {
+    val (pairs, sizes) = postingsPairCounts(docs, n, dfCap)
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .withColumn("containment",
+        round(col("shared") / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"))
   }
 
   /** Shared tail of both jaccard forms: attach per-doc set sizes,

@@ -264,7 +264,53 @@ object AbBench {
       spark.catalog.clearCache(); r
     }
 
+    // q89 as shipped: sequence+slice gram builder (allocates an index
+    // array + a slice array per gram) and countDistinct(doc_id) (a
+    // two-phase expand aggregate)
+    def q89Old(): Long = {
+      val d0 = docs.withColumn("toks", split(col("text"), " "))
+      val d = d0
+        .select(col("doc_id"), col("source"),
+          explode(when(size(col("toks")) >= 3,
+            transform(sequence(lit(1), size(col("toks")) - 2),
+              i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .groupBy(col("gram"), col("source"))
+        .agg(countDistinct(col("doc_id")).as("df_src"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("df_src").desc, col("gram"))
+      d.withColumn("n_sources", count(lit(1)).over(Window.partitionBy(col("gram"))))
+        .filter(col("df_src") >= 2 && col("n_sources") <= 3)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3).count()
+    }
+    // q89 NEW: TextDedup-style gram builder (transform over the
+    // MATERIALIZED token array, O(1) get()s, no per-gram slice alloc)
+    // + per-doc array_distinct so the (gram, source) aggregate is a
+    // plain count — countDistinct's expand phase disappears.
+    def q89New(): Long = {
+      val toks = col("toks")
+      val grams = transform(toks, (x, i) =>
+        concat_ws(" ", x, get(toks, i + lit(1)), get(toks, i + lit(2))))
+      val d = docs.withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          explode_outer(when(size(toks) >= 3,
+            array_distinct(slice(grams, lit(1), size(toks) - 2)))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .filter(col("gram").isNotNull)
+        .groupBy(col("gram"), col("source"))
+        .agg(count(lit(1)).as("df_src"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("df_src").desc, col("gram"))
+      d.withColumn("n_sources", count(lit(1)).over(Window.partitionBy(col("gram"))))
+        .filter(col("df_src") >= 2 && col("n_sources") <= 3)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3).count()
+    }
+
     Seq(
+      "q89_old" -> (() => q89Old()),
+      "q89_new" -> (() => q89New()),
       "q32_current" -> (() => q32Current()),
       "q32_joinback" -> (() => q32JoinBack()),
       "q82_join" -> (() => tfidfJoin()),

@@ -74,4 +74,22 @@ class BpeSpec extends SparkSpec {
     // the fused tokens actually appear
     assert(enc(1L).exists(_.contains(Bpe.Sep)))
   }
+
+  test("fertility: per-group tokens/word and chars/token, Sep excluded") {
+    // lang A: "p q" fuses everywhere -> fertility 0.5 (every 2 words
+    // become 1 token); lang B shares no pairs -> fertility 1.0.
+    val docs = Seq(
+      (1L, "p q p q", "A"),
+      (2L, "p q", "A"),
+      (3L, "u v w", "B")).toDF("doc_id", "text", "lang")
+    val merges = Seq(Bpe.Merge("p", "q", 3L))
+    val rows = Bpe.fertility(docs, merges, "lang").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // A: 2 docs, 6 words, 3 tokens ("pq","pq","pq"), 6 visible chars
+    assert(rows("A") === ((2L, 6L, 3L, 0.5, 2.0)))
+    // B: 1 doc, 3 words, 3 tokens, 3 chars
+    assert(rows("B") === ((1L, 3L, 3L, 1.0, 1.0)))
+  }
 }

@@ -199,6 +199,24 @@ class MlSpec extends SparkSpec {
       .sortBy(p => (p._1, p._2)))
   }
 
+  test("containment catches short-doc-inside-long-doc that jaccard under-scores") {
+    // doc 1 is a contiguous prefix of doc 2: every one of doc 1's
+    // 4-grams appears in doc 2, so containment = 1.0 while jaccard is
+    // diluted by doc 2's extra grams. doc 3 shares nothing.
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val tail = (1 to 40).map(i => s"w$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> s"$base $tail",
+      3L -> "totally unrelated text about storage engines and shuffles")
+    val cont = TextDedup.containmentPairsPostings(df, n = 4, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(cont === Seq((1L, 2L, 5L, 1.0))) // 8 tokens -> 5 distinct 4-grams
+    val jac = TextDedup.jaccardPairsPostings(df, n = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(jac.isEmpty, s"jaccard should miss the containment pair: $jac")
+    // below-threshold pair excluded: with threshold above 1.0 nothing passes
+    assert(TextDedup.containmentPairsPostings(df, n = 4, threshold = 1.1).count() === 0)
+  }
+
   test("dedup clusters: long chain (diameter > 4) converges to one component") {
     // Regression for the fixed-round-count bug: a 13-node chain has
     // diameter 12; pointer doubling must still collapse it to a single

@@ -160,6 +160,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("q90/q91: two-sided nation correlation keeps every bounded dim broadcast") {
+    val p90 = plans("q90_nation_trade")
+    assert("BroadcastHashJoin".r.findAllIn(p90).size >= 2, p90.take(3000))
+    // ship-date range reaches the lineitem scan
+    assert(p90.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p90.take(3000))
+    val p91 = plans("q91_market_share")
+    // numerator+denominator in ONE aggregate: a single pair of
+    // HashAggregates (partial+final), not two scans of the join tree
+    assert("HashAggregate".r.findAllIn(p91).size <= 2, p91.take(3000))
+  }
+
+  test("q93 disjunctive parts: brand/size residual pushed to the part scan") {
+    val p = plans("q93_disjunctive_parts")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(p_brand")), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q95 cheapest supplier: decorrelated to a partkey window, no self-join") {
+    val p = plans("q95_cheapest_supplier")
+    // one Window partitioned by l_partkey; the correlated-subquery
+    // form would show a second lineitem join instead
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("s_suppkey")), p.take(3000))
+    // four scans total (lineitem, supplier, nation, region, once each):
+    // the self-join form would read lineitem twice for five
+    assert("FileScan parquet".r.findAllIn(p).size <= 4, p.take(3000))
+  }
+
+  test("q96 novelty: gram table persisted once, read by both consumers") {
+    val p = plans("q96_ngram_novelty")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q78 mixture: corpus never shuffles — rates broadcast back onto docs") {
     val df = SparkEntry.queries("q78_lang_mixture")(spark, sf)
     df.collect()
