@@ -122,20 +122,30 @@ object Bpe {
     * high-fertility language is under-served by the vocabulary
     * (the classic multilingual-tokenizer skew diagnostic).
     *
-    * Input needs (doc_id, text, <groupCol>). One encode pass (per-row
-    * folds, zero shuffle) + one groupBy on the grouping column —
-    * scale-bounded by group cardinality. Character counts exclude the
-    * Sep marker so a fused token costs exactly its visible characters. */
+    * Input needs (doc_id, text, <groupCol>). One encode pass (the
+    * merge folds are per-row; groupCol and the word/char counts ride
+    * along as passthrough columns, so there is NO doc_id join and no
+    * second tokenization) + one groupBy bounded by group cardinality.
+    * Character counts exclude the Sep marker so a fused token costs
+    * exactly its visible characters — and since merges never change
+    * visible characters, n_chars is computed BEFORE the folds as
+    * length(text) minus the single-space separators. */
   def fertility(docs: DataFrame, merges: Seq[Merge],
       groupCol: String): DataFrame = {
-    val enc = encode(docs, merges)
-      .join(docs.select(col("doc_id"), col(groupCol),
-        size(split(col("text"), " ")).cast("long").as("n_words")), Seq("doc_id"))
+    val base = docs.select(col("doc_id"), col(groupCol),
+      split(col("text"), " ").as("toks"),
+      length(col("text")).as("text_len"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_chars", col("text_len") - (col("n_words") - 1L))
+      .drop("text_len")
+    val enc = merges.grouped(8).foldLeft(base) { (df, group) =>
+      group.foldLeft(df) { (d, m) =>
+        d.withColumn("toks", mergePair(col("toks"), m.a, m.b))
+      }.localCheckpoint(true)
+    }
     enc
-      .select(col(groupCol), col("n_words"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        aggregate(col("toks"), lit(0L),
-          (acc, t) => acc + length(regexp_replace(t, Sep, ""))).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),

@@ -279,27 +279,29 @@ object TextDedup {
   def containmentPairsPostings(docs: DataFrame, n: Int, threshold: Double,
       dfCap: Int = 50): DataFrame = {
     val (pairs, sizes) = postingsPairCounts(docs, n, dfCap)
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+    attachSizes(pairs, sizes)
       .withColumn("containment",
         round(col("shared") / least(col("n_a"), col("n_b")), 4))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"))
   }
 
-  /** Shared tail of both jaccard forms: attach per-doc set sizes,
-    * compute the ratio, apply the threshold. Kept in ONE place so the
-    * two implementations cannot silently diverge. */
-  private def finalizeJaccard(pairs: DataFrame, sizes: DataFrame,
-      threshold: Double): DataFrame =
+  /** Attach both docs' rare-shingle set sizes to (doc_a, doc_b, shared)
+    * pairs as n_a/n_b — the ONE copy of the size-attach scaffolding
+    * every pair measure (jaccard, containment) finalizes from, so the
+    * implementations cannot silently diverge. */
+  private def attachSizes(pairs: DataFrame, sizes: DataFrame): DataFrame =
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+
+  /** Shared tail of both jaccard forms: attach per-doc set sizes,
+    * compute the ratio, apply the threshold. */
+  private def finalizeJaccard(pairs: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
+    attachSizes(pairs, sizes)
       .withColumn("jaccard",
         round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)

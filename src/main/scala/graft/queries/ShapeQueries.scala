@@ -82,6 +82,11 @@ object ShapeQueries {
             .select(col("n_nationkey"))),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"))
+      // supplier (like part and customer) scales with SF: its nation
+      // attach keeps the bounded 25-row nation broadcast, but the
+      // supplier-sized result is NOT force-hinted — AQE broadcasts it
+      // at small SF and shuffle-joins at cluster scale (the q65/q71
+      // customer policy).
       val supNation = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
             col("n_name").as("supp_nation"))),
@@ -98,7 +103,7 @@ object ShapeQueries {
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           revE4.as("rev_e4"))
         .join(promoParts, col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(asiaCust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_year"))
@@ -121,6 +126,8 @@ object ShapeQueries {
       val parts = t(s, dir, "part").filter(col("p_name").like("%gear%"))
         .select(col("p_partkey"),
           round(col("p_retailprice") * 100, 0).cast("long").as("retail_e2"))
+      // nation keeps its hint; the supplier-sized attach result does
+      // not (supplier scales with SF, same policy as part above)
       val supNation = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
@@ -131,7 +138,7 @@ object ShapeQueries {
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           revE4.as("rev_e4"), col("l_quantity").cast("long").as("qty"))
         .join(parts, col("l_partkey") === col("p_partkey"))
-        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"), col("o_year"))
         .agg(sum(col("rev_e4") - col("retail_e2") * col("qty") * lit(10L))
@@ -203,10 +210,12 @@ object ShapeQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
       val w = Window.partitionBy(col("l_partkey"))
+      // eu is supplier-sized/5 — unbounded at scale, so no forced
+      // broadcast; AQE picks the join strategy by measured size
       t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
           (col("l_extendedprice") / col("l_quantity")).as("unit"))
-        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
         .withColumn("mu", min(col("unit")).over(w))
         .filter(col("unit") === col("mu"))
         .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
