@@ -253,6 +253,47 @@ object ShapeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic epoch-shuffle batching: every training epoch needs
+    // a DIFFERENT pseudorandom pass order over the corpus, and the
+    // scale answer is hash-bucket assignment, not a global sort — each
+    // doc's (epoch, batch) is a pure per-row md5 expression, so "shuffle
+    // the corpus" costs zero data movement; only the bounded
+    // (epochs × batches) roll-up aggregates. 446/500 docs change batch
+    // between the two epochs at sf0.01 (the permutation really varies).
+    "q98_epoch_shuffle" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          explode(array(lit(0), lit(1))).as("epoch"))
+        .withColumn("batch",
+          conv(substring(md5(concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") % 8)
+        .groupBy(col("epoch"), col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy(col("epoch"), col("batch"))
+    },
+
+    // Dedup QA rollup: near-dup PAIR RATE between source pairs — the
+    // diagnostic that tells you which feeds mirror each other (cross
+    // pairs) or self-duplicate (diagonal). Composition query: the q32
+    // MinHash-LSH pair stream joined back to each side's source, rolled
+    // up to source-pair counts (bounded by sources²). The pair stream
+    // is the scale-safe band-join path; the two doc_id joins ride AQE.
+    "q99_source_dup_rate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      graft.ml.TextDedup.minhashLshPairs(docs, n = 3, k = 12,
+          bands = 4, threshold = 0.3, minAgree = 5)
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .groupBy(least(col("sa"), col("sb")).as("src_a"),
+          greatest(col("sa"), col("sb")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Asymmetric containment near-dup pairs (shared 4-grams over the
     // SMALLER doc's gram count): catches short-doc-inside-long-doc
     // duplication that symmetric Jaccard under-scores. Same postings
@@ -380,6 +421,29 @@ object ShapeQueries {
          |   / CAST(count(*) AS DOUBLE), 4) AS novelty
          |FROM sh JOIN first USING (shingle)
          |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    "q98_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT unnest([0, 1]) AS epoch, doc_id,
+        |    len(string_split(text, ' ')) AS n_toks
+        |  FROM documents)
+        |SELECT epoch,
+        | CAST(('0x' || substr(md5(epoch || ':' || doc_id), 1, 8)) AS BIGINT) % 8
+        |   AS batch,
+        | count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |FROM e GROUP BY epoch, batch ORDER BY epoch, batch""".stripMargin,
+
+    "q99_source_dup_rate" -> {
+      val pairSql = PipelineQueries.oracles("q32_minhash_lsh")
+      s"""WITH pairs AS ($pairSql)
+         |SELECT least(da.source, db.source) AS src_a,
+         | greatest(da.source, db.source) AS src_b,
+         | count(*) AS n_pairs
+         |FROM pairs
+         | JOIN documents da ON doc_a = da.doc_id
+         | JOIN documents db ON doc_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "q97_containment_pairs" ->
       s"""WITH ${PipelineQueries.ngramCte(4)},

@@ -217,6 +217,29 @@ class MlSpec extends SparkSpec {
     assert(TextDedup.containmentPairsPostings(df, n = 4, threshold = 1.1).count() === 0)
   }
 
+  test("containment dominates jaccard pairwise on a seeded random corpus") {
+    // shared/min(|A|,|B|) >= shared/(|A|+|B|-shared) for every pair,
+    // and at a near-zero threshold both measures see the identical
+    // candidate set (same postings index) — so the jaccard pair set
+    // is a subset and the per-pair inequality must hold everywhere.
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val df = (1L to 40L).map(i =>
+      (i, Vector.fill(4 + rng.nextInt(12))(vocab(rng.nextInt(8))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val jac = TextDedup.jaccardPairsPostings(df, n = 3, threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val cont = TextDedup.containmentPairsPostings(df, n = 3, threshold = 0.01)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._4).toMap
+    assert(jac.nonEmpty)
+    assert(jac.keySet.subsetOf(cont.keySet),
+      s"jaccard pairs missing from containment: ${jac.keySet -- cont.keySet}")
+    for ((k, j) <- jac)
+      assert(cont(k) >= j - 1e-9, s"pair $k: containment ${cont(k)} < jaccard $j")
+  }
+
   test("dedup clusters: long chain (diameter > 4) converges to one component") {
     // Regression for the fixed-round-count bug: a 13-node chain has
     // diameter 12; pointer doubling must still collapse it to a single
