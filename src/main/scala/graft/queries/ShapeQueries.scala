@@ -294,6 +294,35 @@ object ShapeQueries {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // TPC-H Q20 shape (excess-volume suppliers): the nested
+    // aggregate-filtered semi-join — suppliers holding >15% of any
+    // bolt-part's total shipped quantity. The correlated "share of the
+    // part's total" comparison decorrelates to the same per-partkey
+    // window-sum pattern as q95 (one shuffle), and the share gate is
+    // EXACT integer math (sq*20 > tot*3 — no float threshold to drift
+    // at a boundary). Supplier/nation attach only the surviving
+    // distinct suppkeys.
+    "q100_excess_part_suppliers" -> { (s, dir) =>
+      val boltParts = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
+        .select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val keep = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .join(boltParts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("sq"))
+        .withColumn("tot", sum(col("sq")).over(w))
+        .filter(col("sq") * lit(20L) > col("tot") * lit(3L))
+        .select(col("l_suppkey")).distinct()
+      keep
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    },
+
     // Asymmetric containment near-dup pairs (shared 4-grams over the
     // SMALLER doc's gram count): catches short-doc-inside-long-doc
     // duplication that symmetric Jaccard under-scores. Same postings
@@ -421,6 +450,18 @@ object ShapeQueries {
          |   / CAST(count(*) AS DOUBLE), 4) AS novelty
          |FROM sh JOIN first USING (shingle)
          |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    "q100_excess_part_suppliers" ->
+      """WITH pv AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%bolt%' GROUP BY 1, 2),
+        |w AS (SELECT *, sum(sq) OVER (PARTITION BY l_partkey) AS tot FROM pv)
+        |SELECT DISTINCT s_name, n_name FROM w
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE sq * 20 > tot * 3 ORDER BY s_name""".stripMargin,
 
     "q98_epoch_shuffle" ->
       """WITH e AS (
