@@ -113,6 +113,23 @@ final class CorpusPipeline private (
       d.join(keep, Seq("doc_id"), "left_semi")
     }
 
+  /** Drop the CONTAINED (smaller-gram-set) side of every asymmetric
+    * containment pair — the RefinedWeb-style complement to symmetric
+    * nearDedup: a short doc substantially embedded in a longer one
+    * scores containment ~1.0 but Jaccard near zero, so nearDedup never
+    * sees it. Ties (equal gram counts) drop the higher doc_id, keeping
+    * the earlier copy. Same df-capped postings cost model as q31/q97. */
+  def containmentDedup(n: Int, threshold: Double,
+      dfCap: Int = 50): CorpusPipeline =
+    step(s"containment>=$threshold") { d =>
+      val drops = TextDedup.containmentPairsPostings(d, n, threshold, dfCap)
+        .select(when(col("n_a") < col("n_b"), col("doc_a"))
+          .when(col("n_b") < col("n_a"), col("doc_b"))
+          .otherwise(col("doc_b")).as("doc_id"))
+        .distinct()
+      d.join(drops, Seq("doc_id"), "left_anti")
+    }
+
   /** Drop documents sharing any n-gram with the eval set
     * (Bloom-screened + exact-verified, `ml/Decontaminate`). */
   def decontaminate(evalDocs: DataFrame, n: Int, expectedEvalGrams: Long,

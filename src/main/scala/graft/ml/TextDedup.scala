@@ -275,7 +275,10 @@ object TextDedup {
     * df-capped, never all-pairs); output (doc_a, doc_b, shared,
     * containment) with doc_a < doc_b, containment >= threshold.
     * Reference behavior spec: blq-cli's near-dup screens are symmetric
-    * only; this is the standard RefinedWeb/CCNet-style complement. */
+    * only; this is the standard RefinedWeb/CCNet-style complement.
+    * n_a/n_b (each side's rare-gram count) are part of the output so a
+    * consumer can identify the CONTAINED (smaller) side without a
+    * second sizes join — [[CorpusPipeline.containmentDedup]] drops it. */
   def containmentPairsPostings(docs: DataFrame, n: Int, threshold: Double,
       dfCap: Int = 50): DataFrame = {
     val (pairs, sizes) = postingsPairCounts(docs, n, dfCap)
@@ -283,7 +286,8 @@ object TextDedup {
       .withColumn("containment",
         round(col("shared") / least(col("n_a"), col("n_b")), 4))
       .filter(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"))
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"),
+        col("n_a"), col("n_b"))
   }
 
   /** Attach both docs' rare-shingle set sizes to (doc_a, doc_b, shared)

@@ -496,7 +496,8 @@ object ShapeQueries {
          |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, shared,
-         | round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment
+         | round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment,
+         | sa.n_sh AS n_a, sb.n_sh AS n_b
          |FROM pairs
          | JOIN sizes sa ON doc_a = sa.doc_id
          | JOIN sizes sb ON doc_b = sb.doc_id

@@ -112,6 +112,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept.contains(4L) !== kept.contains(5L))
   }
 
+  test("containmentDedup drops the contained short doc that nearDedup misses") {
+    // doc 21 is doc 20's text verbatim plus a long original tail:
+    // containment(20 in 21) = 1.0, jaccard far below any useful
+    // threshold — symmetric nearDedup cannot see it.
+    val base = "the quick brown fox jumps over the lazy dog near the river"
+    val tail = (1 to 30).map(i => s"tail$i").mkString(" ")
+    val docs = Seq(
+      (20L, base, "en"),
+      (21L, s"$base $tail", "en"),
+      (22L, "completely unrelated content about catalyst plan rewrites", "en"))
+      .toDF("doc_id", "text", "lang")
+    val p = CorpusPipeline(docs).containmentDedup(n = 4, threshold = 0.8)
+    val kept = p.docs.select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(21L, 22L), s"kept $kept")
+    assert(p.stats.head.docsIn === 3 && p.stats.head.docsOut === 2)
+    // and nearDedup at the same corpus indeed keeps all three
+    val nd = CorpusPipeline(docs).nearDedup(4, 12, 4, 0.5)
+    assert(nd.docs.count() === 3)
+  }
+
   test("writeTo: split-partitioned corpus + stats.json round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("pipe_out").toString
     val p = CorpusPipeline(corpus).qualityFilter(0.5).split()

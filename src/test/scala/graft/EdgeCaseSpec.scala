@@ -85,4 +85,25 @@ class EdgeCaseSpec extends SparkSpec {
     val e = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
     assert(graft.ml.Similarity.centroidCosine(e).count() === 0)
   }
+
+  test("containment: empty and single-doc corpora yield no pairs; full overlap = 1.0") {
+    assert(TextDedup.containmentPairsPostings(empty, 4, 0.1).count() === 0)
+    val one = docs(1L -> "a single document cannot be contained in anything")
+    assert(TextDedup.containmentPairsPostings(one, 4, 0.1).count() === 0)
+    // identical docs: containment exactly 1.0 both ways (emitted once, a<b)
+    val twin = docs(1L -> "same words in the same order here",
+      2L -> "same words in the same order here")
+    val p = TextDedup.containmentPairsPostings(twin, 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(p.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("fertility: empty merge table is the identity tokenizer") {
+    val d = Seq((1L, "three word doc", "en")).toDF("doc_id", "text", "lang")
+    val r = graft.ml.Bpe.fertility(d, Seq.empty, "lang").collect()
+    assert(r.length === 1)
+    // 3 words -> 3 tokens, fertility 1.0; 12 visible chars / 3 tokens
+    assert(r.head.getDouble(4) === 1.0)
+    assert(r.head.getDouble(5) === 4.0)
+  }
 }

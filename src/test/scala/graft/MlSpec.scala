@@ -208,8 +208,10 @@ class MlSpec extends SparkSpec {
     val df = docs(1L -> base, 2L -> s"$base $tail",
       3L -> "totally unrelated text about storage engines and shuffles")
     val cont = TextDedup.containmentPairsPostings(df, n = 4, threshold = 0.9)
-      .as[(Long, Long, Long, Double)].collect().toSeq
-    assert(cont === Seq((1L, 2L, 5L, 1.0))) // 8 tokens -> 5 distinct 4-grams
+      .select("doc_a", "doc_b", "shared", "containment", "n_a", "n_b")
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSeq
+    // 8 tokens -> 5 distinct 4-grams, all inside doc 2's 45
+    assert(cont === Seq((1L, 2L, 5L, 1.0, 5L, 45L)))
     val jac = TextDedup.jaccardPairsPostings(df, n = 4, threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSeq
     assert(jac.isEmpty, s"jaccard should miss the containment pair: $jac")
@@ -231,8 +233,9 @@ class MlSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
       .map(p => (p._1, p._2) -> p._3).toMap
     val cont = TextDedup.containmentPairsPostings(df, n = 3, threshold = 0.01)
-      .as[(Long, Long, Long, Double)].collect()
-      .map(p => (p._1, p._2) -> p._4).toMap
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
     assert(jac.nonEmpty)
     assert(jac.keySet.subsetOf(cont.keySet),
       s"jaccard pairs missing from containment: ${jac.keySet -- cont.keySet}")
