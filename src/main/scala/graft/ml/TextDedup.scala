@@ -290,6 +290,51 @@ object TextDedup {
         col("n_a"), col("n_b"))
   }
 
+  /** Incremental containment: only pairs TOUCHING the new batch are
+    * expanded — the daily-ingest shape (mirrors
+    * [[minhashLshPairsIncremental]] for the LSH family). The corpus
+    * side still contributes postings and sizes (a new doc can be
+    * contained in an old one and vice versa), but corpus×corpus pairs
+    * are filtered out inside the posting-list expansion BEFORE the
+    * pair shuffle, so steady-state cost tracks the batch, not the
+    * corpus². Output is identical to [[containmentPairsPostings]]
+    * restricted to pairs with at least one new side (MlSpec pins the
+    * differential). */
+  def containmentPairsIncremental(docs: DataFrame, isNew: Column, n: Int,
+      threshold: Double, dfCap: Int = 50): DataFrame = {
+    val sh = shingleKeyTable(docs, n)
+      .join(docs.select(col("doc_id"), isNew.as("is_new")), Seq("doc_id"))
+    val postings = sh.groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("docs"))
+      .filter(size(col("docs")) <= dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = postings.select(explode(col("docs")).as("d"))
+      .groupBy(col("d.doc_id").as("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // struct array sorts by its first field (doc_id), preserving the
+    // a < b pair orientation of the full variant
+    val sorted = col("docs_s")
+    val pairs = postings
+      .filter(size(col("docs")) >= 2 &&
+        exists(col("docs"), d => d.getField("is_new")))
+      .select(array_sort(col("docs")).as("docs_s"))
+      .select(explode_outer(flatten(transform(sorted, (a, i) =>
+        transform(slice(sorted, i + lit(2), size(sorted)), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            (a.getField("is_new") || b.getField("is_new"))
+              .as("touches_new")))))).as("p"))
+      .filter(col("p.touches_new"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    attachSizes(pairs, sizes)
+      .withColumn("containment",
+        round(col("shared") / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"),
+        col("n_a"), col("n_b"))
+  }
+
   /** Attach both docs' rare-shingle set sizes to (doc_a, doc_b, shared)
     * pairs as n_a/n_b — the ONE copy of the size-attach scaffolding
     * every pair measure (jaccard, containment) finalizes from, so the

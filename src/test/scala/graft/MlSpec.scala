@@ -243,6 +243,26 @@ class MlSpec extends SparkSpec {
       assert(cont(k) >= j - 1e-9, s"pair $k: containment ${cont(k)} < jaccard $j")
   }
 
+  test("incremental containment equals the full variant restricted to new-touching pairs") {
+    val rng = new scala.util.Random(13)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val df = (1L to 50L).map(i =>
+      (i, Vector.fill(5 + rng.nextInt(10))(vocab(rng.nextInt(6))).mkString(" ")))
+      .toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))
+    val isNew = col("doc_id") > 35
+    val full = TextDedup.containmentPairsPostings(df, n = 3, threshold = 0.2)
+      .filter(col("doc_a") > 35 || col("doc_b") > 35)
+      .collect().map(key).toSet
+    val inc = TextDedup.containmentPairsIncremental(df, isNew, n = 3, threshold = 0.2)
+      .collect().map(key).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // corpus-only pairs never appear
+    assert(inc.forall(p => p._1 > 35 || p._2 > 35))
+  }
+
   test("dedup clusters: long chain (diameter > 4) converges to one component") {
     // Regression for the fixed-round-count bug: a 13-node chain has
     // diameter 12; pointer doubling must still collapse it to a single
