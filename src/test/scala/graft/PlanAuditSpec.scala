@@ -191,6 +191,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("FileScan parquet".r.findAllIn(p).size <= 4, p.take(3000))
   }
 
+  test("q98 epoch shuffle: pure per-row batch assignment — no join, no window") {
+    val p = plans("q98_epoch_shuffle")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("q100 excess suppliers: partkey window, part filter pushed, no cross product") {
+    val p = plans("q100_excess_part_suppliers")
+    assert(p.contains("Window"), p.take(3000))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("p_name")), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q96 novelty: gram table persisted once, read by both consumers") {
     val p = plans("q96_ngram_novelty")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
