@@ -113,21 +113,38 @@ final class CorpusPipeline private (
       d.join(keep, Seq("doc_id"), "left_semi")
     }
 
-  /** Drop the CONTAINED (smaller-gram-set) side of every asymmetric
-    * containment pair — the RefinedWeb-style complement to symmetric
+  /** Containment dedup — the RefinedWeb-style complement to symmetric
     * nearDedup: a short doc substantially embedded in a longer one
     * scores containment ~1.0 but Jaccard near zero, so nearDedup never
-    * sees it. Ties (equal gram counts) drop the higher doc_id, keeping
-    * the earlier copy. Same df-capped postings cost model as q31/q97. */
+    * sees it. Same keeper policy as nearDedup: connected components
+    * over the containment pairs, then ONE canonical member per cluster
+    * — the largest gram set (ties: lowest doc_id). Cluster-level
+    * selection, not independent per-pair drops, because per-pair
+    * greediness can transitively delete content: with A⊂B and B~C,
+    * pairwise drops remove both A and B even when no kept doc contains
+    * A. (The cluster policy inherits nearDedup's transitivity
+    * assumption instead: a chain-connected cluster keeps only its
+    * largest member.) Same df-capped postings cost model as q31/q97. */
   def containmentDedup(n: Int, threshold: Double,
       dfCap: Int = 50): CorpusPipeline =
     step(s"containment>=$threshold") { d =>
-      val drops = TextDedup.containmentPairsPostings(d, n, threshold, dfCap)
-        .select(when(col("n_a") < col("n_b"), col("doc_a"))
-          .when(col("n_b") < col("n_a"), col("doc_b"))
-          .otherwise(col("doc_b")).as("doc_id"))
+      val pairs = TextDedup.containmentPairsPostings(d, n, threshold, dfCap)
+      // per-doc gram counts recovered from the pair rows themselves
+      // (any row carries both sides' sizes); docs in no pair are
+      // singleton clusters and keep trivially
+      val sizes = pairs.select(col("doc_a").as("doc_id"), col("n_a").as("n_sh"))
+        .union(pairs.select(col("doc_b").as("doc_id"), col("n_b").as("n_sh")))
         .distinct()
-      d.join(drops, Seq("doc_id"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("n_sh").desc, col("doc_id"))
+      val keep = DedupClusters.assign(d.select(col("doc_id")),
+          pairs.select(col("doc_a"), col("doc_b")))
+        .join(sizes, Seq("doc_id"), "left")
+        .withColumn("n_sh", coalesce(col("n_sh"), lit(Long.MaxValue)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
     }
 
   /** Drop documents sharing any n-gram with the eval set

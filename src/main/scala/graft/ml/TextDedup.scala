@@ -282,13 +282,20 @@ object TextDedup {
   def containmentPairsPostings(docs: DataFrame, n: Int, threshold: Double,
       dfCap: Int = 50): DataFrame = {
     val (pairs, sizes) = postingsPairCounts(docs, n, dfCap)
+    finalizeContainment(pairs, sizes, threshold)
+  }
+
+  /** The ONE containment finalize (mirrors [[finalizeJaccard]]): both
+    * variants emit through here so the measure cannot silently
+    * diverge between them. */
+  private def finalizeContainment(pairs: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame =
     attachSizes(pairs, sizes)
       .withColumn("containment",
         round(col("shared") / least(col("n_a"), col("n_b")), 4))
       .filter(col("containment") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"),
         col("n_a"), col("n_b"))
-  }
 
   /** Incremental containment: only pairs TOUCHING the new batch are
     * expanded — the daily-ingest shape (mirrors
@@ -299,15 +306,40 @@ object TextDedup {
     * pair shuffle, so steady-state cost tracks the batch, not the
     * corpus². Output is identical to [[containmentPairsPostings]]
     * restricted to pairs with at least one new side (MlSpec pins the
-    * differential). */
+    * differential).
+    *
+    * Persist hazard (same as [[minhashLshPairs]]): this convenience
+    * form pins a corpus-sized postings persist per CALL, reclaimed by
+    * the ContextCleaner only when the result frame is unreachable. A
+    * caller invoking it PER INGEST BATCH in a long-lived session —
+    * its stated purpose — must instead build postings once with
+    * [[containmentPostings]], manage that frame's persist lifetime
+    * itself, and call [[containmentPairsIncrementalFromPostings]]
+    * per batch (the FromDigests pattern). */
   def containmentPairsIncremental(docs: DataFrame, isNew: Column, n: Int,
       threshold: Double, dfCap: Int = 50): DataFrame = {
-    val sh = shingleKeyTable(docs, n)
+    val postings = containmentPostings(docs, isNew, n, dfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    containmentPairsIncrementalFromPostings(postings, threshold)
+  }
+
+  /** Flagged df-capped postings index: (shingle, docs: array<(doc_id,
+    * is_new)>). Build ONCE per corpus snapshot, persist under caller
+    * control, and feed to [[containmentPairsIncrementalFromPostings]]
+    * per batch. */
+  def containmentPostings(docs: DataFrame, isNew: Column, n: Int,
+      dfCap: Int): DataFrame =
+    shingleKeyTable(docs, n)
       .join(docs.select(col("doc_id"), isNew.as("is_new")), Seq("doc_id"))
-    val postings = sh.groupBy(col("shingle"))
+      .groupBy(col("shingle"))
       .agg(collect_list(struct(col("doc_id"), col("is_new"))).as("docs"))
       .filter(size(col("docs")) <= dfCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Pair expansion + finalize over a prebuilt [[containmentPostings]]
+    * frame (persist it first — it feeds both the sizes and the pair
+    * branch). */
+  def containmentPairsIncrementalFromPostings(postings: DataFrame,
+      threshold: Double): DataFrame = {
     val sizes = postings.select(explode(col("docs")).as("d"))
       .groupBy(col("d.doc_id").as("doc_id")).agg(count(lit(1)).as("n_sh"))
     // struct array sorts by its first field (doc_id), preserving the
@@ -327,12 +359,7 @@ object TextDedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    attachSizes(pairs, sizes)
-      .withColumn("containment",
-        round(col("shared") / least(col("n_a"), col("n_b")), 4))
-      .filter(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("shared"), col("containment"),
-        col("n_a"), col("n_b"))
+    finalizeContainment(pairs, sizes, threshold)
   }
 
   /** Attach both docs' rare-shingle set sizes to (doc_a, doc_b, shared)

@@ -333,6 +333,19 @@ object ShapeQueries {
       graft.ml.TextDedup
         .containmentPairsPostings(docs, n = 4, threshold = 0.6, dfCap = 50)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Incremental containment (the daily-ingest shape): docs >= 400
+    // are "today's batch"; only pairs touching the batch are expanded
+    // — the oracle is the FULL q97 computation with the same
+    // restriction applied at the end, so the gate proves the early
+    // pruning loses nothing (mirrors the q73 incremental-minhash gate).
+    "q101_containment_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ml.TextDedup
+        .containmentPairsIncremental(docs, col("doc_id") >= 400,
+          n = 4, threshold = 0.6, dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 
   private def e4sum(expr: String): String =
@@ -502,5 +515,26 @@ object ShapeQueries {
          | JOIN sizes sa ON doc_a = sa.doc_id
          | JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The full q97 computation restricted to new-touching pairs: the
+    // incremental path's early pruning must lose nothing vs this.
+    "q101_containment_incremental" ->
+      s"""WITH ${PipelineQueries.ngramCte(4)},
+         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, shared,
+         | round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment,
+         | sa.n_sh AS n_a, sb.n_sh AS n_b
+         |FROM pairs
+         | JOIN sizes sa ON doc_a = sa.doc_id
+         | JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) >= 0.6
+         |  AND (doc_a >= 400 OR doc_b >= 400)
          |ORDER BY doc_a, doc_b""".stripMargin)
 }
