@@ -103,6 +103,71 @@ object StreamingDedup {
     } finally withDig.unpersist()
   }
 
+  /** Corpus side of the containment screen: df-capped postings
+    * (shingle → corpus doc list), the HOT gram list (df > dfCap —
+    * needed so a batch doc's denominator excludes grams the corpus
+    * index deliberately dropped; Zipf keeps this the short head of
+    * the distribution), and per-corpus-doc rare-gram counts. One
+    * corpus scan + one groupBy; persist/write under caller control. */
+  final case class ContainmentIndex(postings: DataFrame, hot: DataFrame,
+      sizes: DataFrame)
+
+  def indexCorpusContainment(docs: DataFrame, n: Int,
+      dfCap: Int): ContainmentIndex = {
+    val grouped = TextDedup.shingleKeyTable(docs, n)
+      .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("docs"))
+    val postings = grouped.filter(size(col("docs")) <= dfCap)
+    ContainmentIndex(
+      postings = postings,
+      hot = grouped.filter(size(col("docs")) > dfCap).select(col("shingle")),
+      sizes = postings.select(explode(col("docs")).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup")))
+  }
+
+  /** Containment screen for ONE batch against the corpus index: for
+    * each (new doc, corpus doc) sharing a rare gram, containment =
+    * shared / min(new doc's non-hot gram count, corpus doc's rare
+    * count). Returns (doc_id, dup_id, shared, containment) with
+    * containment >= threshold — the ingest-time complement of
+    * [[checkBatch]] for the short-doc-inside-long-doc duplication
+    * Jaccard under-scores.
+    *
+    * Screen semantics, deliberately: document frequency is the
+    * CORPUS's (the index predates the batch), so a gram rare in the
+    * corpus but repeated within the batch still screens, and a batch
+    * gram novel to the corpus counts toward the denominator. On a
+    * corpus+batch whose combined dfs stay under the cap this equals
+    * `containmentPairsPostings` over the union restricted to
+    * new×corpus pairs (StreamingSpec pins that differential);
+    * batch×batch containment is intentionally out of scope here —
+    * fold accepted batches into the corpus and the next index refresh
+    * covers them. */
+  def checkBatchContainment(newDocs: DataFrame, index: ContainmentIndex,
+      n: Int, threshold: Double): DataFrame = {
+    val shB = TextDedup.shingleKeyTable(newDocs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cold = shB.join(index.hot, Seq("shingle"), "left_anti")
+      val nNew = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+      val shared = cold.join(index.postings, Seq("shingle"))
+        .select(col("doc_id"), explode(col("docs")).as("dup_id"))
+        .filter(col("doc_id") =!= col("dup_id"))
+        .groupBy(col("doc_id"), col("dup_id"))
+        .agg(count(lit(1)).as("shared"))
+      val rows = shared
+        .join(nNew, Seq("doc_id"))
+        .join(index.sizes.withColumnRenamed("doc_id", "dup_id"), Seq("dup_id"))
+        .withColumn("containment",
+          round(col("shared") / least(col("n_new"), col("n_dup")), 4))
+        .filter(col("containment") >= threshold)
+        .select(col("doc_id"), col("dup_id"), col("shared"), col("containment"))
+      // materialize before the digest frame unpersists (checkBatch's
+      // discipline: the result must not lazily re-read shB)
+      rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+      rows
+    } finally shB.unpersist()
+  }
+
   /** Wire a streaming documents frame (doc_id, text) through
     * [[checkBatch]]; `onMatches(batchId, matches)` receives each
     * micro-batch's verified duplicates. */

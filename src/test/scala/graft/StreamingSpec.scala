@@ -236,6 +236,43 @@ class StreamingSpec extends SparkSpec {
     assert(collected(1L) === Set((203L, 1L, "corpus")))
   }
 
+  test("streaming containment screen: batch-vs-corpus matches the batch operator") {
+    import graft.streaming.StreamingDedup
+    import graft.ml.TextDedup
+    import org.apache.spark.sql.functions.col
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"$base ${(1 to 30).map(i => s"long$i").mkString(" ")}"),
+      (2L, "completely different corpus content about catalyst internals"))
+      .toDF("doc_id", "text")
+    val index = StreamingDedup.indexCorpusContainment(corpus, n = 4, dfCap = 50)
+    // batch doc 101 IS the base prefix of corpus doc 1 -> containment 1.0;
+    // 102 matches nothing
+    val batch = Seq(
+      (101L, base),
+      (102L, "novel words sharing no four gram with anything stored"))
+      .toDF("doc_id", "text")
+    val got = StreamingDedup.checkBatchContainment(batch, index, n = 4,
+      threshold = 0.6)
+    val rows = got.collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    got.unpersist()
+    assert(rows === Set((1L, 101L, 7L, 1.0))) // 10 tokens -> 7 4-grams
+
+    // differential: on a union whose combined dfs stay under the cap,
+    // the screen equals the full batch operator restricted to
+    // new×corpus pairs (orientation: full emits doc_a < doc_b)
+    val union = corpus.unionByName(batch)
+    val expected = TextDedup.containmentPairsPostings(union, n = 4,
+        threshold = 0.6)
+      .filter((col("doc_a") >= 100) =!= (col("doc_b") >= 100))
+      .collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(rows === expected)
+  }
+
   test("live tail: streaming file source parses appended diagnostics") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("live_tail").toString
