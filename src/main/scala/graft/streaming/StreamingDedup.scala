@@ -114,8 +114,15 @@ object StreamingDedup {
 
   def indexCorpusContainment(docs: DataFrame, n: Int,
       dfCap: Int): ContainmentIndex = {
+    // the shared corpus groupBy is persisted (indexCorpus's withDig
+    // pattern): postings, hot and sizes all derive from it, and every
+    // batch check re-reads two of them — without this, each probe
+    // re-pays the full-corpus shingle groupBy per consumer. Lifetime =
+    // index lifetime (rebuild at corpus-compaction cadence; the old
+    // entry is reclaimed when the index frames become unreachable).
     val grouped = TextDedup.shingleKeyTable(docs, n)
       .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = grouped.filter(size(col("docs")) <= dfCap)
     ContainmentIndex(
       postings = postings,
@@ -141,13 +148,23 @@ object StreamingDedup {
     * new×corpus pairs (StreamingSpec pins that differential);
     * batch×batch containment is intentionally out of scope here —
     * fold accepted batches into the corpus and the next index refresh
-    * covers them. */
+    * covers them.
+    *
+    * The RETURNED frame is persisted (it must not lazily re-read the
+    * batch gram cache released on exit): the caller owns its
+    * unpersist. On a continuous stream use [[runContainment]], which
+    * releases each batch's result after the callback — hand-rolled
+    * foreachBatch loops that skip the unpersist pin one cache entry
+    * per micro-batch forever. */
   def checkBatchContainment(newDocs: DataFrame, index: ContainmentIndex,
       n: Int, threshold: Double): DataFrame = {
-    val shB = TextDedup.shingleKeyTable(newDocs, n)
+    // cold feeds both the denominator count and the postings probe —
+    // persisted so the hot anti-join (and the hot frame's corpus
+    // lineage) runs once per batch, not once per consumer
+    val cold = TextDedup.shingleKeyTable(newDocs, n)
+      .join(index.hot, Seq("shingle"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val cold = shB.join(index.hot, Seq("shingle"), "left_anti")
       val nNew = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
       val shared = cold.join(index.postings, Seq("shingle"))
         .select(col("doc_id"), explode(col("docs")).as("dup_id"))
@@ -161,12 +178,25 @@ object StreamingDedup {
           round(col("shared") / least(col("n_new"), col("n_dup")), 4))
         .filter(col("containment") >= threshold)
         .select(col("doc_id"), col("dup_id"), col("shared"), col("containment"))
-      // materialize before the digest frame unpersists (checkBatch's
-      // discipline: the result must not lazily re-read shB)
+      // materialize before the batch gram cache unpersists
       rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
       rows
-    } finally shB.unpersist()
+    } finally cold.unpersist()
   }
+
+  /** Wire a streaming documents frame (doc_id, text) through
+    * [[checkBatchContainment]]; each batch's persisted result is
+    * released after `onMatches` returns (the [[run]] discipline). */
+  def runContainment(stream: DataFrame, index: ContainmentIndex, n: Int,
+      threshold: Double)(
+      onMatches: (Long, DataFrame) => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val matches = checkBatchContainment(batch, index, n, threshold)
+        try onMatches(batchId, matches) finally matches.unpersist()
+      }
+      .start()
 
   /** Wire a streaming documents frame (doc_id, text) through
     * [[checkBatch]]; `onMatches(batchId, matches)` receives each

@@ -271,6 +271,28 @@ class StreamingSpec extends SparkSpec {
         math.max(r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
       .toSet
     assert(rows === expected)
+
+    // end-to-end: two micro-batches through the foreachBatch wrapper
+    // (which owns each batch result's unpersist)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val q = StreamingDedup.runContainment(
+      input.toDF().toDF("doc_id", "text"), index, n = 4, threshold = 0.6) {
+      (batchId, matches) =>
+        collected.synchronized {
+          collected(batchId) = matches.collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+    }
+    try {
+      input.addData((201L, base))
+      q.processAllAvailable()
+      input.addData((202L, "still nothing resembling stored corpus content at all"))
+      q.processAllAvailable()
+      assert(collected(0L) === Set((201L, 1L)))
+      assert(collected(1L) === Set.empty)
+    } finally q.stop()
   }
 
   test("live tail: streaming file source parses appended diagnostics") {
