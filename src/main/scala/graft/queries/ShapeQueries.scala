@@ -235,7 +235,11 @@ object ShapeQueries {
     // (doc, gram) row, one groupBy rolls up per doc. The join (not a
     // collect_list re-explode) is deliberate: a corpus-hot gram's
     // posting never materializes as a single giant array row, and AQE
-    // skew-split handles hot gram keys. The gram table feeds two
+    // skew-split handles hot gram keys. Measured (AbBench q96_join vs
+    // q96_collect, interleaved, sf0.1): the collect form is ~15%
+    // faster at toy scale (min 0.51 vs 0.64 s) — kept the join form
+    // anyway, the q32 call: a bounded local win does not buy an
+    // unbounded array row at 100 TB. The gram table feeds two
     // consumers, so it persists (gram-table lifetime, reclaimed by the
     // ContextCleaner once the result frame is GC'd).
     "q96_ngram_novelty" -> { (s, dir) =>

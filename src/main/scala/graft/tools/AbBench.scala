@@ -308,7 +308,39 @@ object AbBench {
         .filter(col("rnk") <= 3).count()
     }
 
+    // q96 as shipped: first-doc groupBy + tag join (skew-safe: a hot
+    // gram is a skewed join key, not a giant collected array)
+    def q96Join(): Long = {
+      val sh = graft.ml.TextDedup
+        .shingleKeyTable(graft.Tables.t(spark, sfDir, "documents"), 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+      val r = sh.join(first, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+        .count()
+      sh.unpersist(false); r
+    }
+    // variant: one groupBy collects each gram's postings, re-explodes
+    // with the min tag — one less shuffle, but a corpus-hot gram
+    // materializes its whole posting list as a single array row
+    def q96Collect(): Long = {
+      val sh = graft.ml.TextDedup
+        .shingleKeyTable(graft.Tables.t(spark, sfDir, "documents"), 3)
+      sh.groupBy(col("shingle"))
+        .agg(min(col("doc_id")).as("first_doc"),
+          collect_list(col("doc_id")).as("ds"))
+        .select(col("first_doc"), explode(col("ds")).as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_new"))
+        .count()
+    }
+
     Seq(
+      "q96_join" -> (() => q96Join()),
+      "q96_collect" -> (() => q96Collect()),
       "q89_old" -> (() => q89Old()),
       "q89_new" -> (() => q89New()),
       "q32_current" -> (() => q32Current()),
