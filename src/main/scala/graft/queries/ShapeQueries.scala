@@ -20,7 +20,7 @@ import graft.Tables.t
   * CAST(qty AS BIGINT) is exact too.
   *
   * Reference behavior spec: teaguesterling/blq-cli exposes arbitrary
-  * DuckDB SQL over its event tables (src/blq/commands/query.py), so
+  * DuckDB SQL over its event tables (src/blq/query.py:77-96), so
   * join/agg plan shapes are in-scope engine surface; the corpus ops
   * extend the training-data pipeline suite (SURVEY.md §6).
   */
