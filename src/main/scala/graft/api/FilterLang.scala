@@ -21,20 +21,30 @@ object FilterLang {
 
   def parse(e: String, ignoreCase: Boolean = false): Column = {
     val expr = e.trim
-    if (expr.contains("~")) {
-      val Array(k, v) = expr.split("~", 2)
-      col(k.trim).ilike(s"%${v.trim}%")
-    } else if (expr.contains("!=")) {
-      val Array(k, v) = expr.split("!=", 2)
-      col(k.trim) =!= v.trim
-    } else if (expr.contains("=")) {
-      val Array(k, v) = expr.split("=", 2)
-      val (key, value) = (k.trim, v.trim)
-      if (value.contains(","))
-        col(key).isin(value.split(",").map(_.trim).toSeq: _*)
-      else if (ignoreCase) lower(col(key)) === value.toLowerCase
-      else col(key) === value
-    } else throw ParseError(expr)
+    // Totality contract (PropertySpec): any invalid expression raises
+    // ParseError and nothing else. col() itself parses the key (dots =
+    // nested fields, backticks = quoting) and throws Spark analysis
+    // errors on malformed names — an untrusted MCP filter string must
+    // surface as the documented ParseError, not a raw parser error.
+    try {
+      if (expr.contains("~")) {
+        val Array(k, v) = expr.split("~", 2)
+        col(k.trim).ilike(s"%${v.trim}%")
+      } else if (expr.contains("!=")) {
+        val Array(k, v) = expr.split("!=", 2)
+        col(k.trim) =!= v.trim
+      } else if (expr.contains("=")) {
+        val Array(k, v) = expr.split("=", 2)
+        val (key, value) = (k.trim, v.trim)
+        if (value.contains(","))
+          col(key).isin(value.split(",").map(_.trim).toSeq: _*)
+        else if (ignoreCase) lower(col(key)) === value.toLowerCase
+        else col(key) === value
+      } else throw ParseError(expr)
+    } catch {
+      case p: ParseError => throw p
+      case scala.util.control.NonFatal(_) => throw ParseError(expr)
+    }
   }
 
   /** AND-combine; None when no expressions. `invert` = the CLI `-v`. */

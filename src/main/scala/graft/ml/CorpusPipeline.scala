@@ -126,9 +126,16 @@ final class CorpusPipeline private (
     * assumption instead: a chain-connected cluster keeps only its
     * largest member.) Same df-capped postings cost model as q31/q97. */
   def containmentDedup(n: Int, threshold: Double,
-      dfCap: Int = 50): CorpusPipeline =
-    step(s"containment>=$threshold") { d =>
-      val pairs = TextDedup.containmentPairsPostings(d, n, threshold, dfCap)
+      dfCap: Int = 50): CorpusPipeline = {
+    // the pair frame fans out four ways (sizes reads it twice, the
+    // component edges twice more) — without the persist each consumer
+    // re-runs the whole postings pipeline (measured: the stage cost
+    // 5.4 s at sf0.1 unpersisted, 3.7 s persisted); released by the
+    // stage cleanup once the checkpointed output is materialized
+    var pairs: DataFrame = null
+    stepWithCleanup(s"containment>=$threshold") { d =>
+      pairs = TextDedup.containmentPairsPostings(d, n, threshold, dfCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // per-doc gram counts recovered from the pair rows themselves
       // (any row carries both sides' sizes); docs in no pair are
       // singleton clusters and keep trivially
@@ -145,7 +152,8 @@ final class CorpusPipeline private (
         .filter(col("rn") === 1)
         .select(col("doc_id"))
       d.join(keep, Seq("doc_id"), "left_semi")
-    }
+    }(() => if (pairs != null) { pairs.unpersist(); () })
+  }
 
   /** Drop documents sharing any n-gram with the eval set
     * (Bloom-screened + exact-verified, `ml/Decontaminate`). */

@@ -42,6 +42,7 @@ object PipelineBench {
       .spanDedup(k = 5, dfMax = 3)
       .exactDedup()
       .nearDedup(n = 3, k = 12, bands = 4, threshold = 0.3, minAgree = 5)
+      .containmentDedup(n = 4, threshold = 0.8)
       .decontaminate(evalSet, n = 4, expectedEvalGrams = 10000)
       .langMixture(alpha = 0.5)
       .split()

@@ -158,4 +158,30 @@ class PropertySpec extends AnyFunSuite {
       s.replaceAll("0x[0-9a-fA-F]+", "<hex>").replaceAll("[0-9]+", "<n>")
     check("templates", Prop.forAll(msgGen) { case (m1, m2) => norm(m1) == norm(m2) })
   }
+
+  test("filter mini-language: total on arbitrary input — ParseError or a Column, never a raw parser error") {
+    import graft.api.FilterLang
+    val anyStr = Gen.oneOf(
+      Gen.asciiPrintableStr,                       // adversarial: backticks, dots, operators
+      Gen.alphaNumStr.map(k => s"$k=value"),       // well-formed equality
+      Gen.alphaNumStr.map(k => s"$k~pat"),         // contains
+      Gen.alphaNumStr.map(k => s"$k=a,b,c"))       // IN-list
+    check("total", Prop.forAll(anyStr) { s =>
+      try { FilterLang.parse(s); true }
+      catch {
+        case _: FilterLang.ParseError => true
+        case _: Throwable => false
+      }
+    })
+    // dispatch picks the documented operator per form
+    assert(FilterLang.parse("sev=error").toString.contains("="))
+    assert(FilterLang.parse("msg~time out").toString.toUpperCase.contains("ILIKE"))
+    assert(FilterLang.parse("sev=a,b").toString.toUpperCase.contains("IN"))
+    assert(FilterLang.parse("sev!=x").toString.startsWith("!(")) // =!= renders !(=(
+
+    // malformed key (unbalanced backtick) is the documented error, not
+    // Spark's attribute-name parser exception
+    intercept[FilterLang.ParseError](FilterLang.parse("a`b=c"))
+    intercept[FilterLang.ParseError](FilterLang.parse("no operator here"))
+  }
 }
