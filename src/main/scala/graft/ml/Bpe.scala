@@ -117,10 +117,13 @@ object Bpe {
 
   /** Tokenizer fertility per group (the standard tokenizer-eval
     * metric): tokens emitted per whitespace word, and characters per
-    * emitted token, after applying `merges` — fertility near 1.0 means
-    * the merge table compresses that slice of the corpus well; a
-    * high-fertility language is under-served by the vocabulary
-    * (the classic multilingual-tokenizer skew diagnostic).
+    * emitted token, after applying `merges`. At this WORD granularity
+    * merges only ever fuse words, so fertility ≤ 1.0: exactly 1.0
+    * means no merge applied (the identity tokenization) and LOWER
+    * means better compression — a group stuck near 1.0 is under-served
+    * by the merge table (the classic multilingual-tokenizer skew
+    * diagnostic, with the subword convention's ≥1 scale mirrored
+    * below 1; BpeSpec pins 0.5-compressed vs 1.0-identity).
     *
     * Input needs (doc_id, text, <groupCol>). One encode pass (the
     * merge folds are per-row; groupCol and the word/char counts ride

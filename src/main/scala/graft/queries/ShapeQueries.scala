@@ -8,9 +8,11 @@ import graft.Tables.t
 /** r6 additions: the remaining classic TPC-H plan shapes the suite did
   * not yet exercise (Q7 two-sided dimension correlation, Q8 conditional
   * market share, Q9 multi-fact profit, Q19 OR-of-ANDs pushdown, Q15
-  * max-of-aggregate, Q2-style per-group min decorrelation), plus two
-  * corpus operators (first-occurrence n-gram novelty scoring and
-  * asymmetric containment dedup).
+  * max-of-aggregate, Q2-style per-group min decorrelation, Q20
+  * excess-volume semi-join), plus five corpus operators: q96
+  * first-occurrence n-gram novelty, q97 asymmetric containment pairs,
+  * q98 deterministic epoch-shuffle batching, q99 source-pair dup-rate
+  * rollup, q101 incremental containment.
   *
   * All revenue math follows the exact-integer-cents contract from
   * CoreQueries q71: round(price*100) and round(discount*100) are exact
@@ -265,7 +267,10 @@ object ShapeQueries {
     // (epochs × batches) roll-up aggregates. 446/500 docs change batch
     // between the two epochs at sf0.01 (the permutation really varies).
     "q98_epoch_shuffle" -> { (s, dir) =>
+      // single-file input ⇒ repartition before the narrow tokenize+hash
+      // work or it runs on one core (CLAUDE.md)
       t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_toks"),
           explode(array(lit(0), lit(1))).as("epoch"))
@@ -503,42 +508,33 @@ object ShapeQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
-    "q97_containment_pairs" ->
-      s"""WITH ${PipelineQueries.ngramCte(4)},
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
-         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, shared,
-         | round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment,
-         | sa.n_sh AS n_a, sb.n_sh AS n_b
-         |FROM pairs
-         | JOIN sizes sa ON doc_a = sa.doc_id
-         | JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) >= 0.6
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q97_containment_pairs" -> containmentOracle(""),
 
     // The full q97 computation restricted to new-touching pairs: the
     // incremental path's early pruning must lose nothing vs this.
+    // Both SQL texts come from ONE generator (the q32/q73
+    // minhashLshOracle pattern), so a semantics edit cannot reach one
+    // and silently leave the other gating stale behavior.
     "q101_containment_incremental" ->
-      s"""WITH ${PipelineQueries.ngramCte(4)},
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
-         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b, shared,
-         | round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment,
-         | sa.n_sh AS n_a, sb.n_sh AS n_b
-         |FROM pairs
-         | JOIN sizes sa ON doc_a = sa.doc_id
-         | JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) >= 0.6
-         |  AND (doc_a >= 400 OR doc_b >= 400)
-         |ORDER BY doc_a, doc_b""".stripMargin)
+      containmentOracle("  AND (doc_a >= 400 OR doc_b >= 400)\n"))
+
+  /** Shared q97/q101 oracle body; `restriction` is an extra WHERE
+    * conjunct line applied AFTER the full computation. */
+  private def containmentOracle(restriction: String): String =
+    s"""WITH ${PipelineQueries.ngramCte(4)},
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+       |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared,
+       | round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) AS containment,
+       | sa.n_sh AS n_a, sb.n_sh AS n_b
+       |FROM pairs
+       | JOIN sizes sa ON doc_a = sa.doc_id
+       | JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 4) >= 0.6
+       |${restriction}ORDER BY doc_a, doc_b""".stripMargin
 }
