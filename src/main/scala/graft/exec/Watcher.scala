@@ -13,8 +13,17 @@ import scala.jdk.CollectionConverters._
 final class Watcher(dir: String, debounceMs: Long = 500L) {
 
   private val stopped = new AtomicBoolean(false)
+  @volatile private var registered = false
 
   def stop(): Unit = stopped.set(true)
+
+  /** True once [[run]] has registered with the OS watch service —
+    * changes made after this point are guaranteed observed. Callers
+    * (and tests) that spawn [[run]] on a thread should spin on this
+    * instead of sleeping a guessed interval: under a loaded machine a
+    * fixed sleep races thread start and silently loses the first
+    * change. */
+  def ready: Boolean = registered
 
   /** Watch `dir` recursively-ish (top level) and invoke `onBurst` with
     * the changed paths after each quiet gap. Runs until [[stop]] or
@@ -26,6 +35,7 @@ final class Watcher(dir: String, debounceMs: Long = 500L) {
     val p = Paths.get(dir)
     p.register(ws, StandardWatchEventKinds.ENTRY_CREATE,
       StandardWatchEventKinds.ENTRY_MODIFY, StandardWatchEventKinds.ENTRY_DELETE)
+    registered = true
     var bursts = 0
     val pending = scala.collection.mutable.LinkedHashSet.empty[String]
     var lastChange = 0L

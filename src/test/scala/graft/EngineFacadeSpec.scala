@@ -7,6 +7,15 @@ import graft.exec.{CiGate, Watcher}
 /** End-to-end facade specs: GraftEngine, CiGate, Watcher. */
 class EngineFacadeSpec extends SparkSpec {
 
+  /** Spin until the watcher thread has registered with the OS watch
+    * service — a fixed sleep races thread start under machine load. */
+  private def awaitReady(w: Watcher, timeoutMs: Long = 10000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!w.ready && System.currentTimeMillis() - t0 < timeoutMs)
+      Thread.sleep(10)
+    assert(w.ready, "watcher failed to register within the timeout")
+  }
+
   private val mypyV1 =
     """a.py:1: error: bad type  [assignment]
       |b.py:5: error: missing return  [return]
@@ -93,7 +102,7 @@ class EngineFacadeSpec extends SparkSpec {
         tag = Some("watch"), formatHint = "gcc_text")
     }, maxBursts = 1))
     t.start()
-    Thread.sleep(200)
+    awaitReady(w)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(watched, "a.c"), "x")
     t.join(15000)
     w.stop()
@@ -104,15 +113,17 @@ class EngineFacadeSpec extends SparkSpec {
 
   test("watcher: debounces a burst into one callback") {
     val dir = Files.createTempDirectory("watch").toString
-    val w = new Watcher(dir, debounceMs = 300L)
+    // generous quiet gap: a loaded machine can stall the test thread
+    // between the two writes, and a gap shorter than that stall would
+    // legitimately split the burst
+    val w = new Watcher(dir, debounceMs = 1000L)
     val bursts = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     val t = new Thread(() => w.run(b => bursts += b, maxBursts = 1))
     t.start()
-    Thread.sleep(200) // watcher registering
+    awaitReady(w)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "f1.txt"), "a")
-    Thread.sleep(50)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "f2.txt"), "b")
-    t.join(5000)
+    t.join(15000)
     w.stop()
     assert(bursts.length === 1)
     assert(bursts.head.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
