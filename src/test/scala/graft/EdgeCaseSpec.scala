@@ -98,6 +98,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(p.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("containment screen: empty batch and empty corpus are total") {
+    import graft.streaming.StreamingDedup
+    val corpus = docs(1L -> "some corpus document with a few plain words here")
+    val index = StreamingDedup.indexCorpusContainment(corpus, n = 4, dfCap = 50)
+    val emptyBatch = StreamingDedup.checkBatchContainment(empty, index, 4, 0.5)
+    assert(emptyBatch.count() === 0)
+    emptyBatch.unpersist()
+    val emptyIdx = StreamingDedup.indexCorpusContainment(empty, n = 4, dfCap = 50)
+    val vsEmpty = StreamingDedup.checkBatchContainment(corpus, emptyIdx, 4, 0.5)
+    assert(vsEmpty.count() === 0)
+    vsEmpty.unpersist()
+  }
+
   test("fertility: empty merge table is the identity tokenizer") {
     val d = Seq((1L, "three word doc", "en")).toDF("doc_id", "text", "lang")
     val r = graft.ml.Bpe.fertility(d, Seq.empty, "lang").collect()
