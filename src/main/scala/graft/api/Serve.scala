@@ -60,6 +60,11 @@ final class Serve(private[api] val engine: GraftEngine) {
 
   private val maintenance = new graft.store.Maintenance(engine.store)
 
+  /** Set by `clean mode=full` — the store root no longer exists, so
+    * every subsequent dispatch short-circuits to an explicit
+    * store-removed error instead of surfacing raw FS failures. */
+  @volatile private var storeRemoved = false
+
   /** Parse a JSON-object-valued string arg ({"k":"v",...}) — the wire
     * layer only passes flat scalars, so map args ride JSON-encoded. */
   private def mapArg(args: Map[String, String], k: String): Map[String, String] =
@@ -95,7 +100,12 @@ final class Serve(private[api] val engine: GraftEngine) {
         err(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
     }
 
-  private def dispatch(tool: String, args: Map[String, String]): String = tool match {
+  private def dispatch(tool: String, args: Map[String, String]): String =
+    if (storeRemoved)
+      err("store removed (clean mode=full); re-create the store or restart the server")
+    else dispatchTool(tool, args)
+
+  private def dispatchTool(tool: String, args: Map[String, String]): String = tool match {
     case "query" =>
       val filters = args.get("filter").toSeq.flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
       var df = engine.query.df()
@@ -339,7 +349,7 @@ final class Serve(private[api] val engine: GraftEngine) {
       matched match {
         case Some(rc) =>
           val rest = command.stripPrefix(rc.template).trim
-          val extras = (if (rest.nonEmpty) rest.split("\\s+").toSeq else Nil) ++ extra
+          val extras = (if (rest.nonEmpty) shlexSplit(rest) else Nil) ++ extra
           val rendered = CommandRegistry.expand(rc.template, Map.empty, Nil, extras)
           // caller-supplied timeout wins over the registered one (the
           // reference forwards it through _run_impl); the registered
@@ -355,7 +365,7 @@ final class Serve(private[api] val engine: GraftEngine) {
             if (shell)
               Seq("sh", "-c",
                 (command +: extra.map(CommandRegistry.shQuote)).mkString(" "))
-            else command.split("\\s+").toSeq ++ extra
+            else shlexSplit(command) ++ extra
           val r = engine.exec(argv, formatHint = args.getOrElse("format", "auto"),
             timeoutMs = timeoutMs)
           result(r, argv.mkString(" "), None)
@@ -406,7 +416,18 @@ final class Serve(private[api] val engine: GraftEngine) {
             s"""{"success":false,"preview":true,"mode":${quote(mode)},""" +
               s""""targets":${jarr(targets)},""" +
               s""""message":"set confirm=true to delete"}"""
-          else {
+          else if (mode == "full") {
+            // The store root itself is gone after this — refreshing
+            // views against it would throw, and every later tool call
+            // would fail with a raw FS error. Delete directly, skip
+            // the refresh, and flip the dispatcher into an explicit
+            // store-removed state instead.
+            val p = new org.apache.hadoop.fs.Path(engine.root)
+            val fs = p.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+            val removed = if (fs.exists(p) && fs.delete(p, true)) 1 else 0
+            storeRemoved = true
+            s"""{"success":true,"mode":"full","removed":$removed,"store_removed":true}"""
+          } else {
             val removed = maintenance.deleteTargets(targets)
             s"""{"success":true,"mode":${quote(mode)},"removed":$removed}"""
           }
@@ -553,6 +574,45 @@ object Serve {
   /** JVM-reflection SQL functions a serving surface must never run. */
   private[api] val bannedSqlFunctions: Set[String] =
     Set("reflect", "java_method")
+
+  /** POSIX shlex-style tokenizer for the non-shell exec paths —
+    * behavior-matches the reference's `shlex.split(command)`
+    * (serve.py:648): single quotes are fully literal, double quotes
+    * group with `\"`/`\\` escapes, a bare backslash escapes the next
+    * character, unquoted whitespace splits. Unbalanced quotes are a
+    * caller error (→ the error document, like Python's ValueError). */
+  private[graft] def shlexSplit(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var hasToken = false
+    var inSingle = false
+    var inDouble = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inSingle) {
+        if (c == '\'') inSingle = false else cur.append(c)
+      } else if (inDouble) {
+        if (c == '"') inDouble = false
+        else if (c == '\\' && i + 1 < s.length &&
+            (s.charAt(i + 1) == '"' || s.charAt(i + 1) == '\\')) {
+          cur.append(s.charAt(i + 1)); i += 1
+        } else cur.append(c)
+      } else c match {
+        case '\'' => inSingle = true; hasToken = true
+        case '"' => inDouble = true; hasToken = true
+        case '\\' if i + 1 < s.length =>
+          cur.append(s.charAt(i + 1)); i += 1; hasToken = true
+        case w if w.isWhitespace =>
+          if (hasToken) { out += cur.result(); cur.clear(); hasToken = false }
+        case other => cur.append(other); hasToken = true
+      }
+      i += 1
+    }
+    require(!inSingle && !inDouble, "unbalanced quotes in command")
+    if (hasToken) out += cur.result()
+    out.result()
+  }
 
   /** The parsed plan plus every plan nested inside subquery
     * expressions (EXISTS / IN / scalar subqueries) — TreeNode.collect

@@ -80,7 +80,14 @@ final class Maintenance(store: EventStore) {
     * `keyCol` is in `ids`: each dir is rewritten to a dot-prefixed
     * sibling (invisible to partition discovery), then swapped in. The
     * id list rides a broadcast-able anti-join frame, not an isin
-    * literal — a large prune must not build a million-term predicate. */
+    * literal — a large prune must not build a million-term predicate.
+    *
+    * Crash safety: the swap is rename-aside (live → `.prune_old_`),
+    * rename-in (tmp → live), delete-aside — at every intermediate
+    * point a full copy of the partition exists under either its live
+    * name or the aside name, so a crash never strands the only copy
+    * in an invisible dot-dir. [[recoverPruneLeftovers]] (run before
+    * each rewrite) restores or finishes any interrupted swap. */
   private def rewriteWithout(table: String, keyCol: String,
       ids: Seq[String], dates: Seq[String]): Unit = {
     val spark = store.spark
@@ -88,20 +95,56 @@ final class Maintenance(store: EventStore) {
     val base = new org.apache.hadoop.fs.Path(s"${store.root}/$table")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
+    recoverPruneLeftovers(table)
     val idsDf = ids.toDF(keyCol)
     dates.foreach { d =>
       val dir = new org.apache.hadoop.fs.Path(base, s"date=$d")
       if (fs.exists(dir)) {
         val tmp = new org.apache.hadoop.fs.Path(base, s".prune_tmp_date=$d")
+        val old = new org.apache.hadoop.fs.Path(base, s".prune_old_date=$d")
         spark.read.parquet(dir.toString)
           .join(broadcast(idsDf), Seq(keyCol), "left_anti")
           .write.mode("overwrite").option("compression", "zstd")
           .parquet(tmp.toString)
-        fs.delete(dir, true)
-        if (!fs.rename(tmp, dir))
+        if (!fs.rename(dir, old))
+          throw new java.io.IOException(s"prune rename-aside failed for $dir")
+        if (!fs.rename(tmp, dir)) {
+          // put the live copy back before failing — never leave the
+          // partition visible-empty with its data in a dot-dir
+          fs.rename(old, dir)
           throw new java.io.IOException(s"prune rename failed for $dir")
+        }
+        fs.delete(old, true)
       }
     }
+  }
+
+  /** Recover from a prune interrupted mid-swap, per partition:
+    *  - `.prune_old_date=d` present, live `date=d` missing → the crash
+    *    hit between rename-aside and rename-in: restore the original
+    *    (the prune never committed; conservative and lossless).
+    *  - `.prune_old_date=d` present alongside live `date=d` → the
+    *    crash hit before delete-aside: the pruned copy is live, drop
+    *    the aside.
+    *  - any `.prune_tmp_date=d` → an uncommitted rewrite; drop it.
+    * Returns the leftover dirs handled. */
+  def recoverPruneLeftovers(table: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(s"${store.root}/$table")
+    val fs = base.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    val handled = Seq.newBuilder[String]
+    fs.listStatus(base).toSeq.map(_.getPath).foreach { p =>
+      val name = p.getName
+      if (name.startsWith(".prune_old_")) {
+        val live = new org.apache.hadoop.fs.Path(base, name.stripPrefix(".prune_old_"))
+        if (fs.exists(live)) fs.delete(p, true) else fs.rename(p, live)
+        handled += name
+      } else if (name.startsWith(".prune_tmp_")) {
+        fs.delete(p, true)
+        handled += name
+      }
+    }
+    handled.result()
   }
 
   /** Delete a list of partition-directory targets (the output of
@@ -126,7 +169,16 @@ final class Maintenance(store: EventStore) {
     * N MB total"): all tables' `date=` partitions pooled, newest kept
     * first, everything past the combined budget doomed. The
     * single-table [[pruneBySize]] gives each table the full budget —
-    * right for a per-table cap, wrong for a total. */
+    * right for a per-table cap, wrong for a total.
+    *
+    * Boundary semantics (pinned, matches the reference's
+    * prune_by_size, storage.py:678-714 — delete oldest until the
+    * retained total is ≤ budget): the partition that CROSSES the
+    * budget is doomed, so the kept set never exceeds `maxBytes` even
+    * if that undershoots by up to one partition. Partitions sharing a
+    * date across tables order deterministically: newest date first,
+    * then ascending path (so `events` sorts before `outputs` on a
+    * tied date, run after run). */
   def pruneBySizeTotal(tables: Seq[String], maxBytes: Long): Seq[String] = {
     val conf = store.spark.sparkContext.hadoopConfiguration
     val parts = tables.flatMap { t =>
@@ -138,7 +190,8 @@ final class Maintenance(store: EventStore) {
         .map(s => (s.getPath, s.getPath.getName.stripPrefix("date="),
           fs.getContentSummary(s.getPath).getLength))
     }
-    val newestFirst = parts.sortBy(_._2)(Ordering[String].reverse)
+    val newestFirst = parts.sortBy { case (path, date, _) => (date, path.toString) }(
+      Ordering.Tuple2(Ordering[String].reverse, Ordering[String]))
     var acc = 0L
     val doomed = Seq.newBuilder[String]
     newestFirst.foreach { case (path, _, size) =>

@@ -33,6 +33,62 @@ class MaintenanceIvfSpec extends SparkSpec {
     assert(doomed.exists(_.contains("date=2026-08-01")))
   }
 
+  test("prune swap leftovers recover losslessly after a simulated crash") {
+    val store = new EventStore(spark, Files.createTempDirectory("m_rec").toString)
+    populate(store)
+    val m = new Maintenance(store)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(s"${store.root}/events")
+    val fs = base.getFileSystem(conf)
+    val live = new org.apache.hadoop.fs.Path(base, "date=2026-08-01")
+    val aside = new org.apache.hadoop.fs.Path(base, ".prune_old_date=2026-08-01")
+    val before = spark.read.parquet(live.toString).count()
+    // crash between rename-aside and rename-in: only the aside copy
+    // exists — recovery must restore it under the live name
+    assert(fs.rename(live, aside))
+    val tmp = new org.apache.hadoop.fs.Path(base, ".prune_tmp_date=2026-08-02")
+    fs.mkdirs(tmp) // an uncommitted rewrite leftover, must be dropped
+    val handled = m.recoverPruneLeftovers("events")
+    assert(handled.toSet === Set(".prune_old_date=2026-08-01", ".prune_tmp_date=2026-08-02"))
+    assert(fs.exists(live) && !fs.exists(aside) && !fs.exists(tmp))
+    assert(spark.read.parquet(live.toString).count() === before)
+    // crash after rename-in but before delete-aside: live (pruned) copy
+    // wins, the aside is dropped
+    val aside2 = new org.apache.hadoop.fs.Path(base, ".prune_old_date=2026-08-02")
+    fs.mkdirs(aside2)
+    val live2 = new org.apache.hadoop.fs.Path(base, "date=2026-08-02")
+    val live2Count = spark.read.parquet(live2.toString).count()
+    assert(m.recoverPruneLeftovers("events") === Seq(".prune_old_date=2026-08-02"))
+    assert(fs.exists(live2) && !fs.exists(aside2))
+    assert(spark.read.parquet(live2.toString).count() === live2Count)
+    // idempotent on a clean table
+    assert(m.recoverPruneLeftovers("events").isEmpty)
+  }
+
+  test("pruneBySizeTotal: crossing partition doomed, deterministic tie order") {
+    val store = new EventStore(spark, Files.createTempDirectory("m_tot").toString)
+    populate(store)
+    val m = new Maintenance(store)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // events and invocations share dates 2026-08-01/02 → 4 pooled
+    // partitions; expected order: date desc, then path asc (events
+    // before invocations on a tied date)
+    val expected = Seq(
+      "events/date=2026-08-02", "invocations/date=2026-08-02",
+      "events/date=2026-08-01", "invocations/date=2026-08-01")
+    val all = m.pruneBySizeTotal(Seq("events", "invocations"), maxBytes = 1L)
+    assert(all.map(p => p.split("/").takeRight(2).mkString("/")) === expected)
+    // same call, same order — the boundary is not run-dependent
+    assert(m.pruneBySizeTotal(Seq("events", "invocations"), 1L) === all)
+    // budget exactly the newest partition's size: it is KEPT; the
+    // partition that crosses the budget (and everything older) is
+    // doomed, so the retained total never exceeds the budget
+    val first = new org.apache.hadoop.fs.Path(all.head)
+    val firstSize = first.getFileSystem(conf).getContentSummary(first).getLength
+    val doomed = m.pruneBySizeTotal(Seq("events", "invocations"), firstSize)
+    assert(doomed.map(p => p.split("/").takeRight(2).mkString("/")) === expected.tail)
+  }
+
   test("reconcileOrphans appends NULL-exit outcomes for stale attempts") {
     val store = new EventStore(spark, Files.createTempDirectory("m3").toString)
     populate(store) // a1 has an outcome; a2 is pending

@@ -453,6 +453,53 @@ class ServeSpec extends SparkSpec {
     assert(shm.contains("\"exit_code\":0"), shm)
   }
 
+  test("exec tool: quoted arguments tokenize shlex-style, not on whitespace") {
+    val g = GraftEngine(spark, Files.createTempDirectory("serve_shlex").toString)
+    val s = new Serve(g)
+    // printf repeats its format per extra argument: a whitespace split
+    // of 'a b' into two args would print [x:'a][x:b'], the shlex split
+    // prints exactly [x:a b]
+    val out = s.call("exec", Map("command" -> "printf [x:%s] 'a b'"))
+    val inv = "\"invocation_id\":\"([^\"]+)\"".r
+      .findFirstMatchIn(out).map(_.group(1)).getOrElse(fail(out))
+    val body = s.call("output", Map("invocation_id" -> inv))
+    assert(body.contains("[x:a b]"), body)
+    assert(!body.contains("[x:'a]"), body)
+    // the registry-matched path gets the same treatment for its rest
+    assert(s.call("register_command", Map("name" -> "say",
+      "cmd" -> "printf [y:%s]", "format" -> "auto")).contains("\"success\":true"))
+    val m = s.call("exec", Map("command" -> "printf [y:%s] 'c d'"))
+    assert(m.contains("\"matched_command\":\"say\""), m)
+    val inv2 = "\"invocation_id\":\"([^\"]+)\"".r
+      .findFirstMatchIn(m).map(_.group(1)).getOrElse(fail(m))
+    assert(s.call("output", Map("invocation_id" -> inv2)).contains("[y:c d]"))
+    // unbalanced quotes are an error document, not a dead session
+    assert(s.call("exec", Map("command" -> "echo 'oops")).contains("error"))
+    // tokenizer unit pins (reference: Python shlex.split, posix mode)
+    assert(Serve.shlexSplit("""grep 'a b' f""") === Seq("grep", "a b", "f"))
+    assert(Serve.shlexSplit("""a "b \" c" d""") === Seq("a", "b \" c", "d"))
+    assert(Serve.shlexSplit("""x\ y z""") === Seq("x y", "z"))
+    assert(Serve.shlexSplit("  padded   ws  ") === Seq("padded", "ws"))
+    assert(Serve.shlexSplit("a ''") === Seq("a", ""))
+  }
+
+  test("clean mode=full flips the dispatcher to an explicit store-removed state") {
+    val root = Files.createTempDirectory("serve_full").toString
+    val g = GraftEngine(spark, root)
+    g.importContent("f.py:1: error: boom  [misc]", format = "mypy_text")
+    val s = new Serve(g)
+    val prev = s.call("clean", Map("mode" -> "full"))
+    assert(prev.contains("\"preview\":true"), prev)
+    val full = s.call("clean", Map("mode" -> "full", "confirm" -> "true"))
+    assert(full.contains("\"success\":true") && full.contains("\"store_removed\":true"), full)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
+    // every follow-up call — including another clean — is the explicit
+    // error, not a raw FileNotFound from planning against the dead root
+    val after = s.call("status")
+    assert(after.contains("store removed"), after)
+    assert(s.call("clean", Map("mode" -> "data")).contains("store removed"))
+  }
+
   test("clean tool: preview never deletes; prune by count rewrites runs; data clear keeps commands") {
     val root = Files.createTempDirectory("serve_clean").toString
     val g = GraftEngine(spark, root)
