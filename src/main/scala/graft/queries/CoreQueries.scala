@@ -512,35 +512,35 @@ object CoreQueries {
 
     // TPC-H Q21 shape (sole late supplier): suppliers whose lineitem
     // shipped > 60 days after the order date on a multi-supplier
-    // order where NO OTHER supplier was late — the hardest TPC-H plan:
-    // a fact⋈fact join to establish lateness, then a semi join AND an
-    // anti join of the late set against per-order supplier sets. All
-    // three joins key on l_orderkey, so one hash partitioning is
-    // reused across the chain; supplier (a bounded dim ~orders/150)
-    // broadcasts for the name lookup. The semi/anti pair never
-    // expands pairs: each probes, keeps-or-drops, and moves on.
+    // order where NO OTHER supplier was late. The classic plan is a
+    // semi+anti probe pair over a distinct late set; this is the
+    // aggregation decorrelation instead (r7, AbBench med 0.80 s vs
+    // 1.16 s for semi+anti at sf0.1): collapse the fact to distinct
+    // (order, supplier, max_ship) — one bounded shuffle with map-side
+    // partial agg — join orders for the lateness flag (per pair:
+    // late iff the LATEST line is late, identical to "any line
+    // late"), then one per-order aggregate produces n_supp / n_late /
+    // the sole late suppkey, and the Q21 EXISTS + NOT EXISTS pair
+    // becomes the filter n_late=1 ∧ n_supp>1. Two aggregations
+    // bounded by pairs/orders replace three fact-keyed joins and a
+    // persist; supplier (a bounded dim ~orders/150) broadcasts for
+    // the name lookup.
     "q81_sole_late_supplier" -> { (s, dir) =>
-      val l = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val late = l
+      val pairs = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
+      pairs
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
           col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sole = late.alias("t")
-        .join(l.select(col("l_orderkey"), col("l_suppkey").as("other"))
-          .alias("a"),
-          col("t.l_orderkey") === col("a.l_orderkey") &&
-            col("other") =!= col("t.l_suppkey"), "left_semi")
-        .join(late.select(col("l_orderkey"), col("l_suppkey").as("other_late"))
-          .alias("b"),
-          col("t.l_orderkey") === col("b.l_orderkey") &&
-            col("other_late") =!= col("t.l_suppkey"), "left_anti")
-      sole
+        .withColumn("is_late",
+          (col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+            .cast("int"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+          max(when(col("is_late") === 1, col("l_suppkey"))).as("sole_supp"))
+        .filter(col("n_late") === 1 && col("n_supp") > 1)
         .join(broadcast(t(s, dir, "supplier")),
-          col("t.l_suppkey") === col("s_suppkey"))
+          col("sole_supp") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

@@ -138,14 +138,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("TPC-H q79/q81: EXISTS compiles to semi join, sole-late to semi+anti — no pair expansion") {
+  test("TPC-H q79/q81: EXISTS compiles to semi join; sole-late is pure aggregation — no pair expansion") {
     val p79 = plans("q79_late_order_priority")
     assert(p79.contains("LeftSemi"), p79.take(3000))
     // the lateness residual must ride the semi join, not a post-join filter
     assert(!p79.contains("CartesianProduct"))
+    // r7 rewrite: the EXISTS/NOT-EXISTS pair is decorrelated into
+    // per-order counts — the plan must carry NO semi/anti probe of the
+    // fact, no persist, and only the supplier name lookup as a
+    // broadcast join
     val p81 = plans("q81_sole_late_supplier")
-    assert(p81.contains("LeftSemi"), p81.take(3000))
-    assert(p81.contains("LeftAnti"), p81.take(3000))
+    assert(!p81.contains("LeftSemi") && !p81.contains("LeftAnti"), p81.take(3000))
+    assert(!p81.contains("CartesianProduct"))
+    assert(p81.contains("HashAggregate"), p81.take(3000))
+    assert(p81.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("s_suppkey")), p81.take(3000))
   }
 
   test("q76 span dedup: consumers read the persisted token table, no doc-pair join") {
