@@ -111,11 +111,13 @@ object Bench {
       if (skipped.isEmpty) ""
       else skipped.toSeq.sorted.map("\"" + _ + "\"")
         .mkString(""","baselines_skipped":[""", ",", "]")
+    val duck = duckQueries(sfDir)
     val json =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""ingest_1k_files_sec":${r4(ingest)},""" +
+        s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingest)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
-        skippedJson + s""","queries":$qs}"""
+        skippedJson + duckPairing(duck, results) + queryRatios(duck, results) +
+        s""","queries":$qs}"""
     // File first (durable even if the print path dies). On stdout:
     // the COMPACT totals line FIRST, then the full line (with the
     // 70+-entry queries map it runs ~2.3 KB), then the compact line
@@ -131,12 +133,11 @@ object Bench {
     // per-query record.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     catch { case _: Throwable => }
-    val pairing = duckPairing(sfDir, results)
     val compact =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""ingest_1k_files_sec":${r4(ingest)},""" +
+        s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingest)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
-        pairing + s""","queries_in":"bench.json"}"""
+        duckPairing(duck, results) + s""","queries_in":"bench.json"}"""
     println(compact)
     println(json)
     println(compact)
@@ -144,34 +145,69 @@ object Bench {
     spark.stop()
   }
 
-  /** `,"duck_total":…,"duck_ratio":…,"duck_matched":n` when
-    * ./duckbench.json (written by tools/duckbench.py) exists and
-    * covers the same sf dir; empty string otherwise. BOTH sides of
-    * the ratio are summed over the INTERSECTION of the two runs'
-    * query sets — a Spark query DuckDB didn't time (or vice versa)
-    * must not inflate either side of the headline number. Any parse
-    * failure degrades to the unpaired line. The ratio is only as
-    * fresh as the last duckbench run — the loadavg annotation on both
-    * records is what makes a stale pairing visible. */
-  private def duckPairing(sfDir: String,
-      results: Seq[(String, Double)]): String =
+  /** Healthy band for the `ingest_1k_files_sec` contention control:
+    * identical code measures ~3.0-3.7 on a quiet box (r5/r6 verdicts).
+    * Above `contendedAbove` the HOST is loaded — both engines inflate
+    * together and the run is not comparable against a quiet pairing. */
+  val controlHealthyBand: (Double, Double) = (3.0, 3.7)
+  val contendedAbove: Double = 5.5
+
+  /** `,"contended":…` — the run self-adjudicates from its own ingest
+    * control instead of needing the band diagnosis re-derived every
+    * round (BENCH_r05/r06 were both contention artifacts discovered
+    * only by manual comparison). null when the control didn't run
+    * (filtered iteration runs). */
+  private def contendedJson(ingest: Double): String =
+    if (ingest < 0) s""","contended":null"""
+    else
+      s""","contended":${ingest > contendedAbove},""" +
+        s""""control_healthy_band":[${controlHealthyBand._1},${controlHealthyBand._2}]"""
+
+  /** Per-query DuckDB seconds from ./duckbench.json when it covers
+    * the same sf dir; empty on any mismatch or parse failure. */
+  private def duckQueries(sfDir: String): Map[String, Double] =
     try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(
           java.nio.file.Paths.get("duckbench.json")))
-      if (node.path("sf").asText() != sfDir) return ""
-      import scala.jdk.CollectionConverters._
-      val duck = node.path("queries").properties().asScala
-        .map(e => e.getKey -> e.getValue.asDouble()).toMap
-      val matched = results.filter(r => duck.contains(r._1))
-      if (matched.isEmpty) ""
+      if (node.path("sf").asText() != sfDir) Map.empty
       else {
-        val d = math.rint(matched.map(r => duck(r._1)).sum * 1e3) / 1e3
-        val sp = matched.map(_._2).sum
-        s""","duck_total":$d,"duck_ratio":${math.rint(sp / d * 100) / 100},""" +
-          s""""duck_matched":${matched.size}"""
+        import scala.jdk.CollectionConverters._
+        node.path("queries").properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
       }
-    } catch { case _: Throwable => "" }
+    } catch { case _: Throwable => Map.empty }
+
+  /** `,"duck_total":…,"duck_ratio":…,"duck_matched":n` when the
+    * pairing exists. BOTH sides of the ratio are summed over the
+    * INTERSECTION of the two runs' query sets — a Spark query DuckDB
+    * didn't time (or vice versa) must not inflate either side of the
+    * headline number. The ratio is only as fresh as the last
+    * duckbench run — the loadavg annotation on both records is what
+    * makes a stale pairing visible. */
+  private def duckPairing(duck: Map[String, Double],
+      results: Seq[(String, Double)]): String = {
+    val matched = results.filter(r => duck.contains(r._1))
+    if (matched.isEmpty) ""
+    else {
+      val d = math.rint(matched.map(r => duck(r._1)).sum * 1e3) / 1e3
+      val sp = matched.map(_._2).sum
+      s""","duck_total":$d,"duck_ratio":${math.rint(sp / d * 100) / 100},""" +
+        s""""duck_matched":${matched.size}"""
+    }
+  }
+
+  /** `,"query_ratios":{…}` — per-query spark/duck over the
+    * intersection, so a driver snapshot carries its own per-query
+    * adjudication; empty string without a pairing. */
+  private def queryRatios(duck: Map[String, Double],
+      results: Seq[(String, Double)]): String = {
+    val matched = results.filter(r => duck.get(r._1).exists(_ > 0))
+    if (matched.isEmpty) ""
+    else matched.map { case (n, v) =>
+      s"""\"$n\":${math.rint(v / duck(n) * 100) / 100}"""
+    }.mkString(""","query_ratios":{""", ",", "}")
+  }
 
   /** Distributed bulk-ingest benchmark: 1000 small gcc-style logs →
     * Runner.importDirectory (wholetext scan → executor parse → append),

@@ -43,10 +43,18 @@ import graft.GraftEngine
   *  - clean            → confirm-gated store maintenance: data/schema
   *                       clear, prune by days/runs/MB, full removal
   *                       (serve.py:3299 via store.Maintenance)
+  *  - inspect          → composite single-call event detail: event
+  *                       core + log/source/git context + fingerprint
+  *                       history behind include_* flags, with a batch
+  *                       refs mode (serve.py:2485, _inspect_impl
+  *                       serve.py:1177)
+  *  - config           → read/update/reset the in-memory session
+  *                       config, env-seeded at construction
+  *                       (serve.py:3655)
   *
   * Deliberately NOT here (driver/CLI concerns with no DataFrame
   * surface, same scoping as COVERAGE.md P10/F6): sandbox_info (local
-  * sandbox introspection), config (CLI config state).
+  * sandbox introspection).
   */
 final class Serve(private[api] val engine: GraftEngine) {
   import Serve._
@@ -64,6 +72,23 @@ final class Serve(private[api] val engine: GraftEngine) {
     * every subsequent dispatch short-circuits to an explicit
     * store-removed error instead of surfacing raw FS failures. */
   @volatile private var storeRemoved = false
+
+  /** Session config (the reference's in-memory runtime, serve.py:3655):
+    * env-seeded at construction, mutated by the `config` tool, wiped
+    * with the instance — persistent state stays in the store. The
+    * defaults below are what the reference documents; active_root
+    * falls back to the engine root (it is the source/workspace root
+    * `inspect` resolves files under when the caller sends none). */
+  private val configSeed: Map[String, String] = Map(
+    "active_root" -> sys.env.getOrElse("GRAFT_ACTIVE_ROOT", engine.root),
+    "log_level" -> sys.env.getOrElse("GRAFT_LOG_LEVEL", "info"),
+    "default_lines_window" -> sys.env.getOrElse("GRAFT_DEFAULT_LINES_WINDOW", "20"),
+    "default_history_limit" -> sys.env.getOrElse("GRAFT_DEFAULT_HISTORY_LIMIT", "20"))
+
+  @volatile private var sessionConfig: Map[String, String] = configSeed
+
+  private def configInt(k: String): Int =
+    sessionConfig.get(k).flatMap(_.toIntOption).getOrElse(20)
 
   /** Parse a JSON-object-valued string arg ({"k":"v",...}) — the wire
     * layer only passes flat scalars, so map args ride JSON-encoded. */
@@ -129,7 +154,8 @@ final class Serve(private[api] val engine: GraftEngine) {
     case "warnings" =>
       val n = intArg(args, "limit", 10); json(engine.warnings(n), n)
     case "status" => json(engine.status())
-    case "history" => json(engine.history(intArg(args, "limit", 20)))
+    case "history" =>
+      json(engine.history(intArg(args, "limit", configInt("default_history_limit"))))
     case "summary" => json(engine.summary())
     case "diff" =>
       json(engine.diff(longArg(args, "run1"), longArg(args, "run2")))
@@ -308,7 +334,8 @@ final class Serve(private[api] val engine: GraftEngine) {
                 col("severity") === s)
               .orderBy(col("event_index"))
               .select("ref", "severity", "location", "message")
-            s""","events":${json(slice, intArg(args, "limit", 20))}"""
+            s""","events":${json(slice,
+              intArg(args, "limit", configInt("default_lines_window")))}"""
           }.getOrElse("")
           s"""{"run":$summary$evs}"""
       }
@@ -369,6 +396,65 @@ final class Serve(private[api] val engine: GraftEngine) {
           val r = engine.exec(argv, formatHint = args.getOrElse("format", "auto"),
             timeoutMs = timeoutMs)
           result(r, argv.mkString(" "), None)
+      }
+    case "inspect" =>
+      // Composite event detail (serve.py:2485): what the reference
+      // answers in ONE call — event core + log/source/git context +
+      // fingerprint history behind include_* flags — instead of the
+      // 3-4 round-trips an agent would pay composing event +
+      // source_context + output + history itself. Batch mode takes a
+      // JSON array of refs and reports per-ref errors without failing
+      // the whole call.
+      val refsList = seqArg(args, "refs")
+      val lines = intArg(args, "lines", 5)
+      val incLog = args.get("include_log_context").forall(_.toBoolean)
+      val incSrc = args.get("include_source_context").forall(_.toBoolean)
+      val incGit = args.get("include_git_context").exists(_.toBoolean)
+      val incFp = args.get("include_fingerprint_history").exists(_.toBoolean)
+      val root = args.get("root").filter(_.nonEmpty)
+        .orElse(sessionConfig.get("active_root")).getOrElse(engine.root)
+      if (refsList.nonEmpty) {
+        val results = refsList.map(r =>
+          r -> inspectOne(r, lines, incLog, incSrc, incGit, incFp, root))
+        val entries = results.map {
+          case (r, Right(doc)) => s"""{"ref":${quote(r)},"event":$doc}"""
+          case (r, Left(e)) =>
+            s"""{"ref":${quote(r)},"event":null,"error":${quote(e)}}"""
+        }
+        s"""{"events":[${entries.mkString(",")}],""" +
+          s""""found":${results.count(_._2.isRight)},"total":${refsList.size}}"""
+      } else inspectOne(args("ref"), lines, incLog, incSrc, incGit, incFp, root)
+        .fold(err, identity)
+    case "config" =>
+      // In-memory session config (serve.py:3655): read / merge-update /
+      // reset-to-env-seed. Invalid updates leave the config unchanged.
+      def render(c: Map[String, String]): String =
+        c.toSeq.sortBy(_._1).map { case (k, v) =>
+          val vv = v.toLongOption.map(_.toString).getOrElse(quote(v))
+          s"${quote(k)}:$vv"
+        }.mkString("{", ",", "}")
+      if (args.get("reset").exists(_.toBoolean)) {
+        sessionConfig = configSeed
+        render(sessionConfig)
+      } else mapArg(args, "set") match {
+        case s if s.isEmpty => render(sessionConfig)
+        case set =>
+          val unknown = set.keySet -- configSeed.keySet
+          val invalid =
+            if (unknown.nonEmpty)
+              Some(s"unknown config key(s): ${unknown.toSeq.sorted.mkString(", ")}" +
+                s" (known: ${configSeed.keySet.toSeq.sorted.mkString(", ")})")
+            else set.collectFirst {
+              case ("log_level", v) if !Set("debug", "info", "warn", "error")(v) =>
+                s"log_level must be one of debug|info|warn|error (got '$v')"
+              case (k@("default_lines_window" | "default_history_limit"), v)
+                  if v.toIntOption.forall(_ <= 0) =>
+                s"$k must be a positive integer (got '$v')"
+            }
+          invalid match {
+            case Some(m) => err(m)
+            case None => sessionConfig = sessionConfig ++ set; render(sessionConfig)
+          }
       }
     case "clean" =>
       // Store maintenance (serve.py:3299). Every destructive mode is
@@ -435,6 +521,92 @@ final class Serve(private[api] val engine: GraftEngine) {
           err(s"unknown clean mode: $other (data, prune, schema, full)")
       }
     case other => err(s"unknown tool: $other (available: ${tools.mkString(", ")})")
+  }
+
+  /** One event's composite inspect document (reference _inspect_impl,
+    * serve.py:1177): Left(error) when the ref/run/event is missing,
+    * Right(json) otherwise. Context fields resolve to null rather
+    * than erroring — a missing source file or non-repo root must not
+    * take down the event core. */
+  private def inspectOne(ref: String, lines: Int, incLog: Boolean,
+      incSrc: Boolean, incGit: Boolean, incFp: Boolean,
+      root: String): Either[String, String] = {
+    import org.apache.spark.sql.functions.col
+    RefResolver.parse(ref).eventId match {
+      case None => Left(s"ref '$ref' has no event index (use run:serial:event)")
+      case Some(eventId) =>
+        engine.run(ref).select("invocation_id").collect().headOption match {
+          case None => Left(s"no run matches ref '$ref'")
+          case Some(runRow) =>
+            val inv = runRow.getString(0)
+            val rows = engine.events
+              .filter(col("invocation_id") === inv && col("event_index") === eventId)
+              .select("ref", "run_ref", "severity", "ref_file", "ref_line",
+                "ref_column", "message", "tool_name", "category", "code",
+                "rule", "fingerprint", "log_line_start", "log_line_end")
+              .limit(1).collect()
+            if (rows.isEmpty) Left(s"no event $eventId in run '$ref'")
+            else {
+              val row = rows.head
+              def str(c: String): Option[String] = Option(row.getAs[String](c))
+              def int(c: String): Option[Int] =
+                if (row.isNullAt(row.fieldIndex(c))) None
+                else Some(row.getAs[Number](c).intValue())
+              def js(o: Option[String]) = o.map(quote).getOrElse("null")
+              def ji(o: Option[Int]) = o.map(_.toString).getOrElse("null")
+              val fields = Seq.newBuilder[(String, String)]
+              fields ++= Seq(
+                "ref" -> js(str("ref")), "run_ref" -> js(str("run_ref")),
+                "severity" -> js(str("severity")),
+                "ref_file" -> js(str("ref_file")),
+                "ref_line" -> ji(int("ref_line")),
+                "ref_column" -> ji(int("ref_column")),
+                "message" -> js(str("message")),
+                "tool_name" -> js(str("tool_name")),
+                "category" -> js(str("category")),
+                // the reference coalesces code to rule (serve.py:1236)
+                "code" -> js(str("code").orElse(str("rule"))),
+                "fingerprint" -> js(str("fingerprint")))
+              if (incLog) fields += "log_context" -> (for {
+                start <- int("log_line_start")
+                body <- engine.output(inv)
+              } yield {
+                val end = int("log_line_end").getOrElse(start)
+                val all = body.split("\n", -1).toIndexedSeq
+                val lo = math.max(1, start - lines)
+                val hi = math.min(all.size, end + lines)
+                val window = (lo to hi).map { n =>
+                  val mark = if (n >= start && n <= end) ">" else " "
+                  f"$mark$n%5d\t${all(n - 1)}"
+                }.mkString("\n")
+                quote(s"Line $start:\n$window")
+              }).getOrElse("null")
+              if (incSrc) fields += "source_context" -> (for {
+                f <- str("ref_file"); l <- int("ref_line")
+                c <- SourceContext.readSourceContext(f, l, root, lines)
+              } yield quote(c)).getOrElse("null")
+              if (incGit) fields += "git_context" -> (for {
+                f <- str("ref_file"); l <- int("ref_line")
+                b <- GitAnnotator.blame(root, f, l)
+              } yield {
+                val hist = GitAnnotator.fileHistory(root, f, 5).map(c =>
+                  s"""{"hash":${quote(c.hash)},"author":${quote(c.author)},""" +
+                    s""""time":${c.time},"message":${quote(c.message)}}""")
+                  .mkString("[", ",", "]")
+                s"""{"last_commit":${quote(b.commit)},""" +
+                  s""""last_author":${quote(b.author)},""" +
+                  s""""last_modified":${b.authorTime},"recent_commits":$hist}"""
+              }).getOrElse("null")
+              if (incFp) fields += "fingerprint_history" ->
+                str("fingerprint").filter(_.nonEmpty).map { fp =>
+                  json(engine.analytics.fingerprintHistory()
+                    .filter(col("fingerprint") === fp), 1)
+                }.getOrElse("null")
+              Right(fields.result()
+                .map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}"))
+            }
+        }
+    }
   }
 }
 
@@ -559,6 +731,22 @@ object Serve {
         ToolParam("timeout", "integer", "timeout in milliseconds (default 600000)"),
         ToolParam("shell", "string", "true = run via sh -c (allows pipes/redirects)"),
         ToolParam("format", "string", "log format hint (default auto)"))),
+    ToolSpec("inspect",
+      "Comprehensive event detail in one call: event core plus log/source/git context and fingerprint history behind include_* flags; refs= (JSON array) batches multiple events.",
+      Seq(
+        ToolParam("ref", "string", "run:serial:event reference (ignored when refs= is set)"),
+        ToolParam("refs", "string", "JSON array of event references for batch mode"),
+        ToolParam("lines", "integer", "context lines each side (default 5)"),
+        ToolParam("include_log_context", "string", "include surrounding output lines (default true)"),
+        ToolParam("include_source_context", "string", "include source file window (default true)"),
+        ToolParam("include_git_context", "string", "include git blame + recent commits (default false)"),
+        ToolParam("include_fingerprint_history", "string", "include occurrence history (default false)"),
+        ToolParam("root", "string", "source root for source/git context (default: config active_root)"))),
+    ToolSpec("config",
+      "Read or update the in-memory session config (active_root, log_level, default_lines_window, default_history_limit); env-seeded at launch, reset=true reverts to the seed.",
+      Seq(
+        ToolParam("set", "string", "JSON object of keys to update; invalid updates leave config unchanged"),
+        ToolParam("reset", "string", "true = revert to env-seeded values"))),
     ToolSpec("clean",
       "Store maintenance: preview or delete run data (mode=data/schema), prune by age/count/size (mode=prune), or remove the whole store (mode=full). confirm=true required to delete.",
       Seq(

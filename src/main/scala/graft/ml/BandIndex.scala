@@ -1,0 +1,87 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The STORED form of the incremental-dedup corpus index —
+  * [[TextDedup.minhashLshPairsIncremental]]'s scaladoc claims "at
+  * scale the corpus band table is bucketed by (band, key) on disk and
+  * this probe is a co-located join"; this object is that claim as
+  * code, proven the way BucketingSpec proved J1 (BandIndexSpec pins
+  * the no-corpus-side-Exchange plan and the result differential).
+  *
+  * Layout: the corpus's LSH band table (doc_id, sig, band, key) as a
+  * bucketed+sorted catalog table ([[graft.store.Bucketing]]
+  * precedent), one write-time shuffle amortized over every ingest
+  * batch. A 100 TB corpus is deduped once; each subsequent batch
+  * builds its own (tiny) band table and joins the stored index on
+  * (band, key) — the corpus side streams straight from its buckets
+  * with NO exchange, the batch side shuffles only itself, and the
+  * quadratic corpus-self-pairing term never exists because the join
+  * only reaches buckets a new document lands in.
+  */
+object BandIndex {
+
+  /** Write `docs`' band table as the bucketed corpus index. */
+  def write(docs: DataFrame, table: String, n: Int, k: Int, bands: Int,
+      buckets: Int): Unit = {
+    val withDig = TextDedup.shingleDigests(TextDedup.shingleSets(docs, n))
+    val sig = TextDedup.minhashSignaturesFromDigests(withDig, k)
+    TextDedup.bandKeyTable(sig, k, bands)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "band", "key")
+      .sortBy("band", "key")
+      .saveAsTable(table)
+  }
+
+  /** Candidate (doc_a, doc_b) pairs for a NEW batch probed against the
+    * stored index: batch×corpus pairs from the co-located (band, key)
+    * join, plus batch×batch pairs from within-bucket expansion of the
+    * (bounded) batch band table. a < b orientation, distinct. The
+    * batch must be disjoint from the indexed corpus (it is the data
+    * that arrived after the index was written). */
+  def probeCandidates(spark: SparkSession, table: String,
+      batchBands: DataFrame): DataFrame = {
+    val corpus = spark.table(table)
+      .select(col("band"), col("key"), col("doc_id").as("corpus_doc"))
+    val cross = corpus
+      .join(batchBands.select(col("band"), col("key"),
+        col("doc_id").as("new_doc")), Seq("band", "key"))
+      .select(least(col("corpus_doc"), col("new_doc")).as("doc_a"),
+        greatest(col("corpus_doc"), col("new_doc")).as("doc_b"))
+    // sorted array projected FIRST, then both the outer iteration and
+    // the slice read the same sorted column (slicing the unsorted list
+    // while iterating the sorted one emits wrong pairs)
+    val ds2 = col("ds2")
+    val within = batchBands
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(array_sort(col("ds")).as("ds2"))
+      .select(explode(flatten(transform(ds2, (a, i) =>
+        transform(slice(ds2, i + lit(2), size(ds2)), b =>
+          struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    cross.union(within).distinct()
+  }
+
+  /** Full incremental near-dup pass over the stored index: probe for
+    * candidates, then exact-Jaccard verify. `allDocs` must cover both
+    * the corpus and the batch (the verify needs both sides' shingle
+    * sets; at scale the key sets are a second stored table instead of
+    * a recompute). Output matches
+    * [[TextDedup.minhashLshPairsIncremental]] with minAgree=0 on the
+    * same split — BandIndexSpec pins the differential. */
+  def probe(spark: SparkSession, table: String, batch: DataFrame,
+      allDocs: DataFrame, n: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val batchDig = TextDedup.shingleDigests(TextDedup.shingleSets(batch, n))
+    val batchBands = TextDedup.bandKeyTable(
+      TextDedup.minhashSignaturesFromDigests(batchDig, k), k, bands)
+    val candidates = probeCandidates(spark, table, batchBands)
+    val sets = TextDedup.keySetsFromDigests(
+      TextDedup.shingleDigests(TextDedup.shingleSets(allDocs, n)))
+    TextDedup.verifyJaccard(candidates, sets, threshold)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Persistent inverted lexical index: the structural fix for
+  * re-tokenizing the corpus on every retrieval query (the r6 BM25
+  * plan was scale-safe but index-less — at 100 TB "re-derive tf/df
+  * from raw text per query" is wrong no matter how good the plan).
+  * Reference anchor: the retrieval surface of
+  * /root/reference/src/blq/query.py:77-96 — arbitrary SQL over stored
+  * tables; a stored derived table is in-scope engine surface.
+  *
+  * Layout under `indexDir`:
+  *   - `postings/` parquet (term, doc_id, tf, dl, df) — denormalized
+  *     so a probe needs NO join beyond the broadcast query attach:
+  *     df rides every row of its term, dl every row of its doc.
+  *     Range-partitioned by term and sorted within partitions on
+  *     (term, doc_id): equal terms share a file, files carry tight
+  *     min/max term stats, so a query-vocabulary IN filter prunes row
+  *     groups at scan time. At 100 TB this is the same layout
+  *     bucketed ([[graft.store.Bucketing]] precedent) — one write-time
+  *     shuffle amortized over every probe.
+  *   - `stats/` parquet, 1 row (n_docs, avgdl).
+  *   - `_fingerprint` — identity of the source corpus file
+  *     (size + mtime); [[ensure]] rebuilds when it drifts.
+  *
+  * Build cost: one explode pass, one (doc,term) aggregation with
+  * map-side partials, one range shuffle for the write layout; df is a
+  * window count computed ON the range partitioning (no extra
+  * exchange). Probe cost: a scan of matching row groups, a broadcast
+  * join to attach query ids, ONE shuffle of matched postings for the
+  * (query, doc) sum — independent of corpus size given vocabulary
+  * selectivity.
+  */
+object LexIndex {
+
+  /** BM25 parameters (k1, b) fixed to the q83 values so the indexed
+    * and index-less paths score identically. */
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** Build the index from a (doc_id, text) frame into `indexDir`. */
+  def build(docs: DataFrame, indexDir: String, partitions: Int = 8): Unit = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val stats = d
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = d
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df as a window count over the unique (doc,term) rows, computed
+    // after the range repartition — RangePartitioning(term) satisfies
+    // the window's clustering requirement, so no second exchange
+    tf.repartitionByRange(partitions, col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$indexDir/postings")
+    stats.write.mode("overwrite").parquet(s"$indexDir/stats")
+    statsCache.remove(indexDir)
+  }
+
+  /** Corpus fingerprint: the documents parquet's (length, mtime) —
+    * cheap, no scan, and changes whenever the driver regenerates the
+    * table in place. */
+  private def fingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${st.getLen}:${st.getModificationTime}"
+  }
+
+  /** Index location for a corpus dir: content-addressed under the JVM
+    * temp dir so every (machine, corpus path) pair gets a stable spot
+    * that survives across processes. */
+  def indexDirFor(sfDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_lexindex/$h"
+  }
+
+  /** Ensure an up-to-date index exists for `sfDir`'s documents table;
+    * build (or rebuild on corpus drift) only when the stored
+    * fingerprint mismatches. Returns the index dir. Amortization in
+    * one line: every probe after the first pays only the probe. */
+  def ensure(spark: SparkSession, sfDir: String,
+      docs: => DataFrame): String = {
+    val dir = indexDirFor(sfDir)
+    val fp = fingerprint(spark, sfDir)
+    val fpPath = java.nio.file.Paths.get(dir, "_fingerprint")
+    val current =
+      if (java.nio.file.Files.exists(fpPath))
+        Some(new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8"))
+      else None
+    if (!current.contains(fp)) {
+      build(docs, dir)
+      java.nio.file.Files.createDirectories(fpPath.getParent)
+      java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  /** The (query_id, term) frame for queries that are themselves
+    * indexed documents: read straight from the postings (already
+    * unique per (doc, term)) with the doc predicate pushed to the
+    * scan — no re-tokenization, no distinct shuffle. */
+  def queryTermsFromIndex(spark: SparkSession, indexDir: String,
+      docPred: org.apache.spark.sql.Column): DataFrame =
+    spark.read.parquet(s"$indexDir/postings")
+      .filter(docPred)
+      .select(col("doc_id").as("query_id"), col("term"))
+
+  /** BM25 probe of a built index. `queries` is a bounded
+    * (query_id, term) frame (a query SET, not a corpus) — it is
+    * collected once to the driver (that bound is the contract) so the
+    * probe is a single distributed job: the local query relation
+    * broadcasts with no build-side scan, and the query vocabulary
+    * becomes an IN filter that prunes postings row groups at scan
+    * time (the index is term-sorted exactly for this). Past
+    * `maxInTerms` the IN filter is skipped and the broadcast join
+    * alone does the matching. Returns (query_id, rnk, doc_id, score)
+    * for the top `k` docs per query, ties broken on (rounded score,
+    * doc_id) exactly like q83. */
+  /** Corpus stats per index dir, cached driver-side: the index is
+    * immutable for a given fingerprint, so (avgdl, n_docs) are plain
+    * literals every probe after the first — no broadcast-build job
+    * for a 1-row frame. [[build]] invalidates on rewrite. */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Long)]()
+
+  private def corpusStats(spark: SparkSession, indexDir: String): (Double, Long) =
+    statsCache.computeIfAbsent(indexDir, { _ =>
+      val r = spark.read.parquet(s"$indexDir/stats")
+        .select(col("avgdl"), col("n_docs")).head()
+      (r.getDouble(0), r.getLong(1))
+    })
+
+  def probe(spark: SparkSession, indexDir: String, queries: DataFrame,
+      k: Int, maxInTerms: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val (avgdl, nDocs) = corpusStats(spark, indexDir)
+    val post0 = spark.read.parquet(s"$indexDir/postings")
+    val qlocal = queries
+      .select(col("query_id").cast("long"), col("term").cast("string"))
+      .distinct().as[(Long, String)].collect().toSeq
+    val qdf = qlocal.toDF("query_id", "term")
+    val vocab = qlocal.map(_._2).distinct
+    val post =
+      if (vocab.length <= maxInTerms)
+        post0.filter(col("term").isin(vocab: _*))
+      else post0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+    post
+      .join(broadcast(qdf), Seq("term"))
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c",
+        col("idf") * col("tf") * (K1 + 1.0) /
+          (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
+      // ONE shuffle serves both the (query, doc) sum and the per-query
+      // ranking window: hash(query_id) satisfies the aggregation's
+      // clustering (a subset of its grouping keys) and the window's
+      .repartition(col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+  }
+}

@@ -152,7 +152,7 @@ object TextDedup {
     * measure small — but no forced hint: a skewed LSH run can produce
     * a candidate list too big to broadcast, and the hint would turn
     * that into an OOM instead of a shuffle join. */
-  private def verifyJaccard(candidates: DataFrame, sets: DataFrame,
+  private[ml] def verifyJaccard(candidates: DataFrame, sets: DataFrame,
       threshold: Double): DataFrame = {
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -338,83 +338,24 @@ object AbBench {
         .count()
     }
 
-    // q81 OLD: distinct late pairs, semi (another supplier exists) +
-    // anti (no other late supplier) probes against the fact/late sets
-    def q81SemiAnti(): Long = {
-      val l = graft.Tables.t(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val late = l
-        .join(graft.Tables.t(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sole = late.alias("t")
-        .join(l.select(col("l_orderkey"), col("l_suppkey").as("other")).alias("a"),
-          col("t.l_orderkey") === col("a.l_orderkey") &&
-            col("other") =!= col("t.l_suppkey"), "left_semi")
-        .join(late.select(col("l_orderkey"), col("l_suppkey").as("other_late")).alias("b"),
-          col("t.l_orderkey") === col("b.l_orderkey") &&
-            col("other_late") =!= col("t.l_suppkey"), "left_anti")
-      val r = sole
-        .join(broadcast(graft.Tables.t(spark, sfDir, "supplier")),
-          col("t.l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait")).count()
-      late.unpersist(false); r
+    // Stored band index (ml/BandIndex): write-once + probe-per-batch
+    // timings, q73's parameters, 90/10 corpus/batch split
+    def biWrite(): Long = {
+      graft.ml.BandIndex.write(
+        graft.Tables.t(spark, sfDir, "documents").filter(col("doc_id") % 10 =!= 0),
+        "g_ab_band_idx", n = 3, k = 12, bands = 4, buckets = 16)
+      1L
     }
-    // q81 NEW: one aggregation per order over the joined fact —
-    // supplier/late-supplier sets are bounded per order, so collect_set
-    // is safe and the sole-late gate becomes a filter
-    def q81Agg(): Long = {
-      val l = graft.Tables.t(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val perOrder = l
-        .join(graft.Tables.t(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .withColumn("late_supp",
-          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
-            col("l_suppkey")))
-        .groupBy(col("l_orderkey"))
-        .agg(size(collect_set(col("l_suppkey"))).as("n_supp"),
-          size(collect_set(col("late_supp"))).as("n_late"),
-          max(col("late_supp")).as("sole_supp"))
-        .filter(col("n_late") === 1 && col("n_supp") > 1)
-      perOrder
-        .join(broadcast(graft.Tables.t(spark, sfDir, "supplier")),
-          col("sole_supp") === col("s_suppkey"))
-        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait")).count()
-    }
-
-    // q81 NEW2: collapse the fact to distinct (order,supp,max_ship)
-    // pairs first, then join orders and aggregate per order with plain
-    // counts (no collect_set)
-    def q81Agg2(): Long = {
-      val pairs = graft.Tables.t(spark, sfDir, "lineitem")
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(col("l_shipdate")).as("max_ship"))
-      val perOrder = pairs
-        .join(graft.Tables.t(spark, sfDir, "orders")
-          .select(col("o_orderkey"), col("o_orderdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .withColumn("is_late",
-          (col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY")).cast("int"))
-        .groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
-          max(when(col("is_late") === 1, col("l_suppkey"))).as("sole_supp"))
-        .filter(col("n_late") === 1 && col("n_supp") > 1)
-      perOrder
-        .join(broadcast(graft.Tables.t(spark, sfDir, "supplier")),
-          col("sole_supp") === col("s_suppkey"))
-        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait")).count()
+    def biProbe(): Long = {
+      val d = graft.Tables.t(spark, sfDir, "documents")
+      graft.ml.BandIndex.probe(spark, "g_ab_band_idx",
+        d.filter(col("doc_id") % 10 === 0), d,
+        n = 3, k = 12, bands = 4, threshold = 0.3).count()
     }
 
     Seq(
-      "q81_semianti" -> (() => q81SemiAnti()),
-      "q81_agg" -> (() => q81Agg()),
-      "q81_agg2" -> (() => q81Agg2()),
+      "bi_write" -> (() => biWrite()),
+      "bi_probe" -> (() => biProbe()),
       "q96_join" -> (() => q96Join()),
       "q96_collect" -> (() => q96Collect()),
       "q89_old" -> (() => q89Old()),

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{BandIndex, TextDedup}
+
+/** Proves minhashLshPairsIncremental's stored-index claim: the corpus
+  * band table bucketed by (band, key) probes with NO corpus-side
+  * exchange, and the probe's output equals the in-memory incremental
+  * operator on the same corpus/batch split. */
+class BandIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(ids: Seq[Long], base: String): Seq[(Long, String)] =
+    ids.map(i => (i, s"$base variant $i tail token stream alpha beta gamma delta"))
+
+  test("bucketed band index: co-located probe join, differential vs incremental operator") {
+    // corpus: two near-dup families + singletons; batch: a near-dup of
+    // family A, a brand-new pair of near-identical docs, one unrelated
+    val corpus = (
+      mkDocs(Seq(0L, 1L), "the quick brown fox jumps over the lazy dog again and") ++
+      mkDocs(Seq(2L, 3L), "completely different content about spark catalyst plans") ++
+      Seq((4L, "a singleton document with its own words entirely unlike others"))
+    ).toDF("doc_id", "text")
+    val batch = (
+      mkDocs(Seq(10L), "the quick brown fox jumps over the lazy dog again and") ++
+      Seq(
+        (11L, "fresh pair of documents sharing almost every single token here now"),
+        (12L, "fresh pair of documents sharing almost every single token here too"),
+        (13L, "nothing in common with anything else in this corpus at all"))
+    ).toDF("doc_id", "text")
+    val (n, k, bands, thr) = (3, 8, 4, 0.3)
+
+    try {
+      BandIndex.write(corpus, "g_band_idx", n, k, bands, buckets = 4)
+
+      // plan shape: with broadcast + AQE off, the (band,key) join reads
+      // the corpus STRAIGHT from its buckets — the only exchange in the
+      // plan is the batch side's
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val batchBands = TextDedup.bandKeyTable(
+          TextDedup.minhashSignaturesFromDigests(
+            TextDedup.shingleDigests(TextDedup.shingleSets(batch, n)), k), k, bands)
+        val cross = spark.table("g_band_idx")
+          .join(batchBands.select(col("band"), col("key"),
+            col("doc_id").as("new_doc")), Seq("band", "key"))
+        val plan = cross.queryExecution.executedPlan.toString()
+        assert(plan.contains("SortMergeJoin"), plan.take(3000))
+        // the corpus reads straight from its buckets...
+        assert(plan.contains("Bucketed: true"), plan.take(3000))
+        // ...and only the BATCH side hashes onto (band, key) — one such
+        // exchange in the whole plan (the batch pipeline's internal
+        // doc_id repartition is unrelated to the join)
+        assert("Exchange hashpartitioning\\(band".r.findAllIn(plan).size === 1,
+          s"expected only the batch-side (band,key) exchange:\n${plan.take(3000)}")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+
+      // result differential: stored-index probe == in-memory
+      // incremental operator on the identical corpus/batch split
+      val all = corpus.withColumn("is_new", lit(false))
+        .union(batch.withColumn("is_new", lit(true)))
+      val want = TextDedup.minhashLshPairsIncremental(
+          all, col("is_new"), n, k, bands, thr)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      val got = BandIndex.probe(spark, "g_band_idx", batch,
+          all.select(col("doc_id"), col("text")), n, k, bands, thr)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got === want)
+      // and it actually finds the planted cross-batch + in-batch dups
+      assert(got.map(p => (p._1, p._2)).contains((11L, 12L)))
+      assert(got.exists(p => p._2 == 10L && p._1 <= 1L))
+      // corpus×corpus pairs never appear (0,1 are near-dups but both old)
+      assert(!got.map(p => (p._1, p._2)).contains((0L, 1L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_band_idx")
+    }
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ml.LexIndex
+
+/** Specs for the persistent inverted lexical index (ml/LexIndex):
+  * content differential vs a from-scratch computation, fingerprint
+  * staleness, and the probe's single-shuffle plan shape. */
+class LexIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(): Seq[(Long, String)] = Seq(
+    (0L, "the cat sat on the mat"),
+    (1L, "the dog sat on the log"),
+    (2L, "a cat and a dog"),
+    (3L, "logs and mats and cats"),
+    (4L, "completely unrelated words here"),
+    (5L, "the the the cat cat mat"))
+
+  test("postings match a from-scratch tf/dl/df computation") {
+    val dir = Files.createTempDirectory("lexidx").toString
+    val docs = corpus().toDF("doc_id", "text")
+    LexIndex.build(docs, dir)
+    val got = spark.read.parquet(s"$dir/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    // reference computation, in memory
+    val toks = corpus().map { case (id, t) => (id, t.split(" ").toSeq) }
+    val tf = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (t, id, g.size.toLong, ts.size.toLong) }
+    }
+    val df = tf.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = tf.map { case (t, id, f, dl) => (t, id, f, dl, df(t)) }.toSet
+    assert(got === want)
+    val st = spark.read.parquet(s"$dir/stats").head()
+    assert(st.getAs[Long]("n_docs") === 6L)
+    assert(math.abs(st.getAs[Double]("avgdl") -
+      toks.map(_._2.size).sum / 6.0) < 1e-12)
+  }
+
+  test("probe scores equal the index-less BM25 form; one shuffle; ensure is stale-aware") {
+    // a corpus dir shaped like the driver's (documents.parquet)
+    val sfDir = Files.createTempDirectory("lexsf").toString
+    corpus().toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet("file:" + sfDir + "/documents.parquet")
+    def docs = spark.read.parquet(sfDir + "/documents.parquet")
+    val idx = LexIndex.ensure(spark, sfDir, docs)
+    // second ensure is a no-op (fingerprint unchanged): postings mtime stable
+    val postingsPath = java.nio.file.Paths.get(idx, "postings")
+    val m1 = Files.getLastModifiedTime(postingsPath)
+    assert(LexIndex.ensure(spark, sfDir, docs) === idx)
+    assert(Files.getLastModifiedTime(postingsPath) === m1)
+
+    val queries = LexIndex.queryTermsFromIndex(spark, idx, col("doc_id") < 2)
+    val got = LexIndex.probe(spark, idx, queries, k = 3)
+    // index-less reference: q83's exact pipeline on the same frame
+    val tfq = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    val qt = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("term")).distinct()
+    val stats = docs
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(round(col("score"), 6).desc, col("doc_id"))
+    val want = tfq.join(broadcast(qt), Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("c", col("idf") * col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        round(col("score"), 4).as("score"))
+    assert(got.orderBy("query_id", "rnk").collect().toSeq ===
+      want.orderBy("query_id", "rnk").collect().toSeq)
+
+    // plan shape: the probe's distributed part carries exactly ONE
+    // exchange — hash(query_id) feeding both the aggregation and the
+    // ranking window (the scan side joins a broadcast local relation)
+    got.collect()
+    // AQE's toString prints final + initial sections and query-stage
+    // labels — count real shuffle exchanges in the FINAL plan only
+    val plan = got.queryExecution.executedPlan.toString()
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size === 1,
+      finalPlan.take(3000))
+    assert(!finalPlan.contains("Exchange rangepartitioning"), finalPlan.take(3000))
+    assert(finalPlan.contains("BroadcastHashJoin"), finalPlan.take(3000))
+    // the query-vocabulary IN filter reaches the parquet scan
+    assert(finalPlan.contains("PushedFilters: [In(term"), finalPlan.take(3000))
+
+    // corpus drift: touch the parquet file -> fingerprint changes ->
+    // ensure rebuilds (observable via postings mtime)
+    val pq = java.nio.file.Paths.get(sfDir, "documents.parquet")
+    Files.setLastModifiedTime(pq,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    LexIndex.ensure(spark, sfDir, docs)
+    assert(Files.getLastModifiedTime(postingsPath) !== m1)
+  }
+}

@@ -483,6 +483,72 @@ class ServeSpec extends SparkSpec {
     assert(Serve.shlexSplit("a ''") === Seq("a", ""))
   }
 
+  test("inspect tool: composite detail, include_* flags, batch refs") {
+    val g = GraftEngine(spark, Files.createTempDirectory("serve_insp").toString)
+    // a real source tree so source_context resolves
+    val srcRoot = Files.createTempDirectory("serve_insp_src")
+    Files.writeString(srcRoot.resolve("a.py"),
+      (1 to 8).map(i => s"line number $i").mkString("\n"))
+    g.importContent("prelude noise\na.py:3: error: boom  [misc]",
+      format = "mypy_text", tag = Some("t"))
+    g.importContent("a.py:3: error: boom  [misc]",
+      format = "mypy_text", tag = Some("t"))
+    val s = new Serve(g)
+    // defaults: log + source context in, git + fingerprint out
+    val one = s.call("inspect",
+      Map("ref" -> "t:1:0", "root" -> srcRoot.toString))
+    assert(one.contains("\"message\":\"boom\""), one.take(600))
+    assert(one.contains("\"log_context\":"), one.take(600))
+    assert(one.contains("line number 3"), one.take(800))
+    assert(!one.contains("git_context") && !one.contains("fingerprint_history"))
+    // flags flip each section independently
+    val flags = s.call("inspect", Map("ref" -> "t:1:0",
+      "root" -> srcRoot.toString,
+      "include_source_context" -> "false",
+      "include_fingerprint_history" -> "true"))
+    assert(!flags.contains("source_context"), flags.take(600))
+    assert(flags.replaceAll("\\s", "").contains("\"occurrences\":2"), flags.take(900))
+    // git context on a non-repo root degrades to null, not an error
+    val git = s.call("inspect", Map("ref" -> "t:1:0",
+      "root" -> srcRoot.toString, "include_git_context" -> "true"))
+    assert(git.contains("\"git_context\":null"), git.take(700))
+    // batch mode: per-ref errors don't fail the call
+    val batch = s.call("inspect",
+      Map("refs" -> """["t:1:0","t:1:99"]""", "root" -> srcRoot.toString))
+    assert(batch.contains("\"found\":1") && batch.contains("\"total\":2"), batch.take(400))
+    assert(batch.contains("\"event\":null"), batch.take(900))
+    // a ref without an event index is a usage error
+    assert(s.call("inspect", Map("ref" -> "t:1")).contains("error"))
+  }
+
+  test("config tool: read, validated update, reset; defaults feed history") {
+    val g = GraftEngine(spark, Files.createTempDirectory("serve_cfg").toString)
+    for (i <- 1 to 3)
+      g.importContent(s"f$i.py:$i: error: e$i  [misc]", format = "mypy_text")
+    val s = new Serve(g)
+    val base = s.call("config")
+    assert(base.contains("\"active_root\"") && base.contains("\"log_level\":\"info\""), base)
+    assert(base.contains("\"default_history_limit\":20"), base)
+    // merge-update, then the new value is the history tool's default
+    val upd = s.call("config",
+      Map("set" -> """{"log_level":"debug","default_history_limit":"1"}"""))
+    assert(upd.contains("\"log_level\":\"debug\"") &&
+      upd.contains("\"default_history_limit\":1"), upd)
+    val hist = s.call("history")
+    assert("\"run_serial\"".r.findAllIn(hist).length === 1, hist.take(400))
+    // invalid value: error document, config unchanged
+    assert(s.call("config", Map("set" -> """{"log_level":"loud"}""")).contains("error"))
+    assert(s.call("config").contains("\"log_level\":\"debug\""))
+    // unknown key: error names it and the known set
+    val unk = s.call("config", Map("set" -> """{"nope":"x"}"""))
+    assert(unk.contains("unknown config key") && unk.contains("active_root"), unk)
+    // reset reverts to the env-seeded state
+    val back = s.call("config", Map("reset" -> "true"))
+    assert(back.contains("\"log_level\":\"info\"") &&
+      back.contains("\"default_history_limit\":20"), back)
+    assert("\"run_serial\"".r.findAllIn(s.call("history")).length === 3)
+  }
+
   test("clean mode=full flips the dispatcher to an explicit store-removed state") {
     val root = Files.createTempDirectory("serve_full").toString
     val g = GraftEngine(spark, root)
