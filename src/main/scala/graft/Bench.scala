@@ -38,9 +38,16 @@ object Bench {
     val nameFilter = args.headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Harness knobs for floor experiments (SPARK_GRAFT_SHUFFLE_PARTITIONS /
+    // SPARK_GRAFT_AQE): the defaults are the shipped config; overrides
+    // exist so a config A/B is one env var, not a code edit.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -140,6 +140,26 @@ object LexIndex {
       (r.getDouble(0), r.getLong(1))
     })
 
+  /** Top-k TF-IDF keywords per document, served from the index: tf
+    * and df are already in every postings row and n_docs is a cached
+    * literal, so the whole operator is one postings scan + one
+    * hash(doc_id) exchange for the ranking window (WindowGroupLimit
+    * keeps only per-partition top-k) — no tokenize, no explode, no
+    * df aggregation. The index-less q82 recomputes all of that per
+    * call; this is the amortized form. */
+  def tfidfTopK(spark: SparkSession, indexDir: String, k: Int): DataFrame = {
+    val (_, nDocs) = corpusStats(spark, indexDir)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 6).desc, col("term"))
+    spark.read.parquet(s"$indexDir/postings")
+      .withColumn("score",
+        col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term").as("tok"),
+        round(col("score"), 4).as("score"))
+  }
+
   def probe(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, maxInTerms: Int = 4096): DataFrame = {
     import spark.implicits._

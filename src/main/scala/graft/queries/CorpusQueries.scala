@@ -389,8 +389,19 @@ object CorpusQueries {
       encodeMerges, "source")
   }
 
+  // TF-IDF keywords from the stored index (r7): q82's exact output,
+  // zero tokenization — tf/df/n_docs all come from LexIndex, the plan
+  // is one postings scan + one window exchange.
+  private val q106 = "q106_tfidf_indexed" -> { (s: SparkSession, dir: String) =>
+    val idx = graft.ml.LexIndex.ensure(s, dir,
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+    graft.ml.LexIndex.tfidfTopK(s, idx, k = 3)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
-    Map(q50, q51, q77, q82, q83, q84, q85, q88, q89, q102, q103, q104, q105)
+    Map(q50, q51, q77, q82, q83, q84, q85, q88, q89, q102, q103, q104, q105,
+      q106)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -522,6 +533,24 @@ object CorpusQueries {
         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
         |SELECT tf.term, tf.doc_id, tf.tf, tf.dl, d.df
         |FROM tf JOIN d USING (term) ORDER BY tf.term, tf.doc_id""".stripMargin,
+
+    // q82's oracle verbatim — the indexed path must reproduce the
+    // from-scratch TF-IDF exactly.
+    "q106_tfidf_indexed" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tok, tf * ln(CAST(n_docs AS DOUBLE) / df) AS score
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, tok, score, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY round(score, 6) DESC, tok) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, tok, round(score, 4) AS score FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
 
     // The encode fold as a replace() chain: ' '||replace(text,' ','  ')||' '
     // gives every token its own flanking spaces; pattern ' a  b ' →
