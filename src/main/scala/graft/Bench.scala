@@ -123,7 +123,8 @@ object Bench {
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingest)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
-        skippedJson + duckPairing(duck, results) + queryRatios(duck, results) +
+        skippedJson + duckPairing(duck, results) +
+        pairingStaleness(duck, results) + queryRatios(duck, results) +
         s""","queries":$qs}"""
     // File first (durable even if the print path dies). On stdout:
     // the COMPACT totals line FIRST, then the full line (with the
@@ -144,7 +145,8 @@ object Bench {
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingest)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
-        duckPairing(duck, results) + s""","queries_in":"bench.json"}"""
+        duckPairing(duck, results) + pairingStaleness(duck, results) +
+        s""","queries_in":"bench.json"}"""
     println(compact)
     println(json)
     println(compact)
@@ -201,6 +203,30 @@ object Bench {
       val sp = matched.map(_._2).sum
       s""","duck_total":$d,"duck_ratio":${math.rint(sp / d * 100) / 100},""" +
         s""""duck_matched":${matched.size}"""
+    }
+  }
+
+  /** `,"duck_unmatched":[…],"pairing_stale":…` — the r7 protocol hole
+    * made loud: BENCH_r07 silently excluded the round's five NEW
+    * queries because the committed duckbench.json predated them, and
+    * nothing in the artifact said so. Any benched query that HAS a
+    * DuckDB oracle (SparkEntry.oracleSql) but no duck time in the
+    * pairing is named here, and `pairing_stale` flips true — a
+    * non-empty list means the headline duck_ratio under-counts and the
+    * run must be re-paired (`python3 tools/duckbench.py` first, per
+    * CLAUDE.md). Emitted whenever a pairing exists; empty-set runs
+    * emit `"pairing_stale":false` so freshness is positively
+    * asserted, not inferred from absence. */
+  private def pairingStaleness(duck: Map[String, Double],
+      results: Seq[(String, Double)]): String = {
+    if (duck.isEmpty) ""
+    else {
+      val unmatched = results
+        .filter { case (name, _) =>
+          SparkEntry.oracleSql.contains(name) && !duck.contains(name) }
+        .map(_._1).sorted
+      val names = unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s""","duck_unmatched":$names,"pairing_stale":${unmatched.nonEmpty}"""
     }
   }
 

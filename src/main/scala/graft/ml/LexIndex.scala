@@ -41,28 +41,106 @@ object LexIndex {
   private val K1 = 1.2
   private val B = 0.75
 
-  /** Build the index from a (doc_id, text) frame into `indexDir`. */
-  def build(docs: DataFrame, indexDir: String, partitions: Int = 8): Unit = {
-    val d = docs.select(col("doc_id"), col("text"))
-    val stats = d
-      .select(size(split(col("text"), " ")).cast("long").as("dl"))
-      .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
-    val tf = d
+  /** (doc_id, dl, term, tf) postings (no df) from a (doc_id, text)
+    * frame — the ONLY place tokenization happens; build runs it over
+    * the corpus once, [[appendBatch]] only over the new batch. */
+  private def tokenizePostings(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("dl"),
         explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // df as a window count over the unique (doc,term) rows, computed
-    // after the range repartition — RangePartitioning(term) satisfies
-    // the window's clustering requirement, so no second exchange
-    tf.repartitionByRange(partitions, col("term"))
+
+  /** Range-partition + sort + attach the df window, producing the
+    * probe-ready layout. df as a window count over the unique
+    * (doc,term) rows, computed after the range repartition —
+    * RangePartitioning(term) satisfies the window's clustering
+    * requirement, so no second exchange. */
+  private def layoutPostings(tf: DataFrame, partitions: Int): DataFrame =
+    tf.select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .repartitionByRange(partitions, col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+
+  /** Build the index from a (doc_id, text) frame into `indexDir`.
+    * Stats are kept as exact integers (n_docs, sum_dl) with avgdl
+    * derived by ONE double division — so [[appendBatch]] can update
+    * them with integer adds and reproduce the from-scratch value
+    * bit-for-bit (dl sums are integers < 2^53: double accumulation is
+    * exact in any order). */
+  def build(docs: DataFrame, indexDir: String, partitions: Int = 8): Unit = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val stats = d
+      .select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(sum(col("dl")).as("sum_dl"), count(lit(1)).as("n_docs"))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .select(col("avgdl"), col("n_docs"), col("sum_dl"))
+    layoutPostings(tokenizePostings(d), partitions)
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$indexDir/postings")
     stats.write.mode("overwrite").parquet(s"$indexDir/stats")
-    statsCache.remove(indexDir)
+    invalidate(indexDir)
+  }
+
+  /** Incremental maintenance (r8, the r7 verdict's #1): fold a batch
+    * of NEW documents (doc_ids disjoint from the indexed corpus —
+    * caller's contract) into an existing index WITHOUT re-tokenizing
+    * the corpus. The batch alone is tokenized; the stored postings
+    * are scanned as-is (df dropped), unioned with the batch postings,
+    * and re-laid-out with one range shuffle whose window recomputes
+    * df exactly. Stats merge as integer adds on (n_docs, sum_dl).
+    *
+    * Cost ∝ index size + batch size — never corpus TEXT size: the
+    * tokenize + (doc,term) aggregation that dominates a from-scratch
+    * build (the text is ~5-10× the postings' bytes and the explode is
+    * the CPU wall) happens only on the batch. At 100 TB the remaining
+    * postings rewrite is partition-prunable — only term ranges
+    * touched by the batch vocabulary (Heaps-bounded, ≪ index vocab)
+    * need their files rewritten, the Maintenance.applyPruneByCount
+    * per-partition-swap precedent — but the single range shuffle is
+    * already the honest daily-ingest shape: it moves stored longs,
+    * not text.
+    *
+    * Crash safety: the merged postings land in `postings_tmp` then
+    * swap in rename-aside / rename-in / delete-aside order (the
+    * prune-swap pattern, store/Maintenance.scala) — a crash at any
+    * point leaves either the old or the new complete table live. */
+  def appendBatch(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, partitions: Int = 8): Unit = {
+    val d = newDocs.select(col("doc_id"), col("text"))
+    // batch stats first (tiny job): empty batch -> no-op, no swap
+    val bs = d.select(size(split(col("text"), " ")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val (bn, bsum) = (bs.getLong(0), if (bs.isNullAt(1)) 0L else bs.getLong(1))
+    if (bn == 0L) return
+    val old = spark.read.parquet(s"$indexDir/postings")
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val merged = layoutPostings(old.unionByName(tokenizePostings(d)), partitions)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_tmp")
+    val aside = new org.apache.hadoop.fs.Path(s"$indexDir/.postings_old")
+    merged.write.mode("overwrite").option("compression", "zstd")
+      .parquet(tmp.toString)
+    // stats: read the old row BEFORE any swap, merge as exact integers
+    val st = spark.read.parquet(s"$indexDir/stats").head()
+    val (nDocs, sumDl) =
+      (st.getAs[Long]("n_docs") + bn, st.getAs[Long]("sum_dl") + bsum)
+    fs.delete(aside, true)
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(s"appendBatch rename-aside failed for $live")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(aside, live)
+      throw new java.io.IOException(s"appendBatch rename-in failed for $live")
+    }
+    fs.delete(aside, true)
+    import spark.implicits._
+    Seq((sumDl.toDouble / nDocs, nDocs, sumDl))
+      .toDF("avgdl", "n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    invalidate(indexDir)
   }
 
   /** Corpus fingerprint: the documents parquet's (length, mtime) —
@@ -72,7 +150,10 @@ object LexIndex {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    s"${st.getLen}:${st.getModificationTime}"
+    // "v2" = index FORMAT version (stats gained sum_dl in r8): a code
+    // upgrade over an existing on-disk index must rebuild, not read a
+    // schema it no longer writes
+    s"v2:${st.getLen}:${st.getModificationTime}"
   }
 
   /** Index location for a corpus dir: content-addressed under the JVM
@@ -114,6 +195,53 @@ object LexIndex {
     spark.read.parquet(s"$indexDir/postings")
       .filter(docPred)
       .select(col("doc_id").as("query_id"), col("term"))
+
+  /** Collected (query_id, term) sets per (indexDir, predicate) —
+    * the r7 verdict's probe-cost finding: an index-RESIDENT query set
+    * is immutable for a given index, so the collect job that
+    * materializes it driver-side is one-time, like the stats
+    * (vocabulary rides the same cache). [[invalidate]] clears on any
+    * index rewrite. */
+  private val queryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String)]]()
+
+  private def invalidate(indexDir: String): Unit = {
+    statsCache.remove(indexDir)
+    queryCache.keySet.removeIf(_.startsWith(indexDir + "::"))
+  }
+
+  /** BM25 probe with an index-resident query set named by a doc
+    * predicate: the (query_id, term) collect happens at most once per
+    * (index, predicate) — every later probe is the single distributed
+    * probe job with zero preparatory actions. */
+  def probeIndexed(spark: SparkSession, indexDir: String,
+      docPred: org.apache.spark.sql.Column, k: Int,
+      maxInTerms: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val key = indexDir + "::" + docPred.toString
+    val qlocal = queryCache.computeIfAbsent(key, { _ =>
+      spark.read.parquet(s"$indexDir/postings")
+        .filter(docPred)
+        .select(col("doc_id").cast("long"), col("term").cast("string"))
+        .as[(Long, String)].collect().toSeq
+    })
+    probeLocal(spark, indexDir, qlocal, k, maxInTerms)
+  }
+
+  /** BM25 probe for AD-HOC query strings (text not in the index):
+    * the query set is driver-local by contract, so tokenization is a
+    * plain Scala split on the driver — no Spark job at all before
+    * the probe job. The probe's tokenizer must agree with the index
+    * builder's (whitespace split); the q107 parity gate holds both
+    * to the DuckDB from-scratch oracle. */
+  def probeText(spark: SparkSession, indexDir: String,
+      queryTexts: Seq[(Long, String)], k: Int,
+      maxInTerms: Int = 4096): DataFrame = {
+    val qlocal = queryTexts.flatMap { case (id, text) =>
+      text.split(" ").distinct.toSeq.map(t => (id, t))
+    }
+    probeLocal(spark, indexDir, qlocal, k, maxInTerms)
+  }
 
   /** BM25 probe of a built index. `queries` is a bounded
     * (query_id, term) frame (a query SET, not a corpus) — it is
@@ -163,11 +291,20 @@ object LexIndex {
   def probe(spark: SparkSession, indexDir: String, queries: DataFrame,
       k: Int, maxInTerms: Int = 4096): DataFrame = {
     import spark.implicits._
-    val (avgdl, nDocs) = corpusStats(spark, indexDir)
-    val post0 = spark.read.parquet(s"$indexDir/postings")
     val qlocal = queries
       .select(col("query_id").cast("long"), col("term").cast("string"))
       .distinct().as[(Long, String)].collect().toSeq
+    probeLocal(spark, indexDir, qlocal, k, maxInTerms)
+  }
+
+  /** The probe proper, over a driver-local query set: ONE distributed
+    * job — pruned postings scan, broadcast query attach, single
+    * hash(query_id) exchange (plan pinned in LexIndexSpec). */
+  private def probeLocal(spark: SparkSession, indexDir: String,
+      qlocal: Seq[(Long, String)], k: Int, maxInTerms: Int): DataFrame = {
+    import spark.implicits._
+    val (avgdl, nDocs) = corpusStats(spark, indexDir)
+    val post0 = spark.read.parquet(s"$indexDir/postings")
     val qdf = qlocal.toDF("query_id", "term")
     val vocab = qlocal.map(_._2).distinct
     val post =

@@ -329,9 +329,11 @@ object CorpusQueries {
   private val q102 = "q102_bm25_indexed" -> { (s: SparkSession, dir: String) =>
     val idx = graft.ml.LexIndex.ensure(s, dir,
       t(s, dir, "documents").select(col("doc_id"), col("text")))
-    // query docs' terms come from the index too — no re-tokenization
-    val queries = graft.ml.LexIndex.queryTermsFromIndex(s, idx, col("doc_id") < 5)
-    graft.ml.LexIndex.probe(s, idx, queries, k = 5)
+    // query docs' terms come from the index too — no re-tokenization,
+    // and (r8) the collected query set rides the driver cache keyed by
+    // (index, predicate): the first probe pays one pruned-scan collect,
+    // every later probe is the single distributed probe job.
+    graft.ml.LexIndex.probeIndexed(s, idx, col("doc_id") < 5, k = 5)
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -399,9 +401,25 @@ object CorpusQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  // Off-index BM25 probe (r8, the r7 verdict's #7): the query set is
+  // NEW text, not index-resident — tokenized at probe time on the
+  // driver (bounded query set is the probe contract), so the
+  // tokenizer branch of the probe path is oracle-gated too. One of
+  // the terms ("nosuchtoken") is absent from the corpus and must
+  // contribute nothing on either engine.
+  private val q107 = "q107_bm25_adhoc" -> { (s: SparkSession, dir: String) =>
+    val idx = graft.ml.LexIndex.ensure(s, dir,
+      t(s, dir, "documents").select(col("doc_id"), col("text")))
+    graft.ml.LexIndex.probeText(s, idx, Seq(
+        (100L, "table hash join"),
+        (101L, "customer query filter fast"),
+        (102L, "merge group sort nosuchtoken")), k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
     Map(q50, q51, q77, q82, q83, q84, q85, q88, q89, q102, q103, q104, q105,
-      q106)
+      q106, q107)
 
   val oracles: Map[String, String] = Map(
     "q48_unigram_surprisal" ->
@@ -507,6 +525,35 @@ object CorpusQueries {
         |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 5),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS c
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM ranked
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // q102's BM25 chain with the query terms from literal VALUES —
+    // the ad-hoc (probe-time-tokenized) path must reproduce the
+    // from-scratch scores for query text DuckDB splits itself.
+    "q107_bm25_adhoc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT DISTINCT query_id, term FROM (
+        |  SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+        |  FROM (VALUES (100, 'table hash join'),
+        |               (101, 'customer query filter fast'),
+        |               (102, 'merge group sort nosuchtoken')) AS q(query_id, qtext))),
         |contrib AS (
         |  SELECT qt.query_id, tf.doc_id,
         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /

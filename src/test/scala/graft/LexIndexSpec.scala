@@ -39,6 +39,55 @@ class LexIndexSpec extends SparkSpec {
       toks.map(_._2.size).sum / 6.0) < 1e-12)
   }
 
+  test("appendBatch equals a from-scratch build: postings, stats, probe output") {
+    val incDir = Files.createTempDirectory("lexinc").toString
+    val allDir = Files.createTempDirectory("lexall").toString
+    val (seed, batch) = corpus().splitAt(4)
+    // incremental: build on the seed, fold in the batch (batch doc_ids
+    // disjoint — the appendBatch contract); only the batch tokenizes
+    LexIndex.build(seed.toDF("doc_id", "text"), incDir)
+    LexIndex.appendBatch(spark, incDir, batch.toDF("doc_id", "text"))
+    // reference: one build over everything
+    LexIndex.build(corpus().toDF("doc_id", "text"), allDir)
+    def postings(d: String) = spark.read.parquet(s"$d/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(postings(incDir) === postings(allDir))
+    val (si, sa) = (spark.read.parquet(s"$incDir/stats").head(),
+      spark.read.parquet(s"$allDir/stats").head())
+    // exact equality, not tolerance: stats are integer-merged and the
+    // one double division is over identical exact longs
+    assert(si.getAs[Long]("n_docs") === sa.getAs[Long]("n_docs"))
+    assert(si.getAs[Long]("sum_dl") === sa.getAs[Long]("sum_dl"))
+    assert(si.getAs[Double]("avgdl") === sa.getAs[Double]("avgdl"))
+    // probe through both indexes: identical scores (cache invalidation
+    // on append is exercised implicitly — stale stats would skew idf)
+    def top(d: String) = LexIndex.probeIndexed(spark, d, col("doc_id") < 2, k = 3)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(top(incDir) === top(allDir))
+    // empty batch is a no-op, not a corrupting swap
+    val m = Files.getLastModifiedTime(java.nio.file.Paths.get(incDir, "postings"))
+    LexIndex.appendBatch(spark, incDir,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(incDir, "postings")) === m)
+  }
+
+  test("probeText (ad-hoc query strings) equals probe over the same term sets") {
+    val dir = Files.createTempDirectory("lexadhoc").toString
+    LexIndex.build(corpus().toDF("doc_id", "text"), dir)
+    val texts = Seq((100L, "cat mat"), (101L, "dog log dog"),
+      (102L, "nosuchword cat"))
+    val got = LexIndex.probeText(spark, dir, texts, k = 3)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val qdf = texts.flatMap { case (id, t) =>
+      t.split(" ").distinct.toSeq.map(w => (id, w)) }.toDF("query_id", "term")
+    val want = LexIndex.probe(spark, dir, qdf, k = 3)
+      .orderBy("query_id", "rnk").collect().toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("probe scores equal the index-less BM25 form; one shuffle; ensure is stale-aware") {
     // a corpus dir shaped like the driver's (documents.parquet)
     val sfDir = Files.createTempDirectory("lexsf").toString
