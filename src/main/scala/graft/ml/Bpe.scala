@@ -87,8 +87,12 @@ object Bpe {
         val r = top.head
         val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
         merges += Merge(a, b, n)
+        // native single-rule apply (bit-identical to mergePair — the
+        // BpeSpec differential); checkpoint still truncates the
+        // k-iteration lineage
         toks = toks
-          .select(col("doc_id"), mergePair(col("toks"), a, b).as("toks"))
+          .select(col("doc_id"),
+            graft.plans.BpeOps.applyCol(col("toks"), Seq((a, b))).as("toks"))
           .localCheckpoint(true)
       }
       i += 1
@@ -99,21 +103,17 @@ object Bpe {
   /** Apply a learned merge table to (doc_id, text): returns
     * (doc_id, toks) tokenized with all merges fused, in rule order.
     *
-    * Truncates lineage every few rules: each mergePair nests an
-    * aggregate-HOF lambda, and folding a realistic merge table into
-    * ONE lazy plan re-creates exactly the k-deep expression blowup
-    * train() checkpoints against (Catalyst re-optimization time plus
-    * Janino's method-size ceiling on the generated code). Eight
-    * nested folds per materialization keeps both comfortably bounded
-    * at any table size. */
+    * r8: ONE native codegen'd expression for the whole table
+    * ([[graft.plans.BpeOps]]) instead of a chain of per-rule
+    * aggregate-HOF folds — bit-identical by the BpeSpec differential,
+    * several× faster (no per-element array rebuilds, no lambda
+    * dispatch), and with no k-deep lazy plan there is nothing to
+    * localCheckpoint either (the fold chain needed lineage truncation
+    * every 8 rules just to keep Catalyst/Janino bounded). */
   def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.grouped(8).foldLeft(
-      docs.select(col("doc_id"), split(col("text"), " ").as("toks"))) {
-      (df, group) =>
-        group.foldLeft(df) { (d, m) =>
-          d.select(col("doc_id"), mergePair(col("toks"), m.a, m.b).as("toks"))
-        }.localCheckpoint(true)
-    }
+    docs.select(col("doc_id"),
+      graft.plans.BpeOps.applyCol(split(col("text"), " "),
+        merges.map(m => (m.a, m.b))).as("toks"))
 
   /** Tokenizer fertility per group (the standard tokenizer-eval
     * metric): tokens emitted per whitespace word, and characters per
@@ -141,11 +141,8 @@ object Bpe {
       .withColumn("n_words", size(col("toks")).cast("long"))
       .withColumn("n_chars", col("text_len") - (col("n_words") - 1L))
       .drop("text_len")
-    val enc = merges.grouped(8).foldLeft(base) { (df, group) =>
-      group.foldLeft(df) { (d, m) =>
-        d.withColumn("toks", mergePair(col("toks"), m.a, m.b))
-      }.localCheckpoint(true)
-    }
+    val enc = base.withColumn("toks",
+      graft.plans.BpeOps.applyCol(col("toks"), merges.map(m => (m.a, m.b))))
     enc
       .select(col(groupCol), col("n_words"), col("n_chars"),
         size(col("toks")).cast("long").as("n_tokens"))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ml.Bpe
+import org.apache.spark.sql.functions.{col, split}
 
 /** Differential spec for distributed BPE training: the Spark loop must
   * match an in-memory reference implementation merge-for-merge (same
@@ -28,6 +29,39 @@ class BpeSpec extends SparkSpec {
       .getSeq[String](0)
     assert(got === fuseSimple(Vector("a", "a", "a", "b", "a"), "a", "a"))
     assert(got === Vector("a" + Bpe.Sep + "a", "a", "b", "a"))
+  }
+
+  test("native bpe_apply is bit-identical to the mergePair fold chain") {
+    assert(graft.plans.BpeOps.Sep === Bpe.Sep)
+    // seeded random corpus over a tiny vocab (maximizes adjacent-pair
+    // collisions), a merge table whose later rules consume earlier
+    // rules' leftovers, plus edge shapes: empty-ish, single token,
+    // all-same-token runs
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val texts = Vector.fill(40)(
+      Vector.fill(1 + rng.nextInt(14))(vocab(rng.nextInt(4))).mkString(" ")) ++
+      Vector("a", "a a a a a", "b b", "c")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Seq(("a", "b"), ("b", "b"), ("a", "a"),
+      ("a" + Bpe.Sep + "b", "c"), ("c", "d"))
+    val native = docs.select(col("doc_id"),
+        graft.plans.BpeOps.applyCol(split(col("text"), " "), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val folds = merges.foldLeft(
+        docs.select(col("doc_id"), split(col("text"), " ").as("toks"))) {
+        (d, m) => d.select(col("doc_id"),
+          Bpe.mergePair(col("toks"), m._1, m._2).as("toks"))
+      }.collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(native === folds)
+    // and both match the in-memory reference
+    val ref = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> merges.foldLeft(t.split(" ").toVector) {
+        (v, m) => fuseSimple(v, m._1, m._2) }
+    }.toMap
+    assert(native === ref)
+    assert(native.values.exists(_.exists(_.contains(Bpe.Sep))))
   }
 
   test("seeded random corpus: distributed training equals the reference") {
