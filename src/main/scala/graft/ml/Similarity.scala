@@ -70,6 +70,50 @@ object Similarity {
         (dot(col("v"), col("centroid")) / (col("nrm") * col("cnrm"))).as("cos"))
   }
 
+  /** [[centroidCosine]] with the centroid table collapsed to LITERAL
+    * maps (r8, the q85 decomposition): the (label, pos) centroid rows
+    * collect once to the driver — bounded by labels × dims, a
+    * categorical label set's contract (the IVF-centroid k-row collect
+    * precedent) — and scoring becomes a single scan-and-project job
+    * with zero joins: `element_at` on a map literal replaces the
+    * broadcast attach, so the centroid-agg exchanges, the broadcast
+    * build, and their stage launches all leave the per-call path.
+    * Values are identical to [[centroidCosine]]: same 6-dp-rounded
+    * centroids (the round exists exactly so summation ORDER — engine,
+    * partitioning, or driver — cannot reach a gate), same
+    * left-to-right norm/dot accumulation driver-side as
+    * [[graft.plans.VectorOps]] generates. Differential in
+    * SimilaritySpec. */
+  def centroidCosineLitmap(embs: DataFrame): DataFrame = {
+    val rows = embs
+      .select(col("label"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .collect()
+    val cents: Seq[(Int, Seq[Double])] = rows
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      .toSeq.sortBy(_._1)
+    def nrmOf(c: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      math.sqrt(acc)
+    }
+    // empty corpus: map() types as map<void,void>; cast keeps the
+    // projection resolvable (zero rows flow through it anyway)
+    val centMap =
+      if (cents.isEmpty) map().cast("map<int,array<double>>")
+      else map(cents.flatMap { case (l, c) => Seq(lit(l), typedLit(c)) }: _*)
+    val nrmMap =
+      if (cents.isEmpty) map().cast("map<int,double>")
+      else map(cents.flatMap { case (l, c) => Seq(lit(l), lit(nrmOf(c))) }: _*)
+    prepared(embs).select(col("vec_id"), col("label"),
+      (dot(col("v"), element_at(centMap, col("label"))) /
+        (col("nrm") * element_at(nrmMap, col("label")))).as("cos"))
+  }
+
   /** Brute-force cosine top-k: every query row against every candidate
     * row. The candidate side is broadcast when small; at scale this is
     * the quality baseline you sample, not the serving path. */

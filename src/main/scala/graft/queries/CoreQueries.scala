@@ -526,7 +526,14 @@ object CoreQueries {
     // persist; supplier (a bounded dim ~orders/150) broadcasts for
     // the name lookup.
     "q81_sole_late_supplier" -> { (s, dir) =>
+      // r8 (AbBench q81_cur/q81_oneshuffle interleaved, min 1.22→0.96,
+      // med 1.38→1.00 at sf0.1): repartition the FACT on l_orderkey so
+      // ONE exchange serves the whole query — the (ok, sk) pair agg
+      // (hash(ok) satisfies its clustering by the subset rule), the
+      // orders join, and the per-order agg all reuse it; the old form
+      // re-shuffled the pairs frame from hash(ok, sk) to hash(ok).
       val pairs = t(s, dir, "lineitem")
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("max_ship"))
       pairs

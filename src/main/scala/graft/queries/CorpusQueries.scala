@@ -256,8 +256,12 @@ object CorpusQueries {
   // driver corpus (labels are weak clusters, median own-centroid cos
   // ≈ 0.15); the 6-dp filter guard + 4-dp output follow the q53
   // float-portability pattern.
+  // r8: the litmap form (AbBench min 0.61→0.36) — centroids collect
+  // once (labels × dims, bounded) and scoring is a single scan job
+  // against map literals; values identical (SimilaritySpec
+  // differential).
   private val q85 = "q85_embedding_outliers" -> { (s: SparkSession, dir: String) =>
-    graft.ml.Similarity.centroidCosine(t(s, dir, "embeddings"))
+    graft.ml.Similarity.centroidCosineLitmap(t(s, dir, "embeddings"))
       .filter(round(col("cos"), 6) < -0.05)
       .select(col("vec_id"), col("label"), round(col("cos"), 4).as("cos"))
       .orderBy(col("vec_id"))

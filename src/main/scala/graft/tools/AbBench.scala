@@ -353,7 +353,63 @@ object AbBench {
         n = 3, k = 12, bands = 4, threshold = 0.3).count()
     }
 
+    // q81 r8 experiment: current two-agg form reshuffles the pairs
+    // frame from hash(ok, sk) to hash(ok) for the orders join; the
+    // one-shuffle form repartitions the FACT on l_orderkey first so
+    // the pair agg (subset rule), the orders join, and the per-order
+    // agg all reuse that single exchange.
+    def q81Body(li0: DataFrame): Long = {
+      val pairs = li0
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"))
+      pairs
+        .join(graft.Tables.t(spark, sfDir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          (col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+            .cast("int"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+          max(when(col("is_late") === 1, col("l_suppkey"))).as("sole_supp"))
+        .filter(col("n_late") === 1 && col("n_supp") > 1)
+        .join(broadcast(graft.Tables.t(spark, sfDir, "supplier")),
+          col("sole_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .count()
+    }
+    def q81Cur(): Long = q81Body(graft.Tables.t(spark, sfDir, "lineitem"))
+    def q81OneShuffle(): Long = q81Body(
+      graft.Tables.t(spark, sfDir, "lineitem").repartition(col("l_orderkey")))
+
+    // q85 r8 decomposition (the 31.9x finding): current =
+    // repartition + centroid agg (2 exchanges) + broadcast join +
+    // score; litmap = collect the (label, pos) centroid rows once
+    // (bounded: labels x dims) and score against literal maps — one
+    // scan job, zero joins. centroid_only / score_only isolate the
+    // stages.
+    def embs = graft.Tables.t(spark, sfDir, "embeddings")
+    def q85Cur(): Long =
+      graft.ml.Similarity.centroidCosine(embs)
+        .filter(round(col("cos"), 6) < -0.05).count()
+    def q85CentroidOnly(): Long =
+      embs.select(col("label"),
+          posexplode(transform(col("embedding"), x => x.cast("double")))
+            .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x")), 6).as("c")).count()
+    def q85Litmap(): Long =
+      graft.ml.Similarity.centroidCosineLitmap(embs)
+        .filter(round(col("cos"), 6) < -0.05).count()
+
     Seq(
+      "q81_cur" -> (() => q81Cur()),
+      "q81_oneshuffle" -> (() => q81OneShuffle()),
+      "q85_cur" -> (() => q85Cur()),
+      "q85_centroid_only" -> (() => q85CentroidOnly()),
+      "q85_litmap" -> (() => q85Litmap()),
       "bi_write" -> (() => biWrite()),
       "bi_probe" -> (() => biProbe()),
       "q96_join" -> (() => q96Join()),

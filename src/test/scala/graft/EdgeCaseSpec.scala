@@ -86,6 +86,23 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.ml.Similarity.centroidCosine(e).count() === 0)
   }
 
+  test("centroid cosine litmap differential: identical to the join form") {
+    val rng = new scala.util.Random(13)
+    val embs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1), i % 5) }
+      .toDF("vec_id", "embedding", "label")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("vec_id")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("cos"))).toSeq
+    // EXACT equality: both forms round centroids to 6 dp and fold the
+    // dot/norm left-to-right, so no float tolerance is needed
+    assert(rows(graft.ml.Similarity.centroidCosineLitmap(embs)) ===
+      rows(graft.ml.Similarity.centroidCosine(embs)))
+    val e = Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label")
+    assert(graft.ml.Similarity.centroidCosineLitmap(e).count() === 0)
+  }
+
   test("containment: empty and single-doc corpora yield no pairs; full overlap = 1.0") {
     assert(TextDedup.containmentPairsPostings(empty, 4, 0.1).count() === 0)
     val one = docs(1L -> "a single document cannot be contained in anything")

@@ -94,10 +94,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
-  test("q85 outliers: label centroids broadcast back onto the corpus") {
+  test("q85 outliers: litmap scoring plan has NO join and no agg exchange") {
+    // r8 litmap form: the centroids collected once (labels × dims,
+    // bounded) become map literals, so the per-call scoring plan is a
+    // scan + project — the centroid aggregation's exchanges and the
+    // broadcast attach are gone entirely (the old pin asserted the
+    // BroadcastHashJoin form; AbBench min 0.61→0.36 for the switch)
     val p = plans("q85_embedding_outliers")
-    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
     assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("HashAggregate"), p.take(3000))
   }
 
   test("q86 churn: NOT EXISTS compiles to anti join; order-date filter pushed to the scan") {
