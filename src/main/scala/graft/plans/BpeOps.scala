@@ -140,6 +140,9 @@ object BpeOps {
     * The merge table becomes a foldable CreateArray of string
     * literals, flat [a1,b1,a2,b2,...]. */
   def applyCol(toks: Column, merges: Seq[(String, String)]): Column = {
+    // empty table = identity tokenizer (and array() would type as
+    // array<void>, failing the expression's check)
+    if (merges.isEmpty) return toks
     SparkSession.active.sessionState.functionRegistry
       .registerFunction(FunctionIdentifier("bpe_apply"), info, builder _)
     val flat = merges.flatMap { case (a, b) => Seq(a, b) }

@@ -54,6 +54,18 @@ object IndexSweep {
 
     def tmp(p: String) =
       java.nio.file.Files.createTempDirectory(p).toString
+    // a previous sweep's managed-table dirs survive in spark-warehouse
+    // but not in this session's in-memory catalog, and saveAsTable
+    // (even Overwrite) refuses a location the catalog doesn't own —
+    // clear both before writing
+    def fresh(table: String): String = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table)
+      wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(wh, true)
+      table
+    }
     val r = collection.mutable.LinkedHashMap[String, Double]()
 
     // --- LexIndex ---
@@ -71,7 +83,7 @@ object IndexSweep {
 
     // --- BandIndex: growing index, fixed ~500-doc batch ---
     val batchFixed = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 5000)
-    val growTable = s"sweep_band_grow_$label"
+    val growTable = fresh(s"sweep_band_grow_$label")
     r("band_write") = time(
       BandIndex.write(seed, growTable, n = 3, k = 12, bands = 4, buckets = 16))
     val allFixed = seed.unionByName(batchFixed)
@@ -81,7 +93,7 @@ object IndexSweep {
 
     // --- BandIndex: fixed scale1-sized index, growing batch ---
     val corpusFixed = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") < 5000)
-    val fixedTable = s"sweep_band_fixed_$label"
+    val fixedTable = fresh(s"sweep_band_fixed_$label")
     BandIndex.write(corpusFixed, fixedTable, n = 3, k = 12, bands = 4,
       buckets = 16) // untimed: identical at every scale
     val allGrow = corpusFixed.unionByName(batch)

@@ -64,6 +64,20 @@ class BpeSpec extends SparkSpec {
     assert(native.values.exists(_.exists(_.contains(Bpe.Sep))))
   }
 
+  test("empty merge table is the identity tokenizer") {
+    // train() on a corpus with no repeated pair returns Seq.empty;
+    // encode/fertility must then be the plain whitespace tokenization
+    // (and applyCol must not build a zero-element array<void> literal)
+    val docs = Seq((1L, "a b c"), (2L, "d")).toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, Seq.empty).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(enc === Map(1L -> Vector("a", "b", "c"), 2L -> Vector("d")))
+    val fert = Bpe.fertility(docs.withColumn("lang",
+        org.apache.spark.sql.functions.lit("A")), Seq.empty, "lang")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(fert === Map("A" -> 1.0))
+  }
+
   test("seeded random corpus: distributed training equals the reference") {
     val rng = new scala.util.Random(11)
     val vocab = Vector("x", "y", "z", "w", "v")
