@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Table access for the driver-provided test data (TESTDATA.md).
   *
@@ -22,13 +23,21 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     cache.computeIfAbsent((s, s"$dir/$name.parquet"), { case (sess, path) =>
       val df = sess.read.parquet(path)
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-      // as a nanos LongType (spark.sql.legacy.parquet.nanosAsLong=true —
-      // set by Verify/Bench/tests). Rebuild a µs TimestampType column so
-      // downstream code sees a real timestamp; DuckDB keeps ns, so
-      // queries never emit raw ts (see CoreQueries scaladoc).
+      // events.ts has shipped as two physical parquet types across
+      // testdata generations; normalize both to µs TimestampType so
+      // downstream code always sees the same instant semantics:
+      //  - TIMESTAMP(NANOS): Spark 4 only reads it as a nanos LongType
+      //    (spark.sql.legacy.parquet.nanosAsLong=true, set in configure)
+      //    → rebuild µs.
+      //  - TIMESTAMP(MICROS) isAdjustedToUTC=0: reads as TIMESTAMP_NTZ
+      //    → cast to TIMESTAMP; under the UTC session zone (configure)
+      //    this is the identical instant, bit-for-bit.
       if (name == "events")
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        df.schema("ts").dataType match {
+          case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+          case _                => df
+        }
       else df
     })
 

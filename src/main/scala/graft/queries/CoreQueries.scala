@@ -14,9 +14,12 @@ import graft.Tables.t
   *  - floating-point aggregates are `round`-ed (sum→2dp, avg→4dp) so both
   *    engines land on the same decimal despite different summation order;
   *  - every result ends with a deterministic ORDER BY (full tie-break);
-  *  - raw nanosecond timestamps (events.ts) are never emitted — Spark
-  *    truncates parquet ns→µs while DuckDB keeps ns; we emit epoch_ms /
-  *    dates / extracted fields instead.
+  *  - raw event timestamps (events.ts) are never emitted — the physical
+  *    parquet type has varied across testdata generations (TIMESTAMP
+  *    NANOS, then MICROS/NTZ; `Tables.t` normalizes both to µs
+  *    TimestampType) and the two engines can disagree on precision or
+  *    zone rendering; we emit epoch_ms / dates / extracted fields,
+  *    which are precision- and zone-portable.
   *
   * Scale notes are on each query: the plan shape we want at 100 TB, not
   * just what passes at sf0.01.

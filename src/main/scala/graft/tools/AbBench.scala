@@ -391,6 +391,52 @@ object AbBench {
     // scan job, zero joins. centroid_only / score_only isolate the
     // stages.
     def embs = graft.Tables.t(spark, sfDir, "embeddings")
+
+    // q37 r9 decomposition (the bimodal 0.3-0.95 s finding, 3 rounds):
+    // cur = lshTopK as shipped (prepared() feeds q-filtered + candidate
+    // branches; q's filter pushes below the repartition so the two
+    // branches are DIFFERENT exchange subtrees — no ReusedExchange, the
+    // scan+transform+norm pipeline runs twice, and AQE picks the join
+    // strategy from runtime stats, a coin-flip between broadcast-q and
+    // SMJ near the threshold). Stage isolates: prep_only (one branch's
+    // build), persist (materialize prepared+bucket once, both
+    // consumers read the cache — one build, and the q side is then
+    // stats-known-small so the broadcast pick is stable), nowin
+    // (scored join without the rank window).
+    def q37Cur(): Long =
+      graft.ml.Similarity.lshTopK(embs, q => q < 10, k = 3, bits = 4).count()
+    def q37PrepOnly(): Long =
+      graft.ml.Similarity.prepared(embs)
+        .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
+        .count()
+    def q37Persist(): Long = {
+      val p = graft.ml.Similarity.prepared(embs)
+        .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val q = p.filter(col("vec_id") < 10)
+        .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = p.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+      val r = q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos", graft.ml.Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).count()
+      p.unpersist(false); r
+    }
+    def q37NoWin(): Long = {
+      val p = graft.ml.Similarity.prepared(embs)
+        .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
+      val q = p.filter(col("vec_id") < 10)
+        .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = p.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+      q.join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos", graft.ml.Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .count()
+    }
+
     def q85Cur(): Long =
       graft.ml.Similarity.centroidCosine(embs)
         .filter(round(col("cos"), 6) < -0.05).count()
@@ -407,6 +453,10 @@ object AbBench {
     Seq(
       "q81_cur" -> (() => q81Cur()),
       "q81_oneshuffle" -> (() => q81OneShuffle()),
+      "q37_cur" -> (() => q37Cur()),
+      "q37_prep_only" -> (() => q37PrepOnly()),
+      "q37_persist" -> (() => q37Persist()),
+      "q37_nowin" -> (() => q37NoWin()),
       "q85_cur" -> (() => q85Cur()),
       "q85_centroid_only" -> (() => q85CentroidOnly()),
       "q85_litmap" -> (() => q85Litmap()),

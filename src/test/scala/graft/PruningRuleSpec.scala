@@ -36,8 +36,8 @@ class PruningRuleSpec extends SparkSpec {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     try {
-      val s2 = SparkSession.builder()
-        .withExtensions(new GraftExtensions)
+      val s2 = Tables.configure(SparkSession.builder()
+        .withExtensions(new GraftExtensions))
         .getOrCreate()
       val root = java.nio.file.Files.createTempDirectory("prune_store").toString
       val store = new EventStore(s2, root)
