@@ -15,11 +15,17 @@ import org.apache.spark.sql.SparkSession
   * same-code idle re-run prompted this). */
 object Bench {
 
-  /** Deliberate all-pairs baseline queries — correctness-gated like
-    * everything else, excluded from the default bench suite (see the
-    * filter in main). */
+  /** Deliberate baseline queries — correctness-gated like everything
+    * else, excluded from the default bench suite (see the filter in
+    * main): the two all-pairs quality yardsticks (q35/q36, shipping
+    * paths q53 and q37/q54) and, since r9, the from-scratch BM25 q83 —
+    * its shipping path is the stored LexIndex (q102 indexed probe /
+    * q107 ad-hoc text probe); a headline that re-tokenizes the whole
+    * corpus per query misstates the engine the same way an all-pairs
+    * join does. All three still run under SPARK_GRAFT_BASELINES=1 or
+    * an explicit name filter, and still parity-verify every round. */
   val baselineQueries: Set[String] =
-    Set("q35_embedding_neardup", "q36_ann_brute")
+    Set("q35_embedding_neardup", "q36_ann_brute", "q83_bm25_search")
 
   /** (1-min, 5-min, 15-min loadavg, runnable count) from /proc/loadavg;
     * zeros if unreadable (non-Linux). */

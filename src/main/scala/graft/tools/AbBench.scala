@@ -383,6 +383,31 @@ object AbBench {
     def q81Cur(): Long = q81Body(graft.Tables.t(spark, sfDir, "lineitem"))
     def q81OneShuffle(): Long = q81Body(
       graft.Tables.t(spark, sfDir, "lineitem").repartition(col("l_orderkey")))
+    // r9 (verdict #8): fold the lateness flag into the FIRST agg by
+    // broadcast-joining the orders dates at row level before it — the
+    // mid-plan pairs⋈orders join (and max_ship) disappear; the whole
+    // body after the one repartition is a single fused stage.
+    def q81Fold(): Long = {
+      val od = graft.Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .repartition(col("l_orderkey"))
+        .join(broadcast(od), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .cast("int")).as("is_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+          max(when(col("is_late") === 1, col("l_suppkey"))).as("sole_supp"))
+        .filter(col("n_late") === 1 && col("n_supp") > 1)
+        .join(broadcast(graft.Tables.t(spark, sfDir, "supplier")),
+          col("sole_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .count()
+    }
 
     // q85 r8 decomposition (the 31.9x finding): current =
     // repartition + centroid agg (2 exchanges) + broadcast join +
@@ -425,6 +450,46 @@ object AbBench {
         .filter(col("rank") <= 3).count()
       p.unpersist(false); r
     }
+    // explicit broadcast(q): the query side is contract-small (the
+    // queryIds predicate), so pin BroadcastHashJoin instead of letting
+    // AQE re-derive it from runtime stats each session — the suspected
+    // bimodal flip (SMJ shuffles the whole candidate side + sorts).
+    def q37Bcast(): Long = {
+      val p = graft.ml.Similarity.prepared(embs)
+        .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
+      val q = p.filter(col("vec_id") < 10)
+        .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = p.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+      broadcast(q).join(c, Seq("bucket"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos", graft.ml.Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).count()
+    }
+    // single-build form: ONE prepared() subtree; query rows gathered
+    // per bucket with a conditional collect_list window (tiny: bounded
+    // by queries-per-bucket), then exploded against every candidate in
+    // the bucket — no self-join, so the scan+transform+norm pipeline
+    // runs once instead of twice.
+    def q37OneBuild(): Long = {
+      val p = graft.ml.Similarity.prepared(embs)
+        .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
+      val qs = collect_list(when(col("vec_id") < 10,
+        struct(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))))
+        .over(Window.partitionBy(col("bucket")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+      p.withColumn("qs", qs)
+        .withColumn("q", explode(col("qs")))
+        .filter(col("q.query_id") =!= col("vec_id"))
+        .select(col("q.query_id").as("query_id"), col("vec_id").as("cand_id"),
+          (graft.ml.Similarity.dot(col("q.qv"), col("v")) /
+            (col("q.qn") * col("nrm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3).count()
+    }
     def q37NoWin(): Long = {
       val p = graft.ml.Similarity.prepared(embs)
         .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
@@ -453,9 +518,12 @@ object AbBench {
     Seq(
       "q81_cur" -> (() => q81Cur()),
       "q81_oneshuffle" -> (() => q81OneShuffle()),
+      "q81_fold" -> (() => q81Fold()),
       "q37_cur" -> (() => q37Cur()),
       "q37_prep_only" -> (() => q37PrepOnly()),
       "q37_persist" -> (() => q37Persist()),
+      "q37_bcast" -> (() => q37Bcast()),
+      "q37_onebuild" -> (() => q37OneBuild()),
       "q37_nowin" -> (() => q37NoWin()),
       "q85_cur" -> (() => q85Cur()),
       "q85_centroid_only" -> (() => q85CentroidOnly()),
