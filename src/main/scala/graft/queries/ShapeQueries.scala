@@ -212,19 +212,32 @@ object ShapeQueries {
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
       val w = Window.partitionBy(col("l_partkey"))
-      // eu is supplier-sized/5 — unbounded at scale, so no forced
-      // broadcast; AQE picks the join strategy by measured size
+      // r9 rewrite (AbBench q95_cur/q95_pairagg, min 0.63→0.46 s): the
+      // fact carries only a SEMI probe of the eu keys, then ONE
+      // repartition(l_partkey) serves the (part, supp) min-agg (subset
+      // rule), the part-min window, and the tie filter with no further
+      // exchange; supplier attributes broadcast-attach AFTER the
+      // filter (survivors ≈ parts, not lineitems), and the wide-row
+      // DISTINCT disappears because (pk, sk) is unique post-agg — the
+      // old form shuffled the full attribute row through the window
+      // AND a distinct exchange. eu is supplier-sized/5 — unbounded at
+      // scale; the attach broadcast is AQE-sized there while the tiny
+      // key probe stays an explicit broadcast.
       t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
           (col("l_extendedprice") / col("l_quantity")).as("unit"))
-        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(eu.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("unit")).as("unit"))
         .withColumn("mu", min(col("unit")).over(w))
         .filter(col("unit") === col("mu"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
           col("s_name"), col("n_name"),
           round(col("s_acctbal"), 2).as("acctbal"),
           round(col("unit"), 4).as("unit_price"))
-        .distinct()
         .orderBy(col("acctbal").desc, col("p_partkey"), col("s_suppkey"))
         .limit(100)
     },
@@ -315,10 +328,15 @@ object ShapeQueries {
       val boltParts = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
         .select(col("p_partkey"))
       val w = Window.partitionBy(col("l_partkey"))
+      // r9 (AbBench q100_cur/q100_oneshuffle, min 0.44→0.36 s): one
+      // repartition(l_partkey) serves both the pair agg (subset rule)
+      // and the part-total window — the old form paid a second
+      // exchange re-clustering hash(pk,sk)→hash(pk) for the window.
       val keep = t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
           col("l_quantity").cast("long").as("qty"))
         .join(boltParts, col("l_partkey") === col("p_partkey"))
+        .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("qty")).as("sq"))
         .withColumn("tot", sum(col("sq")).over(w))

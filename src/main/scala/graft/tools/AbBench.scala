@@ -409,6 +409,108 @@ object AbBench {
         .count()
     }
 
+    // q95 r9: shipped = lineitem⋈eu → window(pk) exchange → DISTINCT
+    // over the wide output row (another exchange). Rewrite = semi
+    // attach of eu keys (broadcast), repartition(pk) ONCE, pair-level
+    // min agg (subset rule, no exchange), window(pk) (no exchange),
+    // filter, THEN broadcast-attach supplier attrs — (pk,sk) is unique
+    // after the pair agg so the DISTINCT disappears entirely.
+    def q95Cur(): Long = {
+      val eu = graft.Tables.t(spark, sfDir, "supplier")
+        .join(broadcast(graft.Tables.t(spark, sfDir, "nation")
+            .join(graft.Tables.t(spark, sfDir, "region").filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val w = Window.partitionBy(col("l_partkey"))
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("mu", min(col("unit")).over(w))
+        .filter(col("unit") === col("mu"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("n_name"),
+          round(col("s_acctbal"), 2).as("acctbal"),
+          round(col("unit"), 4).as("unit_price"))
+        .distinct()
+        .orderBy(col("acctbal").desc, col("p_partkey"), col("s_suppkey"))
+        .limit(100).count()
+    }
+    def q95PairAgg(): Long = {
+      val eu = graft.Tables.t(spark, sfDir, "supplier")
+        .join(broadcast(graft.Tables.t(spark, sfDir, "nation")
+            .join(graft.Tables.t(spark, sfDir, "region").filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val w = Window.partitionBy(col("l_partkey"))
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+        .join(broadcast(eu.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("unit")).as("unit"))
+        .withColumn("mu", min(col("unit")).over(w))
+        .filter(col("unit") === col("mu"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
+          col("s_name"), col("n_name"),
+          round(col("s_acctbal"), 2).as("acctbal"),
+          round(col("unit"), 4).as("unit_price"))
+        .orderBy(col("acctbal").desc, col("p_partkey"), col("s_suppkey"))
+        .limit(100).count()
+    }
+
+    // q100 r9: shipped = groupBy(pk,sk) exchange → window(pk) second
+    // exchange → distinct(sk) third. Rewrite = repartition(pk) once;
+    // agg + window reuse it; distinct stays (tiny: suppliers only).
+    def q100Cur(): Long = {
+      val boltParts = graft.Tables.t(spark, sfDir, "part")
+        .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .join(boltParts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("sq"))
+        .withColumn("tot", sum(col("sq")).over(w))
+        .filter(col("sq") * lit(20L) > col("tot") * lit(3L))
+        .select(col("l_suppkey")).distinct()
+        .join(graft.Tables.t(spark, sfDir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(graft.Tables.t(spark, sfDir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name")).count()
+    }
+    def q100OneShuffle(): Long = {
+      val boltParts = graft.Tables.t(spark, sfDir, "part")
+        .filter(col("p_name").like("%bolt%")).select(col("p_partkey"))
+      val w = Window.partitionBy(col("l_partkey"))
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .join(boltParts, col("l_partkey") === col("p_partkey"))
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("sq"))
+        .withColumn("tot", sum(col("sq")).over(w))
+        .filter(col("sq") * lit(20L) > col("tot") * lit(3L))
+        .select(col("l_suppkey")).distinct()
+        .join(graft.Tables.t(spark, sfDir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(graft.Tables.t(spark, sfDir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name")).count()
+    }
+
     // q85 r8 decomposition (the 31.9x finding): current =
     // repartition + centroid agg (2 exchanges) + broadcast join +
     // score; litmap = collect the (label, pos) centroid rows once
@@ -519,6 +621,10 @@ object AbBench {
       "q81_cur" -> (() => q81Cur()),
       "q81_oneshuffle" -> (() => q81OneShuffle()),
       "q81_fold" -> (() => q81Fold()),
+      "q95_cur" -> (() => q95Cur()),
+      "q95_pairagg" -> (() => q95PairAgg()),
+      "q100_cur" -> (() => q100Cur()),
+      "q100_oneshuffle" -> (() => q100OneShuffle()),
       "q37_cur" -> (() => q37Cur()),
       "q37_prep_only" -> (() => q37PrepOnly()),
       "q37_persist" -> (() => q37Persist()),

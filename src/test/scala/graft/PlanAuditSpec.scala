@@ -199,9 +199,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(3000))
     assert(p.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("s_suppkey")), p.take(3000))
-    // four scans total (lineitem, supplier, nation, region, once each):
-    // the self-join form would read lineitem twice for five
-    assert("FileScan parquet".r.findAllIn(p).size <= 4, p.take(3000))
+    // the FACT is scanned once (the self-join form would read it
+    // twice); the r9 pair-agg rewrite deliberately reads the tiny
+    // supplier/nation/region dims twice — once as the semi key probe,
+    // once as the post-filter attribute attach — which is free at any
+    // scale, so only the lineitem scan count is pinned
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem")) == 1, p.take(3000))
+    // the fact-side probe is a semi join (no row-width growth before
+    // the pair agg)
+    assert(p.contains("LeftSemi"), p.take(3000))
   }
 
   test("q98 epoch shuffle: pure per-row batch assignment — no join, no window") {
