@@ -33,9 +33,23 @@ object DedupClusters {
     *   default covers diameters into the millions; converged rounds
     *   stop early, so a generous cap costs nothing on real graphs.
     *   Hitting it indicates a pathological graph and logs a warning
-    *   rather than failing the job. */
-  def assign(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 24): DataFrame =
-    assignWithStats(docs, pairs, maxRounds).labels
+    *   rather than failing the job.
+    * @param smallGraphEdgeBound edge count at or below which the
+    *   component labeling runs as driver-side union-find over ONE
+    *   bounded collect (r9): the verified near-dup pair list is orders
+    *   of magnitude smaller than the corpus (that is the point of
+    *   dedup candidate generation), and the iterative distributed loop
+    *   pays ~3 job launches per round for what is then sub-megabyte
+    *   state — measured 1.2-1.5 s of pure scheduling floor at sf0.1's
+    *   few-hundred-edge graphs. The default (2^20 edges ≈ 16 MB
+    *   collected) is the same bounded-collect contract class as the
+    *   IVF centroid and LexIndex query-set collects; pass 0 to force
+    *   the distributed path (the scale experiments do). Labels are
+    *   IDENTICAL on both paths (min doc id per component; differential
+    *   in MlSpec). */
+  def assign(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 24,
+      smallGraphEdgeBound: Long = 1L << 20): DataFrame =
+    assignWithStats(docs, pairs, maxRounds, smallGraphEdgeBound).labels
 
   /** [[assign]] plus the convergence facts the scale experiments need
     * (SCALING.md's giant-component sweep): how many propagation
@@ -43,7 +57,57 @@ object DedupClusters {
   final case class Assignment(labels: DataFrame, rounds: Int, converged: Boolean)
 
   def assignWithStats(docs: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 24): Assignment = {
+      maxRounds: Int = 24, smallGraphEdgeBound: Long = 1L << 20): Assignment = {
+    val spark = docs.sparkSession
+    val idType = docs.schema("doc_id").dataType
+    // Small-graph fast path: ONE bounded collect (limit bound+1, so
+    // the gate and the data come from a single execution of the —
+    // typically expensive — upstream pair pipeline; a separate count()
+    // would run that pipeline twice) replaces the whole iterative
+    // loop (see the assign() scaladoc). An oversized graph spills to
+    // the distributed path below, paying the probe as its first
+    // materialization.
+    val praw = pairs.select(col("doc_a").cast("long").as("a"),
+      col("doc_b").cast("long").as("b"))
+    val probe =
+      if (smallGraphEdgeBound > 0 && smallGraphEdgeBound < Int.MaxValue)
+        praw.limit(smallGraphEdgeBound.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (smallGraphEdgeBound > 0 && probe.length <= smallGraphEdgeBound) {
+      val es = probe
+      // Union-find, path compression, min-id roots: attaching the
+      // larger root under the smaller keeps every tree's root equal to
+      // its component's minimum id (both roots are their trees' minima
+      // by induction), which is exactly the distributed algorithm's
+      // fixpoint label.
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+        r
+      }
+      es.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val nodes = es.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toArray.distinct
+      import spark.implicits._
+      val labels = nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "label")
+        .select(col("doc_id").cast(idType).as("doc_id"),
+          col("label").cast(idType).as("label"))
+      val singletons = docs.select(col("doc_id"))
+        .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("label"))
+      val out = labels.unionByName(singletons)
+        .select(col("doc_id"), col("label").as("cluster_id"),
+          (col("doc_id") === col("label")).as("keep"))
+      return Assignment(out, 0, converged = true)
+    }
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()

@@ -350,6 +350,41 @@ object ShapeQueries {
         .orderBy(col("s_name"))
     },
 
+    // Budgeted temperature mixture (r9): distribute a FIXED sampling
+    // budget (half the corpus here) across languages ∝ n^α (α = 0.5),
+    // i.e. per-group quota c_s = N·√n_s/Σ√n_t and acceptance rate
+    // c_s/n_s. Distinct from q78 (XLM-R-style keep-rate √(n_min/n_s),
+    // which rebalances toward the SMALLEST group with no control over
+    // the output size): this is the mixture form used when the token
+    // budget is the constraint — head groups (en, 41% of this corpus)
+    // get a lower acceptance rate, tail groups a higher one, and the
+    // expected output lands on the budget. Acceptance is a
+    // deterministic integer-bucket draw (md5 of doc_id:lang, the q74
+    // mechanism), with every float input pinned (round 6 dp on the
+    // sqrt-sum, integer round on the final threshold) so both engines
+    // compute bit-identical thresholds. Plan shape: the fact never
+    // shuffles — the group-count agg is group-cardinality (bounded),
+    // broadcast back with the 1-row stats frame, and acceptance is a
+    // pure per-row expression; at 100 TB this is one corpus scan.
+    "q108_temperature_mix" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      val st = n.agg(round(sum(sqrt(col("n_s"))), 6).as("ss"),
+        sum(col("n_s")).cast("long").as("total"))
+      d.select(col("doc_id"), col("lang"))
+        .join(broadcast(n), Seq("lang"))
+        .crossJoin(broadcast(st))
+        .withColumn("thr", least(lit(1000000L),
+          round(lit(1000000L) * round(col("total") * 0.5, 0) /
+            (col("ss") * sqrt(col("n_s"))), 0).cast("long")))
+        .withColumn("bucket",
+          (conv(substring(md5(concat_ws(":", col("doc_id"), col("lang"))), 1, 8),
+            16, 10).cast("long") % 1000000L))
+        .filter(col("bucket") < col("thr"))
+        .select(col("doc_id"), col("lang"), col("thr"))
+        .orderBy(col("doc_id"))
+    },
+
     // Asymmetric containment near-dup pairs (shared 4-grams over the
     // SMALLER doc's gram count): catches short-doc-inside-long-doc
     // duplication that symmetric Jaccard under-scores. Same postings
@@ -525,6 +560,19 @@ object ShapeQueries {
          | JOIN documents db ON doc_b = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q108_temperature_mix" ->
+      """WITH n AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY 1),
+        |s AS (SELECT round(sum(sqrt(n_s)), 6) AS ss,
+        |             CAST(sum(n_s) AS BIGINT) AS total FROM n)
+        |SELECT doc_id, lang, thr FROM (
+        |  SELECT d.doc_id, d.lang,
+        |    least(1000000, CAST(round(1000000 * round(total * 0.5) /
+        |      (ss * sqrt(n_s))) AS BIGINT)) AS thr,
+        |    CAST(('0x' || substr(md5(d.doc_id || ':' || d.lang), 1, 8))
+        |      AS BIGINT) % 1000000 AS bucket
+        |  FROM documents d JOIN n USING (lang) CROSS JOIN s)
+        |WHERE bucket < thr ORDER BY doc_id""".stripMargin,
 
     "q97_containment_pairs" -> containmentOracle(""),
 

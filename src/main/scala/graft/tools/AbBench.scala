@@ -191,7 +191,11 @@ object AbBench {
     def ccGraph(edgesDf: DataFrame, n: Long, tag: String): Long = {
       import spark.implicits._
       val docs = spark.range(n).select(col("id").cast("int").as("doc_id"))
-      val a = graft.ml.DedupClusters.assignWithStats(docs, edgesDf, maxRounds = 32)
+      // smallGraphEdgeBound = 0: these variants exist to measure the
+      // DISTRIBUTED pointer-doubling loop on adversarial graph shapes;
+      // the driver union-find fast path would short-circuit both.
+      val a = graft.ml.DedupClusters.assignWithStats(docs, edgesDf,
+        maxRounds = 32, smallGraphEdgeBound = 0)
       val clusters = a.labels.agg(countDistinct(col("cluster_id"))).head().getLong(0)
       println(s"[cc:$tag] rounds=${a.rounds} converged=${a.converged} clusters=$clusters")
       clusters

@@ -269,7 +269,10 @@ class MlSpec extends SparkSpec {
     // cluster labeled by the min id.
     val docs = (1L to 13L).toDF("doc_id")
     val pairs = (1L to 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val out = graft.ml.DedupClusters.assign(docs, pairs)
+    // smallGraphEdgeBound = 0 forces the distributed loop — this test
+    // exists to regression-guard the pointer-doubling round count
+    val out = graft.ml.DedupClusters.assign(docs, pairs,
+        smallGraphEdgeBound = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1L to 13L).forall(out(_) === 1L), s"split clusters: $out")
   }
@@ -286,11 +289,34 @@ class MlSpec extends SparkSpec {
     // straight to hub 0 → one component, max degree ~200
     val pairs = ((1L until 200L).map(i => (i, i + 1)) ++
       (200L until n).map(i => (i, 0L)) :+ (0L, 1L)).toDF("doc_a", "doc_b")
-    val a = graft.ml.DedupClusters.assignWithStats(docs, pairs)
+    val a = graft.ml.DedupClusters.assignWithStats(docs, pairs,
+      smallGraphEdgeBound = 0)
     assert(a.converged, "did not converge")
     assert(a.rounds <= 10, s"took ${a.rounds} rounds")
     val out = a.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until n).forall(out(_) === 0L), "split clusters")
+  }
+
+  test("dedup clusters: driver union-find fast path equals the distributed loop") {
+    // Random multi-component graph incl. a chain, a hub, self-contained
+    // triangles and isolated docs — labels must be IDENTICAL on both
+    // paths (min doc id per component), rounds 0 on the fast path.
+    val rng = new scala.util.Random(7)
+    val n = 300L
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = ((0L until 80L).map(i => (i, i + 1)) ++            // chain 0..80
+      (100L until 140L).map(i => (i, 100L)) ++                     // hub
+      Seq((150L, 151L), (151L, 152L), (152L, 150L)) ++             // triangle
+      (0 until 60).map(_ => { val a = 160L + rng.nextInt(60)       // random
+        val b = 160L + rng.nextInt(60); (a, b) }))                 // cluster soup
+      .toDF("doc_a", "doc_b")
+    val fast = graft.ml.DedupClusters.assignWithStats(docs, pairs)
+    val dist = graft.ml.DedupClusters.assignWithStats(docs, pairs,
+      smallGraphEdgeBound = 0)
+    assert(fast.rounds === 0 && fast.converged)
+    val f = fast.labels.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val d = dist.labels.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(f.sameElements(d), "fast path diverged from distributed labels")
   }
 
   test("multimodal: decode stub preserves batch shape and determinism") {
