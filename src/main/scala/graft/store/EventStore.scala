@@ -120,6 +120,18 @@ class EventStore(val spark: SparkSession, val root: String) {
     refreshed("outputs")
   }
 
+  /** Write-side clustering for event files: sorted by (date, severity,
+    * timestamp) within each task partition. The date prefix lets
+    * FileFormatWriter skip its own partition-column sort; the
+    * (severity, timestamp) suffix is the ART-index substitute SURVEY §4
+    * names — each parquet row group carries tight min/max stats on the
+    * two most-filtered columns (P6 severity IN-lists, P9 recency), so
+    * a `severity = 'error'` scan skips clean row groups outright
+    * instead of decoding them. A local per-partition sort: no shuffle,
+    * negligible against parse+write cost at any batch size. */
+  private def clusteredEvents(ds: Dataset[Event]): Dataset[Event] =
+    ds.sortWithinPartitions(col("date"), col("severity"), col("timestamp"))
+
   /** Write one completed run: its parsed events, THEN its invocation
     * row — the same crash-consistency order as every Runner write path
     * (a crash mid-write leaves dangling, joined-away events, never a
@@ -127,7 +139,7 @@ class EventStore(val spark: SparkSession, val root: String) {
     * run_serial via [[nextRunSerial]]. */
   def appendRun(inv: Invocation, events: Seq[Event]): Unit = {
     if (events.nonEmpty)
-      writer(events.toDS(), Seq("date")).parquet(path("events"))
+      writer(clusteredEvents(events.toDS()), Seq("date")).parquet(path("events"))
     writer(Seq(inv).toDS(), Seq("date")).parquet(path("invocations"))
     refreshed("invocations"); refreshed("events")
     invDates.put(inv.id, inv.date.toString)
@@ -144,7 +156,7 @@ class EventStore(val spark: SparkSession, val root: String) {
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
-    writer(aligned.as[Event], Seq("date")).parquet(path("events"))
+    writer(clusteredEvents(aligned.as[Event]), Seq("date")).parquet(path("events"))
     refreshed("events")
   }
 

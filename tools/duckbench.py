@@ -7,6 +7,13 @@ Usage: python3 tools/duckbench.py <sfDir> <verifyOutDir-with-oracle_sql.json>
 import sys, os, glob, json, time
 import duckdb
 
+def loadavg():
+    """[1m, 5m, 15m] from /proc/loadavg; zeros if unreadable."""
+    try:
+        return [float(x) for x in open("/proc/loadavg").read().split()[:3]]
+    except Exception:
+        return [0.0, 0.0, 0.0]
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -14,6 +21,7 @@ def main():
         name = os.path.basename(p)[: -len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    load_start = loadavg()
     total = 0.0
     times = {}
     for name in sorted(oracle):
@@ -24,7 +32,15 @@ def main():
             best = min(best, time.time() - t0)
         times[name] = best
         total += best
+    # Host-state annotation, mirroring graft.Bench's: a spark/duck
+    # ratio is only as honest as the SYMMETRY of the two sides' host
+    # conditions — an r9 pairing paired a quiet-host DuckDB run against
+    # a loaded-host Spark run and read 0.25x worse than the same code
+    # measured symmetrically. Recording loadavg here makes that
+    # asymmetry visible in the artifact instead of discoverable only by
+    # rerunning.
     out = {"total": round(total, 3), "sf": sfdir,
+           "loadavg_start": load_start, "loadavg_end": loadavg(),
            "queries": {k: round(v, 4) for k, v in times.items()}}
     print(json.dumps(out))
     # Durable copy next to bench.json: graft.Bench reads it (if present
