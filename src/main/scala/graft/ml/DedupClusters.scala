@@ -56,6 +56,36 @@ object DedupClusters {
     * rounds actually ran, and whether a fixpoint was reached. */
   final case class Assignment(labels: DataFrame, rounds: Int, converged: Boolean)
 
+  /** Driver-side component labeling: union-find with path compression
+    * and min-id roots. Attaching the larger root under the smaller
+    * keeps every tree's root equal to its component's minimum id (both
+    * roots are their trees' minima by induction), which is exactly the
+    * distributed pointer-doubling algorithm's fixpoint label. Returns
+    * node → min-id-of-component for every node touched by an edge.
+    * Pure (no Spark); property-tested against brute-force BFS labeling
+    * in PropertySpec. */
+  private[graft] def unionFindLabels(
+      edges: Iterator[(Long, Long)]): Map[Long, Long] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    val nodes = scala.collection.mutable.ArrayBuffer[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) { parent.put(a, a); nodes += a }
+      if (!parent.containsKey(b)) { parent.put(b, b); nodes += b }
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    nodes.iterator.map(n => n -> find(n)).toMap
+  }
+
   def assignWithStats(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int = 24, smallGraphEdgeBound: Long = 1L << 20): Assignment = {
     val spark = docs.sparkSession
@@ -74,30 +104,10 @@ object DedupClusters {
         praw.limit(smallGraphEdgeBound.toInt + 1).collect()
       else Array.empty[org.apache.spark.sql.Row]
     if (smallGraphEdgeBound > 0 && probe.length <= smallGraphEdgeBound) {
-      val es = probe
-      // Union-find, path compression, min-id roots: attaching the
-      // larger root under the smaller keeps every tree's root equal to
-      // its component's minimum id (both roots are their trees' minima
-      // by induction), which is exactly the distributed algorithm's
-      // fixpoint label.
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x
-        while (c != r) { val n = parent.getOrDefault(c, c); parent.put(c, r); c = n }
-        r
-      }
-      es.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (ra != rb) {
-          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
-        }
-      }
-      val nodes = es.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
-        .toArray.distinct
+      val labelOf = unionFindLabels(
+        probe.iterator.map(r => (r.getLong(0), r.getLong(1))))
       import spark.implicits._
-      val labels = nodes.toSeq.map(n => (n, find(n))).toDF("doc_id", "label")
+      val labels = labelOf.toSeq.toDF("doc_id", "label")
         .select(col("doc_id").cast(idType).as("doc_id"),
           col("label").cast(idType).as("label"))
       val singletons = docs.select(col("doc_id"))

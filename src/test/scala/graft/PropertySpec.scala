@@ -26,6 +26,40 @@ class PropertySpec extends AnyFunSuite {
   private def dist(x: String, y: String): Int =
     BitHamming.distance(UTF8String.fromString(x), UTF8String.fromString(y))
 
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(0, 120).flatMap(nEdges =>
+      Gen.listOfN(nEdges, for {
+        a <- Gen.chooseNum(0L, 60L)
+        b <- Gen.chooseNum(0L, 60L)
+      } yield (a, b)))
+
+  /** Brute-force reference labeling: BFS from every node, label = min
+    * id reachable. O(V·E) — fine at generator scale. */
+  private def bfsLabels(edges: List[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map { n =>
+      var seen = Set(n); var frontier = Set(n)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(adj) -- seen
+        seen ++= frontier
+      }
+      n -> seen.min
+    }.toMap
+  }
+
+  test("dedup clusters: union-find labels equal brute-force BFS min labels") {
+    // self-loops, parallel edges, isolated-free random multigraphs —
+    // the fast path must agree with the definitional labeling exactly
+    check("union-find", Prop.forAll(graphGen) { edges =>
+      graft.ml.DedupClusters.unionFindLabels(edges.iterator) == bfsLabels(edges)
+    })
+  }
+
   test("bit_hamming: metric axioms (identity, symmetry, triangle, bounds)") {
     check("identity", Prop.forAll(bitString)(a => dist(a, a) == 0))
     check("symmetry", Prop.forAll(bitString, bitString)((a, b) =>
