@@ -223,21 +223,33 @@ object ShapeQueries {
       // AND a distinct exchange. eu is supplier-sized/5 — unbounded at
       // scale; the attach broadcast is AQE-sized there while the tiny
       // key probe stays an explicit broadcast.
+      //
+      // The unit price is QUANTIZED to integer 1e-4-dollar units at
+      // the source (one float division of exact integers — cents·100 /
+      // qty — then an integer-target round): round(double, 4) on a
+      // raw division diverges between engines when the value sits on a
+      // rounding half-point (caught by a dev-only sf0.001 sweep:
+      // 26.2412 vs 26.2413 — the driver's sf0.01 gate never sampled a
+      // half-point), while integer-target rounding of the identical
+      // IEEE double is portable, and every downstream min/compare is
+      // then exact long math. The q71 exact-integer-cents contract,
+      // applied to a quotient.
       t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice") / col("l_quantity")).as("unit"))
+          round(round(col("l_extendedprice") * 100, 0).cast("long") * lit(100.0) /
+            col("l_quantity").cast("long"), 0).cast("long").as("ue4"))
         .join(broadcast(eu.select(col("s_suppkey"))),
           col("l_suppkey") === col("s_suppkey"), "left_semi")
         .repartition(col("l_partkey"))
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("unit")).as("unit"))
-        .withColumn("mu", min(col("unit")).over(w))
-        .filter(col("unit") === col("mu"))
+        .agg(min(col("ue4")).as("ue4"))
+        .withColumn("mu", min(col("ue4")).over(w))
+        .filter(col("ue4") === col("mu"))
         .join(eu, col("l_suppkey") === col("s_suppkey"))
         .select(col("l_partkey").as("p_partkey"), col("s_suppkey"),
           col("s_name"), col("n_name"),
           round(col("s_acctbal"), 2).as("acctbal"),
-          round(col("unit"), 4).as("unit_price"))
+          (col("ue4") / 10000.0).as("unit_price"))
         .orderBy(col("acctbal").desc, col("p_partkey"), col("s_suppkey"))
         .limit(100)
     },
@@ -506,13 +518,14 @@ object ShapeQueries {
         |  WHERE r_name = 'EUROPE'),
         |u AS (
         |  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
-        |    l_extendedprice / l_quantity AS unit,
-        |    min(l_extendedprice / l_quantity)
-        |      OVER (PARTITION BY l_partkey) AS mu
-        |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey)
+        |    CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT) * 100.0 /
+        |      CAST(l_quantity AS BIGINT)) AS BIGINT) AS ue4
+        |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey),
+        |m AS (
+        |  SELECT *, min(ue4) OVER (PARTITION BY l_partkey) AS mu FROM u)
         |SELECT DISTINCT l_partkey AS p_partkey, s_suppkey, s_name, n_name,
-        |  round(s_acctbal, 2) AS acctbal, round(unit, 4) AS unit_price
-        |FROM u WHERE unit = mu
+        |  round(s_acctbal, 2) AS acctbal, ue4 / 10000.0 AS unit_price
+        |FROM m WHERE ue4 = mu
         |ORDER BY acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin,
 
     "q96_ngram_novelty" ->

@@ -53,6 +53,28 @@ object AbBench {
         .filter(col("rnk") <= 3).count()
     }
 
+    // q82 r9: repartition(doc_id) once; the (doc,tok) agg rides it
+    // (subset rule) and the FINAL rank window rides it too — the df
+    // side becomes a (tok) agg joined back (AQE-broadcast at this
+    // scale), so the hash(tok) window exchange and the hash(doc) rank
+    // exchange both disappear. tf feeds two consumers -> persist.
+    def tfidfDocPart(): Long = {
+      val d = docs
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(round(col("score"), 6).desc, col("tok"))
+      val r = tf.join(broadcast(dfq), Seq("tok"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3).count()
+      tf.unpersist(false); r
+    }
+
     // q83 OLD: full-corpus tf persist, dl/df aggs, three joins
     def bm25Old(): Long = {
       val d = docs
@@ -648,6 +670,7 @@ object AbBench {
       "q32_joinback" -> (() => q32JoinBack()),
       "q82_join" -> (() => tfidfJoin()),
       "q82_window" -> (() => tfidfWindow()),
+      "q82_docpart" -> (() => tfidfDocPart()),
       "q83_old" -> (() => bm25Old()),
       "q83_new" -> (() => bm25New()),
       "q83_new2" -> (() => bm25New2()),
