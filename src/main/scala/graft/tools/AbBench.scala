@@ -435,6 +435,27 @@ object AbBench {
         .count()
     }
 
+    // q31 r9 decomposition: where does the 1.2-1.6 s go? Stage
+    // isolates over the same parameters as the query (n=3, dfCap=50).
+    def q31Cur(): Long = {
+      val r = graft.ml.TextDedup.jaccardPairsPostings(
+        graft.Tables.t(spark, sfDir, "documents"), n = 3, threshold = 0.3,
+        dfCap = 50).count()
+      spark.catalog.clearCache(); r
+    }
+    def q31Keys(): Long =
+      graft.ml.TextDedup.shingleKeyTable(
+        graft.Tables.t(spark, sfDir, "documents"), 3).count()
+    def q31Postings(): Long = {
+      val r = graft.ml.TextDedup.shingleKeyTable(
+          graft.Tables.t(spark, sfDir, "documents"), 3)
+        .groupBy(col("shingle"))
+        .agg(collect_list(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) <= 50)
+        .count()
+      spark.catalog.clearCache(); r
+    }
+
     // q95 r9: shipped = lineitem⋈eu → window(pk) exchange → DISTINCT
     // over the wide output row (another exchange). Rewrite = semi
     // attach of eu keys (broadcast), repartition(pk) ONCE, pair-level
@@ -647,6 +668,9 @@ object AbBench {
       "q81_cur" -> (() => q81Cur()),
       "q81_oneshuffle" -> (() => q81OneShuffle()),
       "q81_fold" -> (() => q81Fold()),
+      "q31_cur" -> (() => q31Cur()),
+      "q31_keys" -> (() => q31Keys()),
+      "q31_postings" -> (() => q31Postings()),
       "q95_cur" -> (() => q95Cur()),
       "q95_pairagg" -> (() => q95PairAgg()),
       "q100_cur" -> (() => q100Cur()),

@@ -226,6 +226,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q108 temperature mix: acceptance is map-only over the corpus scan") {
+    val p = plans("q108_temperature_mix")
+    // the corpus attaches group rates via BROADCAST joins only — a
+    // hash-shuffle join here would mean the whole corpus moves for a
+    // group-cardinality lookup
+    assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(3000))
+    // the main scan carries (doc_id, lang); the group-count agg and
+    // the 1-row stats branch each read a lang-only column-pruned scan
+    // — three scans total, only one of them row-wide
+    assert(p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents")) <= 3, p.take(3000))
+    assert(p.contains("ReadSchema: struct<lang:string>"), p.take(3000))
+  }
+
   test("q96 novelty: gram table persisted once, read by both consumers") {
     val p = plans("q96_ngram_novelty")
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
