@@ -397,6 +397,37 @@ object ShapeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Long-document chunking (r9): split each document into fixed
+    // 32-token windows with stride 24 (8-token overlap) — the
+    // complement of q63's sequence packing (packing joins SHORT docs
+    // up to the context length; chunking splits LONG docs down to
+    // it), and the op every pretraining pipeline runs between
+    // cleaning and packing. Chunk count = ceil(max(n-32,0)/24)+1, so
+    // the final window is kept whenever it carries ≥8 fresh tokens
+    // and is truncated at the document end (both engines' slice
+    // truncates past-end identically). Emits md5(chunk) so the gate
+    // covers the full chunk text without shipping it. Plan: per-row
+    // transform + explode over the materialized token array (the
+    // tokTable no-CSE contract) — zero shuffle before the output
+    // sort; at 100 TB this is one corpus scan.
+    "q109_doc_chunking" -> { (s, dir) =>
+      val toks = col("toks")
+      val n = col("n")
+      val chunks = transform(
+        sequence(lit(0L), ceil(greatest(n - 32L, lit(0L)) / 24.0).cast("long")),
+        i => struct(i.as("chunk_id"),
+          concat_ws(" ", slice(toks, (i * 24L + 1L).cast("int"), lit(32))).as("chunk"),
+          least(n - i * 24L, lit(32L)).as("chunk_toks")))
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(toks).cast("long"))
+        .select(col("doc_id"), explode(chunks).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_toks"),
+          md5(col("c.chunk")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
     // Asymmetric containment near-dup pairs (shared 4-grams over the
     // SMALLER doc's gram count): catches short-doc-inside-long-doc
     // duplication that symmetric Jaccard under-scores. Same postings
@@ -586,6 +617,18 @@ object ShapeQueries {
         |      AS BIGINT) % 1000000 AS bucket
         |  FROM documents d JOIN n USING (lang) CROSS JOIN s)
         |WHERE bucket < thr ORDER BY doc_id""".stripMargin,
+
+    "q109_doc_chunking" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, i AS chunk_id,
+        |    array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ') AS chunk,
+        |    least(n - i*24, 32) AS chunk_toks
+        |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+        |    CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))) AS i))
+        |SELECT doc_id, chunk_id, chunk_toks, md5(chunk) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q97_containment_pairs" -> containmentOracle(""),
 
