@@ -456,6 +456,23 @@ object AbBench {
       spark.catalog.clearCache(); r
     }
 
+    // q32 r9 decomposition (companion to q31's): same parameters as
+    // the query (n=3, k=12, bands=4).
+    def q32Digests(): Long = {
+      val r = graft.ml.TextDedup.shingleDigests(
+        graft.ml.TextDedup.shingleSets(
+          graft.Tables.t(spark, sfDir, "documents"), 3)).count()
+      spark.catalog.clearCache(); r
+    }
+    def q32Sigs(): Long = {
+      val withDig = graft.ml.TextDedup.shingleDigests(
+        graft.ml.TextDedup.shingleSets(
+          graft.Tables.t(spark, sfDir, "documents"), 3))
+      val r = graft.ml.TextDedup
+        .minhashSignaturesFromDigests(withDig, 12).count()
+      spark.catalog.clearCache(); r
+    }
+
     // q95 r9: shipped = lineitem⋈eu → window(pk) exchange → DISTINCT
     // over the wide output row (another exchange). Rewrite = semi
     // attach of eu keys (broadcast), repartition(pk) ONCE, pair-level
@@ -691,6 +708,8 @@ object AbBench {
       "q89_old" -> (() => q89Old()),
       "q89_new" -> (() => q89New()),
       "q32_current" -> (() => q32Current()),
+      "q32_digests" -> (() => q32Digests()),
+      "q32_sigs" -> (() => q32Sigs()),
       "q32_joinback" -> (() => q32JoinBack()),
       "q82_join" -> (() => tfidfJoin()),
       "q82_window" -> (() => tfidfWindow()),
