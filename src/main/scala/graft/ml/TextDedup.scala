@@ -337,28 +337,59 @@ object TextDedup {
 
   /** Pair expansion + finalize over a prebuilt [[containmentPostings]]
     * frame (persist it first — it feeds both the sizes and the pair
-    * branch). */
+    * branch). r9: when doc_id is int-or-narrower, corpus-only pairs
+    * are dropped INSIDE the expansion lambda (filter, not a struct
+    * flag carried through the shuffle) and the surviving pairs emit as
+    * one packed long — the same co-occurrence-groupBy packing that
+    * bought the full variant 40% on its pair stage
+    * ([[postingsPairCounts]]); long doc_ids keep the struct form. */
   def containmentPairsIncrementalFromPostings(postings: DataFrame,
       threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, ShortType, StructType}
+    val packIds = postings.schema("docs").dataType match {
+      case ArrayType(st: StructType, _) => st("doc_id").dataType match {
+        case IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+      case _ => false
+    }
     val sizes = postings.select(explode(col("docs")).as("d"))
       .groupBy(col("d.doc_id").as("doc_id")).agg(count(lit(1)).as("n_sh"))
     // struct array sorts by its first field (doc_id), preserving the
     // a < b pair orientation of the full variant
     val sorted = col("docs_s")
-    val pairs = postings
+    val expanded = postings
       .filter(size(col("docs")) >= 2 &&
         exists(col("docs"), d => d.getField("is_new")))
       .select(array_sort(col("docs")).as("docs_s"))
-      .select(explode_outer(flatten(transform(sorted, (a, i) =>
-        transform(slice(sorted, i + lit(2), size(sorted)), b =>
-          struct(a.getField("doc_id").as("doc_a"),
-            b.getField("doc_id").as("doc_b"),
-            (a.getField("is_new") || b.getField("is_new"))
-              .as("touches_new")))))).as("p"))
-      .filter(col("p.touches_new"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
+    val pairs =
+      if (packIds)
+        expanded
+          .select(explode_outer(flatten(transform(sorted, (a, i) =>
+            filter(transform(slice(sorted, i + lit(2), size(sorted)), b =>
+              when(a.getField("is_new") || b.getField("is_new"),
+                shiftleft(a.getField("doc_id").cast("long"), 32)
+                  .bitwiseOR(b.getField("doc_id").cast("long")
+                    .bitwiseAND(lit(0xFFFFFFFFL))))),
+              pk => pk.isNotNull)))).as("pk"))
+          .filter(col("pk").isNotNull)
+          .groupBy(col("pk"))
+          .agg(count(lit(1)).as("shared"))
+          .select(shiftright(col("pk"), 32).cast("int").as("doc_a"),
+            shiftright(shiftleft(col("pk"), 32), 32).cast("int").as("doc_b"),
+            col("shared"))
+      else
+        expanded
+          .select(explode_outer(flatten(transform(sorted, (a, i) =>
+            transform(slice(sorted, i + lit(2), size(sorted)), b =>
+              struct(a.getField("doc_id").as("doc_a"),
+                b.getField("doc_id").as("doc_b"),
+                (a.getField("is_new") || b.getField("is_new"))
+                  .as("touches_new")))))).as("p"))
+          .filter(col("p.touches_new"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared"))
     finalizeContainment(pairs, sizes, threshold)
   }
 

@@ -446,7 +446,10 @@ object ShapeQueries {
     // restriction applied at the end, so the gate proves the early
     // pruning loses nothing (mirrors the q73 incremental-minhash gate).
     "q101_containment_incremental" -> { (s, dir) =>
+      // int doc_ids (the q97 cast): activates the packed-long pair
+      // path inside the incremental expansion (r9)
       val docs = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
       graft.ml.TextDedup
         .containmentPairsIncremental(docs, col("doc_id") >= 400,
           n = 4, threshold = 0.6, dfCap = 50)

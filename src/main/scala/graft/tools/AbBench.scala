@@ -473,6 +473,31 @@ object AbBench {
       spark.catalog.clearCache(); r
     }
 
+    // q101 r9 decomposition: flagged-postings build vs the full
+    // incremental containment (expansion + sizes + finalize on top).
+    def q101Postings(): Long = {
+      val d = graft.Tables.t(spark, sfDir, "documents")
+      val r = graft.ml.TextDedup.containmentPostings(
+        d, isNew = col("doc_id") >= 4000, n = 4, dfCap = 50).count()
+      spark.catalog.clearCache(); r
+    }
+    def q101Cur(): Long = {
+      val d = graft.Tables.t(spark, sfDir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+      val r = graft.ml.TextDedup.containmentPairsIncremental(
+        d, isNew = col("doc_id") >= 4000, n = 4, threshold = 0.6,
+        dfCap = 50).count()
+      spark.catalog.clearCache(); r
+    }
+    // struct-pair path (long ids) — the pre-r9 shape, kept for the A/B
+    def q101Struct(): Long = {
+      val d = graft.Tables.t(spark, sfDir, "documents")
+      val r = graft.ml.TextDedup.containmentPairsIncremental(
+        d, isNew = col("doc_id") >= 4000, n = 4, threshold = 0.6,
+        dfCap = 50).count()
+      spark.catalog.clearCache(); r
+    }
+
     // q95 r9: shipped = lineitem⋈eu → window(pk) exchange → DISTINCT
     // over the wide output row (another exchange). Rewrite = semi
     // attach of eu keys (broadcast), repartition(pk) ONCE, pair-level
@@ -685,6 +710,9 @@ object AbBench {
       "q81_cur" -> (() => q81Cur()),
       "q81_oneshuffle" -> (() => q81OneShuffle()),
       "q81_fold" -> (() => q81Fold()),
+      "q101_cur" -> (() => q101Cur()),
+      "q101_struct" -> (() => q101Struct()),
+      "q101_postings" -> (() => q101Postings()),
       "q31_cur" -> (() => q31Cur()),
       "q31_keys" -> (() => q31Keys()),
       "q31_postings" -> (() => q31Postings()),
