@@ -155,6 +155,43 @@ final class CorpusPipeline private (
     }(() => if (pairs != null) { pairs.unpersist(); () })
   }
 
+  /** Split long documents into fixed token windows (q109's chunking
+    * as a pipeline stage — the step between cleaning and sequence
+    * packing: packing joins SHORT rows up to the context length, this
+    * splits LONG ones down to it). Windows are `sizeTokens` tokens at
+    * `stride` (overlap = size − stride); the final partial window
+    * rides slice's past-end truncation. Each chunk becomes its own
+    * row: `text` is rewritten, `orig_doc_id`/`chunk_id` are appended,
+    * and `doc_id` becomes the packed deterministic id
+    * (orig_id << 20 | chunk_id) so downstream id-keyed stages (dedup,
+    * split) work unchanged — requires orig ids < 2^43 and < 2^20
+    * chunks/doc (a 2^20-window doc at stride 24 is a ~25 M-token
+    * document; raise the shift before raising the context). Per-row
+    * transform + explode, zero shuffle. */
+  def chunk(sizeTokens: Int = 32, stride: Int = 24): CorpusPipeline =
+    step(s"chunk($sizeTokens/$stride)") { d =>
+      val toks = col("toks")
+      val n = col("n")
+      val chunks = transform(
+        sequence(lit(0L),
+          ceil(greatest(n - sizeTokens.toLong, lit(0L)) / stride.toDouble).cast("long")),
+        i => struct(i.as("chunk_id"),
+          concat_ws(" ",
+            slice(toks, (i * stride.toLong + 1L).cast("int"), lit(sizeTokens)))
+            .as("chunk")))
+      // functions.split qualified: this class's own split() (the
+      // train/val/test stage) shadows it
+      d.withColumn("toks", org.apache.spark.sql.functions.split(col("text"), " "))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("c", explode(chunks))
+        .withColumn("orig_doc_id", col("doc_id"))
+        .withColumn("chunk_id", col("c.chunk_id"))
+        .withColumn("doc_id",
+          shiftleft(col("doc_id").cast("long"), 20).bitwiseOR(col("chunk_id")))
+        .withColumn("text", col("c.chunk"))
+        .drop("toks", "n", "c")
+    }
+
   /** Drop documents sharing any n-gram with the eval set
     * (Bloom-screened + exact-verified, `ml/Decontaminate`). */
   def decontaminate(evalDocs: DataFrame, n: Int, expectedEvalGrams: Long,

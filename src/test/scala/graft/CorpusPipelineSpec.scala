@@ -92,6 +92,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(p.report.linesIterator.size === 6)
   }
 
+  test("chunk: windows reconstruct the original text; ids pack deterministically") {
+    // 20-token doc at size 8 / stride 6: ceil((20-8)/6)=2 → chunks
+    // 0..2 covering tokens [1..8], [7..14], [13..20] (2-token overlap)
+    val words = (1 to 20).map(i => s"w$i")
+    val d = Seq((7L, words.mkString(" "), "en"), (8L, "short text", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = CorpusPipeline(d).chunk(sizeTokens = 8, stride = 6)
+      .docs.orderBy("doc_id").collect()
+    val doc7 = out.filter(_.getAs[Long]("orig_doc_id") == 7L)
+    assert(doc7.length === 3)
+    assert(doc7.map(_.getAs[Long]("doc_id")).toSeq ===
+      Seq(7L << 20, (7L << 20) | 1, (7L << 20) | 2))
+    val chunks = doc7.map(_.getAs[String]("text"))
+    assert(chunks(0) === words.slice(0, 8).mkString(" "))
+    assert(chunks(1) === words.slice(6, 14).mkString(" "))
+    assert(chunks(2) === words.slice(12, 20).mkString(" "))
+    // de-overlapped reconstruction: chunk 0 + each later chunk minus
+    // its leading (size - stride) tokens = the original document
+    val rebuilt = (chunks(0).split(" ") ++
+      chunks.drop(1).flatMap(_.split(" ").drop(2))).mkString(" ")
+    assert(rebuilt === words.mkString(" "))
+    // short doc: single whole-text chunk, lang column carried through
+    val doc8 = out.filter(_.getAs[Long]("orig_doc_id") == 8L)
+    assert(doc8.length === 1 && doc8.head.getAs[String]("text") === "short text")
+    assert(doc8.head.getAs[String]("lang") === "en")
+  }
+
   test("langMixture: rarest language fully kept, dominant language downsampled") {
     val p = CorpusPipeline(corpus).langMixture(alpha = 0.5)
     val kept = p.docs.select($"doc_id", $"lang").as[(Long, String)].collect()
