@@ -44,6 +44,7 @@ object PipelineBench {
       .nearDedup(n = 3, k = 12, bands = 4, threshold = 0.3, minAgree = 5)
       .containmentDedup(n = 4, threshold = 0.8)
       .decontaminate(evalSet, n = 4, expectedEvalGrams = 10000)
+      .chunk(sizeTokens = 32, stride = 24)
       .langMixture(alpha = 0.5)
       .split()
     val total = (System.nanoTime() - t0) / 1e9
