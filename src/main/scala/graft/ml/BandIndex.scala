@@ -10,29 +10,55 @@ import org.apache.spark.sql.functions._
   * code, proven the way BucketingSpec proved J1 (BandIndexSpec pins
   * the no-corpus-side-Exchange plan and the result differential).
   *
-  * Layout: the corpus's LSH band table (doc_id, sig, band, key) as a
-  * bucketed+sorted catalog table ([[graft.store.Bucketing]]
-  * precedent), one write-time shuffle amortized over every ingest
-  * batch. A 100 TB corpus is deduped once; each subsequent batch
-  * builds its own (tiny) band table and joins the stored index on
-  * (band, key) — the corpus side streams straight from its buckets
-  * with NO exchange, the batch side shuffles only itself, and the
-  * quadratic corpus-self-pairing term never exists because the join
-  * only reaches buckets a new document lands in.
+  * Layout: TWO catalog tables written from one digest pass over the
+  * corpus ([[graft.store.Bucketing]] precedent), one write-time
+  * shuffle each, amortized over every ingest batch:
+  *
+  *  - `<table>`: the LSH band table (doc_id, sig, band, key),
+  *    bucketed+sorted by (band, key) — candidate generation.
+  *  - `<table>_keys` ([[keysTable]]): the per-doc 63-bit verify-key
+  *    set arrays (doc_id, sh), bucketed by doc_id — exact-Jaccard
+  *    verification. Stored because the r9 growth sweep measured the
+  *    alternative: recomputing every corpus doc's key set per probe
+  *    (tokenize + md5 + distinct over the WHOLE corpus text) made the
+  *    fixed-batch probe grow 2.3× with index size. With the keys
+  *    stored, a probe's corpus-side work is a columnar array scan that
+  *    only feeds verify joins — the probe cost tracks the batch.
+  *
+  * A 100 TB corpus is deduped once; each subsequent batch builds its
+  * own (tiny) band table and joins the stored index on (band, key) —
+  * the corpus side streams straight from its buckets with NO exchange,
+  * the batch side shuffles only itself, and the quadratic
+  * corpus-self-pairing term never exists because the join only reaches
+  * buckets a new document lands in.
   */
 object BandIndex {
 
-  /** Write `docs`' band table as the bucketed corpus index. */
+  /** Companion stored verify-key table name for a band index table. */
+  def keysTable(table: String): String = table + "_keys"
+
+  /** Write `docs`' band table AND verify-key sets as the bucketed
+    * corpus index. Both tables derive from ONE persisted digest pass
+    * (the expensive tokenize+md5 work happens once, not per table). */
   def write(docs: DataFrame, table: String, n: Int, k: Int, bands: Int,
       buckets: Int): Unit = {
     val withDig = TextDedup.shingleDigests(TextDedup.shingleSets(docs, n))
-    val sig = TextDedup.minhashSignaturesFromDigests(withDig, k)
-    TextDedup.bandKeyTable(sig, k, bands)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .option("compression", "zstd")
-      .bucketBy(buckets, "band", "key")
-      .sortBy("band", "key")
-      .saveAsTable(table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sig = TextDedup.minhashSignaturesFromDigests(withDig, k)
+      TextDedup.bandKeyTable(sig, k, bands)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(table)
+      TextDedup.keySetsFromDigests(withDig)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(keysTable(table))
+    } finally { withDig.unpersist(); () }
   }
 
   /** Candidate (doc_a, doc_b) pairs for a NEW batch probed against the
@@ -67,21 +93,22 @@ object BandIndex {
   }
 
   /** Full incremental near-dup pass over the stored index: probe for
-    * candidates, then exact-Jaccard verify. `allDocs` must cover both
-    * the corpus and the batch (the verify needs both sides' shingle
-    * sets; at scale the key sets are a second stored table instead of
-    * a recompute). Output matches
+    * candidates, then exact-Jaccard verify against the STORED corpus
+    * key sets (r10 — no corpus-side recompute; the only per-probe text
+    * processing is the batch's own digest pass, which appears twice in
+    * the plan — once feeding bands, once feeding keys — and is bounded
+    * by batch size both times; no persist, so a long-lived
+    * probe-per-batch session pins nothing). Output matches
     * [[TextDedup.minhashLshPairsIncremental]] with minAgree=0 on the
     * same split — BandIndexSpec pins the differential. */
   def probe(spark: SparkSession, table: String, batch: DataFrame,
-      allDocs: DataFrame, n: Int, k: Int, bands: Int,
-      threshold: Double): DataFrame = {
+      n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
     val batchDig = TextDedup.shingleDigests(TextDedup.shingleSets(batch, n))
     val batchBands = TextDedup.bandKeyTable(
       TextDedup.minhashSignaturesFromDigests(batchDig, k), k, bands)
     val candidates = probeCandidates(spark, table, batchBands)
-    val sets = TextDedup.keySetsFromDigests(
-      TextDedup.shingleDigests(TextDedup.shingleSets(allDocs, n)))
+    val sets = spark.table(keysTable(table))
+      .unionByName(TextDedup.keySetsFromDigests(batchDig))
     TextDedup.verifyJaccard(candidates, sets, threshold)
   }
 }

@@ -164,10 +164,13 @@ final class CorpusPipeline private (
     * row: `text` is rewritten, `orig_doc_id`/`chunk_id` are appended,
     * and `doc_id` becomes the packed deterministic id
     * (orig_id << 20 | chunk_id) so downstream id-keyed stages (dedup,
-    * split) work unchanged — requires orig ids < 2^43 and < 2^20
+    * split) work unchanged — requires orig ids in [0, 2^43) and < 2^20
     * chunks/doc (a 2^20-window doc at stride 24 is a ~25 M-token
-    * document; raise the shift before raising the context). Per-row
-    * transform + explode, zero shuffle. */
+    * document; raise the shift before raising the context). The
+    * contract is ENFORCED per row with raise_error — a violation would
+    * silently collide packed ids feeding downstream dedup/split, so it
+    * fails the job loudly instead. Per-row transform + explode, zero
+    * shuffle. */
   def chunk(sizeTokens: Int = 32, stride: Int = 24): CorpusPipeline =
     step(s"chunk($sizeTokens/$stride)") { d =>
       val toks = col("toks")
@@ -187,7 +190,17 @@ final class CorpusPipeline private (
         .withColumn("orig_doc_id", col("doc_id"))
         .withColumn("chunk_id", col("c.chunk_id"))
         .withColumn("doc_id",
-          shiftleft(col("doc_id").cast("long"), 20).bitwiseOR(col("chunk_id")))
+          when(col("doc_id").cast("long") < 0L ||
+              col("doc_id").cast("long") >= (1L << 43) ||
+              col("chunk_id") >= (1L << 20),
+            raise_error(concat(
+              lit("CorpusPipeline.chunk: packed-id contract violated (doc_id="),
+              col("doc_id").cast("string"),
+              lit(" must be in [0, 2^43), chunk_id="),
+              col("chunk_id").cast("string"),
+              lit(" must be < 2^20)"))).cast("long"))
+            .otherwise(shiftleft(col("doc_id").cast("long"), 20)
+              .bitwiseOR(col("chunk_id"))))
         .withColumn("text", col("c.chunk"))
         .drop("toks", "n", "c")
     }

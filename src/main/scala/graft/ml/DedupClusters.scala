@@ -41,12 +41,16 @@ object DedupClusters {
     *   dedup candidate generation), and the iterative distributed loop
     *   pays ~3 job launches per round for what is then sub-megabyte
     *   state — measured 1.2-1.5 s of pure scheduling floor at sf0.1's
-    *   few-hundred-edge graphs. The default (2^20 edges ≈ 16 MB
-    *   collected) is the same bounded-collect contract class as the
-    *   IVF centroid and LexIndex query-set collects; pass 0 to force
-    *   the distributed path (the scale experiments do). Labels are
-    *   IDENTICAL on both paths (min doc id per component; differential
-    *   in MlSpec). */
+    *   few-hundred-edge graphs. The default (2^20 edges collected as a
+    *   typed Dataset of (Long, Long) — specialized tuples, ~32 B/edge
+    *   ⇒ ~32 MB driver heap worst case) is the same bounded-collect
+    *   contract class as the IVF centroid and LexIndex query-set
+    *   collects; pass 0 to force the distributed path (the scale
+    *   experiments do). The fast path only engages for integral doc_id
+    *   types and bounds below Int.MaxValue — non-numeric ids or an
+    *   effectively-unbounded bound fall through to the distributed
+    *   loop rather than mislabeling. Labels are IDENTICAL on both
+    *   paths (min doc id per component; differential in MlSpec). */
   def assign(docs: DataFrame, pairs: DataFrame, maxRounds: Int = 24,
       smallGraphEdgeBound: Long = 1L << 20): DataFrame =
     assignWithStats(docs, pairs, maxRounds, smallGraphEdgeBound).labels
@@ -89,24 +93,33 @@ object DedupClusters {
   def assignWithStats(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int = 24, smallGraphEdgeBound: Long = 1L << 20): Assignment = {
     val spark = docs.sparkSession
+    import spark.implicits._
     val idType = docs.schema("doc_id").dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
     // Small-graph fast path: ONE bounded collect (limit bound+1, so
     // the gate and the data come from a single execution of the —
     // typically expensive — upstream pair pipeline; a separate count()
     // would run that pipeline twice) replaces the whole iterative
     // loop (see the assign() scaladoc). An oversized graph spills to
     // the distributed path below, paying the probe as its first
-    // materialization.
-    val praw = pairs.select(col("doc_a").cast("long").as("a"),
-      col("doc_b").cast("long").as("b"))
-    val probe =
-      if (smallGraphEdgeBound > 0 && smallGraphEdgeBound < Int.MaxValue)
-        praw.limit(smallGraphEdgeBound.toInt + 1).collect()
-      else Array.empty[org.apache.spark.sql.Row]
-    if (smallGraphEdgeBound > 0 && probe.length <= smallGraphEdgeBound) {
-      val labelOf = unionFindLabels(
-        probe.iterator.map(r => (r.getLong(0), r.getLong(1))))
-      import spark.implicits._
+    // materialization. Eligibility is decided ONCE and gates both the
+    // probe and the fast path — an empty probe from an ineligible
+    // bound must not masquerade as an empty edge set.
+    val fastEligible = integralId && smallGraphEdgeBound > 0 &&
+      smallGraphEdgeBound < Int.MaxValue
+    val probe: Array[(Long, Long)] =
+      if (fastEligible)
+        pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+          .limit(smallGraphEdgeBound.toInt + 1).as[(Long, Long)].collect()
+      else Array.empty
+    if (fastEligible && probe.length <= smallGraphEdgeBound) {
+      val labelOf = unionFindLabels(probe.iterator)
       val labels = labelOf.toSeq.toDF("doc_id", "label")
         .select(col("doc_id").cast(idType).as("doc_id"),
           col("label").cast(idType).as("label"))

@@ -219,7 +219,8 @@ object TextDedup {
   private def postingsPairCounts(docs: DataFrame, n: Int,
       dfCap: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
-    val packIds = docs.schema("doc_id").dataType match {
+    val idType = docs.schema("doc_id").dataType
+    val packIds = idType match {
       case IntegerType | ShortType | ByteType => true
       case _ => false
     }
@@ -250,9 +251,10 @@ object TextDedup {
           .agg(count(lit(1)).as("shared"))
           // unpack: both halves sign-extended via shifts (in-int-range
           // before the cast, so ANSI-safe), a < b preserved from the
-          // sorted expansion
-          .select(shiftright(col("pk"), 32).cast("int").as("doc_a"),
-            shiftright(shiftleft(col("pk"), 32), 32).cast("int").as("doc_b"),
+          // sorted expansion; cast to the ORIGINAL doc_id type so the
+          // packed and struct branches emit the same schema
+          .select(shiftright(col("pk"), 32).cast(idType).as("doc_a"),
+            shiftright(shiftleft(col("pk"), 32), 32).cast(idType).as("doc_b"),
             col("shared"))
       else
         expanded
@@ -346,11 +348,12 @@ object TextDedup {
   def containmentPairsIncrementalFromPostings(postings: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, ShortType, StructType}
-    val packIds = postings.schema("docs").dataType match {
-      case ArrayType(st: StructType, _) => st("doc_id").dataType match {
-        case IntegerType | ShortType | ByteType => true
-        case _ => false
-      }
+    val docIdType = postings.schema("docs").dataType match {
+      case ArrayType(st: StructType, _) => Some(st("doc_id").dataType)
+      case _ => None
+    }
+    val packIds = docIdType.exists {
+      case IntegerType | ShortType | ByteType => true
       case _ => false
     }
     val sizes = postings.select(explode(col("docs")).as("d"))
@@ -375,8 +378,10 @@ object TextDedup {
           .filter(col("pk").isNotNull)
           .groupBy(col("pk"))
           .agg(count(lit(1)).as("shared"))
-          .select(shiftright(col("pk"), 32).cast("int").as("doc_a"),
-            shiftright(shiftleft(col("pk"), 32), 32).cast("int").as("doc_b"),
+          // unpack to the ORIGINAL doc_id type so both branches emit
+          // the same schema for the same logical input
+          .select(shiftright(col("pk"), 32).cast(docIdType.get).as("doc_a"),
+            shiftright(shiftleft(col("pk"), 32), 32).cast(docIdType.get).as("doc_b"),
             col("shared"))
       else
         expanded

@@ -13,6 +13,14 @@ import graft.model.Outcome
   * DELETE), and orphaning *appends* synthetic outcomes instead of
   * updating attempts.
   */
+object Maintenance {
+  /** One date partition eligible for small-file compaction: `files`
+    * current part files holding `bytes` total, to be rewritten as
+    * `targetFiles` files. */
+  final case class CompactionTarget(table: String, date: String,
+      files: Int, bytes: Long, targetFiles: Int)
+}
+
 final class Maintenance(store: EventStore) {
 
   /** Prune-by-age: partition dirs older than `days` (delete targets). */
@@ -117,6 +125,84 @@ final class Maintenance(store: EventStore) {
         fs.delete(old, true)
       }
     }
+  }
+
+  /** Small-file compaction candidates (r10): `date=` partitions of
+    * `table` holding more part files than their bytes justify at
+    * `targetBytes` per file. Continuous ingest (S9/S10 row-appends,
+    * [[graft.streaming.LiveStreams]] sinks) writes one small file per
+    * batch — at 100 TB that is the first operational wall: listing
+    * cost, per-file open overhead, and row groups too small for
+    * effective min/max pruning all degrade with file count, not data
+    * size. Preview-only: returns targets, touches nothing. */
+  def compactionCandidates(table: String, targetBytes: Long = 128L << 20,
+      minFiles: Int = 4): Seq[Maintenance.CompactionTarget] = {
+    val base = new org.apache.hadoop.fs.Path(s"${store.root}/$table")
+    val fs = base.getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("date="))
+      .flatMap { dir =>
+        val files = fs.listStatus(dir.getPath).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        if (files.size >= minFiles && files.size > target)
+          Some(Maintenance.CompactionTarget(table,
+            dir.getPath.getName.stripPrefix("date="), files.size, bytes, target))
+        else None
+      }
+      .sortBy(_.date)
+  }
+
+  /** EXECUTE compaction: bin-pack each candidate partition's part
+    * files into its target file count. With `clusterBy` columns (the
+    * events table passes its write-time (severity, timestamp)
+    * clustering), rows are RANGE-partitioned on those columns and
+    * sorted within each output file — every compacted file covers a
+    * contiguous key range with tight row-group min/max stats, which is
+    * strictly better for the P6/P9 scan filters than the per-append
+    * sort it replaces (StoreClusteringSpec asserts the invariant
+    * survives). Without `clusterBy`, files merge with a shuffle-free
+    * coalesce. Partition-bounded like [[applyPruneByCount]]: cost
+    * scales with the compacted partitions, not the store.
+    *
+    * Crash safety: each partition rewrites to a dot-prefixed sibling
+    * and swaps in with the SAME `.prune_tmp_`/`.prune_old_` rename
+    * protocol as [[rewriteWithout]], so [[recoverPruneLeftovers]]
+    * (run first) also finishes or rolls back an interrupted
+    * compaction. Returns the targets actually compacted. */
+  def applyCompaction(table: String, targetBytes: Long = 128L << 20,
+      minFiles: Int = 4, clusterBy: Seq[String] = Seq.empty)
+      : Seq[Maintenance.CompactionTarget] = {
+    val spark = store.spark
+    val base = new org.apache.hadoop.fs.Path(s"${store.root}/$table")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    recoverPruneLeftovers(table)
+    val targets = compactionCandidates(table, targetBytes, minFiles)
+    targets.foreach { t =>
+      val dir = new org.apache.hadoop.fs.Path(base, s"date=${t.date}")
+      val tmp = new org.apache.hadoop.fs.Path(base, s".prune_tmp_date=${t.date}")
+      val old = new org.apache.hadoop.fs.Path(base, s".prune_old_date=${t.date}")
+      val in = spark.read.parquet(dir.toString)
+      val packed =
+        if (clusterBy.nonEmpty)
+          in.repartitionByRange(t.targetFiles, clusterBy.map(col): _*)
+            .sortWithinPartitions(clusterBy.map(col): _*)
+        else in.coalesce(t.targetFiles)
+      packed.write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp.toString)
+      if (!fs.rename(dir, old))
+        throw new java.io.IOException(s"compact rename-aside failed for $dir")
+      if (!fs.rename(tmp, dir)) {
+        fs.rename(old, dir)
+        throw new java.io.IOException(s"compact rename failed for $dir")
+      }
+      fs.delete(old, true)
+    }
+    if (targets.nonEmpty) store.refreshAllViews()
+    targets
   }
 
   /** Recover from a prune interrupted mid-swap, per partition:

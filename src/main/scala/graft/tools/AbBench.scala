@@ -375,7 +375,7 @@ object AbBench {
     def biProbe(): Long = {
       val d = graft.Tables.t(spark, sfDir, "documents")
       graft.ml.BandIndex.probe(spark, "g_ab_band_idx",
-        d.filter(col("doc_id") % 10 === 0), d,
+        d.filter(col("doc_id") % 10 === 0),
         n = 3, k = 12, bands = 4, threshold = 0.3).count()
     }
 
@@ -706,7 +706,70 @@ object AbBench {
       graft.ml.Similarity.centroidCosineLitmap(embs)
         .filter(round(col("cos"), 6) < -0.05).count()
 
+    // q102 r10 decomposition (the r9 verdict's 4.0×→5× creep): where
+    // does the WARM indexed probe's time go — postings scan, broadcast
+    // query attach, the one shuffle + window, or driver-side plan
+    // construction? lazy so unrelated regex runs never pay the build.
+    lazy val lexIdx = graft.ml.LexIndex.ensure(spark, sfDir,
+      graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text")))
+    lazy val lexVocab: Seq[String] = {
+      import spark.implicits._
+      spark.read.parquet(s"$lexIdx/postings")
+        .filter(col("doc_id") < 5).select(col("term").cast("string"))
+        .distinct().as[String].collect().toSeq
+    }
+    def q102Cur(): Long =
+      graft.ml.LexIndex.probeIndexed(spark, lexIdx, col("doc_id") < 5, 5).count()
+    def q102PlanOnly(): Long = {
+      graft.ml.LexIndex.probeIndexed(spark, lexIdx, col("doc_id") < 5, 5)
+        .queryExecution.executedPlan
+      1L
+    }
+    def q102ScanOnly(): Long =
+      spark.read.parquet(s"$lexIdx/postings")
+        .filter(col("term").isin(lexVocab: _*)).count()
+    def q102ScanJoin(): Long = {
+      import spark.implicits._
+      val qdf = lexVocab.map(t => (0L, t)).toDF("query_id", "term")
+      spark.read.parquet(s"$lexIdx/postings")
+        .filter(col("term").isin(lexVocab: _*))
+        .join(broadcast(qdf), Seq("term")).count()
+    }
+
+    // q04/q06 r10 decomposition (the r9 verdict's floor-band drift:
+    // both read >=0.57 s at >6x in two clean judge sessions vs <0.3 s
+    // in r8): split the fact scan, the li⋈o join, and the full query
+    // so the drift pins to a stage — or to the session floor.
+    def q04Cur(): Long =
+      graft.SparkEntry.queries("q04_region_revenue")(spark, sfDir).count()
+    def q04LiJoin(): Long = {
+      val li = graft.Tables.t(spark, sfDir, "lineitem")
+      val o = graft.Tables.t(spark, sfDir, "orders")
+        .filter(col("o_orderstatus") === "F")
+      li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    }
+    def q04Scans(): Long =
+      graft.Tables.t(spark, sfDir, "lineitem").count() +
+        graft.Tables.t(spark, sfDir, "orders").count()
+    def q06Cur(): Long =
+      graft.SparkEntry.queries("q06_orders_no_items")(spark, sfDir).count()
+    def q06AntiOnly(): Long = {
+      val o = graft.Tables.t(spark, sfDir, "orders")
+      val li = graft.Tables.t(spark, sfDir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
+    }
+
     Seq(
+      "q04_cur" -> (() => q04Cur()),
+      "q04_lijoin" -> (() => q04LiJoin()),
+      "q04_scans" -> (() => q04Scans()),
+      "q06_cur" -> (() => q06Cur()),
+      "q06_anti_only" -> (() => q06AntiOnly()),
+      "q102_cur" -> (() => q102Cur()),
+      "q102_plan_only" -> (() => q102PlanOnly()),
+      "q102_scan_only" -> (() => q102ScanOnly()),
+      "q102_scan_join" -> (() => q102ScanJoin()),
       "q81_cur" -> (() => q81Cur()),
       "q81_oneshuffle" -> (() => q81OneShuffle()),
       "q81_fold" -> (() => q81Fold()),

@@ -84,21 +84,21 @@ object IndexSweep {
     // --- BandIndex: growing index, fixed ~500-doc batch ---
     val batchFixed = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < 5000)
     val growTable = fresh(s"sweep_band_grow_$label")
+    fresh(BandIndex.keysTable(growTable))
     r("band_write") = time(
       BandIndex.write(seed, growTable, n = 3, k = 12, bands = 4, buckets = 16))
-    val allFixed = seed.unionByName(batchFixed)
     r("band_probe_fixed_batch") = min2(
-      BandIndex.probe(spark, growTable, batchFixed, allFixed,
+      BandIndex.probe(spark, growTable, batchFixed,
         n = 3, k = 12, bands = 4, threshold = 0.3).count())
 
     // --- BandIndex: fixed scale1-sized index, growing batch ---
     val corpusFixed = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") < 5000)
     val fixedTable = fresh(s"sweep_band_fixed_$label")
+    fresh(BandIndex.keysTable(fixedTable))
     BandIndex.write(corpusFixed, fixedTable, n = 3, k = 12, bands = 4,
       buckets = 16) // untimed: identical at every scale
-    val allGrow = corpusFixed.unionByName(batch)
     r("band_probe_grow_batch") = min2(
-      BandIndex.probe(spark, fixedTable, batch, allGrow,
+      BandIndex.probe(spark, fixedTable, batch,
         n = 3, k = 12, bands = 4, threshold = 0.3).count())
 
     val parts = r.map { case (k, v) =>

@@ -69,11 +69,16 @@ class BandIndexSpec extends SparkSpec {
           all, col("is_new"), n, k, bands, thr)
         .orderBy("doc_a", "doc_b")
         .as[(Long, Long, Double)].collect().toSeq
-      val got = BandIndex.probe(spark, "g_band_idx", batch,
-          all.select(col("doc_id"), col("text")), n, k, bands, thr)
+      val got = BandIndex.probe(spark, "g_band_idx", batch, n, k, bands, thr)
         .orderBy("doc_a", "doc_b")
         .as[(Long, Long, Double)].collect().toSeq
       assert(got === want)
+      // r10: the verify keys come from the STORED key table — the probe
+      // plan must scan g_band_idx_keys, and the only text-processing
+      // subtrees are the batch's own (corpus text never re-tokenized)
+      val probePlan = BandIndex.probe(spark, "g_band_idx", batch, n, k, bands, thr)
+        .queryExecution.optimizedPlan.toString()
+      assert(probePlan.contains("g_band_idx_keys"), probePlan.take(3000))
       // and it actually finds the planted cross-batch + in-batch dups
       assert(got.map(p => (p._1, p._2)).contains((11L, 12L)))
       assert(got.exists(p => p._2 == 10L && p._1 <= 1L))
@@ -81,6 +86,7 @@ class BandIndexSpec extends SparkSpec {
       assert(!got.map(p => (p._1, p._2)).contains((0L, 1L)))
     } finally {
       spark.sql("DROP TABLE IF EXISTS g_band_idx")
+      spark.sql("DROP TABLE IF EXISTS g_band_idx_keys")
     }
   }
 }

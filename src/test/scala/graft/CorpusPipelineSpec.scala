@@ -119,6 +119,18 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(doc8.head.getAs[String]("lang") === "en")
   }
 
+  test("chunk: packed-id contract violation fails loudly instead of colliding") {
+    // r10: an orig doc_id >= 2^43 would lose high bits in the shift and
+    // collide packed ids feeding downstream dedup/split — must raise.
+    val bad = Seq((1L << 43, "a b c", "en"), (2L, "x y", "en"))
+      .toDF("doc_id", "text", "lang")
+    val ex = intercept[Exception] {
+      CorpusPipeline(bad).chunk(sizeTokens = 8, stride = 6).docs.collect()
+    }
+    assert(ex.getMessage.contains("packed-id contract") ||
+      Option(ex.getCause).exists(_.getMessage.contains("packed-id contract")))
+  }
+
   test("langMixture: rarest language fully kept, dominant language downsampled") {
     val p = CorpusPipeline(corpus).langMixture(alpha = 0.5)
     val kept = p.docs.select($"doc_id", $"lang").as[(Long, String)].collect()

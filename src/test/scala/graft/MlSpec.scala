@@ -319,6 +319,32 @@ class MlSpec extends SparkSpec {
     assert(f.sameElements(d), "fast path diverged from distributed labels")
   }
 
+  test("dedup clusters: Long.MaxValue bound falls through to distributed, labels correct") {
+    // r10 regression: an effectively-unbounded bound used to skip the
+    // probe but still take the fast path over zero edges, silently
+    // labeling every doc a singleton.
+    val docs = (0L until 10L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val a = graft.ml.DedupClusters.assignWithStats(docs, pairs,
+      smallGraphEdgeBound = Long.MaxValue)
+    assert(a.rounds > 0, "expected the distributed path, not the fast path")
+    assert(a.converged)
+    val out = a.labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) === 0L && out(6L) === 5L && out(9L) === 9L)
+  }
+
+  test("dedup clusters: string doc ids take the distributed path with correct labels") {
+    // r10 regression: string ids used to be cast-to-long (null) on the
+    // fast path and NPE in the collect; now they must route distributed.
+    val docs = Seq("a", "b", "c", "d").toDF("doc_id")
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val out = graft.ml.DedupClusters.assign(docs, pairs).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out("a") === (("a", true)))
+    assert(out("c") === (("a", false)))
+    assert(out("d") === (("d", true)))
+  }
+
   test("multimodal: decode stub preserves batch shape and determinism") {
     val media = Multimodal.fakeMediaTable(
       corpus.withColumn("source", lit("srcA")).withColumnRenamed("doc_id", "doc_id"))
