@@ -490,6 +490,30 @@ final class Serve(private[api] val engine: GraftEngine) {
             s"""{"success":true,"mode":"prune","partitions_removed":$removed,""" +
               s""""runs_pruned":${prunedRuns.size}}"""
           }
+        case "compact" =>
+          // r10: small-file compaction (preview/confirm like prune).
+          // Continuous ingest appends one small file per batch; this
+          // bin-packs each date partition back to ~target_mb files,
+          // preserving (re-establishing, range-partitioned) the events
+          // table's (severity, timestamp) clustering.
+          val targetMb = args.get("target_mb").map(_.trim.toLong).getOrElse(128L)
+          val minFiles = args.get("min_files").map(_.trim.toInt).getOrElse(4)
+          val clusterCols = Map("events" -> Seq("severity", "timestamp"))
+          def tjson(ts: Seq[graft.store.Maintenance.CompactionTarget]): String =
+            ts.map(t => s"""{"table":${quote(t.table)},"date":${quote(t.date)},""" +
+              s""""files":${t.files},"bytes":${t.bytes},""" +
+              s""""target_files":${t.targetFiles}}""").mkString("[", ",", "]")
+          if (!confirm) {
+            val cands = tables.flatMap(t =>
+              maintenance.compactionCandidates(t, targetMb << 20, minFiles))
+            s"""{"success":false,"preview":true,"mode":"compact",""" +
+              s""""targets":${tjson(cands)},""" +
+              s""""message":"set confirm=true to compact"}"""
+          } else {
+            val done = tables.flatMap(t => maintenance.applyCompaction(
+              t, targetMb << 20, minFiles, clusterCols.getOrElse(t, Seq.empty)))
+            s"""{"success":true,"mode":"compact","compacted":${tjson(done)}}"""
+          }
         case "data" | "schema" | "full" =>
           // data/schema: clear run data (all table dirs + blobs), keep
           // the command registry and any other config beside the store;
@@ -518,7 +542,7 @@ final class Serve(private[api] val engine: GraftEngine) {
             s"""{"success":true,"mode":${quote(mode)},"removed":$removed}"""
           }
         case other =>
-          err(s"unknown clean mode: $other (data, prune, schema, full)")
+          err(s"unknown clean mode: $other (data, prune, compact, schema, full)")
       }
     case other => err(s"unknown tool: $other (available: ${tools.mkString(", ")})")
   }
@@ -748,13 +772,15 @@ object Serve {
         ToolParam("set", "string", "JSON object of keys to update; invalid updates leave config unchanged"),
         ToolParam("reset", "string", "true = revert to env-seeded values"))),
     ToolSpec("clean",
-      "Store maintenance: preview or delete run data (mode=data/schema), prune by age/count/size (mode=prune), or remove the whole store (mode=full). confirm=true required to delete.",
+      "Store maintenance: preview or delete run data (mode=data/schema), prune by age/count/size (mode=prune), bin-pack small part files (mode=compact), or remove the whole store (mode=full). confirm=true required to modify.",
       Seq(
-        ToolParam("mode", "string", "data | prune | schema | full (default data)"),
-        ToolParam("confirm", "string", "must be true to actually delete; false returns a preview"),
+        ToolParam("mode", "string", "data | prune | compact | schema | full (default data)"),
+        ToolParam("confirm", "string", "must be true to actually delete/compact; false returns a preview"),
         ToolParam("days", "integer", "prune: remove partitions older than this many days"),
         ToolParam("max_runs", "integer", "prune: keep at most N runs per source"),
-        ToolParam("max_size_mb", "integer", "prune: keep events+outputs under N MB total"))))
+        ToolParam("max_size_mb", "integer", "prune: keep events+outputs under N MB total"),
+        ToolParam("target_mb", "integer", "compact: target part-file size (default 128)"),
+        ToolParam("min_files", "integer", "compact: only partitions with at least N part files (default 4)"))))
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
   import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}

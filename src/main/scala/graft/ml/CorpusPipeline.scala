@@ -172,38 +172,8 @@ final class CorpusPipeline private (
     * fails the job loudly instead. Per-row transform + explode, zero
     * shuffle. */
   def chunk(sizeTokens: Int = 32, stride: Int = 24): CorpusPipeline =
-    step(s"chunk($sizeTokens/$stride)") { d =>
-      val toks = col("toks")
-      val n = col("n")
-      val chunks = transform(
-        sequence(lit(0L),
-          ceil(greatest(n - sizeTokens.toLong, lit(0L)) / stride.toDouble).cast("long")),
-        i => struct(i.as("chunk_id"),
-          concat_ws(" ",
-            slice(toks, (i * stride.toLong + 1L).cast("int"), lit(sizeTokens)))
-            .as("chunk")))
-      // functions.split qualified: this class's own split() (the
-      // train/val/test stage) shadows it
-      d.withColumn("toks", org.apache.spark.sql.functions.split(col("text"), " "))
-        .withColumn("n", size(col("toks")).cast("long"))
-        .withColumn("c", explode(chunks))
-        .withColumn("orig_doc_id", col("doc_id"))
-        .withColumn("chunk_id", col("c.chunk_id"))
-        .withColumn("doc_id",
-          when(col("doc_id").cast("long") < 0L ||
-              col("doc_id").cast("long") >= (1L << 43) ||
-              col("chunk_id") >= (1L << 20),
-            raise_error(concat(
-              lit("CorpusPipeline.chunk: packed-id contract violated (doc_id="),
-              col("doc_id").cast("string"),
-              lit(" must be in [0, 2^43), chunk_id="),
-              col("chunk_id").cast("string"),
-              lit(" must be < 2^20)"))).cast("long"))
-            .otherwise(shiftleft(col("doc_id").cast("long"), 20)
-              .bitwiseOR(col("chunk_id"))))
-        .withColumn("text", col("c.chunk"))
-        .drop("toks", "n", "c")
-    }
+    step(s"chunk($sizeTokens/$stride)")(
+      CorpusPipeline.chunkFrame(_, sizeTokens, stride))
 
   /** Drop documents sharing any n-gram with the eval set
     * (Bloom-screened + exact-verified, `ml/Decontaminate`). */
@@ -234,6 +204,35 @@ final class CorpusPipeline private (
         .filter((conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 10000)
           < col("rate") * 10000)
         .drop("rate")
+    }
+
+  /** Budget-constrained temperature mixture (q108's form as a stage —
+    * the alternative to [[langMixture]]'s XLM-R keep-rate): distribute
+    * a FIXED document budget across languages ∝ n^alpha, i.e.
+    * per-language quota c_s = N·n_s^α / Σ n_t^α and acceptance rate
+    * c_s/n_s, clamped at 1. [[langMixture]] rebalances toward the
+    * smallest group but gives no control over output size; this is the
+    * form production pretraining runs use when the token budget IS the
+    * constraint — head languages get a lower acceptance rate, tail
+    * languages a higher one, and the expected output lands on the
+    * budget. Acceptance is the same deterministic md5(doc_id:lang)
+    * integer-bucket draw as q108, with the sqrt-sum rounded to 6 dp
+    * and the threshold to an integer, so reruns are bit-stable.
+    * Plan shape: the corpus never shuffles — a bounded per-language
+    * agg broadcast back plus a 1-row stats broadcast; one corpus scan
+    * at any scale. Requires a `lang` column. */
+  def budgetMixture(budgetDocs: Long, alpha: Double = 0.5): CorpusPipeline =
+    step(s"budgetMixture(N=$budgetDocs,a=$alpha)") { d =>
+      val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n_s"))
+      val st = n.agg(round(sum(pow(col("n_s"), alpha)), 6).as("ss"))
+      d.join(broadcast(n), Seq("lang"))
+        .crossJoin(broadcast(st))
+        .withColumn("thr", least(lit(1000000L),
+          round(lit(1000000L) * budgetDocs /
+            (col("ss") * pow(col("n_s"), 1.0 - alpha)), 0).cast("long")))
+        .filter((conv(substring(md5(concat_ws(":", col("doc_id"), col("lang"))), 1, 8),
+          16, 10).cast("long") % 1000000L) < col("thr"))
+        .drop("n_s", "ss", "thr")
     }
 
   /** Append the deterministic content-hash split column (q61). */
@@ -290,6 +289,46 @@ object CorpusPipeline {
   def checkpointed(docs: DataFrame, checkpointDir: String): CorpusPipeline =
     new CorpusPipeline(docs, Vector.empty, Some(checkpointDir))
 
+  /** The chunking transform proper — ONE implementation shared by the
+    * batch [[CorpusPipeline.chunk]] stage and the [[streaming]] path
+    * (it is a stateless per-row transform+explode, so it composes into
+    * a micro-batch unchanged; the parity test in CorpusPipelineSpec
+    * pins batch/streaming agreement). The packed-id contract
+    * (doc_id in [0, 2^43), < 2^20 chunks/doc) is enforced per row with
+    * raise_error — a violation would silently collide packed ids
+    * feeding downstream dedup/split, so it fails the job loudly. */
+  private[ml] def chunkFrame(d: DataFrame, sizeTokens: Int,
+      stride: Int): DataFrame = {
+    val toks = col("toks")
+    val n = col("n")
+    val chunks = transform(
+      sequence(lit(0L),
+        ceil(greatest(n - sizeTokens.toLong, lit(0L)) / stride.toDouble).cast("long")),
+      i => struct(i.as("chunk_id"),
+        concat_ws(" ",
+          slice(toks, (i * stride.toLong + 1L).cast("int"), lit(sizeTokens)))
+          .as("chunk")))
+    d.withColumn("toks", split(col("text"), " "))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("c", explode(chunks))
+      .withColumn("orig_doc_id", col("doc_id"))
+      .withColumn("chunk_id", col("c.chunk_id"))
+      .withColumn("doc_id",
+        when(col("doc_id").cast("long") < 0L ||
+            col("doc_id").cast("long") >= (1L << 43) ||
+            col("chunk_id") >= (1L << 20),
+          raise_error(concat(
+            lit("CorpusPipeline.chunk: packed-id contract violated (doc_id="),
+            col("doc_id").cast("string"),
+            lit(" must be in [0, 2^43), chunk_id="),
+            col("chunk_id").cast("string"),
+            lit(" must be < 2^20)"))).cast("long"))
+          .otherwise(shiftleft(col("doc_id").cast("long"), 20)
+            .bitwiseOR(col("chunk_id"))))
+      .withColumn("text", col("c.chunk"))
+      .drop("toks", "n", "c")
+  }
+
   /** The ingest-time form of the batch policy chain: every arriving
     * micro-batch of (doc_id, text) runs quality gate → near-dup screen
     * against a PREBUILT corpus index → decontamination screen against
@@ -311,7 +350,8 @@ object CorpusPipeline {
   def streaming(stream: DataFrame, minQuality: Double,
       dedupIndex: graft.streaming.StreamingDedup.CorpusIndex,
       n: Int, k: Int, bands: Int, threshold: Double, minAgree: Int,
-      evalIndex: Decontaminate.EvalIndex, evalN: Int)(
+      evalIndex: Decontaminate.EvalIndex, evalN: Int,
+      chunkTo: Option[(Int, Int)] = None)(
       onBatch: (Long, DataFrame, Vector[StageStat]) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -343,9 +383,16 @@ object CorpusPipeline {
         t0 = System.nanoTime()
         val flagged = Decontaminate.screenBatch(d, evalIndex, evalN)
           .select(col("doc_id"))
-        val (accepted, _) = staged("decontaminateScreen", nD,
+        val (accepted, nA) = staged("decontaminateScreen", nD,
           d.join(flagged, Seq("doc_id"), "left_anti"), t0)
-        onBatch(batchId, accepted, stats.result())
+        // optional context-length chunking on the way out (q109's
+        // stateless transform — identical operator to the batch stage)
+        val out = chunkTo.fold(accepted) { case (sz, stride) =>
+          t0 = System.nanoTime()
+          staged(s"chunk($sz/$stride)", nA,
+            chunkFrame(accepted, sz, stride), t0)._1
+        }
+        onBatch(batchId, out, stats.result())
       }
       .start()
 }

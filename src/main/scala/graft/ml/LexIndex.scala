@@ -192,7 +192,7 @@ object LexIndex {
     * scan — no re-tokenization, no distinct shuffle. */
   def queryTermsFromIndex(spark: SparkSession, indexDir: String,
       docPred: org.apache.spark.sql.Column): DataFrame =
-    spark.read.parquet(s"$indexDir/postings")
+    postingsFrame(spark, indexDir)
       .filter(docPred)
       .select(col("doc_id").as("query_id"), col("term"))
 
@@ -207,6 +207,7 @@ object LexIndex {
 
   private def invalidate(indexDir: String): Unit = {
     statsCache.remove(indexDir)
+    postingsCache.remove(indexDir)
     queryCache.keySet.removeIf(_.startsWith(indexDir + "::"))
   }
 
@@ -220,7 +221,7 @@ object LexIndex {
     import spark.implicits._
     val key = indexDir + "::" + docPred.toString
     val qlocal = queryCache.computeIfAbsent(key, { _ =>
-      spark.read.parquet(s"$indexDir/postings")
+      postingsFrame(spark, indexDir)
         .filter(docPred)
         .select(col("doc_id").cast("long"), col("term").cast("string"))
         .as[(Long, String)].collect().toSeq
@@ -261,6 +262,20 @@ object LexIndex {
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Double, Long)]()
 
+  /** Resolved postings frame per index dir, cached driver-side (r10):
+    * `spark.read.parquet` re-lists the directory and re-reads footers
+    * on every call — measured 0.14-0.18 s of pure driver-side plan
+    * construction per probe (AbBench q102_plan_only), a fixed tax on
+    * every repeat probe of an immutable index. The cached frame keeps
+    * its resolved schema and file index; [[invalidate]] clears it on
+    * any index rewrite (build/append). */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def postingsFrame(spark: SparkSession, indexDir: String): DataFrame =
+    postingsCache.computeIfAbsent(indexDir,
+      _ => spark.read.parquet(s"$indexDir/postings"))
+
   private def corpusStats(spark: SparkSession, indexDir: String): (Double, Long) =
     statsCache.computeIfAbsent(indexDir, { _ =>
       val r = spark.read.parquet(s"$indexDir/stats")
@@ -279,7 +294,7 @@ object LexIndex {
     val (_, nDocs) = corpusStats(spark, indexDir)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(round(col("score"), 6).desc, col("term"))
-    spark.read.parquet(s"$indexDir/postings")
+    postingsFrame(spark, indexDir)
       .withColumn("score",
         col("tf") * log(lit(nDocs.toDouble) / col("df")))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -304,7 +319,7 @@ object LexIndex {
       qlocal: Seq[(Long, String)], k: Int, maxInTerms: Int): DataFrame = {
     import spark.implicits._
     val (avgdl, nDocs) = corpusStats(spark, indexDir)
-    val post0 = spark.read.parquet(s"$indexDir/postings")
+    val post0 = postingsFrame(spark, indexDir)
     val qdf = qlocal.toDF("query_id", "term")
     val vocab = qlocal.map(_._2).distinct
     val post =

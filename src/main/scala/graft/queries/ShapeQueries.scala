@@ -397,6 +397,41 @@ object ShapeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Curriculum assignment by quality deciles (r10): pretraining
+    // curricula order or re-weight data by quality rank; the naive
+    // form is a global ntile() — a total sort of the corpus. The
+    // scale-honest form here: decile THRESHOLDS via percentile_disc
+    // (one bounded agg — exact DISCRETE quantiles, so each threshold
+    // is an actual data value, parity-safe where interpolated
+    // quantile_cont would drift in float arithmetic), broadcast back,
+    // and per-row assignment as a pure comparison chain — the corpus
+    // never shuffles. Both engines pick the ceil(q·n)-th smallest
+    // value (Spark: least value with cume_dist >= q; DuckDB
+    // quantile_disc: floor(q·(n-1)) zero-indexed — identical position
+    // for every q, n). Quality is q74's shared 4-dp-rounded score, so
+    // the gate reuses the pinned cross-engine expression. Emits
+    // per-decile stats (count, quality range, token mass) — the
+    // schedule a curriculum sampler actually consumes.
+    "q110_curriculum" -> { (s, dir) =>
+      val q4 = round(graft.ml.TextAnalysis.qualityScore(col("text")), 4)
+      val scored = t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), q4.as("q4"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+      val thrCols = (1 to 9).map(k =>
+        expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY q4)").as(s"t$k"))
+      val thr = scored.agg(thrCols.head, thrCols.tail: _*)
+      val dec = (1 to 9).map(k =>
+        (col("q4") > col(s"t$k")).cast("int")).reduce(_ + _) + 1
+      scored.crossJoin(broadcast(thr))
+        .withColumn("decile", dec.cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("q4")).as("min_q"), max(col("q4")).as("max_q"),
+          sum(col("ntok")).as("sum_toks"))
+        .orderBy(col("decile"))
+    },
+
     // Long-document chunking (r9): split each document into fixed
     // 32-token windows with stride 24 (8-token overlap) — the
     // complement of q63's sequence packing (packing joins SHORT docs
@@ -606,6 +641,23 @@ object ShapeQueries {
          | JOIN documents da ON doc_a = da.doc_id
          | JOIN documents db ON doc_b = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    "q110_curriculum" -> {
+      val thrs = (1 to 9).map(k => s"quantile_disc(q4, 0.$k) AS t$k")
+        .mkString(", ")
+      val decSum = (1 to 9)
+        .map(k => s"(CASE WHEN q4 > t$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH scored AS (SELECT doc_id,
+         |  round(${PipelineQueries.qualitySql}, 4) AS q4,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+         |  FROM documents),
+         |thr AS (SELECT $thrs FROM scored),
+         |asg AS (SELECT q4, ntok, CAST(1 + $decSum AS BIGINT) AS decile
+         |  FROM scored CROSS JOIN thr)
+         |SELECT decile, count(*) AS n_docs, min(q4) AS min_q,
+         |  max(q4) AS max_q, CAST(sum(ntok) AS BIGINT) AS sum_toks
+         |FROM asg GROUP BY decile ORDER BY decile""".stripMargin
     },
 
     "q108_temperature_mix" ->

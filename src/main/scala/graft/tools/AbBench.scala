@@ -759,6 +759,19 @@ object AbBench {
       val li = graft.Tables.t(spark, sfDir, "lineitem")
       o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
     }
+    def q06ShuffleHash(): Long = {
+      val o = graft.Tables.t(spark, sfDir, "orders")
+      val li = graft.Tables.t(spark, sfDir, "lineitem").hint("shuffle_hash")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
+    }
+    def q06BuildDistinct(): Long = {
+      // pre-distinct the build side: 600k l_orderkey -> 150k distinct
+      // keys before the broadcast build
+      val o = graft.Tables.t(spark, sfDir, "orders")
+      val li = graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey")).distinct()
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
+    }
 
     Seq(
       "q04_cur" -> (() => q04Cur()),
@@ -766,6 +779,8 @@ object AbBench {
       "q04_scans" -> (() => q04Scans()),
       "q06_cur" -> (() => q06Cur()),
       "q06_anti_only" -> (() => q06AntiOnly()),
+      "q06_shuffle_hash" -> (() => q06ShuffleHash()),
+      "q06_build_distinct" -> (() => q06BuildDistinct()),
       "q102_cur" -> (() => q102Cur()),
       "q102_plan_only" -> (() => q102PlanOnly()),
       "q102_scan_only" -> (() => q102ScanOnly()),

@@ -119,6 +119,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(doc8.head.getAs[String]("lang") === "en")
   }
 
+  test("budgetMixture: output lands on the budget, tail language clamped to keep-all") {
+    // 200 en / 50 de / 5 fr, budget 100 at alpha=0.5:
+    // ss = √200+√50+√5 ≈ 23.449; acceptance = N/(ss·√n_s) →
+    // en ≈ 0.302, de ≈ 0.603, fr ≈ 1.907 → clamped 1.0 (keep all).
+    // Expected output ≈ 60.3 + 30.2 + 5 = 95.5 docs.
+    val docs = ((1 to 200).map(i => (i.toLong, s"english document body $i", "en")) ++
+      (1 to 50).map(i => (300L + i, s"deutsches dokument nummer $i", "de")) ++
+      (1 to 5).map(i => (400L + i, s"document francais numero $i", "fr")))
+      .toDF("doc_id", "text", "lang")
+    val p = CorpusPipeline(docs).budgetMixture(budgetDocs = 100L, alpha = 0.5)
+    val kept = p.docs.select($"doc_id", $"lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // fr's quota exceeds its size -> rate clamps to 1, all 5 survive
+    assert(byLang.getOrElse("fr", 0) === 5)
+    // acceptance rates strictly ordered by group size (temperature
+    // flattening): fr (1.0) > de > en — deterministic given the draw
+    val rEn = byLang.getOrElse("en", 0) / 200.0
+    val rDe = byLang.getOrElse("de", 0) / 50.0
+    assert(rDe > rEn, s"de rate $rDe should exceed en rate $rEn")
+    assert(rDe < 1.0)
+    // the budget property: expected 95.5, deterministic draw lands
+    // within binomial concentration of it
+    assert(kept.length >= 75 && kept.length <= 115,
+      s"output ${kept.length} far from budget 100")
+    // retention recorded in the stage stats row
+    assert(p.stats.head.docsIn === 255 && p.stats.head.docsOut === kept.length)
+  }
+
   test("chunk: packed-id contract violation fails loudly instead of colliding") {
     // r10: an orig doc_id >= 2^43 would lose high bits in the shift and
     // collide packed ids feeding downstream dedup/split — must raise.
@@ -278,6 +306,49 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(st.sliding(2).forall(w => w(0).docsOut == w(1).docsIn))
     }
     assert(stats(0L).head.docsIn === 3 && stats(1L).head.docsIn === 4)
+    evalIdx.grams.unpersist()
+  }
+
+  test("streaming chunk stage: micro-batch chunks equal the batch stage") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusDocs = corpus.filter($"doc_id" =!= 1L && $"doc_id" =!= 8L)
+      .select($"doc_id", $"text")
+    val dedupIdx = graft.streaming.StreamingDedup
+      .indexCorpus(corpusDocs, n = 3, k = 12, bands = 4)
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    // a 20-token clean novel doc: at chunk(8/6) it must emit 3 windows
+    val longText = "the little caravan of traders slowly crossed seven " +
+      "windy plateaus before reaching its quiet destination near the old stone bridge"
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    var got: Seq[(Long, Long, Long, String)] = Seq.empty
+    var st: Vector[CorpusPipeline.StageStat] = Vector.empty
+    val q = CorpusPipeline.streaming(
+      input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+      dedupIdx, n = 3, k = 12, bands = 4, threshold = 0.3, minAgree = 0,
+      evalIdx, evalN = 3, chunkTo = Some((8, 6))) { (_, acc, stats) =>
+      this.synchronized {
+        got = acc.select($"doc_id", $"orig_doc_id", $"chunk_id", $"text")
+          .as[(Long, Long, Long, String)].collect().toSeq.sorted
+        st = stats
+      }
+    }
+    try {
+      input.addData(500L -> longText)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val want = CorpusPipeline(Seq((500L, longText)).toDF("doc_id", "text"))
+      .chunk(sizeTokens = 8, stride = 6)
+      .docs.select($"doc_id", $"orig_doc_id", $"chunk_id", $"text")
+      .as[(Long, Long, Long, String)].collect().toSeq.sorted
+    assert(want.length === 3)
+    assert(got === want, "streaming chunks diverged from the batch stage")
+    // the chunk stage reports in the stats chain: 1 doc in, 3 chunks out
+    assert(st.last.stage === "chunk(8/6)")
+    assert(st.last.docsIn === 1 && st.last.docsOut === 3)
     evalIdx.grams.unpersist()
   }
 }

@@ -600,4 +600,32 @@ class ServeSpec extends SparkSpec {
     // prune without any bound is a usage error document
     assert(s.call("clean", Map("mode" -> "prune")).contains("error"))
   }
+
+  test("clean mode=compact: preview names targets, confirm bin-packs, queries unchanged") {
+    val root = Files.createTempDirectory("serve_compact").toString
+    val g = GraftEngine(spark, root)
+    // five imports on one date -> five-plus small event part files
+    for (i <- 1 to 5)
+      g.importContent(s"f$i.py:$i: error: e$i  [misc]", format = "mypy_text")
+    val s = new Serve(g)
+    val nBefore = g.events.count()
+    def partFiles() = new java.io.File(s"$root/events")
+      .listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    val filesBefore = partFiles().length
+    assert(filesBefore >= 4, s"expected >=4 part files, got $filesBefore")
+    // preview: events partition named, nothing rewritten
+    val prev = s.call("clean", Map("mode" -> "compact"))
+    assert(prev.contains("\"preview\":true") &&
+      prev.contains("\"table\":\"events\"") &&
+      prev.contains("\"target_files\":1"), prev)
+    assert(partFiles().length === filesBefore, "preview must not rewrite")
+    // confirm: packed to the target, row set intact, queries still work
+    val done = s.call("clean", Map("mode" -> "compact", "confirm" -> "true"))
+    assert(done.contains("\"success\":true") &&
+      done.contains("\"table\":\"events\""), done)
+    assert(partFiles().length === 1)
+    assert(g.events.count() === nBefore)
+    assert(s.call("errors", Map("limit" -> "10")).contains("e3"))
+  }
 }

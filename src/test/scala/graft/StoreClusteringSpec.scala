@@ -47,4 +47,53 @@ class StoreClusteringSpec extends SparkSpec {
         s"${f.getName}: rows not (severity, timestamp)-sorted")
     }
   }
+
+  test("compaction bin-packs small part files and clustering survives") {
+    val root = java.nio.file.Files.createTempDirectory("compact_store").toString
+    val store = new EventStore(spark, root)
+    val rng = new scala.util.Random(17)
+    // four separate appends — the continuous-ingest shape that piles
+    // up small part files, one batch at a time
+    (0 until 4).foreach { batch =>
+      val events = (0 until 150).map { i =>
+        mkEvent(batch * 1000 + i, Severity.All(rng.nextInt(Severity.All.length)),
+          1700000000000L + rng.nextInt(1000000))
+      }
+      store.appendEvents(spark.createDataFrame(events))
+    }
+    def partFiles() = new java.io.File(s"$root/events")
+      .listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(f => f.getName.endsWith(".parquet"))
+    val before = partFiles()
+    assert(before.length >= 4, s"expected >=4 small files, got ${before.length}")
+    val rowsBefore = spark.read.parquet(s"$root/events")
+      .orderBy("id").collect().map(_.toString).toSeq
+
+    val m = new graft.store.Maintenance(store)
+    // preview names the events partition without touching it
+    val preview = m.compactionCandidates("events")
+    assert(preview.map(_.date) === Seq("2026-08-13"))
+    assert(preview.head.files === before.length && preview.head.targetFiles === 1)
+    assert(partFiles().length === before.length, "preview must not rewrite")
+
+    val done = m.applyCompaction("events",
+      clusterBy = Seq("severity", "timestamp"))
+    assert(done === preview)
+    val after = partFiles()
+    assert(after.length === 1, s"expected 1 packed file, got ${after.length}")
+    // no data lost or changed
+    val rowsAfter = spark.read.parquet(s"$root/events")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(rowsAfter === rowsBefore)
+    // the write-time clustering invariant survives compaction
+    after.foreach { f =>
+      val rows = spark.read.parquet(f.getPath)
+        .select(col("severity"), col("timestamp").cast("long").as("ts"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"${f.getName}: compacted rows not (severity, timestamp)-sorted")
+    }
+    // idempotent: a second pass finds nothing to do
+    assert(m.applyCompaction("events").isEmpty)
+  }
 }
