@@ -61,6 +61,48 @@ object BandIndex {
     } finally { withDig.unpersist(); () }
   }
 
+  /** Fold a batch of NEW documents (doc_ids disjoint from the indexed
+    * corpus — the same contract as [[probe]]) into an existing stored
+    * index WITHOUT touching the corpus side: the
+    * [[LexIndex.appendBatch]] analog for the dedup path, and the
+    * "fold accepted batches into the corpus index" cadence hook the
+    * streaming screen's scaladoc names. The batch alone is digested
+    * (once, persisted, feeding both tables); its band rows and
+    * key-set rows APPEND into the two bucketed tables under the
+    * table's own bucket spec — one batch-sized shuffle each, corpus
+    * rows never rewritten. This is strictly cheaper than LexIndex's
+    * append (which must re-lay-out all postings because df rides
+    * every row): band and key rows carry NO corpus-global statistic,
+    * so appends are purely additive. Each append adds one file per
+    * touched bucket; at a daily cadence that is the small-file debt
+    * the compaction operator (store/Maintenance) exists to pay down.
+    */
+  def append(spark: SparkSession, table: String, batch: DataFrame,
+      n: Int, k: Int, bands: Int): Unit = {
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed band index table"))
+    val withDig = TextDedup.shingleDigests(TextDedup.shingleSets(batch, n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      TextDedup.bandKeyTable(
+          TextDedup.minhashSignaturesFromDigests(withDig, k), k, bands)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "zstd")
+        .bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(table)
+      TextDedup.keySetsFromDigests(withDig)
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "zstd")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(keysTable(table))
+    } finally { withDig.unpersist(); () }
+  }
+
   /** Candidate (doc_a, doc_b) pairs for a NEW batch probed against the
     * stored index: batch×corpus pairs from the co-located (band, key)
     * join, plus batch×batch pairs from within-bucket expansion of the

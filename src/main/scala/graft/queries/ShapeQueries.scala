@@ -400,30 +400,45 @@ object ShapeQueries {
     // Curriculum assignment by quality deciles (r10): pretraining
     // curricula order or re-weight data by quality rank; the naive
     // form is a global ntile() — a total sort of the corpus. The
-    // scale-honest form here: decile THRESHOLDS via percentile_disc
-    // (one bounded agg — exact DISCRETE quantiles, so each threshold
-    // is an actual data value, parity-safe where interpolated
-    // quantile_cont would drift in float arithmetic), broadcast back,
-    // and per-row assignment as a pure comparison chain — the corpus
-    // never shuffles. Both engines pick the ceil(q·n)-th smallest
-    // value (Spark: least value with cume_dist >= q; DuckDB
-    // quantile_disc: floor(q·(n-1)) zero-indexed — identical position
-    // for every q, n). Quality is q74's shared 4-dp-rounded score, so
-    // the gate reuses the pinned cross-engine expression. Emits
-    // per-decile stats (count, quality range, token mass) — the
-    // schedule a curriculum sampler actually consumes.
+    // scale-honest form here exploits the score's BOUNDED DOMAIN
+    // (4-dp-rounded ⇒ ≤10001 distinct values): one map-side-combined
+    // value-count histogram (tiny at any corpus size — contrast
+    // percentile_disc, which buffers every row per partition; the r10
+    // AbBench decomposition measured its 9-buffer agg at ~0.3 s even
+    // on 5k rows), a driver-side discrete-quantile walk in PURE
+    // INTEGER math (threshold k = the ceil(k·n/10)-th smallest value
+    // = first histogram value with cumulative count ≥ (k·n+9)/10 —
+    // exactly Spark's percentile_disc and DuckDB's quantile_disc
+    // position for every k, n), and per-row assignment as a literal
+    // comparison chain — the corpus never shuffles and nothing
+    // unbounded ever reaches the driver. Quality is q74's shared
+    // 4-dp-rounded score, so the gate reuses the pinned cross-engine
+    // expression; the DuckDB oracle computes the thresholds with
+    // quantile_disc, so the histogram derivation is itself
+    // hash-gated. Emits per-decile stats (count, quality range,
+    // token mass) — the schedule a curriculum sampler consumes.
     "q110_curriculum" -> { (s, dir) =>
       val q4 = round(graft.ml.TextAnalysis.qualityScore(col("text")), 4)
+      // the regex-heavy quality score feeds BOTH the histogram and
+      // the assignment pass — persist so it evaluates once (released
+      // by the harness clearCache between queries)
       val scored = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), q4.as("q4"),
           size(split(col("text"), " ")).cast("long").as("ntok"))
-      val thrCols = (1 to 9).map(k =>
-        expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY q4)").as(s"t$k"))
-      val thr = scored.agg(thrCols.head, thrCols.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hist = scored.groupBy(col("q4")).agg(count(lit(1)).as("c"))
+        .orderBy(col("q4")).collect()
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      val n = hist.map(_._2).sum
+      val cum = hist.scanLeft(0L)(_ + _._2).drop(1)
+      val thr = (1 to 9).map { k =>
+        val needed = (k * n + 9) / 10 // ceil(k·n/10), integer-exact
+        hist(cum.indexWhere(_ >= needed))._1
+      }
       val dec = (1 to 9).map(k =>
-        (col("q4") > col(s"t$k")).cast("int")).reduce(_ + _) + 1
-      scored.crossJoin(broadcast(thr))
+        (col("q4") > lit(thr(k - 1))).cast("int")).reduce(_ + _) + 1
+      scored
         .withColumn("decile", dec.cast("long"))
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n_docs"),

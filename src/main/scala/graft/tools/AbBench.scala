@@ -773,7 +773,33 @@ object AbBench {
       o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti").count()
     }
 
+    // q110 r10 decomposition: quality-scan vs percentile agg vs the
+    // assignment pass
+    def q110Cur(): Long =
+      graft.SparkEntry.queries("q110_curriculum")(spark, sfDir).count()
+    def q110ScanOnly(): Long = {
+      val q4 = round(graft.ml.TextAnalysis.qualityScore(col("text")), 4)
+      graft.Tables.t(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), q4.as("q4"),
+          size(split(col("text"), " ")).cast("long").as("ntok"))
+        .count()
+    }
+    def q110ThrOnly(): Long = {
+      val q4 = round(graft.ml.TextAnalysis.qualityScore(col("text")), 4)
+      val scored = graft.Tables.t(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), q4.as("q4"))
+      val thrCols = (1 to 9).map(k =>
+        expr(s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY q4)").as(s"t$k"))
+      scored.agg(thrCols.head, thrCols.tail: _*).head()
+      1L
+    }
+
     Seq(
+      "q110_cur" -> (() => q110Cur()),
+      "q110_scan_only" -> (() => q110ScanOnly()),
+      "q110_thr_only" -> (() => q110ThrOnly()),
       "q04_cur" -> (() => q04Cur()),
       "q04_lijoin" -> (() => q04LiJoin()),
       "q04_scans" -> (() => q04Scans()),

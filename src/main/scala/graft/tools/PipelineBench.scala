@@ -14,14 +14,18 @@ import org.apache.spark.sql.functions._
   * first 20 documents (deterministic, scale-independent definition —
   * a real pipeline would pass its benchmark suite here).
   *
-  * Usage: runMain graft.tools.PipelineBench <sfDir> [ckpt]
-  * (second arg `ckpt` = durable parquet stage tables instead of
-  * localCheckpoint — measures the restartable mode's write overhead.)
+  * Usage: runMain graft.tools.PipelineBench <sfDir> [ckpt] [budget=N]
+  * (`ckpt` = durable parquet stage tables instead of localCheckpoint —
+  * measures the restartable mode's write overhead; `budget=N` swaps
+  * the langMixture stage for budgetMixture(N) — the token-budget-
+  * constrained form, r10.)
   */
 object PipelineBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val durable = args.length > 1 && args(1) == "ckpt"
+    val durable = args.contains("ckpt")
+    val budget = args.collectFirst {
+      case a if a.startsWith("budget=") => a.stripPrefix("budget=").toLong }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +41,7 @@ object PipelineBench {
         graft.ml.CorpusPipeline.checkpointed(docs,
           java.nio.file.Files.createTempDirectory("pipe_ckpt").toString)
       else graft.ml.CorpusPipeline(docs)
-    val p = base
+    val mid = base
       .qualityFilter(0.3)
       .spanDedup(k = 5, dfMax = 3)
       .exactDedup()
@@ -45,7 +49,8 @@ object PipelineBench {
       .containmentDedup(n = 4, threshold = 0.8)
       .decontaminate(evalSet, n = 4, expectedEvalGrams = 10000)
       .chunk(sizeTokens = 32, stride = 24)
-      .langMixture(alpha = 0.5)
+    val p = budget.fold(mid.langMixture(alpha = 0.5))(
+      n => mid.budgetMixture(n, alpha = 0.5))
       .split()
     val total = (System.nanoTime() - t0) / 1e9
     println(p.report)

@@ -89,4 +89,46 @@ class BandIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS g_band_idx_keys")
     }
   }
+
+  test("band index append: folded batch probes identically to a from-scratch index") {
+    val (n, k, bands, thr) = (3, 8, 4, 0.3)
+    val corpusA = (
+      mkDocs(Seq(0L, 1L), "the quick brown fox jumps over the lazy dog again and") ++
+      Seq((4L, "a singleton document with its own words entirely unlike others"))
+    ).toDF("doc_id", "text")
+    val batchB = Seq(
+      (11L, "fresh pair of documents sharing almost every single token here now"),
+      (12L, "completely separate subject matter concerning tidal estuaries and herons"))
+      .toDF("doc_id", "text")
+    // C holds a near-dup of an APPENDED doc (11) and a near-dup of an
+    // original corpus doc (0) — both index generations must answer
+    val batchC = (
+      Seq((20L, "fresh pair of documents sharing almost every single token here too")) ++
+      mkDocs(Seq(21L), "the quick brown fox jumps over the lazy dog again and")
+    ).toDF("doc_id", "text")
+    try {
+      BandIndex.write(corpusA, "g_band_app", n, k, bands, buckets = 4)
+      BandIndex.append(spark, "g_band_app", batchB, n, k, bands)
+      BandIndex.write(corpusA.unionByName(batchB), "g_band_ref", n, k, bands,
+        buckets = 4)
+      val got = BandIndex.probe(spark, "g_band_app", batchC, n, k, bands, thr)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      val want = BandIndex.probe(spark, "g_band_ref", batchC, n, k, bands, thr)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      assert(got === want, "appended index diverged from from-scratch index")
+      // the appended doc participates: (11, 20) must be found
+      assert(got.map(p => (p._1, p._2)).contains((11L, 20L)), got.toString)
+      // and so does the original corpus: (0 or 1, 21)
+      assert(got.exists(p => p._2 == 21L && p._1 <= 1L), got.toString)
+      // appending to a non-bucketed table is refused loudly
+      spark.range(1).toDF("x").write.saveAsTable("g_band_plain")
+      val ex = intercept[IllegalStateException] {
+        BandIndex.append(spark, "g_band_plain", batchB, n, k, bands)
+      }
+      assert(ex.getMessage.contains("not a bucketed band index"))
+    } finally {
+      Seq("g_band_app", "g_band_app_keys", "g_band_ref", "g_band_ref_keys",
+        "g_band_plain").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
