@@ -447,6 +447,35 @@ object ShapeQueries {
         .orderBy(col("decile"))
     },
 
+    // Int8 quantization arithmetic gate (r10, ml/Quantize's oracle):
+    // per-vector symmetric scale (max|x|/127) and code statistics —
+    // code sum, |code| mass, saturation count — computed identically
+    // in both engines. All math in DOUBLE cast from the float input;
+    // round() is half-away-from-zero in both engines; the codes array
+    // is materialized as its OWN projection before the aggregate
+    // lambdas traverse it (the tokTable no-CSE contract — each
+    // aggregate must walk precomputed codes, not re-divide per
+    // element). Map-only: zero shuffle at any scale. The quantized
+    // SERVING path (dequantize → identical float top-k plan) is
+    // differential-gated in QuantizeSpec; this gates the stored
+    // artifact's bytes.
+    "q111_embedding_quantize" -> { (s, dir) =>
+      val v = transform(col("embedding"), x => x.cast("double"))
+      t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / 127.0)
+        .select(col("vec_id"), col("scale"),
+          when(col("scale") === 0.0, transform(col("v"), _ => lit(0L)))
+            .otherwise(transform(col("v"), x =>
+              round(x / col("scale"), 0).cast("long"))).as("codes"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale6"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_code"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + abs(c)).as("sum_abs"),
+          size(filter(col("codes"), c => abs(c) === 127L)).cast("long").as("n_sat"))
+        .orderBy(col("vec_id"))
+    },
+
     // Long-document chunking (r9): split each document into fixed
     // 32-token windows with stride 24 (8-token overlap) — the
     // complement of q63's sequence packing (packing joins SHORT docs
@@ -657,6 +686,20 @@ object ShapeQueries {
          | JOIN documents db ON doc_b = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q111_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |c AS (SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |    ELSE list_transform(v, x -> CAST(round(x / scale) AS BIGINT))
+        |  END AS codes FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale6,
+        |  CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS sum_abs,
+        |  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "q110_curriculum" -> {
       val thrs = (1 to 9).map(k => s"quantile_disc(q4, 0.$k) AS t$k")
