@@ -31,7 +31,7 @@ object Ivf {
     * the "broadcast" that needs no broadcast join: k rows by contract
     * (collect-safe), evaluated once per input row as plain expression
     * code inside whole-stage codegen. */
-  private def centroidArray(centroids: DataFrame): org.apache.spark.sql.Column = {
+  private[ml] def centroidArray(centroids: DataFrame): org.apache.spark.sql.Column = {
     val rows = centroids.select(col("cell_id").cast("int"), col("centroid"))
       .collect().sortBy(_.getInt(0))
     require(rows.nonEmpty, "centroid table is empty")
@@ -44,7 +44,7 @@ object Ivf {
   /** Per-row (d2, cell_id) structs sorted ascending. Struct natural
     * order == (d2 ASC, cell_id ASC) — the identical tie-break the
     * previous window form used, now as per-row array math. */
-  private def rankedCells(cents: org.apache.spark.sql.Column,
+  private[ml] def rankedCells(cents: org.apache.spark.sql.Column,
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_sort(transform(cents, c =>
       struct(dist2(v, c.getField("c")).as("d2"),

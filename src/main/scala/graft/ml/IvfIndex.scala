@@ -1,0 +1,130 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The STORED form of the IVF vector index — the third leg of the
+  * persistent-index trilogy ([[LexIndex]] for lexical retrieval,
+  * [[BandIndex]] for dedup candidates, this for vector similarity).
+  * [[Ivf.topK]] trains cells and assigns the corpus PER CALL; at
+  * 100 TB the assignment table is the thing you build once and probe
+  * forever — exactly the q37 pin's closing argument ("at 100 TB the
+  * prep is a stored table and the double-build term disappears").
+  *
+  * Layout, two catalog tables:
+  *  - `<table>_centroids`: (cell_id, centroid) — k rows, the bounded
+  *    driver-side literal every probe inlines (no broadcast join).
+  *  - `<table>`: the assignment table, bucketed+sorted by cell_id —
+  *    a probe's cell equi-join streams the corpus STRAIGHT from its
+  *    buckets with no exchange (the BandIndex plan-pin precedent);
+  *    only the (tiny) query side shuffles.
+  *
+  * Vector payload: float (`v` + `nrm`, exact) or int8 (`quantized =
+  * true`: `scale` + `q` codes via [[Quantize]], plus `nrm` of the
+  * DECODED vector stored at write time) — 4× smaller cell scans on
+  * the scan-bound probe path; candidates decode per row inside the
+  * probed cells only, never the whole corpus. IvfIndexSpec pins the
+  * float-mode probe EQUAL to [[Ivf.topK]] (same training, same
+  * ranking) and the quantized mode's recall against it.
+  *
+  * [[append]] folds new vectors in by assigning them to the STORED
+  * centroids (no retrain, no corpus rewrite) — one batch-sized
+  * shuffle into the bucket layout, the same additive maintenance
+  * contract as [[BandIndex.append]]. Centroid drift under sustained
+  * append is the operational trigger for a rebuild, the same cadence
+  * call as LexIndex's fingerprint. */
+object IvfIndex {
+
+  def centroidsTable(table: String): String = table + "_centroids"
+
+  /** Train cells on `embs` (vec_id, label, embedding) and store the
+    * assignment + centroid tables. */
+  def write(embs: DataFrame, table: String, cells: Int, iters: Int,
+      buckets: Int, quantized: Boolean = false): Unit = {
+    val spark = embs.sparkSession
+    val p = Similarity.prepared(embs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = Ivf.train(p, cells, iters)
+      centroids.select(col("cell_id").cast("int").as("cell_id"), col("centroid"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(centroidsTable(table))
+      val assigned = Ivf.assign(p, spark.table(centroidsTable(table)))
+      payload(assigned, quantized)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .bucketBy(buckets, "cell_id")
+        .sortBy("cell_id")
+        .saveAsTable(table)
+    } finally { p.unpersist(); () }
+  }
+
+  /** Assignment rows → the stored payload shape. */
+  private def payload(assigned: DataFrame, quantized: Boolean): DataFrame =
+    if (!quantized)
+      assigned.select(col("cell_id"), col("vec_id"), col("v"), col("nrm"))
+    else {
+      // nrm stored for the DECODED vector so probe-time cosine is
+      // consistent with the bytes actually served
+      val dec = Quantize.decodeCol(col("q"), col("scale"))
+      assigned
+        .select(col("cell_id"), col("vec_id"),
+          Quantize.scaleCol(col("v")).as("scale"), col("v"))
+        .select(col("cell_id"), col("vec_id"), col("scale"),
+          Quantize.codesCol(col("v"), col("scale")).as("q"))
+        .withColumn("nrm", sqrt(graft.plans.VectorOps.dotCol(dec, dec)))
+        .select(col("cell_id"), col("vec_id"), col("scale"), col("q"), col("nrm"))
+    }
+
+  /** Fold NEW vectors (vec_ids disjoint from the index) in under the
+    * STORED centroids — additive, batch-sized, no retrain. */
+  def append(spark: SparkSession, table: String, newEmbs: DataFrame): Unit = {
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed IVF index table"))
+    val quantized = spark.table(table).schema.fieldNames.contains("q")
+    val assigned = Ivf.assign(Similarity.prepared(newEmbs),
+      spark.table(centroidsTable(table)))
+    payload(assigned, quantized)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "cell_id")
+      .sortBy("cell_id")
+      .saveAsTable(table)
+  }
+
+  /** Top-k cosine neighbors for `queries` (vec_id, label, embedding)
+    * probing the `nprobe` nearest stored cells. Self-matches (same
+    * vec_id) are excluded, mirroring [[Ivf.topK]]. */
+  def probe(spark: SparkSession, table: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = Ivf.centroidArray(spark.table(centroidsTable(table)))
+    val q = Similarity.prepared(queries)
+      .withColumn("cell_id", explode(transform(
+        slice(Ivf.rankedCells(cents, col("v")), 1, nprobe),
+        s => s.getField("cell_id"))))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell_id"))
+    val stored = spark.table(table)
+    val cands =
+      if (stored.schema.fieldNames.contains("q"))
+        stored.select(col("cell_id"), col("vec_id").as("cand_id"),
+          Quantize.decodeCol(col("q"), col("scale")).as("cv"), col("nrm").as("cn"))
+      else
+        stored.select(col("cell_id"), col("vec_id").as("cand_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+    q.join(cands, Seq("cell_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
+        col("rank"))
+  }
+}

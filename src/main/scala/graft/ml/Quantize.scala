@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  import org.apache.spark.sql.Column
+
+  /** Per-vector symmetric scale over a double-array column. */
+  private[ml] def scaleCol(v: Column): Column =
+    array_max(transform(v, x => abs(x))) / 127.0
+
+  /** Int8 codes for a double-array column at `scale` (0 ⇒ all-zero). */
+  private[ml] def codesCol(v: Column, scale: Column): Column =
+    when(scale === 0.0, transform(v, _ => lit(0).cast("byte")))
+      .otherwise(transform(v, x =>
+        least(lit(127.0), greatest(lit(-127.0), round(x / scale, 0)))
+          .cast("byte")))
+
+  /** Decoded double-array column from codes at `scale`. */
+  private[ml] def decodeCol(q: Column, scale: Column): Column =
+    transform(q, c => c.cast("double") * scale)
+
   /** (vec_id, label, scale, q array<byte>) from (vec_id, label,
     * embedding array<float>). All-zero vectors keep scale 0 and
     * all-zero codes. */
@@ -34,14 +51,9 @@ object Quantize {
     val v = transform(col("embedding"), x => x.cast("double"))
     embs
       .select(col("vec_id"), col("label"), v.as("v"))
-      .withColumn("scale",
-        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .withColumn("scale", scaleCol(col("v")))
       .select(col("vec_id"), col("label"), col("scale"),
-        when(col("scale") === 0.0,
-          transform(col("v"), _ => lit(0).cast("byte")))
-          .otherwise(transform(col("v"), x =>
-            least(lit(127.0), greatest(lit(-127.0), round(x / col("scale"), 0)))
-              .cast("byte"))).as("q"))
+        codesCol(col("v"), col("scale")).as("q"))
   }
 
   /** Reconstructed float embeddings from (vec_id, label, scale, q) —

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Ivf, IvfIndex, Similarity}
+
+/** Stored IVF index: float-mode probe must EQUAL the in-memory
+  * Ivf.topK (same training inputs ⇒ same centroids ⇒ same ranking);
+  * the probe plan must stream the corpus from its buckets with no
+  * corpus-side exchange; append folds new vectors under the stored
+  * centroids; the int8 payload mode holds recall against float. */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seededEmbs(n: Int, dim: Int, planted: Seq[(Long, Long)] = Seq.empty) = {
+    val rng = new scala.util.Random(29)
+    val base = (0 until n).map { i =>
+      (i.toLong, s"l${i % 3}", Array.fill(dim)(rng.nextFloat() * 2f - 1f))
+    }
+    val byId = base.map(r => r._1 -> r._3).toMap
+    val extra = planted.map { case (id, of) =>
+      (id, "p", byId(of).map(x => x + 0.01f))
+    }
+    (base ++ extra).toDF("vec_id", "label", "embedding")
+  }
+
+  test("float-mode probe equals the in-memory Ivf.topK; bucketed no-exchange plan") {
+    val embs = seededEmbs(200, 16)
+    val (k, cells, nprobe, iters) = (5, 8, 3, 2)
+    try {
+      IvfIndex.write(embs, "g_ivf_idx", cells, iters, buckets = 4)
+      val queries = embs.filter(col("vec_id") < 5)
+      val got = IvfIndex.probe(spark, "g_ivf_idx", queries, k, nprobe)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      val want = Ivf.topK(embs, q => q < 5, k, cells, nprobe, iters)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(got === want, "stored probe diverged from in-memory Ivf.topK")
+
+      // plan: with broadcast+AQE off, the cell join reads the corpus
+      // straight from its buckets — only the query side exchanges
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = IvfIndex.probe(spark, "g_ivf_idx", queries, k, nprobe)
+          .queryExecution.executedPlan.toString()
+        assert(plan.contains("Bucketed: true"), plan.take(3000))
+        assert("Exchange hashpartitioning\\(cell_id".r.findAllIn(plan).size === 1,
+          s"expected only the query-side cell_id exchange:\n${plan.take(3000)}")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    } finally {
+      Seq("g_ivf_idx", "g_ivf_idx_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("append assigns under stored centroids; planted neighbor found at rank 1") {
+    val corpus = seededEmbs(150, 16)
+    // 500 is a near-copy of corpus vec 7; it arrives in the APPEND batch
+    val batch = seededEmbs(160, 16, planted = Seq((500L, 7L)))
+      .filter(col("vec_id") >= 150)
+    try {
+      IvfIndex.write(corpus, "g_ivf_app", cells = 8, iters = 2, buckets = 4)
+      val before = spark.table("g_ivf_app").count()
+      IvfIndex.append(spark, "g_ivf_app", batch)
+      assert(spark.table("g_ivf_app").count() ===
+        before + batch.count())
+      // a query at vec 7's position must now find the appended 500 first
+      val res = IvfIndex.probe(spark, "g_ivf_app",
+          corpus.filter(col("vec_id") === 7L), k = 3, nprobe = 3)
+        .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+      assert(res.head._2 === 500L, res.mkString(", "))
+      // appending to a non-bucketed table is refused loudly
+      spark.range(1).toDF("x").write.saveAsTable("g_ivf_plain")
+      val ex = intercept[IllegalStateException] {
+        IvfIndex.append(spark, "g_ivf_plain", batch)
+      }
+      assert(ex.getMessage.contains("not a bucketed IVF index"))
+    } finally {
+      Seq("g_ivf_app", "g_ivf_app_centroids", "g_ivf_plain")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("int8 payload: byte codes stored, recall@5 >= 0.9 vs the float index") {
+    val embs = seededEmbs(200, 16)
+    try {
+      IvfIndex.write(embs, "g_ivf_f", cells = 8, iters = 2, buckets = 4)
+      IvfIndex.write(embs, "g_ivf_q", cells = 8, iters = 2, buckets = 4,
+        quantized = true)
+      val qs = spark.table("g_ivf_q").schema
+      assert(qs.fieldNames.contains("q") && !qs.fieldNames.contains("v"))
+      assert(qs("q").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType === org.apache.spark.sql.types.ByteType)
+      val queries = embs.filter(col("vec_id") < 10)
+      def sets(table: String) =
+        IvfIndex.probe(spark, table, queries, k = 5, nprobe = 3)
+          .select(col("query_id"), col("cand_id"))
+          .as[(Long, Long)].collect().groupBy(_._1).view
+          .mapValues(_.map(_._2).toSet).toMap
+      val f = sets("g_ivf_f"); val q = sets("g_ivf_q")
+      val recalls = f.keys.toSeq.map(id =>
+        (f(id) intersect q.getOrElse(id, Set.empty)).size.toDouble / 5)
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"mean recall@5 $mean")
+    } finally {
+      Seq("g_ivf_f", "g_ivf_f_centroids", "g_ivf_q", "g_ivf_q_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+}
