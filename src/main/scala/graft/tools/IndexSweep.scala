@@ -101,6 +101,24 @@ object IndexSweep {
       BandIndex.probe(spark, fixedTable, batch,
         n = 3, k = 12, bands = 4, threshold = 0.3).count())
 
+    // --- IvfIndex (r10): 90% corpus written, 10% appended, fixed
+    // 5-query probe against the grown index — float and int8 payloads
+    val vecs = graft.Tables.t(spark, sfDir, "embeddings")
+    val vseed = vecs.filter(col("vec_id") % 10 =!= 0)
+    val vbatch = vecs.filter(col("vec_id") % 10 === 0)
+    val vprobe = vecs.filter(col("vec_id") % 10 === 1 && col("vec_id") < 50)
+    val ivfT = fresh(s"sweep_ivf_$label"); fresh(s"sweep_ivf_${label}_centroids")
+    r("ivf_write") = time(
+      graft.ml.IvfIndex.write(vseed, ivfT, cells = 16, iters = 2, buckets = 8))
+    r("ivf_append_10") = time(graft.ml.IvfIndex.append(spark, ivfT, vbatch))
+    r("ivf_probe") = min2(
+      graft.ml.IvfIndex.probe(spark, ivfT, vprobe, k = 5, nprobe = 3).count())
+    val ivfQ = fresh(s"sweep_ivfq_$label"); fresh(s"sweep_ivfq_${label}_centroids")
+    graft.ml.IvfIndex.write(vseed, ivfQ, cells = 16, iters = 2, buckets = 8,
+      quantized = true) // untimed: write cost ≈ float's + one map stage
+    r("ivf_probe_int8") = min2(
+      graft.ml.IvfIndex.probe(spark, ivfQ, vprobe, k = 5, nprobe = 3).count())
+
     val parts = r.map { case (k, v) =>
       s""""$k":${math.rint(v * 1e4) / 1e4}""" }.mkString(",")
     println(s"""{"sf":"$sfDir","label":"$label",$parts}""")
