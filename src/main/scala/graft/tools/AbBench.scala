@@ -796,7 +796,27 @@ object AbBench {
       1L
     }
 
+    // q84 r10 decomposition: tokenize scan vs pair explode vs the
+    // grouped count
+    def q84Toks() = graft.Tables.t(spark, sfDir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.split(col("text"), " ").as("toks"))
+    def q84Cur(): Long =
+      graft.SparkEntry.queries("q84_bpe_pairs")(spark, sfDir).count()
+    def q84ScanOnly(): Long = q84Toks().count()
+    def q84ExplodeOnly(): Long = {
+      val th = col("toks")
+      val pairs = slice(
+        zip_with(th, slice(concat(th, array(lit(null).cast("string"))), lit(2), size(th)),
+          (a, b) => struct(a.as("a"), b.as("b"))),
+        lit(1), size(th) - 1)
+      q84Toks().filter(size(th) >= 2).select(explode(pairs).as("p")).count()
+    }
+
     Seq(
+      "q84_cur" -> (() => q84Cur()),
+      "q84_scan_only" -> (() => q84ScanOnly()),
+      "q84_explode_only" -> (() => q84ExplodeOnly()),
       "q110_cur" -> (() => q110Cur()),
       "q110_scan_only" -> (() => q110ScanOnly()),
       "q110_thr_only" -> (() => q110ThrOnly()),

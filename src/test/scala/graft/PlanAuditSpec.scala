@@ -248,6 +248,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q110 curriculum: assignment is JOIN-FREE (literal thresholds, not a crossJoin)") {
+    // the r10 design point: decile thresholds are driver-side literals
+    // from a bounded histogram — if a join ever reappears in the
+    // assignment pass, the bounded-collect contract regressed
+    val p = plans("q110_curriculum")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q111 quantization: pure per-row map — no join, no aggregation") {
+    val p = plans("q111_embedding_quantize")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"), p.take(3000))
+  }
+
   test("q78 mixture: corpus never shuffles — rates broadcast back onto docs") {
     val df = SparkEntry.queries("q78_lang_mixture")(spark, sf)
     df.collect()
