@@ -97,6 +97,55 @@ object IvfIndex {
       .saveAsTable(table)
   }
 
+  /** Incremental embedding near-dup screen over the stored index —
+    * the vector-side analog of [[BandIndex.probe]]: for a batch of
+    * NEW vectors (vec_ids disjoint from the index), emit verified
+    * (vec_a, vec_b, cos) pairs with cosine ≥ threshold, where
+    * candidates are batch×corpus pairs sharing one of the batch
+    * vector's `nprobe` nearest cells, plus batch×batch pairs sharing
+    * an assignment cell. Corpus×corpus pairs never exist (the stored
+    * side only joins against the batch), so steady-state cost tracks
+    * the batch and the touched cells, never corpus². a < b
+    * orientation on vec_id, distinct (nprobe > 1 can propose a pair
+    * twice). The 6-dp threshold guard + 4-dp output follow the q53
+    * float-portability pattern. A near-dup pair can straddle a cell
+    * boundary — raise `nprobe` to trade candidates for recall, the
+    * standard IVF dial; IvfIndexSpec pins planted cross and in-batch
+    * dups found and corpus×corpus absent. */
+  def probeNearDup(spark: SparkSession, table: String, batch: DataFrame,
+      threshold: Double, nprobe: Int = 2): DataFrame = {
+    val cents = Ivf.centroidArray(spark.table(centroidsTable(table)))
+    val b = Similarity.prepared(batch)
+      .withColumn("cell_id", explode(transform(
+        slice(Ivf.rankedCells(cents, col("v")), 1, nprobe),
+        s => s.getField("cell_id"))))
+      .select(col("cell_id"), col("vec_id").as("new_id"),
+        col("v").as("bv"), col("nrm").as("bn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stored = spark.table(table)
+    val cands =
+      if (stored.schema.fieldNames.contains("q"))
+        stored.select(col("cell_id"), col("vec_id").as("cand_id"),
+          Quantize.decodeCol(col("q"), col("scale")).as("cv"), col("nrm").as("cn"))
+      else
+        stored.select(col("cell_id"), col("vec_id").as("cand_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+    val cross = b.join(cands, Seq("cell_id"))
+      .withColumn("cos", Similarity.dot(col("bv"), col("cv")) / (col("bn") * col("cn")))
+      .select(least(col("cand_id"), col("new_id")).as("vec_a"),
+        greatest(col("cand_id"), col("new_id")).as("vec_b"), col("cos"))
+    val b2 = b.select(col("cell_id"), col("new_id").as("other_id"),
+      col("bv").as("ov"), col("bn").as("on"))
+    val within = b.join(b2, Seq("cell_id"))
+      .filter(col("new_id") < col("other_id"))
+      .withColumn("cos", Similarity.dot(col("bv"), col("ov")) / (col("bn") * col("on")))
+      .select(col("new_id").as("vec_a"), col("other_id").as("vec_b"), col("cos"))
+    cross.unionByName(within)
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+      .distinct()
+  }
+
   /** Top-k cosine neighbors for `queries` (vec_id, label, embedding)
     * probing the `nprobe` nearest stored cells. Self-matches (same
     * vec_id) are excluded, mirroring [[Ivf.topK]]. */

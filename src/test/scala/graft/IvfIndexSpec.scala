@@ -87,6 +87,38 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("probeNearDup: finds planted cross-batch and in-batch dups, never corpus x corpus") {
+    // corpus holds its own near-dup family (7, 8≈7) that must NOT be
+    // emitted; the batch holds a near-copy of corpus 7 (cross) and a
+    // near-identical pair 600/601 (within)
+    val corpus = seededEmbs(150, 16, planted = Seq((8L, 7L)))
+      .filter(col("vec_id") < 150 || col("vec_id") === 8L)
+    val batch = seededEmbs(150, 16, planted = Seq((500L, 7L), (600L, 11L), (601L, 11L)))
+      .filter(col("vec_id") >= 500)
+    try {
+      IvfIndex.write(corpus, "g_ivf_nd", cells = 8, iters = 2, buckets = 4)
+      val got = IvfIndex.probeNearDup(spark, "g_ivf_nd", batch,
+          threshold = 0.95, nprobe = 2)
+        .orderBy("vec_a", "vec_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      val pairs = got.map(p => (p._1, p._2)).toSet
+      assert(pairs.contains((7L, 500L)), got.toString)   // cross
+      assert(pairs.contains((600L, 601L)), got.toString) // within batch
+      assert(!pairs.contains((7L, 8L)), "corpus x corpus pair leaked")
+      // every emitted pair touches the batch, and cos >= threshold
+      assert(got.forall(p => p._2 >= 500L))
+      assert(got.forall(_._3 >= 0.95))
+      // deterministic
+      val again = IvfIndex.probeNearDup(spark, "g_ivf_nd", batch,
+          threshold = 0.95, nprobe = 2)
+        .orderBy("vec_a", "vec_b").as[(Long, Long, Double)].collect().toSeq
+      assert(got === again)
+    } finally {
+      Seq("g_ivf_nd", "g_ivf_nd_centroids")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("int8 payload: byte codes stored, recall@5 >= 0.9 vs the float index") {
     val embs = seededEmbs(200, 16)
     try {
