@@ -111,7 +111,14 @@ object IvfIndex {
     * float-portability pattern. A near-dup pair can straddle a cell
     * boundary — raise `nprobe` to trade candidates for recall, the
     * standard IVF dial; IvfIndexSpec pins planted cross and in-batch
-    * dups found and corpus×corpus absent. */
+    * dups found and corpus×corpus absent.
+    *
+    * Persist hazard (the [[TextDedup.containmentPairsIncremental]]
+    * pattern): the batch's cell-expanded frame feeds both the cross
+    * and within legs, so it persists per CALL, reclaimed only when
+    * the result frame becomes unreachable — batch-sized state, but a
+    * long-lived probe-per-batch session should release results
+    * promptly. */
   def probeNearDup(spark: SparkSession, table: String, batch: DataFrame,
       threshold: Double, nprobe: Int = 2): DataFrame = {
     val cents = Ivf.centroidArray(spark.table(centroidsTable(table)))
