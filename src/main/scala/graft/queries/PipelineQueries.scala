@@ -170,6 +170,35 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // Indexed IVF probe (r10): q54's exact output served from the
+    // STORED ml/IvfIndex instead of a per-call train+assign — the
+    // q83→q102 precedent applied to the vector index (the oracle IS
+    // q54's from-scratch SQL). The index builds once per session
+    // (first call; tableExists memo) and every later probe is the
+    // bucketed no-exchange cell join — a fresh-session bench rep1
+    // pays the build, rep2 measures the served path, exactly like
+    // the LexIndex ensure amortization. The pre-write catalog/
+    // warehouse clear handles a prior session's surviving managed-
+    // table dirs (saveAsTable refuses a location the in-memory
+    // catalog doesn't own — the IndexSweep `fresh` dance).
+    "q112_ivf_indexed" -> { (s, dir) =>
+      val table = "g_q112_ivf_" + Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(table)) {
+        for (t0 <- Seq(table, graft.ml.IvfIndex.centroidsTable(table))) {
+          s.sql(s"DROP TABLE IF EXISTS $t0")
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t0)
+          wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+        }
+        graft.ml.IvfIndex.write(t(s, dir, "embeddings"), table,
+          cells = 8, iters = 0, buckets = 4)
+      }
+      graft.ml.IvfIndex.probe(s, table,
+          t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -633,6 +662,44 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The q54 IVF top-k oracle — shared verbatim by q112 (stored-index
+    * probe), which must reproduce the from-scratch scores exactly. */
+  private lazy val ivfTopkOracleSql: String =
+    s"""WITH $embCte,
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS c
+       |  FROM e ORDER BY vec_id LIMIT 8),
+       |ad AS (
+       |  SELECT e.vec_id, cent.cell_id,
+       |    list_dot_product(
+       |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i]),
+       |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i])) AS d2
+       |  FROM e CROSS JOIN cent),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn FROM ad)
+       |  WHERE rn = 1),
+       |qcells AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn
+       |    FROM ad WHERE vec_id < 10)
+       |  WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS cand_id,
+       |    list_dot_product(qe.v, c.v) / (qe.nrm * c.nrm) AS cos
+       |  FROM qcells q
+       |  JOIN e qe ON qe.vec_id = q.query_id
+       |  JOIN assigned a ON a.cell_id = q.cell_id
+       |  JOIN e c ON c.vec_id = a.vec_id AND c.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, cand_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
       """SELECT md5(array_to_string(string_split(text, ' ')[1:2], ' ')) AS content_hash,
@@ -883,41 +950,12 @@ object PipelineQueries {
     // of d2 over cells, queries probe the 2 nearest cells, cosine top-3
     // within probed cells. d2 = ldp(diff, diff) over the element-wise
     // diff list == Spark's sequential fold of squared diffs, bit-exact.
-    "q54_ivf_topk" ->
-      s"""WITH $embCte,
-         |cent AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS c
-         |  FROM e ORDER BY vec_id LIMIT 8),
-         |ad AS (
-         |  SELECT e.vec_id, cent.cell_id,
-         |    list_dot_product(
-         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i]),
-         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i])) AS d2
-         |  FROM e CROSS JOIN cent),
-         |assigned AS (
-         |  SELECT vec_id, cell_id FROM (
-         |    SELECT vec_id, cell_id, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn FROM ad)
-         |  WHERE rn = 1),
-         |qcells AS (
-         |  SELECT vec_id AS query_id, cell_id FROM (
-         |    SELECT vec_id, cell_id, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn
-         |    FROM ad WHERE vec_id < 10)
-         |  WHERE rn <= 2),
-         |scored AS (
-         |  SELECT q.query_id, c.vec_id AS cand_id,
-         |    list_dot_product(qe.v, c.v) / (qe.nrm * c.nrm) AS cos
-         |  FROM qcells q
-         |  JOIN e qe ON qe.vec_id = q.query_id
-         |  JOIN assigned a ON a.cell_id = q.cell_id
-         |  JOIN e c ON c.vec_id = a.vec_id AND c.vec_id != q.query_id),
-         |ranked AS (
-         |  SELECT query_id, cand_id, cos, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, cand_id) AS rnk
-         |  FROM scored)
-         |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
-         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "q54_ivf_topk" -> ivfTopkOracleSql,
+
+    // Same oracle, indexed path: the stored IvfIndex probe must
+    // reproduce the from-scratch IVF scores — the q83→q102 precedent
+    // applied to the vector index.
+    "q112_ivf_indexed" -> ivfTopkOracleSql,
 
     "q38_lang_id" -> {
       val scores = TextAnalysis.langProfiles
