@@ -81,8 +81,21 @@ class IvfIndexSpec extends SparkSpec {
         IvfIndex.append(spark, "g_ivf_plain", batch)
       }
       assert(ex.getMessage.contains("not a bucketed IVF index"))
+      // append auto-detects an int8 index and keeps the byte payload
+      IvfIndex.write(corpus, "g_ivf_app_q", cells = 8, iters = 2,
+        buckets = 4, quantized = true)
+      IvfIndex.append(spark, "g_ivf_app_q", batch)
+      val qs = spark.table("g_ivf_app_q")
+      assert(qs.schema.fieldNames.contains("q") &&
+        !qs.schema.fieldNames.contains("v"))
+      assert(qs.count() === before + batch.count())
+      val resQ = IvfIndex.probe(spark, "g_ivf_app_q",
+          corpus.filter(col("vec_id") === 7L), k = 3, nprobe = 3)
+        .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+      assert(resQ.head._2 === 500L, resQ.mkString(", "))
     } finally {
-      Seq("g_ivf_app", "g_ivf_app_centroids", "g_ivf_plain")
+      Seq("g_ivf_app", "g_ivf_app_centroids", "g_ivf_app_q",
+        "g_ivf_app_q_centroids", "g_ivf_plain")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
