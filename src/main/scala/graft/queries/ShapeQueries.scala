@@ -447,6 +447,38 @@ object ShapeQueries {
         .orderBy(col("decile"))
     },
 
+    // Explicit-weight source recipe (r10): the "data recipe" mixing
+    // form — target share per SOURCE is an input (DoReMi-style domain
+    // weights), not derived from counts like q108's temperature form.
+    // Per-source quota c_s = N·w_s/Σw_t, acceptance rate c_s/n_s
+    // clamped at 1; weights here derive deterministically from the
+    // source id (1 + suffix mod 4) so both engines compute the same
+    // recipe without a side-channel table. Same integer-pinned
+    // threshold + md5(doc_id:source) draw machinery as q108; same
+    // map-only plan — bounded source agg + 1-row stats broadcast back,
+    // the corpus never shuffles.
+    "q113_source_recipe" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val wOf = (lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
+        .cast("long")
+      val n = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        .withColumn("w", wOf)
+      val st = n.agg(sum(col("w")).as("sw"),
+        sum(col("n_s")).cast("long").as("total"))
+      d.select(col("doc_id"), col("source"))
+        .join(broadcast(n), Seq("source"))
+        .crossJoin(broadcast(st))
+        .withColumn("thr", least(lit(1000000L),
+          round(lit(1000000L) * round(col("total") * 0.5, 0) * col("w") /
+            (col("sw") * col("n_s")), 0).cast("long")))
+        .withColumn("bucket",
+          (conv(substring(md5(concat_ws(":", col("doc_id"), col("source"))), 1, 8),
+            16, 10).cast("long") % 1000000L))
+        .filter(col("bucket") < col("thr"))
+        .select(col("doc_id"), col("source"), col("thr"))
+        .orderBy(col("doc_id"))
+    },
+
     // Int8 quantization arithmetic gate (r10, ml/Quantize's oracle):
     // per-vector symmetric scale (max|x|/127) and code statistics —
     // code sum, |code| mass, saturation count — computed identically
@@ -686,6 +718,21 @@ object ShapeQueries {
          | JOIN documents db ON doc_b = db.doc_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q113_source_recipe" ->
+      """WITH n AS (SELECT source, count(*) AS n_s,
+        |  1 + CAST(substr(source, 4) AS BIGINT) % 4 AS w
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw,
+        |  CAST(sum(n_s) AS BIGINT) AS total FROM n)
+        |SELECT doc_id, source, thr FROM (
+        |  SELECT d.doc_id, d.source,
+        |    least(1000000, CAST(round(1000000 * round(total * 0.5) * w /
+        |      (sw * n_s)) AS BIGINT)) AS thr,
+        |    CAST(('0x' || substr(md5(d.doc_id || ':' || d.source), 1, 8))
+        |      AS BIGINT) % 1000000 AS bucket
+        |  FROM documents d JOIN n USING (source) CROSS JOIN s)
+        |WHERE bucket < thr ORDER BY doc_id""".stripMargin,
 
     "q111_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
