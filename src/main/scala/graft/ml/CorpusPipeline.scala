@@ -175,6 +175,39 @@ final class CorpusPipeline private (
     step(s"chunk($sizeTokens/$stride)")(
       CorpusPipeline.chunkFrame(_, sizeTokens, stride))
 
+  /** Near-dedup an incoming BATCH against a stored [[BandIndex]] —
+    * the daily-ingest pipeline shape: the in-pipeline [[nearDedup]]
+    * pairs the whole frame against itself (right for a from-scratch
+    * corpus build); this stage treats the frame as the day's batch and
+    * probes the persistent corpus index instead (batch-bounded cost,
+    * corpus never rescanned — the [[BandIndex.probe]] contract). Drop
+    * policy matches the streaming screen: a batch doc matching the
+    * corpus is dropped; within the batch the LOWER doc_id survives.
+    * Params must match the index build's. After the accepted batch is
+    * folded into the corpus, [[BandIndex.append]] folds it into the
+    * index on the same cadence. */
+  def nearDedupIndexed(table: String, n: Int, k: Int, bands: Int,
+      threshold: Double): CorpusPipeline =
+    step(s"nearDedupIndexed($table)") { d =>
+      val pairs = BandIndex.probe(d.sparkSession, table,
+        d.select(col("doc_id"), col("text")), n, k, bands, threshold)
+      val corpusIds = d.sparkSession.table(table)
+        .select(col("doc_id")).distinct()
+      // pair sides are (a < b) by VALUE, so the corpus side can be
+      // either column — flag both; the batch side of a corpus pair
+      // drops, and for in-batch pairs the higher id drops
+      val dropIds = pairs
+        .join(corpusIds.select(col("doc_id").as("doc_a"))
+          .withColumn("a_corpus", lit(true)), Seq("doc_a"), "left")
+        .join(corpusIds.select(col("doc_id").as("doc_b"))
+          .withColumn("b_corpus", lit(true)), Seq("doc_b"), "left")
+        .select(when(coalesce(col("a_corpus"), lit(false)), col("doc_b"))
+          .when(coalesce(col("b_corpus"), lit(false)), col("doc_a"))
+          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .distinct()
+      d.join(dropIds, Seq("doc_id"), "left_anti")
+    }
+
   /** Drop documents sharing any n-gram with the eval set
     * (Bloom-screened + exact-verified, `ml/Decontaminate`). */
   def decontaminate(evalDocs: DataFrame, n: Int, expectedEvalGrams: Long,

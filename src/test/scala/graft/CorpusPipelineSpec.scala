@@ -309,6 +309,40 @@ class CorpusPipelineSpec extends SparkSpec {
     evalIdx.grams.unpersist()
   }
 
+  test("nearDedupIndexed: batch dedups against the stored band index") {
+    // corpus ids straddle the batch's id range so the pair orientation
+    // (a < b by VALUE) exercises the corpus side landing on BOTH
+    // columns: corpus doc 5 < batch 100 (corpus = doc_a), corpus 900 >
+    // batch 150 (corpus = doc_b)
+    val corpusDocs = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and variant five tail"),
+      (900L, "a completely different corpus document about catalyst planning internals today"),
+      (7L, "unrelated corpus filler text that matches nothing in the arriving batch"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and variant five tails"),
+      (150L, "a completely different corpus document about catalyst planning internals now"),
+      (160L, "fresh in batch duplicate pair sharing almost every single token here alpha"),
+      (161L, "fresh in batch duplicate pair sharing almost every single token here beta"),
+      (170L, "a novel batch document with entirely original content surviving the screen"))
+      .toDF("doc_id", "text")
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_pipe_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      val p = CorpusPipeline(batch)
+        .nearDedupIndexed("g_pipe_band", n = 3, k = 12, bands = 4,
+          threshold = 0.3)
+      val kept = p.docs.select($"doc_id").as[Long].collect().toSet
+      // both corpus-matching batch docs drop (regardless of which pair
+      // side the corpus id landed on); in-batch pair keeps the lower id
+      assert(kept === Set(160L, 170L), kept.toString)
+      assert(p.stats.head.docsIn === 5 && p.stats.head.docsOut === 2)
+    } finally {
+      Seq("g_pipe_band", "g_pipe_band_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming chunk stage: micro-batch chunks equal the batch stage") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = corpus.filter($"doc_id" =!= 1L && $"doc_id" =!= 8L)
