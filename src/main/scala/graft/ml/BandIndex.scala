@@ -79,6 +79,7 @@ object BandIndex {
     */
   def append(spark: SparkSession, table: String, batch: DataFrame,
       n: Int, k: Int, bands: Int): Unit = {
+    if (batch.isEmpty) return // no-op, no empty bucket files
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets)

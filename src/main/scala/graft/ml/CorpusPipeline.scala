@@ -180,7 +180,8 @@ final class CorpusPipeline private (
     * pairs the whole frame against itself (right for a from-scratch
     * corpus build); this stage treats the frame as the day's batch and
     * probes the persistent corpus index instead (batch-bounded cost,
-    * corpus never rescanned — the [[BandIndex.probe]] contract). Drop
+    * corpus never rescanned; batch doc_ids must be disjoint from the
+    * indexed corpus — the [[BandIndex.probe]] contract). Drop
     * policy matches the streaming screen: a batch doc matching the
     * corpus is dropped; within the batch the LOWER doc_id survives.
     * Params must match the index build's. After the accepted batch is

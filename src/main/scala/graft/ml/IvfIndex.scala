@@ -81,6 +81,7 @@ object IvfIndex {
   /** Fold NEW vectors (vec_ids disjoint from the index) in under the
     * STORED centroids — additive, batch-sized, no retrain. */
   def append(spark: SparkSession, table: String, newEmbs: DataFrame): Unit = {
+    if (newEmbs.isEmpty) return // no-op, no empty bucket files
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets)
