@@ -38,6 +38,59 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("compactBucketed: appends pile files per bucket, compaction packs to one each") {
+    def tableFiles(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      new java.io.File(loc).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    try {
+      val d0 = (1L to 400L).map(i => (i, s"k${i % 37}")).toDF("id", "key")
+      Bucketing.writeBucketed(d0, "g_cb", "key", 4)
+      // two append batches — the BandIndex/IvfIndex daily-fold shape
+      for (b <- 1 to 2) {
+        ((400L * b + 1) to (400L * b + 400L)).map(i => (i, s"k${i % 37}"))
+          .toDF("id", "key")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .option("compression", "zstd")
+          .bucketBy(4, "key").sortBy("key").saveAsTable("g_cb")
+      }
+      val before = tableFiles("g_cb")
+      assert(before > 4, s"expected appends to pile files, got $before")
+      val rowsBefore = spark.table("g_cb").orderBy("id")
+        .as[(Long, String)].collect().toSeq
+
+      Bucketing.compactBucketed(spark, "g_cb")
+      assert(tableFiles("g_cb") === 4, "expected exactly one file per bucket")
+      // rows identical, spec preserved, and the bucketed-scan property
+      // survives (no exchange when joining on the bucket key)
+      assert(spark.table("g_cb").orderBy("id")
+        .as[(Long, String)].collect().toSeq === rowsBefore)
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("g_cb")).bucketSpec
+      assert(spec.exists(s => s.numBuckets == 4 &&
+        s.bucketColumnNames == Seq("key")))
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = spark.table("g_cb").groupBy($"key").count()
+          .queryExecution.executedPlan.toString()
+        assert(plan.contains("Bucketed: true") && !plan.contains("Exchange"),
+          plan.take(2000))
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // non-bucketed table refused
+      spark.range(3).toDF("x").write.saveAsTable("g_cb_plain")
+      val ex = intercept[IllegalStateException] {
+        Bucketing.compactBucketed(spark, "g_cb_plain")
+      }
+      assert(ex.getMessage.contains("not a bucketed table"))
+    } finally {
+      Seq("g_cb", "g_cb__compact", "g_cb_plain")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("end-to-end: real store re-layout bucketed; flat-view join has no exchange") {
     // a real store, populated through the real write path
     val root = java.nio.file.Files.createTempDirectory("bucket_store").toString
