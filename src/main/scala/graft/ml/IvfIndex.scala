@@ -38,6 +38,23 @@ object IvfIndex {
 
   def centroidsTable(table: String): String = table + "_centroids"
 
+  /** Baseline stats table: 1 row (mean_d2, n) captured at [[write]]
+    * time — the yardstick [[driftStats]] compares against. */
+  def statsTable(table: String): String = table + "_stats"
+
+  /** Rebuild-trigger measurement: how far the indexed population has
+    * drifted from the centroids it was trained on. `baselineMeanD2`
+    * is the mean squared distance of each vector to its assigned
+    * centroid AT WRITE TIME; `currentMeanD2` recomputes it over the
+    * stored payload as it stands after appends ([[append]] assigns
+    * under the stored centroids but never retrains — in-distribution
+    * batches keep the ratio ≈ 1, distribution shift inflates it).
+    * `ratio` > ~1.5 is the operational rebuild cue, the quantitative
+    * form of LexIndex's fingerprint cadence. One aggregation over the
+    * assignment table — no corpus text, no retrain, cost ∝ index. */
+  final case class Drift(baselineMeanD2: Double, currentMeanD2: Double,
+      ratio: Double, nIndexed: Long)
+
   /** Train cells on `embs` (vec_id, label, embedding) and store the
     * assignment + centroid tables. */
   def write(embs: DataFrame, table: String, cells: Int, iters: Int,
@@ -58,7 +75,40 @@ object IvfIndex {
         .bucketBy(buckets, "cell_id")
         .sortBy("cell_id")
         .saveAsTable(table)
+      // drift baseline: mean squared distance to the assigned centroid
+      // over the population the centroids were trained on
+      meanAssignedD2(spark, table)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(statsTable(table))
     } finally { p.unpersist(); () }
+  }
+
+  /** 1-row (mean_d2, n) of the stored payload's squared distance to
+    * its assigned cell centroid (decoded when quantized). */
+  private def meanAssignedD2(spark: SparkSession, table: String): DataFrame = {
+    val cents = Ivf.centroidArray(spark.table(centroidsTable(table)))
+    val stored = spark.table(table)
+    val v =
+      if (stored.schema.fieldNames.contains("q"))
+        Quantize.decodeCol(col("q"), col("scale"))
+      else col("v")
+    // the assigned centroid's vector, looked up by cell_id from the
+    // inlined literal array (cells are 0..k-1 in sorted order)
+    stored
+      .select(col("cell_id"), v.as("vv"))
+      .select(graft.plans.VectorOps.l2sqCol(col("vv"),
+        element_at(cents, col("cell_id") + 1).getField("c")).as("d2"))
+      .agg(avg(col("d2")).as("mean_d2"), count(lit(1)).as("n"))
+  }
+
+  /** Measure drift of the current index population vs the write-time
+    * baseline — see [[Drift]]. */
+  def driftStats(spark: SparkSession, table: String): Drift = {
+    val base = spark.table(statsTable(table)).head()
+    val cur = meanAssignedD2(spark, table).head()
+    val (b, c) = (base.getDouble(0), cur.getDouble(0))
+    Drift(b, c, if (b == 0.0) Double.PositiveInfinity else c / b,
+      cur.getLong(1))
   }
 
   /** Assignment rows → the stored payload shape. */

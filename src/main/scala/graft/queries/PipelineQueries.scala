@@ -184,7 +184,8 @@ object PipelineQueries {
     "q112_ivf_indexed" -> { (s, dir) =>
       val table = "g_q112_ivf_" + Integer.toHexString(dir.hashCode)
       if (!s.catalog.tableExists(table)) {
-        for (t0 <- Seq(table, graft.ml.IvfIndex.centroidsTable(table))) {
+        for (t0 <- Seq(table, graft.ml.IvfIndex.centroidsTable(table),
+            graft.ml.IvfIndex.statsTable(table))) {
           s.sql(s"DROP TABLE IF EXISTS $t0")
           val wh = new org.apache.hadoop.fs.Path(
             s.conf.get("spark.sql.warehouse.dir"), t0)

@@ -108,12 +108,14 @@ object IndexSweep {
     val vbatch = vecs.filter(col("vec_id") % 10 === 0)
     val vprobe = vecs.filter(col("vec_id") % 10 === 1 && col("vec_id") < 50)
     val ivfT = fresh(s"sweep_ivf_$label"); fresh(s"sweep_ivf_${label}_centroids")
+    fresh(s"sweep_ivf_${label}_stats")
     r("ivf_write") = time(
       graft.ml.IvfIndex.write(vseed, ivfT, cells = 16, iters = 2, buckets = 8))
     r("ivf_append_10") = time(graft.ml.IvfIndex.append(spark, ivfT, vbatch))
     r("ivf_probe") = min2(
       graft.ml.IvfIndex.probe(spark, ivfT, vprobe, k = 5, nprobe = 3).count())
     val ivfQ = fresh(s"sweep_ivfq_$label"); fresh(s"sweep_ivfq_${label}_centroids")
+    fresh(s"sweep_ivfq_${label}_stats")
     graft.ml.IvfIndex.write(vseed, ivfQ, cells = 16, iters = 2, buckets = 8,
       quantized = true) // untimed: write cost ≈ float's + one map stage
     r("ivf_probe_int8") = min2(

@@ -54,7 +54,7 @@ class IvfIndexSpec extends SparkSpec {
         spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       }
     } finally {
-      Seq("g_ivf_idx", "g_ivf_idx_centroids")
+      Seq("g_ivf_idx", "g_ivf_idx_centroids", "g_ivf_idx_stats")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
@@ -94,8 +94,9 @@ class IvfIndexSpec extends SparkSpec {
         .orderBy("rank").as[(Long, Long, Double, Int)].collect()
       assert(resQ.head._2 === 500L, resQ.mkString(", "))
     } finally {
-      Seq("g_ivf_app", "g_ivf_app_centroids", "g_ivf_app_q",
-        "g_ivf_app_q_centroids", "g_ivf_plain")
+      Seq("g_ivf_app", "g_ivf_app_centroids", "g_ivf_app_stats",
+        "g_ivf_app_q", "g_ivf_app_q_centroids", "g_ivf_app_q_stats",
+        "g_ivf_plain")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
@@ -127,7 +128,36 @@ class IvfIndexSpec extends SparkSpec {
         .orderBy("vec_a", "vec_b").as[(Long, Long, Double)].collect().toSeq
       assert(got === again)
     } finally {
-      Seq("g_ivf_nd", "g_ivf_nd_centroids")
+      Seq("g_ivf_nd", "g_ivf_nd_centroids", "g_ivf_nd_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("driftStats: in-distribution append holds ratio ~1, shifted append inflates it") {
+    val corpus = seededEmbs(200, 16)
+    try {
+      IvfIndex.write(corpus, "g_ivf_dr", cells = 8, iters = 2, buckets = 4)
+      val d0 = IvfIndex.driftStats(spark, "g_ivf_dr")
+      assert(d0.nIndexed === 200L)
+      assert(math.abs(d0.ratio - 1.0) < 1e-9, s"fresh index ratio ${d0.ratio}")
+      // in-distribution batch (same generator, new ids): ratio stays ~1
+      val inDist = seededEmbs(300, 16).filter(col("vec_id") >= 200)
+      IvfIndex.append(spark, "g_ivf_dr", inDist)
+      val d1 = IvfIndex.driftStats(spark, "g_ivf_dr")
+      assert(d1.nIndexed === 300L)
+      assert(d1.ratio < 1.3, s"in-distribution append drifted: ${d1.ratio}")
+      // distribution shift: every dim offset by +5 — far from every
+      // trained centroid, the rebuild cue must fire
+      val shifted = seededEmbs(100, 16)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+      IvfIndex.append(spark, "g_ivf_dr", shifted)
+      val d2 = IvfIndex.driftStats(spark, "g_ivf_dr")
+      assert(d2.nIndexed === 400L)
+      assert(d2.ratio > 1.5, s"shifted append should inflate drift: ${d2.ratio}")
+      assert(d2.baselineMeanD2 === d0.baselineMeanD2, "baseline must not move")
+    } finally {
+      Seq("g_ivf_dr", "g_ivf_dr_centroids", "g_ivf_dr_stats")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
@@ -154,7 +184,8 @@ class IvfIndexSpec extends SparkSpec {
       val mean = recalls.sum / recalls.size
       assert(mean >= 0.9, s"mean recall@5 $mean")
     } finally {
-      Seq("g_ivf_f", "g_ivf_f_centroids", "g_ivf_q", "g_ivf_q_centroids")
+      Seq("g_ivf_f", "g_ivf_f_centroids", "g_ivf_f_stats",
+        "g_ivf_q", "g_ivf_q_centroids", "g_ivf_q_stats")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
