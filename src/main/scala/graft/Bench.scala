@@ -70,6 +70,14 @@ object Bench {
       .foreach { case (_, fn) =>
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => } }
     spark.catalog.clearCache()
+    // Contention control sample #1, BEFORE the query loop (r11): the
+    // r9/r10 driver benches were both host-inflated ~2× while the
+    // single post-loop control sample read in-band — transient mid-run
+    // neighbor load can distort the queries yet miss the one sample.
+    // Bracketing the run (start + end sample, flag if EITHER is out of
+    // band or they disagree >1.5×) makes a contended artifact
+    // self-flagging.
+    val ingestStart = if (nameFilter.isEmpty) benchIngest(spark) else -1.0
     // Two timed runs per query, report the min: the first run pays
     // one-time Janino codegen compilation (seconds for the nested
     // lambda expressions) which is not a property of the plan; min of
@@ -108,8 +116,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Ingest bench only on full (driver-contract) runs; -1 marks
-    // "not measured" on filtered iteration runs.
+    // Control sample #2, AFTER the query loop; -1 marks "not
+    // measured" on filtered iteration runs. `ingest_1k_files_sec`
+    // stays the END sample (the series every prior round reported).
     val ingest = if (nameFilter.isEmpty) benchIngest(spark) else -1.0
     val loadEnd = loadavg()
     // Totals ("metric"/"value") lead the line and the queries map
@@ -127,7 +136,7 @@ object Bench {
     val duck = duckQueries(sfDir)
     val json =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingest)},""" +
+        s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingestStart, ingest)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
         skippedJson + duckPairing(duck, results) +
         pairingStaleness(duck, results) + queryRatios(duck, results) +
@@ -149,7 +158,7 @@ object Bench {
     catch { case _: Throwable => }
     val compact =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingest)},""" +
+        s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingestStart, ingest)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
         duckPairing(duck, results) + pairingStaleness(duck, results) +
         s""","queries_in":"bench.json"}"""
@@ -170,13 +179,23 @@ object Bench {
   /** `,"contended":…` — the run self-adjudicates from its own ingest
     * control instead of needing the band diagnosis re-derived every
     * round (BENCH_r05/r06 were both contention artifacts discovered
-    * only by manual comparison). null when the control didn't run
+    * only by manual comparison; BENCH_r09/r10 were inflated mid-run
+    * while the single post-loop sample read in-band). r11: the
+    * control BRACKETS the query loop — contended if EITHER sample is
+    * above the band or the two disagree >1.5× (transient mid-run
+    * load shows up as start/end disagreement even when both ends are
+    * individually plausible). null when the control didn't run
     * (filtered iteration runs). */
-  private def contendedJson(ingest: Double): String =
-    if (ingest < 0) s""","contended":null"""
-    else
-      s""","contended":${ingest > contendedAbove},""" +
+  private def contendedJson(start: Double, end: Double): String =
+    if (end < 0) s""","contended":null"""
+    else {
+      val disagree = start > 0 && end > 0 &&
+        math.max(start, end) / math.min(start, end) > 1.5
+      val flag = start > contendedAbove || end > contendedAbove || disagree
+      s""","ingest_control_start":${math.rint(start * 1e4) / 1e4},""" +
+        s""""control_disagree":$disagree,"contended":$flag,""" +
         s""""control_healthy_band":[${controlHealthyBand._1},${controlHealthyBand._2}]"""
+    }
 
   /** Per-query DuckDB seconds from ./duckbench.json when it covers
     * the same sf dir; empty on any mismatch or parse failure. */

@@ -498,6 +498,11 @@ final class Serve(private[api] val engine: GraftEngine) {
           // table's (severity, timestamp) clustering.
           val targetMb = args.get("target_mb").map(_.trim.toLong).getOrElse(128L)
           val minFiles = args.get("min_files").map(_.trim.toInt).getOrElse(4)
+          // mirror prune's param validation: target_mb=0 would divide
+          // by zero in compactionCandidates; negatives produce
+          // nonsense targets
+          require(targetMb > 0, s"target_mb must be positive (got $targetMb)")
+          require(minFiles >= 2, s"min_files must be at least 2 (got $minFiles)")
           val clusterCols = Map("events" -> Seq("severity", "timestamp"))
           def tjson(ts: Seq[graft.store.Maintenance.CompactionTarget]): String =
             ts.map(t => s"""{"table":${quote(t.table)},"date":${quote(t.date)},""" +

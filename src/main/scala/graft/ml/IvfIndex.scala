@@ -55,49 +55,162 @@ object IvfIndex {
   final case class Drift(baselineMeanD2: Double, currentMeanD2: Double,
       ratio: Double, nIndexed: Long)
 
+  /** The three catalog tables an index owns, in swap order. */
+  private def indexTables(table: String): Seq[String] =
+    Seq(centroidsTable(table), table, statsTable(table))
+
+  private def newName(n: String): String = n + "__new"
+  private def oldName(n: String): String = n + "__old"
+
   /** Train cells on `embs` (vec_id, label, embedding) and store the
-    * assignment + centroid tables. */
+    * assignment + centroid + stats tables. Crash-safe (r11): all three
+    * tables are built under `__new` side names first — a failure
+    * anywhere in the long train/assign/write phase leaves an existing
+    * index fully serving under its live names — then swapped in via
+    * rename-aside ([[recover]] completes or undoes an interrupted
+    * swap). */
   def write(embs: DataFrame, table: String, cells: Int, iters: Int,
       buckets: Int, quantized: Boolean = false): Unit = {
     val spark = embs.sparkSession
+    recover(spark, table)
     val p = Similarity.prepared(embs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val centroids = Ivf.train(p, cells, iters)
-      centroids.select(col("cell_id").cast("int").as("cell_id"), col("centroid"))
-        .coalesce(1)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .saveAsTable(centroidsTable(table))
-      val assigned = Ivf.assign(p, spark.table(centroidsTable(table)))
-      payload(assigned, quantized)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .option("compression", "zstd")
-        .bucketBy(buckets, "cell_id")
-        .sortBy("cell_id")
-        .saveAsTable(table)
-      // drift baseline: mean squared distance to the assigned centroid
-      // over the population the centroids were trained on
-      meanAssignedD2(spark, table)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .saveAsTable(statsTable(table))
-    } finally { p.unpersist(); () }
+    try buildAndSwap(spark, p, table, cells, iters, buckets, quantized)
+    finally { p.unpersist(); () }
+  }
+
+  /** Build the three index tables under side names from an already-
+    * prepared (vec_id, v, nrm) frame, then swap them live. */
+  private def buildAndSwap(spark: SparkSession, p: DataFrame, table: String,
+      cells: Int, iters: Int, buckets: Int, quantized: Boolean): Unit = {
+    val names = indexTables(table)
+    names.foreach(n => graft.store.Bucketing.dropWithDir(spark, newName(n)))
+    val centroids = Ivf.train(p, cells, iters)
+    centroids.select(col("cell_id").cast("int").as("cell_id"), col("centroid"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(newName(centroidsTable(table)))
+    val assigned = Ivf.assign(p, spark.table(newName(centroidsTable(table))))
+    payload(assigned, quantized)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "cell_id")
+      .sortBy("cell_id")
+      .saveAsTable(newName(table))
+    // drift baseline: mean squared distance to the assigned centroid
+    // over the population the centroids were trained on
+    meanAssignedD2(spark, newName(table), newName(centroidsTable(table)))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(newName(statsTable(table)))
+    swapIn(spark, names)
+  }
+
+  /** Rename-aside swap: per table, live → `__old`, `__new` → live;
+    * olds dropped only after every rename landed. The old index DATA
+    * survives until the last step — a crash at any point is repaired
+    * by [[recover]] (roll forward once all `__new` tables committed,
+    * roll back otherwise). */
+  private def swapIn(spark: SparkSession, names: Seq[String]): Unit = {
+    names.foreach { n =>
+      graft.store.Bucketing.dropWithDir(spark, oldName(n))
+      if (spark.catalog.tableExists(n))
+        spark.sql(s"ALTER TABLE $n RENAME TO ${oldName(n)}")
+      spark.sql(s"ALTER TABLE ${newName(n)} RENAME TO $n")
+    }
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${oldName(n)}"))
+  }
+
+  /** Repair an interrupted [[write]]/[[rebuild]]: if all three `__new`
+    * side tables exist the build committed — roll the swap FORWARD;
+    * otherwise the build (or swap) died midway — roll BACK to the old
+    * index (restore any `__old`, drop side leftovers). Either way the
+    * index is coherent afterwards: all three tables from the SAME
+    * build. Called defensively at the start of every write/rebuild;
+    * safe no-op on a clean index. */
+  def recover(spark: SparkSession, table: String): Unit = {
+    val names = indexTables(table)
+    def ex(n: String) = spark.catalog.tableExists(n)
+    if (names.forall(n => ex(newName(n)))) swapIn(spark, names)
+    else {
+      names.foreach { n =>
+        if (ex(oldName(n))) {
+          if (ex(n)) spark.sql(s"DROP TABLE $n")
+          spark.sql(s"ALTER TABLE ${oldName(n)} RENAME TO $n")
+        }
+        graft.store.Bucketing.dropWithDir(spark, newName(n))
+      }
+    }
+  }
+
+  /** Retrain the index FROM ITS OWN STORED PAYLOAD — the action a
+    * [[driftStats]] cue triggers (append assigns under stale centroids
+    * but never retrains; once the population has drifted, rebuild).
+    * No source corpus needed: the payload carries the vectors (decoded
+    * when quantized — one extra quantization round trip of error,
+    * bounded by QuantizeSpec's scale/2 per element). Same side-name +
+    * swap protocol as [[write]]: the old index serves until the new
+    * one is complete. `cells` defaults to the current centroid count;
+    * bucket count and payload mode carry over from the live table. */
+  def rebuild(spark: SparkSession, table: String, cells: Int = -1,
+      iters: Int = 2): Unit = {
+    recover(spark, table)
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed IVF index table"))
+    val stored = spark.table(table)
+    val quantized = stored.schema.fieldNames.contains("q")
+    val k = if (cells > 0) cells
+      else spark.table(centroidsTable(table)).count().toInt
+    val v =
+      if (quantized) Quantize.decodeCol(col("q"), col("scale"))
+      else col("v")
+    // already-prepared shape (vec_id, v, nrm): nrm recomputed for the
+    // decoded payload, exact for float (stored nrm IS dot(v,v)^0.5)
+    val p = stored.select(col("vec_id"), v.as("v"))
+      .withColumn("nrm", sqrt(graft.plans.VectorOps.dotCol(col("v"), col("v"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try buildAndSwap(spark, p, table, k, iters, buckets, quantized)
+    finally { p.unpersist(); () }
+  }
+
+  /** The operational rebuild entry point: measure drift, rebuild only
+    * past `threshold` (the scaladoc's ~1.5 cue). Returns the drift
+    * measured BEFORE the rebuild when one fired, None otherwise —
+    * callers log it as the rebuild's justification. */
+  def rebuildIfDrifted(spark: SparkSession, table: String,
+      threshold: Double = 1.5, iters: Int = 2): Option[Drift] = {
+    val d = driftStats(spark, table)
+    if (d.ratio > threshold) { rebuild(spark, table, iters = iters); Some(d) }
+    else None
   }
 
   /** 1-row (mean_d2, n) of the stored payload's squared distance to
-    * its assigned cell centroid (decoded when quantized). */
-  private def meanAssignedD2(spark: SparkSession, table: String): DataFrame = {
-    val cents = Ivf.centroidArray(spark.table(centroidsTable(table)))
+    * its assigned cell centroid (decoded when quantized). Table names
+    * are explicit so [[buildAndSwap]] can measure the `__new` side
+    * tables before they go live. */
+  private def meanAssignedD2(spark: SparkSession, table: String,
+      centsTable: String): DataFrame = {
+    val cents = Ivf.centroidArray(spark.table(centsTable))
     val stored = spark.table(table)
     val v =
       if (stored.schema.fieldNames.contains("q"))
         Quantize.decodeCol(col("q"), col("scale"))
       else col("v")
-    // the assigned centroid's vector, looked up by cell_id from the
-    // inlined literal array (cells are 0..k-1 in sorted order)
+    // the assigned centroid's vector, looked up by its cell_id FIELD —
+    // not positionally: Ivf.train with iters > 0 rebuilds centroids
+    // from groupBy(cell_id), which drops any cell a Lloyd iteration
+    // left empty, so stored cell_ids may be non-contiguous and a
+    // positional element_at would read the wrong centroid (or, under
+    // ANSI, throw past the array end). O(k) per row, and this runs
+    // once per write/driftStats, never on the probe path.
     stored
       .select(col("cell_id"), v.as("vv"))
       .select(graft.plans.VectorOps.l2sqCol(col("vv"),
-        element_at(cents, col("cell_id") + 1).getField("c")).as("d2"))
+        element_at(filter(cents,
+          c => c.getField("cell_id") === col("cell_id")), 1)
+          .getField("c")).as("d2"))
       .agg(avg(col("d2")).as("mean_d2"), count(lit(1)).as("n"))
   }
 
@@ -105,7 +218,7 @@ object IvfIndex {
     * baseline — see [[Drift]]. */
   def driftStats(spark: SparkSession, table: String): Drift = {
     val base = spark.table(statsTable(table)).head()
-    val cur = meanAssignedD2(spark, table).head()
+    val cur = meanAssignedD2(spark, table, centroidsTable(table)).head()
     val (b, c) = (base.getDouble(0), cur.getDouble(0))
     Drift(b, c, if (b == 0.0) Double.PositiveInfinity else c / b,
       cur.getLong(1))

@@ -272,9 +272,20 @@ object LexIndex {
   private val postingsCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def postingsFrame(spark: SparkSession, indexDir: String): DataFrame =
-    postingsCache.computeIfAbsent(indexDir,
-      _ => spark.read.parquet(s"$indexDir/postings"))
+  private def postingsFrame(spark: SparkSession, indexDir: String): DataFrame = {
+    // Unlike statsCache/queryCache (plain values), this cache holds a
+    // LIVE frame bound to its SparkSession: if that session was
+    // stopped and a new one probes the same dir (multi-suite tests,
+    // session restart) the cached frame is dead — validate identity
+    // and rebuild on mismatch.
+    val cached = postingsCache.get(indexDir)
+    if (cached != null && (cached.sparkSession eq spark)) cached
+    else {
+      val df = spark.read.parquet(s"$indexDir/postings")
+      postingsCache.put(indexDir, df)
+      df
+    }
+  }
 
   private def corpusStats(spark: SparkSession, indexDir: String): (Double, Long) =
     statsCache.computeIfAbsent(indexDir, { _ =>

@@ -34,12 +34,14 @@ object Bucketing {
     * the SAME bucket/sort spec, repartitioned on the bucket columns
     * first (repartition and bucketBy share the Murmur3 hash, so each
     * task holds exactly one bucket's rows ⇒ one file per bucket),
-    * then swaps via catalog rename. Crash window: between the DROP
-    * and the RENAME the data lives only under `<table>__compact` —
-    * recover by renaming it back. The catalog has no invisible
-    * dot-dir sibling trick, so unlike the store swap this window is
-    * documented rather than eliminated; run compaction in the same
-    * single-writer maintenance slot as prune. */
+    * then swaps via rename-aside (r11, the Maintenance.applyCompaction
+    * protocol): original → `<table>__old`, `<table>__compact` →
+    * original, drop `__old`. The original DATA survives until the
+    * swap completes — a crash at any point leaves a complete copy
+    * under the original name or under `__old`/`__compact` (recover by
+    * renaming back); nothing is deleted before the new table serves.
+    * Run compaction in the same single-writer maintenance slot as
+    * prune. */
   def compactBucketed(spark: org.apache.spark.sql.SparkSession,
       table: String): Unit = {
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
@@ -47,11 +49,12 @@ object Bucketing {
       .bucketSpec.getOrElse(throw new IllegalStateException(
         s"$table is not a bucketed table"))
     val tmp = table + "__compact"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    // clear a leftover warehouse dir from an interrupted prior attempt
-    val wh = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), tmp)
-    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    val aside = table + "__old"
+    // clear leftovers from an interrupted prior attempt (table AND
+    // warehouse dir — a crashed write can leave the dir without the
+    // catalog entry)
+    dropWithDir(spark, tmp)
+    dropWithDir(spark, aside)
     val cols = spec.bucketColumnNames
       .map(org.apache.spark.sql.functions.col)
     // repartition on the WRITER'S bucket-id expression (pmod of the
@@ -73,8 +76,24 @@ object Bucketing {
         base.sortBy(spec.sortColumnNames.head, spec.sortColumnNames.drop(1): _*)
       else base
     withSort.saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $table")
+    // rename-aside swap: the original is never deleted before the
+    // compacted table is live under its name
+    spark.sql(s"ALTER TABLE $table RENAME TO $aside")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    spark.sql(s"DROP TABLE $aside")
+  }
+
+  /** DROP a catalog table AND delete any leftover warehouse dir a
+    * crashed write left behind without the catalog entry — saveAsTable
+    * refuses to write over a stray dir, so every swap protocol
+    * (compaction here, the IvfIndex rebuild swap) clears both. */
+  private[graft] def dropWithDir(spark: org.apache.spark.sql.SparkSession,
+      name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
+    ()
   }
 
   /** The co-bucketed flat-view join: both sides bucketed on the key ⇒

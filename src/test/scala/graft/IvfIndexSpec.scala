@@ -162,6 +162,64 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("crash-safe rebuild: interrupted swap leaves the old index serving; drift cue restores ratio ~1") {
+    val corpus = seededEmbs(200, 16)
+    try {
+      IvfIndex.write(corpus, "g_ivf_cr", cells = 8, iters = 2, buckets = 4)
+      def probeIds() = IvfIndex.probe(spark, "g_ivf_cr",
+          corpus.filter(col("vec_id") < 3), k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      val before = probeIds()
+
+      // crash DURING the side build (only some __new tables written):
+      // recover must roll BACK — old index intact, side junk gone
+      spark.range(3).selectExpr("cast(id as int) as cell_id",
+          "array(0.0d) as centroid")
+        .write.saveAsTable("g_ivf_cr_centroids__new")
+      IvfIndex.recover(spark, "g_ivf_cr")
+      assert(!spark.catalog.tableExists("g_ivf_cr_centroids__new"))
+      assert(probeIds() === before, "roll-back changed the serving index")
+
+      // crash AFTER the side build committed but before/mid swap (all
+      // three __new exist): recover must roll FORWARD to the new build
+      val corpus2 = seededEmbs(200, 16)
+      IvfIndex.write(corpus2, "g_ivf_cr2", cells = 8, iters = 2, buckets = 4)
+      Seq("", "_centroids", "_stats").foreach { sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS g_ivf_cr${sfx}__new")
+        spark.sql(s"ALTER TABLE g_ivf_cr2$sfx RENAME TO g_ivf_cr${sfx}__new")
+      }
+      IvfIndex.recover(spark, "g_ivf_cr")
+      assert(spark.catalog.tableExists("g_ivf_cr") &&
+        !spark.catalog.tableExists("g_ivf_cr__new") &&
+        !spark.catalog.tableExists("g_ivf_cr__old"))
+      assert(probeIds() === before, "same-corpus roll-forward must serve identically")
+
+      // drift cue: shifted append inflates ratio past 1.5; the gated
+      // rebuild retrains FROM THE STORED PAYLOAD and restores ratio ~1
+      val shifted = seededEmbs(100, 16)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x + lit(5.0f)).as("embedding"))
+      IvfIndex.append(spark, "g_ivf_cr", shifted)
+      assert(IvfIndex.rebuildIfDrifted(spark, "g_ivf_cr", 1.5).isDefined,
+        "drift cue should fire after the shifted append")
+      val after = IvfIndex.driftStats(spark, "g_ivf_cr")
+      assert(after.nIndexed === 300L, s"rebuild must keep all rows: $after")
+      assert(math.abs(after.ratio - 1.0) < 1e-9,
+        s"fresh-rebuilt ratio should be 1: $after")
+      // bucket spec survives the rebuild (append still works)
+      IvfIndex.append(spark, "g_ivf_cr",
+        seededEmbs(400, 16).filter(col("vec_id") >= 300))
+      assert(spark.table("g_ivf_cr").count() === 400L)
+      // a second cue on the rebuilt index must NOT fire
+      assert(IvfIndex.rebuildIfDrifted(spark, "g_ivf_cr", 1.5).isEmpty)
+    } finally {
+      Seq("g_ivf_cr", "g_ivf_cr_centroids", "g_ivf_cr_stats",
+        "g_ivf_cr2", "g_ivf_cr2_centroids", "g_ivf_cr2_stats")
+        .flatMap(t => Seq(t, t + "__new", t + "__old", t + "__new_tmp"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("int8 payload: byte codes stored, recall@5 >= 0.9 vs the float index") {
     val embs = seededEmbs(200, 16)
     try {
