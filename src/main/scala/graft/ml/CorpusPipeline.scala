@@ -192,21 +192,8 @@ final class CorpusPipeline private (
     step(s"nearDedupIndexed($table)") { d =>
       val pairs = BandIndex.probe(d.sparkSession, table,
         d.select(col("doc_id"), col("text")), n, k, bands, threshold)
-      val corpusIds = d.sparkSession.table(table)
-        .select(col("doc_id")).distinct()
-      // pair sides are (a < b) by VALUE, so the corpus side can be
-      // either column — flag both; the batch side of a corpus pair
-      // drops, and for in-batch pairs the higher id drops
-      val dropIds = pairs
-        .join(corpusIds.select(col("doc_id").as("doc_a"))
-          .withColumn("a_corpus", lit(true)), Seq("doc_a"), "left")
-        .join(corpusIds.select(col("doc_id").as("doc_b"))
-          .withColumn("b_corpus", lit(true)), Seq("doc_b"), "left")
-        .select(when(coalesce(col("a_corpus"), lit(false)), col("doc_b"))
-          .when(coalesce(col("b_corpus"), lit(false)), col("doc_a"))
-          .otherwise(greatest(col("doc_a"), col("doc_b"))).as("doc_id"))
-        .distinct()
-      d.join(dropIds, Seq("doc_id"), "left_anti")
+      d.join(CorpusPipeline.dupDropIds(pairs, d.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
     }
 
   /** Drop documents sharing any n-gram with the eval set
@@ -363,6 +350,31 @@ object CorpusPipeline {
       .drop("toks", "n", "c")
   }
 
+  /** Drop-id selection for verified near-dup pairs touching a batch:
+    * pair sides are (a < b) by VALUE, so the corpus side can land on
+    * either column. Every pair from an index probe touches the batch
+    * (corpus×corpus pairs are never generated), so membership is
+    * resolved by joining the BOUNDED batch-id set (broadcast), never
+    * by scanning the corpus: a pair with a corpus side drops the batch
+    * side; an in-batch pair drops the higher id. */
+  private[ml] def dupDropIds(pairs: DataFrame,
+      batchIds: DataFrame): DataFrame = {
+    val a = batchIds.select(col("doc_id").as("doc_a")).distinct()
+      .withColumn("a_in", lit(true))
+    val b = batchIds.select(col("doc_id").as("doc_b")).distinct()
+      .withColumn("b_in", lit(true))
+    pairs
+      .join(broadcast(a), Seq("doc_a"), "left")
+      .join(broadcast(b), Seq("doc_b"), "left")
+      .select(
+        when(coalesce(col("a_in"), lit(false)) &&
+            coalesce(col("b_in"), lit(false)),
+          greatest(col("doc_a"), col("doc_b")))
+          .when(coalesce(col("a_in"), lit(false)), col("doc_a"))
+          .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+  }
+
   /** The ingest-time form of the batch policy chain: every arriving
     * micro-batch of (doc_id, text) runs quality gate → near-dup screen
     * against a PREBUILT corpus index → decontamination screen against
@@ -427,6 +439,131 @@ object CorpusPipeline {
             chunkFrame(accepted, sz, stride), t0)._1
         }
         onBatch(batchId, out, stats.result())
+      }
+      .start()
+
+  /** Stored-index attachments + maintenance policy for
+    * [[ingestAndMaintain]]. `bandTable` (with its `_keys` companion)
+    * is required — it is both the near-dup SCREEN and the primary
+    * append target; `lexIndexDir` / `ivfTable` fold the same accepted
+    * batch into the retrieval and vector indexes when attached
+    * (`embed` maps accepted (doc_id, text, …) rows to the
+    * (vec_id, label, embedding) shape [[IvfIndex.append]] expects —
+    * at 100 TB this is the embedding-service call; tests use a
+    * deterministic fake). `compactAtFilesPerBucket` is the measured
+    * small-file-debt threshold at which the maintenance slot runs
+    * [[graft.store.Bucketing.compactBucketed]] on the bucketed index
+    * tables (LexIndex needs no compaction: its append IS a full
+    * re-layout of the postings). */
+  final case class IndexMaintenance(
+      bandTable: String, n: Int, k: Int, bands: Int, threshold: Double,
+      lexIndexDir: Option[String] = None,
+      ivfTable: Option[String] = None,
+      embed: DataFrame => DataFrame = identity,
+      compactAtFilesPerBucket: Double = 16.0)
+
+  /** [[streaming]]'s missing other half — the maintenance loop a
+    * continuously-ingesting deployment runs (reference frame: the
+    * per-run INSERT path, bird.py:775-919, continuously maintained):
+    * each micro-batch is SCREENED against the STORED indexes (quality
+    * gate → [[BandIndex.probe]] near-dup screen → decontamination),
+    * handed to `onBatch` (where the caller lands it in the corpus
+    * store), and then the ACCEPTED documents are FOLDED BACK into
+    * every attached index — [[BandIndex.append]], optionally
+    * [[LexIndex.appendBatch]] and [[IvfIndex.append]] — so the NEXT
+    * batch's screen already sees them. [[streaming]] only probes a
+    * frozen index; this closes the accept→append→compact loop.
+    *
+    * Because the screen reads the stored band table (a stream-static
+    * join re-resolved per batch), a batch-1 near-dup arriving in
+    * batch 3 is caught FROM THE INDEX with no rebuild and no growing
+    * in-memory state. foreachBatch bodies execute serially per query,
+    * so the appends and compactions run in the single-writer
+    * maintenance slot the index contracts require.
+    *
+    * Compaction cadence: after each append, any attached bucketed
+    * table whose measured file debt ([[graft.store.Bucketing
+    * .filesPerBucket]]) reaches `compactAtFilesPerBucket` is
+    * bin-packed back to one file per bucket — a measured trigger,
+    * like driftStats, not a blind every-N counter. Maintenance runs
+    * AFTER `onBatch` (store write first — see delivery semantics), so
+    * its stat arrives via the separate `onMaintain` callback rather
+    * than the screen-stage vector.
+    *
+    * Delivery semantics: foreachBatch is at-least-once — a batch
+    * replayed after a crash BETWEEN onBatch and the appends re-screens
+    * against an index that lacks it and is re-accepted (the store
+    * write must be idempotent on batchId, the standard contract); a
+    * replay AFTER its append finds its own doc_ids in the index and
+    * drops them as corpus duplicates, so nothing is emitted or
+    * appended twice. */
+  def ingestAndMaintain(stream: DataFrame, minQuality: Double,
+      maint: IndexMaintenance,
+      evalIndex: Decontaminate.EvalIndex, evalN: Int,
+      chunkTo: Option[(Int, Int)] = None,
+      onMaintain: (Long, StageStat) => Unit = (_, _) => ())(
+      onBatch: (Long, DataFrame, Vector[StageStat]) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val stats = Vector.newBuilder[StageStat]
+        def staged(name: String, in: Long, out: DataFrame, t0: Long): (DataFrame, Long) = {
+          val mat = out.localCheckpoint(true)
+          val nOut = mat.count()
+          stats += StageStat(name, in, nOut,
+            math.rint((System.nanoTime() - t0) / 1e5) / 1e4)
+          (mat, nOut)
+        }
+        val nIn = batch.count()
+        var t0 = System.nanoTime()
+        val (q, nQ) = staged(s"quality>=$minQuality", nIn,
+          batch.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
+        t0 = System.nanoTime()
+        // near-dup screen against the STORED band index — prior
+        // accepted batches are already folded in, so cross-batch
+        // duplicates are caught here with no in-memory corpus state
+        val pairs = BandIndex.probe(spark, maint.bandTable,
+          q.select(col("doc_id"), col("text")),
+          maint.n, maint.k, maint.bands, maint.threshold)
+        val (d, nD) = staged("nearDedupScreen", nQ,
+          q.join(dupDropIds(pairs, q.select(col("doc_id"))),
+            Seq("doc_id"), "left_anti"), t0)
+        t0 = System.nanoTime()
+        val flagged = Decontaminate.screenBatch(d, evalIndex, evalN)
+          .select(col("doc_id"))
+        val (accepted, nA) = staged("decontaminateScreen", nD,
+          d.join(flagged, Seq("doc_id"), "left_anti"), t0)
+        val out = chunkTo.fold(accepted) { case (sz, stride) =>
+          t0 = System.nanoTime()
+          staged(s"chunk($sz/$stride)", nA,
+            chunkFrame(accepted, sz, stride), t0)._1
+        }
+        // the store write first (onBatch), then the maintenance slot:
+        // a crash between the two replays the batch against an index
+        // that lacks it (see delivery semantics above)
+        t0 = System.nanoTime()
+        onBatch(batchId, out, stats.result())
+        if (nA > 0) {
+          val docs = accepted.select(col("doc_id"), col("text"))
+          BandIndex.append(spark, maint.bandTable, docs,
+            maint.n, maint.k, maint.bands)
+          maint.lexIndexDir.foreach(dir =>
+            LexIndex.appendBatch(spark, dir, docs))
+          maint.ivfTable.foreach(t =>
+            IvfIndex.append(spark, t, maint.embed(accepted)))
+          val bucketed = Seq(maint.bandTable,
+            BandIndex.keysTable(maint.bandTable)) ++ maint.ivfTable
+          val compacted = bucketed.filter(t =>
+            graft.store.Bucketing.filesPerBucket(spark, t) >=
+              maint.compactAtFilesPerBucket)
+          compacted.foreach(t =>
+            graft.store.Bucketing.compactBucketed(spark, t))
+          onMaintain(batchId, StageStat(
+            s"indexMaintain(compacted=${compacted.size})", nA, nA,
+            math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
+        }
       }
       .start()
 }

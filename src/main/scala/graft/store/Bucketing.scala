@@ -83,6 +83,26 @@ object Bucketing {
     spark.sql(s"DROP TABLE $aside")
   }
 
+  /** Mean data-file count per bucket of a bucketed catalog table —
+    * the measured small-file debt a steady append cadence accrues
+    * (one file per touched bucket per append). The maintenance loop
+    * compacts when this crosses its threshold: a MEASURED trigger,
+    * like IvfIndex.driftStats, instead of a blind every-N counter
+    * (empty batches and restarts don't skew it). One driver-side
+    * directory listing, no job. */
+  def filesPerBucket(spark: org.apache.spark.sql.SparkSession,
+      table: String): Double = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$table is not a bucketed table"))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(loc).count(s =>
+      s.isFile && !s.getPath.getName.startsWith("_"))
+    files.toDouble / buckets
+  }
+
   /** DROP a catalog table AND delete any leftover warehouse dir a
     * crashed write left behind without the catalog entry — saveAsTable
     * refuses to write over a stray dir, so every swap protocol

@@ -343,6 +343,123 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestAndMaintain: accepted batches fold into the stored indexes; cross-batch dups caught from the index; compaction preserves probes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // deterministic fake embedder (the container has no embedding
+    // model): 4 dims derived from doc_id — the Spark-side plumbing
+    // (schema, append path, bucketing) is what this test exercises
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("vec_id"), lit("x").as("label"),
+        array((1 to 4).map(i =>
+          (pmod(hash(col("doc_id") * i), lit(97)) + 1).cast("float")): _*)
+          .as("embedding"))
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"),
+      (12L, "quantum processors entangle qubits across supercooled silicon lattices quietly"),
+      (13L, "ancient manuscripts reveal forgotten recipes for honeyed barley bread loaves"))
+      .toDF("doc_id", "text")
+    val lexDir = java.nio.file.Files.createTempDirectory("g_maint_lex").toString
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_maint_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      graft.ml.LexIndex.build(corpusDocs, lexDir)
+      graft.ml.IvfIndex.write(embed(corpusDocs), "g_maint_ivf",
+        cells = 2, iters = 1, buckets = 4)
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val accepted = scala.collection.mutable.Map[Long, Set[Long]]()
+      val maintained = scala.collection.mutable.Map[Long, CorpusPipeline.StageStat]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_maint_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          lexIndexDir = Some(lexDir), ivfTable = Some("g_maint_ivf"),
+          embed = embed, compactAtFilesPerBucket = 2.0),
+        evalIdx, evalN = 3,
+        onMaintain = (id, st) => maintained.synchronized {
+          maintained(id) = st; () }) { (batchId, acc, _) =>
+        accepted.synchronized {
+          accepted(batchId) = acc.select($"doc_id").as[Long].collect().toSet
+          ()
+        }
+      }
+      try {
+        // batch 0: two clean novel docs — both accepted AND appended
+        input.addData(
+          300L -> "seven silver falcons circle the ancient observatory tower at dusk tonight",
+          301L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q.processAllAvailable()
+        // batch 1: 310 = near-copy of BATCH-0 doc 300 (the static
+        // corpus never saw it — only the index append makes this
+        // catchable); 311 novel
+        input.addData(
+          310L -> "seven silver falcons circle the ancient observatory tower at dusk tonite",
+          311L -> "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil")
+        q.processAllAvailable()
+        // batch 2: 320 = near-copy of batch-0 doc 301; 321 = near-copy
+        // of batch-1 doc 311; 322 novel — both dups must be caught
+        // FROM THE INDEX, two appends later
+        input.addData(
+          320L -> "migrating whales sing layered songs across the cold northern strait waterways",
+          321L -> "terraced vineyards ripen slowly along the mineral rich volcanic hillside soils",
+          322L -> "paper lanterns drift over the festival river while drummers keep gentle time")
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(accepted(0L) === Set(300L, 301L), s"batch 0: ${accepted(0L)}")
+      assert(accepted(1L) === Set(311L), s"batch 1: ${accepted(1L)}")
+      assert(accepted(2L) === Set(322L), s"batch 2: ${accepted(2L)}")
+      // every batch with accepted docs ran its maintenance slot
+      assert(maintained.keySet === Set(0L, 1L, 2L))
+      assert(maintained.values.forall(_.stage.startsWith("indexMaintain")))
+
+      // all three indexes grew by exactly the accepted docs
+      val bandIds = spark.table("g_maint_band")
+        .select($"doc_id").distinct().as[Long].collect().toSet
+      assert(bandIds === Set(10L, 11L, 12L, 13L, 300L, 301L, 311L, 322L))
+      val keyIds = spark.table("g_maint_band_keys")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(keyIds === bandIds, "keys table out of sync with band table")
+      val lexDocs = spark.read.parquet(s"$lexDir/stats")
+        .select($"n_docs").as[Long].head()
+      assert(lexDocs === 8L, s"lex index n_docs $lexDocs")
+      val ivfIds = spark.table("g_maint_ivf")
+        .select($"vec_id").as[Long].collect().toSet
+      assert(ivfIds === bandIds, "ivf index out of sync with band table")
+
+      // compaction: probe output identical before/after, one file per
+      // bucket afterwards (the in-loop threshold was 2.0, so some
+      // compactions already ran; force a final pass and verify)
+      val testBatch = Seq(
+        (900L, "seven silver falcons circle the ancient observatory tower at dusk tonight"),
+        (901L, "completely fresh probe text matching no indexed document at all today"))
+        .toDF("doc_id", "text")
+      def probe() = graft.ml.BandIndex.probe(spark, "g_maint_band",
+          testBatch, n = 3, k = 12, bands = 4, threshold = 0.3)
+        .orderBy($"doc_a", $"doc_b")
+        .as[(Long, Long, Double)].collect().toSeq
+      val before = probe()
+      // the planted 900≈300 pair must be found via the APPENDED rows
+      assert(before.exists(p => p._1 === 300L && p._2 === 900L),
+        s"probe after maintenance missed the appended near-dup: $before")
+      Seq("g_maint_band", "g_maint_band_keys").foreach { t =>
+        graft.store.Bucketing.compactBucketed(spark, t)
+        assert(graft.store.Bucketing.filesPerBucket(spark, t) <= 1.0,
+          s"$t not packed to one file per bucket")
+      }
+      assert(probe() === before, "compaction changed probe output")
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_maint_band", "g_maint_band_keys",
+        "g_maint_ivf", "g_maint_ivf_centroids", "g_maint_ivf_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming chunk stage: micro-batch chunks equal the batch stage") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = corpus.filter($"doc_id" =!= 1L && $"doc_id" =!= 8L)
