@@ -77,7 +77,19 @@ object Bench {
     // Bracketing the run (start + end sample, flag if EITHER is out of
     // band or they disagree >1.5×) makes a contended artifact
     // self-flagging.
-    val ingestStart = if (nameFilter.isEmpty) benchIngest(spark) else -1.0
+    // The ingest path (wholetext scan → parse → store append) shares
+    // nothing with the query warmup above, so the FIRST control sample
+    // would pay its one-time parser/codegen compilation and read
+    // out-of-band on a perfectly healthy box (measured r11: start 6.2 s
+    // vs end 2.4 s, contended=true, idle machine; IngestProbe
+    // convergence: 9.3 cold → 2.8 → ~2.3 steady). One untimed warmup
+    // ingest pays the JIT bill, and each bracket sample is min-of-two
+    // (the query methodology) so a single transient hit can't flag a
+    // healthy run.
+    if (nameFilter.isEmpty) benchIngest(spark)
+    val ingestStart =
+      if (nameFilter.isEmpty) math.min(benchIngest(spark), benchIngest(spark))
+      else -1.0
     // Two timed runs per query, report the min: the first run pays
     // one-time Janino codegen compilation (seconds for the nested
     // lambda expressions) which is not a property of the plan; min of
@@ -119,7 +131,9 @@ object Bench {
     // Control sample #2, AFTER the query loop; -1 marks "not
     // measured" on filtered iteration runs. `ingest_1k_files_sec`
     // stays the END sample (the series every prior round reported).
-    val ingest = if (nameFilter.isEmpty) benchIngest(spark) else -1.0
+    val ingest =
+      if (nameFilter.isEmpty) math.min(benchIngest(spark), benchIngest(spark))
+      else -1.0
     val loadEnd = loadavg()
     // Totals ("metric"/"value") lead the line and the queries map
     // trails it, so a capture that truncates the line's TAIL still
@@ -169,11 +183,16 @@ object Bench {
     spark.stop()
   }
 
-  /** Healthy band for the `ingest_1k_files_sec` contention control:
-    * identical code measures ~3.0-3.7 on a quiet box (r5/r6 verdicts).
+  /** Healthy band for the `ingest_1k_files_sec` contention control.
+    * The historical ~3.0-3.7 series (r5-r10 verdicts) measured a
+    * parse-path-COLD sample (single post-loop control, paying one-time
+    * parser codegen); the r11 bracketed control warms the ingest path
+    * untimed first, so steady-state samples read ~2.4-2.8 on a quiet
+    * box. The band spans both regimes — what matters for the flag is
+    * the ABOVE threshold and start/end disagreement, not the floor.
     * Above `contendedAbove` the HOST is loaded — both engines inflate
     * together and the run is not comparable against a quiet pairing. */
-  val controlHealthyBand: (Double, Double) = (3.0, 3.7)
+  val controlHealthyBand: (Double, Double) = (2.4, 3.7)
   val contendedAbove: Double = 5.5
 
   /** `,"contended":…` — the run self-adjudicates from its own ingest

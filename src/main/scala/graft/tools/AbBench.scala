@@ -813,7 +813,40 @@ object AbBench {
       q84Toks().filter(size(th) >= 2).select(explode(pairs).as("p")).count()
     }
 
+    // q48 r11 decomposition: shipped form re-explodes the corpus for
+    // the scoring join (two corpus-sized explode passes); the tf form
+    // aggregates (doc_id, tok) once and derives BOTH the LM and the
+    // per-doc score from that vocab×docs-sized frame (the q82 docpart
+    // pattern). Floor = one explode pass.
+    def q48Cur(): Long =
+      graft.SparkEntry.queries("q48_unigram_surprisal")(spark, sfDir).count()
+    def q48ScanOnly(): Long = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok")).count()
+    def q48LmOnly(): Long = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n")).count()
+    def q48Tf(): Long = {
+      val d = docs
+      val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("n"))
+      val totalRow = vocab.agg(sum(col("n")).as("total"))
+      val lm = vocab.crossJoin(broadcast(totalRow))
+        .select(col("tok"), log(col("n") / col("total").cast("double")).as("logp"))
+      val r = tf.join(broadcast(lm), Seq("tok"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(-col("logp") * col("tf")) / sum(col("tf")), 4).as("surprisal"),
+          sum(col("tf")).as("n_tokens"))
+        .count()
+      tf.unpersist(false); r
+    }
+
     Seq(
+      "q48_cur" -> (() => q48Cur()),
+      "q48_scan_only" -> (() => q48ScanOnly()),
+      "q48_lm_only" -> (() => q48LmOnly()),
+      "q48_tf" -> (() => q48Tf()),
       "q84_cur" -> (() => q84Cur()),
       "q84_scan_only" -> (() => q84ScanOnly()),
       "q84_explode_only" -> (() => q84ExplodeOnly()),
