@@ -519,6 +519,43 @@ final class Serve(private[api] val engine: GraftEngine) {
               t, targetMb << 20, minFiles, clusterCols.getOrElse(t, Seq.empty)))
             s"""{"success":true,"mode":"compact","compacted":${tjson(done)}}"""
           }
+        case "compact_index" =>
+          // r11 (the r10 verdict's stretch #7): the three stored
+          // index families (BandIndex main/keys, IvfIndex cells,
+          // bucketed postings) append one file per (task, bucket) per
+          // batch — at a continuous-ingest cadence this is routine
+          // maintenance, behind the same preview/confirm gate as the
+          // store modes. `table` names catalog tables (comma-
+          // separated); preview reports measured files-per-bucket,
+          // confirm compacts every named table at or above the debt
+          // threshold via the crash-safe rename-aside swap.
+          val named = args.getOrElse("table",
+            throw new IllegalArgumentException(
+              "compact_index needs table=<catalog table>[,<table>...]"))
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          require(named.nonEmpty, "compact_index needs at least one table")
+          val minPerBucket = args.get("min_files_per_bucket")
+            .map(_.trim.toDouble).getOrElse(2.0)
+          require(minPerBucket >= 1.0,
+            s"min_files_per_bucket must be >= 1 (got $minPerBucket)")
+          val debts = named.map { t =>
+            t -> graft.store.Bucketing.filesPerBucket(engine.spark, t)
+          }
+          def djson(ds: Seq[(String, Double)]): String = ds.map { case (t, d) =>
+            s"""{"table":${quote(t)},"files_per_bucket":${math.rint(d * 100) / 100}}"""
+          }.mkString("[", ",", "]")
+          if (!confirm)
+            s"""{"success":false,"preview":true,"mode":"compact_index",""" +
+              s""""tables":${djson(debts)},"threshold":$minPerBucket,""" +
+              s""""message":"set confirm=true to compact"}"""
+          else {
+            val done = debts.filter(_._2 >= minPerBucket).map(_._1)
+            done.foreach(t =>
+              graft.store.Bucketing.compactBucketed(engine.spark, t))
+            s"""{"success":true,"mode":"compact_index",""" +
+              s""""compacted":${jarr(done)},"skipped":${jarr(
+                debts.filterNot(d => done.contains(d._1)).map(_._1))}}"""
+          }
         case "data" | "schema" | "full" =>
           // data/schema: clear run data (all table dirs + blobs), keep
           // the command registry and any other config beside the store;
@@ -547,7 +584,8 @@ final class Serve(private[api] val engine: GraftEngine) {
             s"""{"success":true,"mode":${quote(mode)},"removed":$removed}"""
           }
         case other =>
-          err(s"unknown clean mode: $other (data, prune, compact, schema, full)")
+          err(s"unknown clean mode: $other " +
+            "(data, prune, compact, compact_index, schema, full)")
       }
     case other => err(s"unknown tool: $other (available: ${tools.mkString(", ")})")
   }
@@ -777,15 +815,17 @@ object Serve {
         ToolParam("set", "string", "JSON object of keys to update; invalid updates leave config unchanged"),
         ToolParam("reset", "string", "true = revert to env-seeded values"))),
     ToolSpec("clean",
-      "Store maintenance: preview or delete run data (mode=data/schema), prune by age/count/size (mode=prune), bin-pack small part files (mode=compact), or remove the whole store (mode=full). confirm=true required to modify.",
+      "Store maintenance: preview or delete run data (mode=data/schema), prune by age/count/size (mode=prune), bin-pack small part files (mode=compact), compact append-grown bucketed index tables (mode=compact_index), or remove the whole store (mode=full). confirm=true required to modify.",
       Seq(
-        ToolParam("mode", "string", "data | prune | compact | schema | full (default data)"),
+        ToolParam("mode", "string", "data | prune | compact | compact_index | schema | full (default data)"),
         ToolParam("confirm", "string", "must be true to actually delete/compact; false returns a preview"),
         ToolParam("days", "integer", "prune: remove partitions older than this many days"),
         ToolParam("max_runs", "integer", "prune: keep at most N runs per source"),
         ToolParam("max_size_mb", "integer", "prune: keep events+outputs under N MB total"),
         ToolParam("target_mb", "integer", "compact: target part-file size (default 128)"),
-        ToolParam("min_files", "integer", "compact: only partitions with at least N part files (default 4)"))))
+        ToolParam("min_files", "integer", "compact: only partitions with at least N part files (default 4)"),
+        ToolParam("table", "string", "compact_index: comma-separated bucketed catalog tables"),
+        ToolParam("min_files_per_bucket", "number", "compact_index: only tables at/above this measured debt (default 2)"))))
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
   import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan, ParsedStatement}

@@ -203,7 +203,7 @@ object LexIndex {
     * (vocabulary rides the same cache). [[invalidate]] clears on any
     * index rewrite. */
   private val queryCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String, Long)]]()
 
   private def invalidate(indexDir: String): Unit = {
     statsCache.remove(indexDir)
@@ -220,13 +220,19 @@ object LexIndex {
       maxInTerms: Int = 4096): DataFrame = {
     import spark.implicits._
     val key = indexDir + "::" + docPred.toString
-    val qlocal = queryCache.computeIfAbsent(key, { _ =>
+    val cached = queryCache.computeIfAbsent(key, { _ =>
+      // df rides the collect: Σ df over the (query, term) set is the
+      // EXACT matched-postings row count of the probe join, known
+      // before any job runs — the probe-shape decision (see
+      // probeLocal) is free and precise on this path.
       postingsFrame(spark, indexDir)
         .filter(docPred)
-        .select(col("doc_id").cast("long"), col("term").cast("string"))
-        .as[(Long, String)].collect().toSeq
+        .select(col("doc_id").cast("long"), col("term").cast("string"),
+          col("df").cast("long"))
+        .as[(Long, String, Long)].collect().toSeq
     })
-    probeLocal(spark, indexDir, qlocal, k, maxInTerms)
+    probeLocal(spark, indexDir, cached.map(t => (t._1, t._2)), k, maxInTerms,
+      matchedEst = cached.map(_._3).sum)
   }
 
   /** BM25 probe for AD-HOC query strings (text not in the index):
@@ -241,7 +247,16 @@ object LexIndex {
     val qlocal = queryTexts.flatMap { case (id, text) =>
       text.split(" ").distinct.toSeq.map(t => (id, t))
     }
-    probeLocal(spark, indexDir, qlocal, k, maxInTerms)
+    // Ad-hoc terms carry no df, so the matched estimate is the
+    // join-row upper bound |(query, term) pairs| × n_docs (df ≤
+    // n_docs for every term). Pessimistic on rare-term queries over
+    // big corpora — the penalty for a wrong two-shuffle pick is one
+    // extra k-bounded exchange (~0.1 s fixed), vs a
+    // query-count-parallel corpus-sized window for a wrong
+    // single-shuffle pick. Bound on the cheap side of that asymmetry.
+    val (_, nDocs) = corpusStats(spark, indexDir)
+    probeLocal(spark, indexDir, qlocal, k, maxInTerms,
+      matchedEst = qlocal.length.toLong * nDocs)
   }
 
   /** BM25 probe of a built index. `queries` is a bounded
@@ -320,14 +335,39 @@ object LexIndex {
     val qlocal = queries
       .select(col("query_id").cast("long"), col("term").cast("string"))
       .distinct().as[(Long, String)].collect().toSeq
-    probeLocal(spark, indexDir, qlocal, k, maxInTerms)
+    val (_, nDocs) = corpusStats(spark, indexDir)
+    probeLocal(spark, indexDir, qlocal, k, maxInTerms,
+      matchedEst = qlocal.length.toLong * nDocs)
   }
 
-  /** The probe proper, over a driver-local query set: ONE distributed
-    * job — pruned postings scan, broadcast query attach, single
-    * hash(query_id) exchange (plan pinned in LexIndexSpec). */
+  /** Matched-volume cutover for the probe plan shape (r11, measured
+    * on ScaleGen corpora; units = matched JOIN rows, i.e. Σ df over
+    * the (query, term) set — exactly what [[probeIndexed]] computes
+    * from its cached df column): at Σdf ≈ 430k (1× corpus, 25k
+    * result groups) the single-shuffle plan won 0.27 vs 0.36 s; at
+    * Σdf ≈ 2.37M (30×, 489k groups) the two-shuffle plan won 0.63 vs
+    * 1.22 s — the single shuffle repartitions corpus-sized partials
+    * into |queries| partitions, so agg + window parallelism collapses
+    * to the query count and the probe grows linearly on a handful of
+    * cores. The cutover sits between the measured anchors; the
+    * misprediction costs are asymmetric (~0.1 s fixed extra exchange
+    * vs an unboundedly-growing serial window). */
+  private[graft] var TwoShuffleAbove = 1000000L
+
+  /** The probe proper, over a driver-local query set. Small matched
+    * volume: ONE distributed job — pruned postings scan, broadcast
+    * query attach, single hash(query_id) exchange serving both the
+    * (query, doc) sum and the ranking window (plan pinned in
+    * LexIndexSpec). Large matched volume (est ≥ [[TwoShuffleAbove]]
+    * with fewer queries than cores): the agg keeps its natural
+    * hash(query_id, doc_id) exchange at FULL parallelism, and the
+    * ranking window pays a second, k-BOUNDED exchange —
+    * WindowGroupLimit keeps only per-partition top-k before the
+    * shuffle, so the second exchange moves ≤ partitions×queries×k
+    * rows regardless of corpus size. */
   private def probeLocal(spark: SparkSession, indexDir: String,
-      qlocal: Seq[(Long, String)], k: Int, maxInTerms: Int): DataFrame = {
+      qlocal: Seq[(Long, String)], k: Int, maxInTerms: Int,
+      matchedEst: Long): DataFrame = {
     import spark.implicits._
     val (avgdl, nDocs) = corpusStats(spark, indexDir)
     val post0 = postingsFrame(spark, indexDir)
@@ -339,17 +379,20 @@ object LexIndex {
       else post0
     val w = Window.partitionBy(col("query_id"))
       .orderBy(round(col("score"), 6).desc, col("doc_id"))
-    post
+    val nQueries = qlocal.map(_._1).distinct.length
+    val scored = post
       .join(broadcast(qdf), Seq("term"))
       .withColumn("idf",
         log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("c",
         col("idf") * col("tf") * (K1 + 1.0) /
           (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / lit(avgdl))))
-      // ONE shuffle serves both the (query, doc) sum and the per-query
-      // ranking window: hash(query_id) satisfies the aggregation's
-      // clustering (a subset of its grouping keys) and the window's
-      .repartition(col("query_id"))
+    val twoShuffle = matchedEst >= TwoShuffleAbove &&
+      nQueries < spark.sparkContext.defaultParallelism
+    val grouped =
+      if (twoShuffle) scored
+      else scored.repartition(col("query_id"))
+    grouped
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c")).as("score"))
       .withColumn("rnk", row_number().over(w).cast("long"))

@@ -157,4 +157,32 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.ensure(spark, sfDir, docs)
     assert(Files.getLastModifiedTime(postingsPath) !== m1)
   }
+
+  test("two-shuffle probe shape: same output, k-bounded second exchange") {
+    // r11: a large matched-volume estimate switches the probe from
+    // the single hash(query_id) shuffle (parallelism = |queries|) to
+    // the natural hash(query_id, doc_id) aggregation exchange plus a
+    // k-bounded window exchange. Forced here via the test-adjustable
+    // cutover; output must be identical to the single-shuffle form.
+    val dir = Files.createTempDirectory("lexidx2s").toString
+    LexIndex.build(corpus().toDF("doc_id", "text"), dir)
+    val queries = LexIndex.queryTermsFromIndex(spark, dir, col("doc_id") < 2)
+    val single = LexIndex.probe(spark, dir, queries, k = 3)
+      .orderBy("query_id", "rnk").collect().toSeq
+    val saved = LexIndex.TwoShuffleAbove
+    try {
+      LexIndex.TwoShuffleAbove = 1L
+      val got = LexIndex.probe(spark, dir, queries, k = 3)
+      assert(got.orderBy("query_id", "rnk").collect().toSeq === single)
+      got.collect()
+      val finalPlan = got.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      // two hash exchanges: the (query,doc) aggregation's and the
+      // ranking window's; WindowGroupLimit bounds the second to
+      // top-k per partition per query BEFORE the shuffle
+      assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size === 2,
+        finalPlan.take(3000))
+      assert(finalPlan.contains("WindowGroupLimit"), finalPlan.take(3000))
+    } finally LexIndex.TwoShuffleAbove = saved
+  }
 }

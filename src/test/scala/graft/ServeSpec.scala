@@ -628,4 +628,64 @@ class ServeSpec extends SparkSpec {
     assert(g.events.count() === nBefore)
     assert(s.call("errors", Map("limit" -> "10")).contains("e3"))
   }
+
+  test("clean mode=compact_index: preview measures debt, confirm packs, low-debt skipped") {
+    import spark.implicits._
+    import graft.store.Bucketing
+    def tableFiles(t: String): Int = {
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+      new java.io.File(loc).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    }
+    try {
+      // an append-grown index table (3+ files/bucket) and a freshly
+      // written one (at the 1-file-per-bucket floor)
+      Bucketing.writeBucketed(
+        (1L to 400L).map(i => (i, s"k${i % 37}")).toDF("id", "key"),
+        "g_srv_idx", "key", 4)
+      for (b <- 1 to 2)
+        ((400L * b + 1) to (400L * b + 400L)).map(i => (i, s"k${i % 37}"))
+          .toDF("id", "key")
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .option("compression", "zstd")
+          .bucketBy(4, "key").sortBy("key").saveAsTable("g_srv_idx")
+      Bucketing.writeBucketed(
+        (1L to 100L).map(i => (i, s"k${i % 7}")).toDF("id", "key"),
+        "g_srv_fresh", "key", 4)
+      // writeBucketed emits one file per (task, bucket); pack the
+      // "fresh" table to the 1-file-per-bucket floor so it sits below
+      // the debt threshold
+      Bucketing.compactBucketed(spark, "g_srv_fresh")
+      val before = tableFiles("g_srv_idx")
+      assert(before > 4, s"expected append debt, got $before files")
+      val nRows = spark.table("g_srv_idx").count()
+
+      val s = mkServe()
+      // preview: debt measured per table, nothing rewritten
+      val prev = s.call("clean", Map("mode" -> "compact_index",
+        "table" -> "g_srv_idx,g_srv_fresh"))
+      assert(prev.contains("\"preview\":true") &&
+        prev.contains("\"table\":\"g_srv_idx\"") &&
+        prev.contains("\"files_per_bucket\""), prev)
+      assert(tableFiles("g_srv_idx") === before, "preview must not rewrite")
+      // confirm: the debt table packs to one file per bucket; the
+      // fresh table is below threshold and skipped
+      val done = s.call("clean", Map("mode" -> "compact_index",
+        "table" -> "g_srv_idx,g_srv_fresh", "confirm" -> "true"))
+      assert(done.contains("\"success\":true") &&
+        done.contains("\"compacted\":[\"g_srv_idx\"]") &&
+        done.contains("\"skipped\":[\"g_srv_fresh\"]"), done)
+      assert(tableFiles("g_srv_idx") === 4)
+      assert(spark.table("g_srv_idx").count() === nRows)
+      // malformed calls are error documents, not dead sessions
+      assert(s.call("clean", Map("mode" -> "compact_index")).contains("error"))
+      assert(s.call("clean", Map("mode" -> "compact_index",
+        "table" -> "no_such_table")).contains("error"))
+      assert(s.call("errors", Map("limit" -> "5")).contains("error"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_srv_idx")
+      spark.sql("DROP TABLE IF EXISTS g_srv_fresh")
+    }
+  }
 }
