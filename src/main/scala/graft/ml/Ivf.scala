@@ -31,7 +31,7 @@ object Ivf {
     * the "broadcast" that needs no broadcast join: k rows by contract
     * (collect-safe), evaluated once per input row as plain expression
     * code inside whole-stage codegen. */
-  private[ml] def centroidArray(centroids: DataFrame): org.apache.spark.sql.Column = {
+  private[graft] def centroidArray(centroids: DataFrame): org.apache.spark.sql.Column = {
     val rows = centroids.select(col("cell_id").cast("int"), col("centroid"))
       .collect().sortBy(_.getInt(0))
     require(rows.nonEmpty, "centroid table is empty")
@@ -44,7 +44,7 @@ object Ivf {
   /** Per-row (d2, cell_id) structs sorted ascending. Struct natural
     * order == (d2 ASC, cell_id ASC) — the identical tie-break the
     * previous window form used, now as per-row array math. */
-  private[ml] def rankedCells(cents: org.apache.spark.sql.Column,
+  private[graft] def rankedCells(cents: org.apache.spark.sql.Column,
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     array_sort(transform(cents, c =>
       struct(dist2(v, c.getField("c")).as("d2"),
@@ -107,11 +107,35 @@ object Ivf {
       col("v").as("cv"), col("nrm").as("cn"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("cand_id"))
-    queryCells.join(cands, Seq("cell_id"))
+    probeShaped(queryCells, cands)
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** The probe join with the at-scale build-side pick (r11, the lex
+    * two-shuffle finding applied to the vector probes): a corpus small
+    * enough to auto-broadcast is left to Catalyst (it builds the
+    * corpus side and the dots ride the query partitions — measured
+    * fastest at sf scale, 0.33 vs 0.38 s). Past the broadcast
+    * threshold the un-hinted join degrades to hash(cell_id) — dot
+    * parallelism capped at the CELL count regardless of cluster
+    * width — so the contract-small query side is broadcast instead:
+    * the corpus streams at its input partitioning (full width) and
+    * the rank window's exchange is WindowGroupLimit-bounded to
+    * top-k per partition per query (measured at 30×: 0.62 vs 0.72 s;
+    * at 1000 executors the gap is the difference between
+    * cells-way and cluster-wide). */
+  private[graft] def probeShaped(queryCells: DataFrame,
+      cands: DataFrame, key: String = "cell_id"): DataFrame = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val corpusBytes = cands.queryExecution.optimizedPlan.stats.sizeInBytes
+    val qside =
+      if (thr >= 0 && corpusBytes > BigInt(thr))
+        org.apache.spark.sql.functions.broadcast(queryCells)
+      else queryCells
+    qside.join(cands, Seq(key))
   }
 }

@@ -339,7 +339,11 @@ object IvfIndex {
           col("v").as("cv"), col("nrm").as("cn"))
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cos"), 6).desc, col("cand_id"))
-    q.join(cands, Seq("cell_id"))
+    // build-side pick per Ivf.probeShaped: small corpus → Catalyst's
+    // choice; past the broadcast threshold → broadcast the contract-
+    // small query side so the BUCKETED cell scan streams shuffle-free
+    // at full width and the rank window is WindowGroupLimit-bounded
+    Ivf.probeShaped(q, cands)
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wr))

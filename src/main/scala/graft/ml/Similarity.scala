@@ -146,7 +146,11 @@ object Similarity {
     val q = p.filter(queryIds(col("vec_id")))
       .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val c = p.select(col("bucket"), col("vec_id").as("cand_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val scored = q.join(c, Seq("bucket"))
+    // build-side pick per Ivf.probeShaped (r11): past the broadcast
+    // threshold the candidate side would otherwise shuffle on the
+    // bucket key — parallelism capped at 2^bits — so the contract-
+    // small query side broadcasts and candidates stream at full width
+    val scored = Ivf.probeShaped(q, c, key = "bucket")
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))

@@ -842,7 +842,48 @@ object AbBench {
       tf.unpersist(false); r
     }
 
+    // q54/ivf probe shape (r11, the lex two-shuffle finding applied to
+    // the vector probes): shipped Ivf.topK lets Catalyst pick the
+    // build side — observed broadcasting the CORPUS side, which makes
+    // the candidate dot products compute on the query side's ≤|Q|
+    // non-empty partitions; past the broadcast threshold the join
+    // falls back to hash(cell_id), capping parallelism at the cell
+    // count. broadcast(queryCells) streams the corpus at its input
+    // partitioning (full width) and the rank window's exchange is
+    // WindowGroupLimit-bounded.
+    def ivfParts(bq: Boolean): Long = {
+      val p = graft.ml.Similarity.prepared(embs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cents = graft.ml.Ivf.centroidArray(graft.ml.Ivf.train(p, 8, 0))
+      val qc = p.filter(col("vec_id") < 10)
+        .withColumn("cell_id", explode(transform(
+          slice(graft.ml.Ivf.rankedCells(cents, col("v")), 1, 2),
+          s => s.getField("cell_id"))))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("cell_id"))
+      val cands = p
+        .withColumn("cell_id",
+          element_at(graft.ml.Ivf.rankedCells(cents, col("v")), 1).getField("cell_id"))
+        .select(col("cell_id"), col("vec_id").as("cand_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+      val qside = if (bq) broadcast(qc) else qc
+      val r = qside.join(cands, Seq("cell_id"))
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos",
+          graft.ml.Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3).count()
+      p.unpersist(false); r
+    }
+    def q54Cur(): Long =
+      graft.SparkEntry.queries("q54_ivf_topk")(spark, sfDir).count()
+
     Seq(
+      "q54_cur" -> (() => q54Cur()),
+      "q54_copy" -> (() => ivfParts(false)),
+      "q54_bq" -> (() => ivfParts(true)),
       "q48_cur" -> (() => q48Cur()),
       "q48_scan_only" -> (() => q48ScanOnly()),
       "q48_lm_only" -> (() => q48LmOnly()),
