@@ -187,4 +187,49 @@ object Similarity {
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** SemDeDup-style semantic deduplication (the published recipe:
+    * k-means-cluster the embeddings, then prune high-cosine pairs
+    * WITHIN each cluster — clustering bounds the candidate sets so the
+    * corpus is never all-pairs). Per vector: assign to its nearest of
+    * `cells` centroids (deterministic first-k init when iters = 0 —
+    * the q54 oracle-able contract), then DROP it if some same-cell
+    * neighbor with cosine ≥ `threshold` is better — closer to the
+    * shared centroid, ties to the lower vec_id. The keep rule is
+    * local (pairwise, not transitive-closure), so it is one self-join
+    * plus an aggregation — the transitive variant is
+    * [[DedupClusters.assign]] over the emitted pairs.
+    *
+    * Returns (vec_id, cell_id, keep 1/0) for every input vector.
+    * Scale shape: the self-join keys on cell_id, so candidate volume
+    * is Σ|cell|² not n² — the published method's point; the d2 and
+    * cosine folds are the sequential [[graft.plans.VectorOps]]
+    * expressions, bit-identical to the DuckDB oracle's
+    * list_dot_product (the q54 precedent). */
+  def semanticDedup(embs: DataFrame, cells: Int, threshold: Double,
+      iters: Int = 0): DataFrame = {
+    val p = prepared(embs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Ivf.centroidArray(Ivf.train(p, cells, iters))
+    val assigned = p
+      .withColumn("best", element_at(Ivf.rankedCells(cents, col("v")), 1))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("best").getField("cell_id").as("cell_id"),
+        col("best").getField("d2").as("d2"))
+    val other = assigned.select(col("cell_id"),
+      col("vec_id").as("o_id"), col("v").as("ov"),
+      col("nrm").as("on"), col("d2").as("od2"))
+    val dropped = assigned.join(other, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("o_id"))
+      .withColumn("cos", dot(col("v"), col("ov")) / (col("nrm") * col("on")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .filter(col("od2") < col("d2") ||
+        (col("od2") === col("d2") && col("o_id") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id").cast("int").as("cell_id"),
+        when(col("is_dropped").isNull, 1L).otherwise(0L).as("keep"))
+  }
 }

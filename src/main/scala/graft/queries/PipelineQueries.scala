@@ -200,6 +200,30 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // SemDeDup-style semantic dedup (r11): k-means cells over the
+    // embeddings (the q54 deterministic first-k init), within-cell
+    // cosine pairs >= 0.45 (the q35/q53 threshold for this corpus,
+    // row count probed non-vacuous: 7 drops at sf0.01), keep the
+    // centroid-closest member of each high-cosine pair. Emits every
+    // vector with its cell and keep flag — the per-vector decision a
+    // curation pipeline joins against.
+    "q114_semantic_dedup" -> { (s, dir) =>
+      graft.ml.Similarity.semanticDedup(t(s, dir, "embeddings"),
+        cells = 8, threshold = 0.45)
+        .orderBy(col("vec_id"))
+    },
+
+    // DSIR-style importance-resampling selection (r11): hashed-bigram
+    // LMs for the target (lang='en') vs the source corpus, per-doc
+    // tf-weighted log-ratio, selection by rounded-weight sign. Probed
+    // non-vacuous at sf0.01: 195 of 500 docs selected, weights
+    // spanning -4.2..3.7.
+    "q115_dsir_selection" -> { (s, dir) =>
+      graft.ml.Dsir.hashedBigramWeights(t(s, dir, "documents"),
+        isTarget = col("lang") === "en", buckets = 256)
+        .orderBy(col("doc_id"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -952,6 +976,63 @@ object PipelineQueries {
     // within probed cells. d2 = ldp(diff, diff) over the element-wise
     // diff list == Spark's sequential fold of squared diffs, bit-exact.
     "q54_ivf_topk" -> ivfTopkOracleSql,
+
+    // q115: hashed-bigram importance weights; md5 bucketing is the q61
+    // cross-engine hash, counts are exact integers (add-1 smoothing),
+    // each probability ONE division, selection from the ROUNDED weight
+    "q115_dsir_selection" ->
+      """WITH tt AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |pos AS (SELECT doc_id, lang, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+        |        FROM tt),
+        |feats AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |    CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8)) AS BIGINT) % 256 AS f,
+        |    count(*) AS tf
+        |  FROM pos GROUP BY 1, 2, 3),
+        |sstat AS (SELECT f, CAST(sum(tf) AS BIGINT) AS ns FROM feats GROUP BY f),
+        |tstat AS (SELECT f, CAST(sum(tf) AS BIGINT) AS nt FROM feats WHERE is_t GROUP BY f),
+        |tot AS (SELECT (SELECT CAST(sum(ns) AS DOUBLE) FROM sstat) AS st,
+        |               (SELECT CAST(sum(nt) AS DOUBLE) FROM tstat) AS tt2),
+        |w AS (
+        |  SELECT doc_id,
+        |    round(sum(tf * (ln((COALESCE(nt, 0) + 1) / (tt2 + 256))
+        |                  - ln((ns + 1) / (st + 256)))), 4) AS logw
+        |  FROM feats JOIN sstat USING (f) LEFT JOIN tstat USING (f) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, logw,
+        |  CAST(CASE WHEN logw > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q114: the q54 cell-assignment CTEs + within-cell better-neighbor
+    // rule; d2 and cos folds are list_dot_product — bit-identical to
+    // the Spark VectorOps expressions (the q54 precedent)
+    "q114_semantic_dedup" ->
+      s"""WITH $embCte,
+         |cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS c
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |ad AS (
+         |  SELECT e.vec_id, cent.cell_id,
+         |    list_dot_product(
+         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i]),
+         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i])) AS d2
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, cell_id, d2 FROM (
+         |    SELECT vec_id, cell_id, d2, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn FROM ad)
+         |  WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id FROM assigned a
+         |  JOIN assigned b ON b.cell_id = a.cell_id AND b.vec_id != a.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id
+         |  WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) >= 0.45
+         |    AND (b.d2 < a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id)))
+         |SELECT a.vec_id, CAST(a.cell_id AS INTEGER) AS cell_id,
+         |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     // Same oracle, indexed path: the stored IvfIndex probe must
     // reproduce the from-scratch IVF scores — the q83→q102 precedent

@@ -100,6 +100,54 @@ class MlSpec extends SparkSpec {
     assert(blocked === exact) // 1,2 share sign bucket "11"... "10": both caught
   }
 
+  test("dsir: target-like docs weigh positive, off-target negative; weights shift-invariant") {
+    // Target = lang 'en'. Docs sharing the target's bigrams must score
+    // above docs made of source-only bigrams: ln p_t - ln p_s is
+    // positive exactly for features overrepresented in the target.
+    val d = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "the cat sat on the rug", "en"),
+      (3L, "der hund lief durch den park", "de"),
+      (4L, "the cat sat on the mat", "de"),  // target-like content, source label
+      (5L, "el gato corre por la casa", "es"))
+      .toDF("doc_id", "text", "lang")
+    val w = graft.ml.Dsir.hashedBigramWeights(d, col("lang") === "en", buckets = 16)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w.size === 5)
+    // target-exclusive content scores positive and selected
+    assert(w(2L)._1 > 0 && w(2L)._2 === 1L)
+    // identical text ⇒ identical weight (pure function of features,
+    // label plays no per-doc role)
+    assert(w(1L)._1 === w(4L)._1)
+    // target-overlapping content outranks off-target content, which
+    // scores negative and unselected
+    assert(w(1L)._1 > w(3L)._1 && w(1L)._1 > w(5L)._1)
+    assert(w(3L)._1 < 0 && w(3L)._2 === 0L)
+    assert(w(5L)._1 < 0 && w(5L)._2 === 0L)
+  }
+
+  test("semantic dedup: within-cell near-dup drops the centroid-farther member") {
+    // cells = 2, first-k init → centroids are vecs 1 and 2's embeddings.
+    // Vectors 1, 2, 5 land in cell 0's neighborhood: 5 is a high-cosine
+    // copy of 1 but farther from the cell centroid, so 5 drops and 1
+    // keeps; 3 and 4 have no same-cell near-dup and keep.
+    val embs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.2f, 0.1f), 0),
+      (2L, Array(-1.0f, 0.5f, -0.2f, 0.3f), 1),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 2),
+      (4L, Array(-0.9f, 0.1f, 0.4f, -0.2f), 1),
+      (5L, Array(0.98f, 0.01f, 0.21f, 0.1f), 0)) // near-copy of 1
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semanticDedup(embs, cells = 2, threshold = 0.95)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val keepOf = got.map(r => r._1 -> r._3).toMap
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L)) // every vector decided
+    assert(keepOf(1L) === 1L && keepOf(5L) === 0L)    // best copy kept
+    assert(keepOf(2L) === 1L && keepOf(3L) === 1L && keepOf(4L) === 1L)
+    // drop reasons are symmetric pairs: exactly one of a near-dup pair drops
+    assert(got.count(_._3 === 0L) === 1)
+  }
+
   test("brute-force topk ranks by cosine with deterministic ties") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
