@@ -256,6 +256,25 @@ final class CorpusPipeline private (
         .drop("n_s", "ss", "thr")
     }
 
+  /** DSIR-style importance selection as a pipeline stage (r11, the
+    * q115 recipe): score every document against a target subset via
+    * [[Dsir.hashedBigramWeights]] and keep those with rounded weight
+    * ≥ `minLogw` (default 0 = the q115 selection rule). Both hashed-
+    * bigram LMs are bounded at `buckets` rows, so the stage adds one
+    * explode pass over the stage input plus broadcast-only joins —
+    * no corpus-sized shuffle beyond the feature tf groupBy. The
+    * target predicate evaluates on the STAGE INPUT (post-upstream
+    * filters), matching how the published method fits its target LM
+    * on the curated target sample. */
+  def importanceFilter(isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 256, minLogw: Double = 0.0): CorpusPipeline =
+    step(s"importanceFilter(B=$buckets,min=$minLogw)") { d =>
+      val keep = Dsir.hashedBigramWeights(d, isTarget, buckets)
+        .filter(col("logw") >= minLogw)
+        .select(col("doc_id"))
+      d.join(keep, Seq("doc_id"), "left_semi")
+    }
+
   /** Append the deterministic content-hash split column (q61). */
   def split(trainPct: Int = 90, validationPct: Int = 5): CorpusPipeline =
     step("split") { d =>

@@ -129,9 +129,16 @@ object Ivf {
     * at 1000 executors the gap is the difference between
     * cells-way and cluster-wide). */
   private[graft] def probeShaped(queryCells: DataFrame,
-      cands: DataFrame, key: String = "cell_id"): DataFrame = {
+      cands: DataFrame, key: String = "cell_id",
+      corpusBytesHint: Option[BigInt] = None): DataFrame = {
     val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    val corpusBytes = cands.queryExecution.optimizedPlan.stats.sizeInBytes
+    // callers whose candidate frame DECODES a compressed payload pass
+    // the post-decode size (plan stats see the stored bytes — an int8
+    // table reads 8× under its in-join width, which kept the
+    // collapsing broadcast-corpus plan alive 4× longer in the r11
+    // sweep: int8 probe 0.80 s at 30× vs the float path's flat 0.50)
+    val corpusBytes = corpusBytesHint.getOrElse(
+      cands.queryExecution.optimizedPlan.stats.sizeInBytes)
     val qside =
       if (thr >= 0 && corpusBytes > BigInt(thr))
         org.apache.spark.sql.functions.broadcast(queryCells)

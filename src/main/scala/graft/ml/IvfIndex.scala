@@ -330,8 +330,9 @@ object IvfIndex {
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell_id"))
     val stored = spark.table(table)
+    val quantized = stored.schema.fieldNames.contains("q")
     val cands =
-      if (stored.schema.fieldNames.contains("q"))
+      if (quantized)
         stored.select(col("cell_id"), col("vec_id").as("cand_id"),
           Quantize.decodeCol(col("q"), col("scale")).as("cv"), col("nrm").as("cn"))
       else
@@ -342,8 +343,13 @@ object IvfIndex {
     // build-side pick per Ivf.probeShaped: small corpus → Catalyst's
     // choice; past the broadcast threshold → broadcast the contract-
     // small query side so the BUCKETED cell scan streams shuffle-free
-    // at full width and the rank window is WindowGroupLimit-bounded
-    Ivf.probeShaped(q, cands)
+    // at full width and the rank window is WindowGroupLimit-bounded.
+    // Quantized payloads decode int8 → double in the join: size the
+    // decision on the DECODED width (8× the stored bytes), or the
+    // collapsing plan survives 4× longer than the float path's.
+    val storedBytes = stored.queryExecution.optimizedPlan.stats.sizeInBytes
+    Ivf.probeShaped(q, cands,
+      corpusBytesHint = Some(if (quantized) storedBytes * 8 else storedBytes))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("cos", Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(wr))

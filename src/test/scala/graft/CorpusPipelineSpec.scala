@@ -147,6 +147,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(p.stats.head.docsIn === 255 && p.stats.head.docsOut === kept.length)
   }
 
+  test("importanceFilter: keeps target-like docs, drops off-target, stats recorded") {
+    // Target = en docs. Docs built from en bigrams survive the
+    // default logw >= 0 rule; docs of source-only bigrams drop.
+    val docs = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat today", "en")) ++
+      (1 to 20).map(i => (100L + i, "der hund lief durch den park heute", "de")) ++
+      Seq((200L, "the cat sat on the mat today", "de"))) // en-like content, de label
+      .toDF("doc_id", "text", "lang")
+    val p = CorpusPipeline(docs).importanceFilter(col("lang") === "en", buckets = 64)
+    val kept = p.docs.select($"doc_id").as[Long].collect().toSet
+    assert((1L to 20L).forall(kept.contains), "target docs must survive")
+    assert(kept.contains(200L), "target-like content survives regardless of label")
+    assert((101L to 120L).forall(!kept.contains(_)), "off-target docs drop")
+    assert(p.stats.head.docsIn === 41 && p.stats.head.docsOut === kept.size)
+  }
+
   test("chunk: packed-id contract violation fails loudly instead of colliding") {
     // r10: an orig doc_id >= 2^43 would lose high bits in the shift and
     // collide packed ids feeding downstream dedup/split — must raise.
