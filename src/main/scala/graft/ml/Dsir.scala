@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: features are hashed-BIGRAM buckets (md5 → first 8 hex
   * digits → mod `buckets`), so BOTH language models are bounded at
-  * `buckets` rows regardless of corpus size — they broadcast at any
-  * scale, and the whole operator is the q48 docpart shape: ONE
-  * tokenize+explode pass into a persisted (doc, feature) tf table,
-  * two bounded aggregations off it, one broadcast scoring join, one
-  * per-doc aggregation. No corpus-sized shuffle beyond the tf groupBy.
-  * md5 (not xxhash) is the feature hash because the DuckDB oracle must
-  * bucket identically (the q61 hash-split precedent).
+  * `buckets` rows regardless of corpus size. The operator is exactly
+  * TWO jobs over the corpus — a bounded groupBy(feature) for the LMs
+  * (collected driver-side, inlined as a literal log-ratio array) and a
+  * per-doc scoring aggregation — each one tokenize+explode pass with a
+  * single exchange. Tokenizing twice beats caching the intermediate
+  * feature table: the per-doc weight is algebraically a plain sum of
+  * per-instance log-ratios, and the (doc, feature) tf persist the
+  * first formulation cached cost more than the second pass it saved
+  * (measured r11, DsirProbe). md5 (not xxhash) is the feature hash
+  * because the DuckDB oracle must bucket identically (the q61
+  * hash-split precedent).
   *
   * Counts are exact integers with add-1 smoothing; each probability is
   * ONE double division of exact integers and the weight is a
@@ -46,29 +50,40 @@ object Dsir {
         lit(2), size(toks)),
         (a, b) => concat_ws(" ", a, b)),
       lit(1), size(toks) - 1)
-    val feats = docs
+    val instances = docs
       .select(col("doc_id"), isTarget.as("is_t"), grams.as("grams"))
       .filter(size(col("grams")) >= 1)
       .select(col("doc_id"), col("is_t"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("is_t"),
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
           % buckets).as("f"))
-      .groupBy(col("doc_id"), col("is_t"), col("f"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sstat = feats.groupBy(col("f")).agg(sum(col("tf")).as("ns"))
-    val tstat = feats.filter(col("is_t"))
-      .groupBy(col("f")).agg(sum(col("tf")).as("nt"))
-    val totals = sstat.agg(sum(col("ns")).cast("double").as("st"))
-      .crossJoin(tstat.agg(sum(col("nt")).cast("double").as("tt")))
-    // bounded: ≤ `buckets` rows after the left join — broadcast side
-    val lm = sstat.join(tstat, Seq("f"), "left").crossJoin(broadcast(totals))
-      .select(col("f"),
-        (log((coalesce(col("nt"), lit(0L)) + 1) / (col("tt") + buckets)) -
-          log((col("ns") + 1) / (col("st") + buckets))).as("lr"))
-    feats.join(broadcast(lm), Seq("f"))
+    // Shape (r11 decomposition, AbBench/DsirProbe): EXACTLY TWO lean
+    // jobs, each scan→explode→one exchange. The per-doc weight is
+    // algebraically Σ_instances lr(f) — no (doc, f) tf pre-aggregation
+    // is needed anywhere, so the intermediate tf table (and its
+    // persist, whose cache write cost more than a second tokenize
+    // pass at bench scale: the 3-stage persist+stats job measured
+    // ~1.0 s vs 0.2 s for the bare pipeline) is gone. Both LMs come
+    // from ONE bounded groupBy(f) over instances, collected
+    // driver-side (≤ `buckets` rows — the IVF-centroid precedent) and
+    // inlined as a dense lr array: scoring is a pure projection +
+    // per-doc sum. Math.log is the same java.lang.Math.log Spark's
+    // log codegen calls — identical doubles to the DuckDB oracle's ln.
+    val stats = instances.groupBy(col("f"))
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val st = stats.map(_._2).sum.toDouble
+    val tt = stats.map(_._3).sum.toDouble
+    val byF = stats.map(s => s._1 -> s).toMap
+    val lrArr = array((0 until buckets).map { f =>
+      val (ns, nt) = byF.get(f.toLong).map(s => (s._2, s._3)).getOrElse((0L, 0L))
+      lit(math.log((nt + 1) / (tt + buckets)) -
+        math.log((ns + 1) / (st + buckets)))
+    }: _*)
+    instances
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("tf") * col("lr")), 4).as("logw"))
+      .agg(round(sum(element_at(lrArr, col("f").cast("int") + 1)), 4).as("logw"))
       .select(col("doc_id"), col("logw"),
         when(col("logw") > 0, 1L).otherwise(0L).as("selected"))
   }

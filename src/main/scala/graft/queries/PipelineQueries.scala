@@ -984,20 +984,19 @@ object PipelineQueries {
       """WITH tt AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |pos AS (SELECT doc_id, lang, unnest(generate_series(1, len(toks) - 1)) AS i, toks
         |        FROM tt),
-        |feats AS (
+        |inst AS (
         |  SELECT doc_id, lang = 'en' AS is_t,
-        |    CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8)) AS BIGINT) % 256 AS f,
-        |    count(*) AS tf
-        |  FROM pos GROUP BY 1, 2, 3),
-        |sstat AS (SELECT f, CAST(sum(tf) AS BIGINT) AS ns FROM feats GROUP BY f),
-        |tstat AS (SELECT f, CAST(sum(tf) AS BIGINT) AS nt FROM feats WHERE is_t GROUP BY f),
+        |    CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1]), 1, 8)) AS BIGINT) % 256 AS f
+        |  FROM pos),
+        |sstat AS (SELECT f, count(*) AS ns,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS nt
+        |  FROM inst GROUP BY f),
         |tot AS (SELECT (SELECT CAST(sum(ns) AS DOUBLE) FROM sstat) AS st,
-        |               (SELECT CAST(sum(nt) AS DOUBLE) FROM tstat) AS tt2),
+        |               (SELECT CAST(sum(nt) AS DOUBLE) FROM sstat) AS tt2),
         |w AS (
         |  SELECT doc_id,
-        |    round(sum(tf * (ln((COALESCE(nt, 0) + 1) / (tt2 + 256))
-        |                  - ln((ns + 1) / (st + 256)))), 4) AS logw
-        |  FROM feats JOIN sstat USING (f) LEFT JOIN tstat USING (f) CROSS JOIN tot
+        |    round(sum(ln((nt + 1) / (tt2 + 256)) - ln((ns + 1) / (st + 256))), 4) AS logw
+        |  FROM inst JOIN sstat USING (f) CROSS JOIN tot
         |  GROUP BY doc_id)
         |SELECT doc_id, logw,
         |  CAST(CASE WHEN logw > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected

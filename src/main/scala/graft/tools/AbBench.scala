@@ -880,7 +880,76 @@ object AbBench {
     def q54Cur(): Long =
       graft.SparkEntry.queries("q54_ivf_topk")(spark, sfDir).count()
 
+    // q115 r11 decomposition: the bigram explode + per-instance md5 is
+    // the suspected wall (oracle-portable bucketing — the q61 hash);
+    // stage isolates below, plus a variant hashing per DISTINCT
+    // (doc, gram) row after the tf groupBy (fewer md5 evals, same
+    // buckets).
+    def q115Grams() = {
+      val toksE = split(col("text"), " ")
+      slice(zip_with(toksE,
+        slice(concat(toksE, array(lit(null).cast("string"))), lit(2), size(toksE)),
+        (a, b) => concat_ws(" ", a, b)), lit(1), size(toksE) - 1)
+    }
+    def q115Cur(): Long =
+      graft.SparkEntry.queries("q115_dsir_selection")(spark, sfDir).count()
+    def q115ScanOnly(): Long = docs
+      .select(col("doc_id"), explode(q115Grams()).as("gram")).count()
+    def q115Md5Only(): Long = docs
+      .select(col("doc_id"), explode(q115Grams()).as("gram"))
+      .select((conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % 256).as("f"))
+      .count()
+    def q115TfOnly(): Long = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        explode(q115Grams()).as("gram"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % 256).as("f"))
+      .groupBy(col("doc_id"), col("is_t"), col("f")).agg(count(lit(1)).as("tf"))
+      .count()
+    def q115GramTf(): Long = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        explode(q115Grams()).as("gram"))
+      .groupBy(col("doc_id"), col("is_t"), col("gram")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("is_t"), col("tf"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % 256).as("f"))
+      .groupBy(col("doc_id"), col("is_t"), col("f")).agg(sum(col("tf")).as("tf"))
+      .count()
+
+    // warm-feats isolate: materialize the tf table first, then run the
+    // LM aggs + scoring join off the cache — cur minus this ≈ nothing,
+    // so any gap is in the job CHAIN, not the data work
+    def q115Rest(): Long = {
+      val feats = docs
+        .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+          explode(q115Grams()).as("gram"))
+        .select(col("doc_id"), col("is_t"),
+          (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % 256).as("f"))
+        .groupBy(col("doc_id"), col("is_t"), col("f")).agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      feats.count()
+      val sstat = feats.groupBy(col("f")).agg(sum(col("tf")).as("ns"))
+      val tstat = feats.filter(col("is_t"))
+        .groupBy(col("f")).agg(sum(col("tf")).as("nt"))
+      val totals = sstat.agg(sum(col("ns")).cast("double").as("st"))
+        .crossJoin(tstat.agg(sum(col("nt")).cast("double").as("tt")))
+      val lm = sstat.join(tstat, Seq("f"), "left").crossJoin(broadcast(totals))
+        .select(col("f"),
+          (log((coalesce(col("nt"), lit(0L)) + 1) / (col("tt") + 256)) -
+            log((col("ns") + 1) / (col("st") + 256))).as("lr"))
+      val r = feats.join(broadcast(lm), Seq("f"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("tf") * col("lr")), 4).as("logw"))
+        .count()
+      feats.unpersist(false); r
+    }
+
     Seq(
+      "q115_cur" -> (() => q115Cur()),
+      "q115_rest" -> (() => q115Rest()),
+      "q115_scan_only" -> (() => q115ScanOnly()),
+      "q115_md5_only" -> (() => q115Md5Only()),
+      "q115_tf_only" -> (() => q115TfOnly()),
+      "q115_gram_tf" -> (() => q115GramTf()),
       "q54_cur" -> (() => q54Cur()),
       "q54_copy" -> (() => ivfParts(false)),
       "q54_bq" -> (() => ivfParts(true)),
