@@ -357,4 +357,44 @@ object IvfIndex {
       .select(col("query_id"), col("cand_id"), round(col("cos"), 4).as("cos"),
         col("rank"))
   }
+
+  /** Measured recall@k of the stored index against the EXACT answer —
+    * the quality half of the rebuild decision ([[driftStats]] is the
+    * geometry half: drift says the centroids moved, recallProbe says
+    * whether the probe still finds what it should). Scores the index
+    * probe and a brute-force pass over the SAME stored payload
+    * (decoded when quantized — measuring the index as served, not the
+    * original floats) on a caller-bounded query sample. The exact
+    * pass is queries×corpus, so the sample bound is the contract —
+    * same class as the labeled q35/q36 baselines, run on a monitoring
+    * cadence, never per-query. Returns (query_id, hits, recall). */
+  def recallProbe(spark: SparkSession, table: String, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val approx = probe(spark, table, queries, k, nprobe)
+      .select(col("query_id"), col("cand_id"))
+    val stored = spark.table(table)
+    val cands =
+      if (stored.schema.fieldNames.contains("q"))
+        stored.select(col("vec_id").as("cand_id"),
+          Quantize.decodeCol(col("q"), col("scale")).as("cv"), col("nrm").as("cn"))
+      else
+        stored.select(col("vec_id").as("cand_id"),
+          col("v").as("cv"), col("nrm").as("cn"))
+    val q = Similarity.prepared(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+    val exact = broadcast(q).crossJoin(cands)
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"))
+    exact.join(approx.withColumn("hit", lit(1L)),
+        Seq("query_id", "cand_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("query_id"), col("hits"),
+        round(col("hits") / lit(k.toDouble), 4).as("recall"))
+  }
 }

@@ -182,22 +182,21 @@ object PipelineQueries {
     // table dirs (saveAsTable refuses a location the in-memory
     // catalog doesn't own — the IndexSweep `fresh` dance).
     "q112_ivf_indexed" -> { (s, dir) =>
-      val table = "g_q112_ivf_" + Integer.toHexString(dir.hashCode)
-      if (!s.catalog.tableExists(table)) {
-        for (t0 <- Seq(table, graft.ml.IvfIndex.centroidsTable(table),
-            graft.ml.IvfIndex.statsTable(table))) {
-          s.sql(s"DROP TABLE IF EXISTS $t0")
-          val wh = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), t0)
-          wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
-        }
-        graft.ml.IvfIndex.write(t(s, dir, "embeddings"), table,
-          cells = 8, iters = 0, buckets = 4)
-      }
-      graft.ml.IvfIndex.probe(s, table,
+      graft.ml.IvfIndex.probe(s, ensureQ112Index(s, dir),
           t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 3, nprobe = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // ANN recall monitoring (r11): recall@3 of the STORED IVF probe vs
+    // the exact brute-force answer over the same payload — the quality
+    // half of the rebuild decision (driftStats is the geometry half).
+    // The exact pass is sample×corpus by contract (10 queries here),
+    // a monitoring-cadence job, never the serving path.
+    "q116_ann_recall" -> { (s, dir) =>
+      graft.ml.IvfIndex.recallProbe(s, ensureQ112Index(s, dir),
+          t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 3, nprobe = 2)
+        .orderBy(col("query_id"))
     },
 
     // SemDeDup-style semantic dedup (r11): k-means cells over the
@@ -689,6 +688,26 @@ object PipelineQueries {
 
   /** The q54 IVF top-k oracle — shared verbatim by q112 (stored-index
     * probe), which must reproduce the from-scratch scores exactly. */
+  /** Build-once memo for the stored IVF index q112/q116 probe (the
+    * q54 config: cells=8, iters=0, deterministic first-k init). The
+    * pre-write catalog/warehouse clear handles a prior session's
+    * surviving managed-table dirs. */
+  private def ensureQ112Index(s: SparkSession, dir: String): String = {
+    val table = "g_q112_ivf_" + Integer.toHexString(dir.hashCode)
+    if (!s.catalog.tableExists(table)) {
+      for (t0 <- Seq(table, graft.ml.IvfIndex.centroidsTable(table),
+          graft.ml.IvfIndex.statsTable(table))) {
+        s.sql(s"DROP TABLE IF EXISTS $t0")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t0)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+      }
+      graft.ml.IvfIndex.write(t(s, dir, "embeddings"), table,
+        cells = 8, iters = 0, buckets = 4)
+    }
+    table
+  }
+
   private lazy val ivfTopkOracleSql: String =
     s"""WITH $embCte,
        |cent AS (
@@ -976,6 +995,26 @@ object PipelineQueries {
     // within probed cells. d2 = ldp(diff, diff) over the element-wise
     // diff list == Spark's sequential fold of squared diffs, bit-exact.
     "q54_ivf_topk" -> ivfTopkOracleSql,
+
+    // q116: q54's approx CTEs + a brute-force exact ranking over the
+    // same vectors; recall = |approx ∩ exact| / k per query
+    "q116_ann_recall" -> (ivfTopkOracleSql
+      .replace("SELECT query_id, cand_id, round(cos, 4) AS cos, rnk\nFROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk",
+        """, brute AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, row_number() OVER (
+          |    PARTITION BY q.vec_id
+          |    ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+          |      c.vec_id) AS rnk
+          |  FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
+          |hits AS (
+          |  SELECT b.query_id,
+          |    CAST(sum(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+          |  FROM (SELECT query_id, cand_id FROM brute WHERE rnk <= 3) b
+          |  LEFT JOIN (SELECT query_id, cand_id FROM ranked WHERE rnk <= 3) r
+          |    USING (query_id, cand_id)
+          |  GROUP BY b.query_id)
+          |SELECT query_id, hits, round(CAST(hits AS DOUBLE) / 3, 4) AS recall
+          |FROM hits ORDER BY query_id""".stripMargin)),
 
     // q115: hashed-bigram importance weights; md5 bucketing is the q61
     // cross-engine hash, counts are exact integers (add-1 smoothing),

@@ -247,4 +247,35 @@ class IvfIndexSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("recallProbe: exhaustive probe scores 1.0; partial probe bounded and honest") {
+    val embs = seededEmbs(200, 16)
+    try {
+      IvfIndex.write(embs, "g_ivf_rc", cells = 8, iters = 2, buckets = 4)
+      val queries = embs.filter(col("vec_id") < 8)
+      // nprobe = cells: the probe IS exhaustive, so recall must be
+      // exactly 1.0 for every query (the approx and exact rankings
+      // share scoring and tie-break)
+      val full = IvfIndex.recallProbe(spark, "g_ivf_rc", queries,
+        k = 5, nprobe = 8).as[(Long, Long, Double)].collect()
+      assert(full.length === 8)
+      assert(full.forall(r => r._2 === 5L && r._3 === 1.0), full.toSeq.toString)
+      // nprobe = 1: recall in [0, 1], and equals a hand intersection
+      // of probe output vs exhaustive output
+      val part = IvfIndex.recallProbe(spark, "g_ivf_rc", queries,
+        k = 5, nprobe = 1).as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> r._2).toMap
+      def sets(np: Int) = IvfIndex.probe(spark, "g_ivf_rc", queries, 5, np)
+        .select(col("query_id"), col("cand_id")).as[(Long, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = sets(8); val approx = sets(1)
+      queries.select(col("vec_id")).as[Long].collect().foreach { id =>
+        val want = (exact(id) intersect approx.getOrElse(id, Set.empty)).size.toLong
+        assert(part(id) === want, s"query $id recall hits")
+      }
+    } finally {
+      Seq("g_ivf_rc", "g_ivf_rc_centroids", "g_ivf_rc_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
