@@ -263,6 +263,27 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("ObjectHashAggregate"), p.take(3000))
   }
 
+  test("q115 dsir: scoring plan is JOIN-FREE (LM inlined as literals)") {
+    // the bounded stats collect happens at frame-construction time;
+    // the plan the engine serves per call is scan → explode →
+    // literal-array lookup → per-doc agg — no join anywhere, so there
+    // is nothing to mis-broadcast or shuffle-build at any corpus size
+    val p = plans("q115_dsir_selection")
+    assert(!p.contains("Join"), p.take(3000))
+  }
+
+  test("q114 semantic dedup: candidate joins keyed on cell_id, assignment join-free") {
+    // the centroid set is a literal array (no join to assign);
+    // the only joins are the within-cell self-join and the dropped-id
+    // attach — every join in the plan must be an equi-join mentioning
+    // one of those keys
+    val p = plans("q114_semantic_dedup")
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty)
+    assert(joinLines.forall(l => l.contains("cell_id") || l.contains("vec_id")),
+      joinLines.mkString("\n"))
+  }
+
   test("q78 mixture: corpus never shuffles — rates broadcast back onto docs") {
     val df = SparkEntry.queries("q78_lang_mixture")(spark, sf)
     df.collect()
