@@ -269,10 +269,15 @@ final class CorpusPipeline private (
   def importanceFilter(isTarget: org.apache.spark.sql.Column,
       buckets: Int = 256, minLogw: Double = 0.0): CorpusPipeline =
     step(s"importanceFilter(B=$buckets,min=$minLogw)") { d =>
-      val keep = Dsir.hashedBigramWeights(d, isTarget, buckets)
-        .filter(col("logw") >= minLogw)
-        .select(col("doc_id"))
-      d.join(keep, Seq("doc_id"), "left_semi")
+      // LEFT join, not semi: a doc with no bigram (single-token or
+      // empty text) gets no weight row from Dsir — its featureless
+      // weight is 0, and it must face the threshold like any other
+      // doc, not be excised unconditionally (r11 review finding).
+      val w = Dsir.hashedBigramWeights(d, isTarget, buckets)
+        .select(col("doc_id"), col("logw"))
+      d.join(w, Seq("doc_id"), "left")
+        .filter(coalesce(col("logw"), lit(0.0)) >= minLogw)
+        .drop("logw")
     }
 
   /** Append the deterministic content-hash split column (q61). */
@@ -513,9 +518,12 @@ object CorpusPipeline {
     * replayed after a crash BETWEEN onBatch and the appends re-screens
     * against an index that lacks it and is re-accepted (the store
     * write must be idempotent on batchId, the standard contract); a
-    * replay AFTER its append finds its own doc_ids in the index and
-    * drops them as corpus duplicates, so nothing is emitted or
-    * appended twice. */
+    * replay AFTER the band append finds its own doc_ids in the index
+    * and drops them as corpus duplicates. Crashes BETWEEN appends are
+    * covered too (r11): the lex/ivf appends are id-idempotent and run
+    * BEFORE the band append (the screen's source of truth), so a
+    * replayed batch repairs whichever index the crash left behind and
+    * no-ops the rest — nothing is emitted or appended twice. */
   def ingestAndMaintain(stream: DataFrame, minQuality: Double,
       maint: IndexMaintenance,
       evalIndex: Decontaminate.EvalIndex, evalN: Int,
@@ -562,16 +570,31 @@ object CorpusPipeline {
         // the store write first (onBatch), then the maintenance slot:
         // a crash between the two replays the batch against an index
         // that lacks it (see delivery semantics above)
-        t0 = System.nanoTime()
         onBatch(batchId, out, stats.result())
+        // maintenance clock starts AFTER the caller's store write —
+        // the onMaintain stat is the index-maintenance cost signal
+        // and must not absorb an arbitrarily slow onBatch
+        t0 = System.nanoTime()
         if (nA > 0) {
           val docs = accepted.select(col("doc_id"), col("text"))
-          BandIndex.append(spark, maint.bandTable, docs,
-            maint.n, maint.k, maint.bands)
+          // Append ORDER is the crash-recovery contract (r11 review):
+          // the screen consults ONLY the band index, so the band
+          // append goes LAST. A crash before it replays the batch
+          // re-accepted (band lacks it) and the lex/ivf appends are
+          // id-IDEMPOTENT — already-present docs no-op, missing ones
+          // fold in — so a partial crash can never strand an index
+          // permanently behind the others. A crash after the band
+          // append replays into the self-duplicate drop with lex/ivf
+          // already complete. (Residual: a crash INSIDE
+          // BandIndex.append between its two table writes — bounded
+          // by one batch, repaired by the next compaction-era
+          // rebuild, and it only over-screens, never corrupts.)
           maint.lexIndexDir.foreach(dir =>
             LexIndex.appendBatch(spark, dir, docs))
           maint.ivfTable.foreach(t =>
             IvfIndex.append(spark, t, maint.embed(accepted)))
+          BandIndex.append(spark, maint.bandTable, docs,
+            maint.n, maint.k, maint.bands)
           val bucketed = Seq(maint.bandTable,
             BandIndex.keysTable(maint.bandTable)) ++ maint.ivfTable
           val compacted = bucketed.filter(t =>

@@ -139,8 +139,14 @@ object Ivf {
     // sweep: int8 probe 0.80 s at 30× vs the float path's flat 0.50)
     val corpusBytes = corpusBytesHint.getOrElse(
       cands.queryExecution.optimizedPlan.stats.sizeInBytes)
+    // the hint is only valid when the query side is itself small: a
+    // caller passing a corpus-scale "query" set (every other vector,
+    // say) must degrade to the shuffle join, not a driver-OOM
+    // broadcast build — the contract-small assumption is enforced,
+    // not assumed (r11 review finding)
+    val qBytes = queryCells.queryExecution.optimizedPlan.stats.sizeInBytes
     val qside =
-      if (thr >= 0 && corpusBytes > BigInt(thr))
+      if (thr >= 0 && corpusBytes > BigInt(thr) && qBytes <= BigInt(thr))
         org.apache.spark.sql.functions.broadcast(queryCells)
       else queryCells
     qside.join(cands, Seq(key))

@@ -130,8 +130,22 @@ object IvfIndex {
   def recover(spark: SparkSession, table: String): Unit = {
     val names = indexTables(table)
     def ex(n: String) = spark.catalog.tableExists(n)
-    if (names.forall(n => ex(newName(n)))) swapIn(spark, names)
-    else {
+    val haveNew = names.count(n => ex(newName(n)))
+    if (haveNew == names.size) swapIn(spark, names)
+    else if (haveNew == 0 && names.forall(ex)) {
+      // No __new anywhere and every live table present: either the
+      // swap fully committed and crashed inside swapIn's final
+      // old-drop loop (live tables ARE the new build, __old holds
+      // stragglers of the old one), or no swap was in flight at all.
+      // Rolling back HERE would mix builds — the r11 review's
+      // mixed-index finding: restoring __old for only the tables
+      // that still have one pairs old payload/stats with new
+      // centroids. Finish forward: drop the stragglers.
+      names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS ${oldName(n)}"))
+    } else {
+      // A swap was genuinely mid-flight (some but not all __new
+      // remain, or a live name is missing mid-rename): restore the
+      // old build and clear side tables.
       names.foreach { n =>
         if (ex(oldName(n))) {
           if (ex(n)) spark.sql(s"DROP TABLE $n")
@@ -241,8 +255,12 @@ object IvfIndex {
         .select(col("cell_id"), col("vec_id"), col("scale"), col("q"), col("nrm"))
     }
 
-  /** Fold NEW vectors (vec_ids disjoint from the index) in under the
-    * STORED centroids — additive, batch-sized, no retrain. */
+  /** Fold NEW vectors in under the STORED centroids — additive,
+    * batch-sized, no retrain. IDEMPOTENT on vec_id (r11): batch
+    * vectors already present in the index are dropped before the
+    * write, so an at-least-once replay of the same batch (the
+    * ingestAndMaintain crash-recovery path) is a no-op instead of a
+    * duplicate-row append. */
   def append(spark: SparkSession, table: String, newEmbs: DataFrame): Unit = {
     if (newEmbs.isEmpty) return // no-op, no empty bucket files
     val meta = spark.sessionState.catalog
@@ -251,7 +269,10 @@ object IvfIndex {
       .getOrElse(throw new IllegalStateException(
         s"$table is not a bucketed IVF index table"))
     val quantized = spark.table(table).schema.fieldNames.contains("q")
-    val assigned = Ivf.assign(Similarity.prepared(newEmbs),
+    val fresh = newEmbs.join(
+      spark.table(table).select(col("vec_id")), Seq("vec_id"), "left_anti")
+    if (fresh.isEmpty) return
+    val assigned = Ivf.assign(Similarity.prepared(fresh),
       spark.table(centroidsTable(table)))
     payload(assigned, quantized)
       .write.mode(org.apache.spark.sql.SaveMode.Append)

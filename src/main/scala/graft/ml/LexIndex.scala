@@ -108,13 +108,20 @@ object LexIndex {
     * point leaves either the old or the new complete table live. */
   def appendBatch(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, partitions: Int = 8): Unit = {
+    val old0 = spark.read.parquet(s"$indexDir/postings")
+    // IDEMPOTENT on doc_id (r11): docs already in the index are
+    // dropped from the batch, so an at-least-once replay (the
+    // ingestAndMaintain crash-recovery path) is a no-op instead of a
+    // duplicate-postings merge with double-counted stats. The id agg
+    // rides the postings scan the merge below pays anyway.
     val d = newDocs.select(col("doc_id"), col("text"))
-    // batch stats first (tiny job): empty batch -> no-op, no swap
+      .join(old0.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    // batch stats next (tiny job): empty batch -> no-op, no swap
     val bs = d.select(size(split(col("text"), " ")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
     val (bn, bsum) = (bs.getLong(0), if (bs.isNullAt(1)) 0L else bs.getLong(1))
     if (bn == 0L) return
-    val old = spark.read.parquet(s"$indexDir/postings")
+    val old = old0
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
     val merged = layoutPostings(old.unionByName(tokenizePostings(d)), partitions)
     val fs = new org.apache.hadoop.fs.Path(indexDir)

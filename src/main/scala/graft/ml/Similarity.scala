@@ -208,8 +208,13 @@ object Similarity {
     * list_dot_product (the q54 precedent). */
   def semanticDedup(embs: DataFrame, cells: Int, threshold: Double,
       iters: Int = 0): DataFrame = {
+    // No persist: the centroids collect to literals below, and the
+    // only repeated work without a cache is the map-only prepared()
+    // projection in the two self-join branches (the
+    // cosineNearDupPairs precedent). A corpus-sized persist with no
+    // unpersist path would pin storage for the result's lifetime
+    // (r11 review finding).
     val p = prepared(embs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = Ivf.centroidArray(Ivf.train(p, cells, iters))
     val assigned = p
       .withColumn("best", element_at(Ivf.rankedCells(cents, col("v")), 1))

@@ -696,19 +696,20 @@ object PipelineQueries {
     val table = "g_q112_ivf_" + Integer.toHexString(dir.hashCode)
     if (!s.catalog.tableExists(table)) {
       for (t0 <- Seq(table, graft.ml.IvfIndex.centroidsTable(table),
-          graft.ml.IvfIndex.statsTable(table))) {
-        s.sql(s"DROP TABLE IF EXISTS $t0")
-        val wh = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"), t0)
-        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
-      }
+          graft.ml.IvfIndex.statsTable(table)))
+        graft.store.Bucketing.dropWithDir(s, t0)
       graft.ml.IvfIndex.write(t(s, dir, "embeddings"), table,
         cells = 8, iters = 0, buckets = 4)
     }
     table
   }
 
-  private lazy val ivfTopkOracleSql: String =
+  /** Shared CTE prefix (through `ranked`) for the IVF-probe oracles —
+    * q54/q112 append the top-k final SELECT, q116 appends the
+    * brute-force recall comparison. A shared prefix constant instead
+    * of string surgery on a finished query keeps the two finals from
+    * silently diverging when the CTEs change. */
+  private lazy val ivfCtePrefix: String =
     s"""WITH $embCte,
        |cent AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS c
@@ -740,9 +741,13 @@ object PipelineQueries {
        |ranked AS (
        |  SELECT query_id, cand_id, cos, row_number() OVER (
        |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, cand_id) AS rnk
-       |  FROM scored)
-       |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
-       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+       |  FROM scored)""".stripMargin
+
+  private lazy val ivfTopkOracleSql: String =
+    ivfCtePrefix +
+      """
+        |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
@@ -998,23 +1003,22 @@ object PipelineQueries {
 
     // q116: q54's approx CTEs + a brute-force exact ranking over the
     // same vectors; recall = |approx ∩ exact| / k per query
-    "q116_ann_recall" -> (ivfTopkOracleSql
-      .replace("SELECT query_id, cand_id, round(cos, 4) AS cos, rnk\nFROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk",
-        """, brute AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, row_number() OVER (
-          |    PARTITION BY q.vec_id
-          |    ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
-          |      c.vec_id) AS rnk
-          |  FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
-          |hits AS (
-          |  SELECT b.query_id,
-          |    CAST(sum(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
-          |  FROM (SELECT query_id, cand_id FROM brute WHERE rnk <= 3) b
-          |  LEFT JOIN (SELECT query_id, cand_id FROM ranked WHERE rnk <= 3) r
-          |    USING (query_id, cand_id)
-          |  GROUP BY b.query_id)
-          |SELECT query_id, hits, round(CAST(hits AS DOUBLE) / 3, 4) AS recall
-          |FROM hits ORDER BY query_id""".stripMargin)),
+    "q116_ann_recall" -> (ivfCtePrefix +
+      """, brute AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, row_number() OVER (
+        |    PARTITION BY q.vec_id
+        |    ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+        |      c.vec_id) AS rnk
+        |  FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
+        |hits AS (
+        |  SELECT b.query_id,
+        |    CAST(sum(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |  FROM (SELECT query_id, cand_id FROM brute WHERE rnk <= 3) b
+        |  LEFT JOIN (SELECT query_id, cand_id FROM ranked WHERE rnk <= 3) r
+        |    USING (query_id, cand_id)
+        |  GROUP BY b.query_id)
+        |SELECT query_id, hits, round(CAST(hits AS DOUBLE) / 3, 4) AS recall
+        |FROM hits ORDER BY query_id""".stripMargin),
 
     // q115: hashed-bigram importance weights; md5 bucketing is the q61
     // cross-engine hash, counts are exact integers (add-1 smoothing),

@@ -160,6 +160,15 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(kept.contains(200L), "target-like content survives regardless of label")
     assert((101L to 120L).forall(!kept.contains(_)), "off-target docs drop")
     assert(p.stats.head.docsIn === 41 && p.stats.head.docsOut === kept.size)
+    // a bigram-less doc (single token) has featureless weight 0: it
+    // must face the threshold like any other doc, not be excised
+    // unconditionally (r11 review finding)
+    val withShort = docs.unionByName(Seq((300L, "hello", "de"))
+      .toDF("doc_id", "text", "lang"))
+    val keptShort = CorpusPipeline(withShort)
+      .importanceFilter(col("lang") === "en", buckets = 64, minLogw = -100.0)
+      .docs.select($"doc_id").as[Long].collect().toSet
+    assert(keptShort.contains(300L), "featureless doc must survive minLogw <= 0")
   }
 
   test("chunk: packed-id contract violation fails loudly instead of colliding") {

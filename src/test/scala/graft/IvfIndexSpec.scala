@@ -248,6 +248,58 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("recover: crash inside the final old-drop loop finishes FORWARD, never mixes builds") {
+    // State (c) of the swap: every live table is the NEW build, no
+    // __new remains, and SOME __old stragglers survive (the crash hit
+    // swapIn's last loop after dropping only one of them). Rolling
+    // back here would pair old payload/stats with new centroids —
+    // recover must instead drop the stragglers and keep the live
+    // build serving unchanged (r11 review finding).
+    val corpus = seededEmbs(150, 16)
+    try {
+      IvfIndex.write(corpus, "g_ivf_fd", cells = 8, iters = 2, buckets = 4)
+      def probeIds() = IvfIndex.probe(spark, "g_ivf_fd",
+          corpus.filter(col("vec_id") < 3), k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      val before = probeIds()
+      // plant stragglers for payload + stats only (centroids__old
+      // already dropped, as the crash point implies)
+      spark.sql("CREATE TABLE g_ivf_fd__old AS SELECT * FROM g_ivf_fd LIMIT 1")
+      spark.sql(
+        "CREATE TABLE g_ivf_fd_stats__old AS SELECT * FROM g_ivf_fd_stats")
+      IvfIndex.recover(spark, "g_ivf_fd")
+      assert(!spark.catalog.tableExists("g_ivf_fd__old") &&
+        !spark.catalog.tableExists("g_ivf_fd_stats__old"))
+      assert(probeIds() === before, "forward-finish changed the serving index")
+    } finally {
+      Seq("g_ivf_fd", "g_ivf_fd_centroids", "g_ivf_fd_stats")
+        .flatMap(t => Seq(t, t + "__new", t + "__old"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("append is idempotent on vec_id: replaying a batch is a no-op") {
+    val corpus = seededEmbs(100, 16)
+    try {
+      IvfIndex.write(corpus.filter(col("vec_id") < 80), "g_ivf_idem",
+        cells = 4, iters = 1, buckets = 4)
+      val batch = corpus.filter(col("vec_id") >= 80)
+      IvfIndex.append(spark, "g_ivf_idem", batch)
+      val once = spark.table("g_ivf_idem").count()
+      // at-least-once replay: same batch again, and a mixed batch
+      // (half present, half genuinely new)
+      IvfIndex.append(spark, "g_ivf_idem", batch)
+      assert(spark.table("g_ivf_idem").count() === once)
+      val mixed = seededEmbs(120, 16).filter(col("vec_id") >= 90)
+      IvfIndex.append(spark, "g_ivf_idem", mixed)
+      assert(spark.table("g_ivf_idem").count() === 120L)
+      assert(spark.table("g_ivf_idem").select("vec_id").distinct().count() === 120L)
+    } finally {
+      Seq("g_ivf_idem", "g_ivf_idem_centroids", "g_ivf_idem_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("recallProbe: exhaustive probe scores 1.0; partial probe bounded and honest") {
     val embs = seededEmbs(200, 16)
     try {

@@ -71,6 +71,20 @@ class LexIndexSpec extends SparkSpec {
       Seq.empty[(Long, String)].toDF("doc_id", "text"))
     assert(Files.getLastModifiedTime(
       java.nio.file.Paths.get(incDir, "postings")) === m)
+    // r11: at-least-once REPLAY of an already-appended batch is a
+    // no-op (same postings, same stats — not double-counted), and a
+    // mixed batch folds in only its genuinely-new docs
+    LexIndex.appendBatch(spark, incDir, batch.toDF("doc_id", "text"))
+    assert(postings(incDir) === postings(allDir))
+    assert(spark.read.parquet(s"$incDir/stats").head().getAs[Long]("n_docs")
+      === sa.getAs[Long]("n_docs"))
+    val extra = Seq((90L, "a brand new replay document"))
+    LexIndex.appendBatch(spark, incDir,
+      (batch ++ extra).toDF("doc_id", "text"))
+    assert(spark.read.parquet(s"$incDir/stats").head().getAs[Long]("n_docs")
+      === sa.getAs[Long]("n_docs") + 1)
+    assert(spark.read.parquet(s"$incDir/postings")
+      .filter(col("doc_id") === 90L).count() > 0)
   }
 
   test("probeText (ad-hoc query strings) equals probe over the same term sets") {
