@@ -280,6 +280,22 @@ final class CorpusPipeline private (
         .drop("logw")
     }
 
+  /** Trained-classifier quality filter (the FineWeb-Edu/DCLM recipe):
+    * score every document with a fitted
+    * [[QualityClassifier.Model]] and keep those with
+    * quality_prob ≥ `minProb`. The model is literal coefficients, so
+    * the stage is a pure per-row fold — map-only, no shuffle, no UDF;
+    * the cheapest stage in the chain at any corpus size. Train the
+    * model ONCE on a labeled sample ([[QualityClassifier.train]]),
+    * persist it, and reuse across pipeline runs. */
+  def classifierFilter(model: QualityClassifier.Model,
+      minProb: Double = 0.5): CorpusPipeline =
+    step(s"classifierFilter(B=${model.buckets},min=$minProb)") { d =>
+      QualityClassifier.score(d, model)
+        .filter(col("quality_prob") >= minProb)
+        .drop("margin", "quality_prob")
+    }
+
   /** Append the deterministic content-hash split column (q61). */
   def split(trainPct: Int = 90, validationPct: Int = 5): CorpusPipeline =
     step("split") { d =>

@@ -223,6 +223,40 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Trained-classifier inference plumbing (QualityClassifier.score's
+    // exact fold, with INTEGER literal coefficients in place of a
+    // fitted model so the oracle can score identically): per-doc
+    // margin = Σ_tokens coef[md5_bucket(token)] / n_tokens. Emission
+    // is EXACT INTEGERS (the coefficient sum and the token count) —
+    // the one float division only orders the top-100, where exact-int
+    // IEEE division is identical across engines and ties break on
+    // doc_id (the q71 contract, no rounding anywhere). Map-only at
+    // corpus scale: the ranking LIMIT is a TakeOrdered, not a sort.
+    "q117_classifier_score" -> { (s, dir) =>
+      val B = 64
+      val coefs = (0 until B).map(i => ((i * 37) % 13 - 6).toLong)
+      val cArr = array(coefs.map(lit): _*)
+      // single-file testdata = one input partition: spread the
+      // md5-per-token work before the narrow fold (the q38/q40
+      // pattern); at real scale the scan has many splits and AQE can
+      // coalesce the no-op exchange
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          transform(
+            graft.ml.QualityClassifier.toksCol(col("text")),
+            tk => graft.ml.QualityClassifier.bucketOf(tk, B).cast("int"))
+            .as("bk"))
+        .select(col("doc_id"),
+          aggregate(col("bk"), lit(0L),
+            (acc, b) => acc + element_at(cArr, b + 1)).as("sum_coef"),
+          size(col("bk")).cast("long").as("n_toks"))
+        .filter(col("n_toks") > 0)
+        .orderBy((col("sum_coef").cast("double") / col("n_toks")).desc,
+          col("doc_id"))
+        .limit(100)
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -1044,6 +1078,28 @@ object PipelineQueries {
         |SELECT doc_id, logw,
         |  CAST(CASE WHEN logw > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // q117: same integer coefficient table derived from the same
+    // formula ((i*37)%13 - 6 for bucket i), md5 bucket = the q61
+    // hash; exact-integer emission, ordering division of exact ints
+    "q117_classifier_score" -> {
+      val coefs = (0 until 64).map(i => (i * 37) % 13 - 6)
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS INT) AS bk
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+         |        FROM documents)
+         |  WHERE length(tok) > 0),
+         |s AS (
+         |  SELECT doc_id,
+         |    CAST(sum(${coefs.mkString("[", ", ", "]")}[bk + 1]) AS BIGINT) AS sum_coef,
+         |    CAST(count(*) AS BIGINT) AS n_toks
+         |  FROM b GROUP BY doc_id)
+         |SELECT doc_id, sum_coef, n_toks
+         |FROM s
+         |ORDER BY CAST(sum_coef AS DOUBLE) / n_toks DESC, doc_id
+         |LIMIT 100""".stripMargin
+    },
 
     // q114: the q54 cell-assignment CTEs + within-cell better-neighbor
     // rule; d2 and cos folds are list_dot_product — bit-identical to

@@ -272,6 +272,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(3000))
   }
 
+  test("q117 classifier score: map-only fold + TakeOrdered — no join, no shuffle agg, no full sort") {
+    // the scoring expression is a per-row fold over literal
+    // coefficients; the only ordering is the top-100, which must plan
+    // as TakeOrderedAndProject (a per-partition heap + tiny final
+    // merge), never a global Sort
+    val p = plans("q117_classifier_score")
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("q114 semantic dedup: candidate joins keyed on cell_id, assignment join-free") {
     // the centroid set is a literal array (no join to assign);
     // the only joins are the within-cell self-join and the dropped-id
