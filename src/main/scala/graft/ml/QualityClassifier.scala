@@ -89,7 +89,15 @@ object QualityClassifier {
     * and `quality_prob` (sigmoid). One projection materializes the
     * bucket array (multiply-referenced non-cheap alias — Catalyst
     * keeps it, the TextDedup.tokTable rule), then a single fold; the
-    * whole scorer is a per-row expression — no shuffle at 100 TB. */
+    * whole scorer is a per-row expression — no shuffle at 100 TB.
+    *
+    * Pushdown hazard (measured, q117 r11): filtering on
+    * `quality_prob` downstream while ALSO emitting it makes predicate
+    * pushdown re-materialize the whole tokenize+md5+fold inside the
+    * Filter — twice the work, and below any repartition. Either drop
+    * the score columns after filtering ([[CorpusPipeline.classifierFilter]]
+    * does — the projection prunes the second copy) or pre-filter
+    * empty docs on the md5-free [[toksCol]] size. */
   def score(docs: DataFrame, model: Model,
       textCol: String = "text"): DataFrame = {
     val cArr = array(model.coefficients.toIndexedSeq.map(lit): _*)

@@ -943,7 +943,130 @@ object AbBench {
       feats.unpersist(false); r
     }
 
+    // q117 decomposition: scan → tokenize → per-token md5 bucket →
+    // literal-coef fold → TakeOrdered(100). Which term dominates?
+    def q117Cur(): Long =
+      graft.SparkEntry.queries("q117_classifier_score")(spark, sfDir).count()
+    def q117ScanOnly(): Long =
+      docs.select(col("doc_id"), length(col("text")).as("l")).count()
+    def q117TokOnly(): Long = docs
+      .select(col("doc_id"),
+        size(graft.ml.QualityClassifier.toksCol(col("text"))).as("n"))
+      .count()
+    // NOTE: size(transform(...)) would be simplified to size(...) and
+    // skip the md5 entirely — force per-element evaluation with a fold
+    def q117Md5Only(): Long = docs
+      .select(col("doc_id"),
+        transform(graft.ml.QualityClassifier.toksCol(col("text")),
+          tk => graft.ml.QualityClassifier.bucketOf(tk, 64).cast("int"))
+          .as("bk"))
+      .select(col("doc_id"),
+        aggregate(col("bk"), lit(0L), (a, b) => a + b).as("s")).count()
+    def q117FoldNoSort(): Long = {
+      val B = 64
+      val cArr = array((0 until B).map(i =>
+        lit(((i * 37) % 13 - 6).toLong)): _*)
+      docs
+        .select(col("doc_id"),
+          transform(graft.ml.QualityClassifier.toksCol(col("text")),
+            tk => graft.ml.QualityClassifier.bucketOf(tk, B).cast("int"))
+            .as("bk"))
+        .select(col("doc_id"),
+          aggregate(col("bk"), lit(0L),
+            (acc, b) => acc + element_at(cArr, b + 1)).as("sum_coef"),
+          size(col("bk")).cast("long").as("n_toks"))
+        .filter(col("n_toks") > 0).count()
+    }
+    // same fold but the coef table is a single foldable Literal array
+    // instead of CreateArray(64 lits) — the latter sits inside the
+    // lambda and is re-materialized PER TOKEN (no CSE in HOF lambdas)
+    def q117LitArr(): Long = {
+      val B = 64
+      val cArr = lit((0 until B).map(i => ((i * 37) % 13 - 6).toLong).toArray)
+      docs
+        .select(col("doc_id"),
+          transform(graft.ml.QualityClassifier.toksCol(col("text")),
+            tk => graft.ml.QualityClassifier.bucketOf(tk, B).cast("int"))
+            .as("bk"))
+        .select(col("doc_id"),
+          aggregate(col("bk"), lit(0L),
+            (acc, b) => acc + element_at(cArr, b + 1)).as("sum_coef"),
+          size(col("bk")).cast("long").as("n_toks"))
+        .filter(col("n_toks") > 0)
+        .orderBy((col("sum_coef").cast("double") / col("n_toks")).desc,
+          col("doc_id"))
+        .limit(100).count()
+    }
+
+    // fold with the coef computed ARITHMETICALLY from b (valid only for
+    // the synthetic q117 table) — isolates element_at lookup cost from
+    // the two-reference fold shape
+    def q117Arith(): Long = docs
+      .select(col("doc_id"),
+        transform(graft.ml.QualityClassifier.toksCol(col("text")),
+          tk => graft.ml.QualityClassifier.bucketOf(tk, 64).cast("int"))
+          .as("bk"))
+      .select(col("doc_id"),
+        aggregate(col("bk"), lit(0L),
+          (acc, b) => acc + (b.cast("long") * 37 % 13 - 6)).as("sum_coef"),
+        size(col("bk")).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .orderBy((col("sum_coef").cast("double") / col("n_toks")).desc,
+        col("doc_id"))
+      .limit(100).count()
+
+    // single-reference fold: compute n_toks from a second cheap
+    // tokenize instead of referencing bk twice
+    def q117OneRef(): Long = {
+      val B = 64
+      val cArr = array((0 until B).map(i =>
+        lit(((i * 37) % 13 - 6).toLong)): _*)
+      docs
+        .select(col("doc_id"),
+          transform(graft.ml.QualityClassifier.toksCol(col("text")),
+            tk => graft.ml.QualityClassifier.bucketOf(tk, B).cast("int"))
+            .as("bk"),
+          size(graft.ml.QualityClassifier.toksCol(col("text")))
+            .cast("long").as("n_toks"))
+        .select(col("doc_id"),
+          aggregate(col("bk"), lit(0L),
+            (acc, b) => acc + element_at(cArr, b + 1)).as("sum_coef"),
+          col("n_toks"))
+        .filter(col("n_toks") > 0)
+        .orderBy((col("sum_coef").cast("double") / col("n_toks")).desc,
+          col("doc_id"))
+        .limit(100).count()
+    }
+
+    def q117NoRep(): Long = {
+      val B = 64
+      val cArr = array((0 until B).map(i =>
+        lit(((i * 37) % 13 - 6).toLong)): _*)
+      graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          transform(graft.ml.QualityClassifier.toksCol(col("text")),
+            tk => graft.ml.QualityClassifier.bucketOf(tk, B).cast("int"))
+            .as("bk"))
+        .select(col("doc_id"),
+          aggregate(col("bk"), lit(0L),
+            (acc, b) => acc + element_at(cArr, b + 1)).as("sum_coef"),
+          size(col("bk")).cast("long").as("n_toks"))
+        .filter(col("n_toks") > 0)
+        .orderBy((col("sum_coef").cast("double") / col("n_toks")).desc,
+          col("doc_id"))
+        .limit(100).count()
+    }
+
     Seq(
+      "q117_cur" -> (() => q117Cur()),
+      "q117_scan_only" -> (() => q117ScanOnly()),
+      "q117_tok_only" -> (() => q117TokOnly()),
+      "q117_md5_only" -> (() => q117Md5Only()),
+      "q117_fold_nosort" -> (() => q117FoldNoSort()),
+      "q117_litarr" -> (() => q117LitArr()),
+      "q117_arith" -> (() => q117Arith()),
+      "q117_oneref" -> (() => q117OneRef()),
+      "q117_norep" -> (() => q117NoRep()),
       "q115_cur" -> (() => q115Cur()),
       "q115_rest" -> (() => q115Rest()),
       "q115_scan_only" -> (() => q115ScanOnly()),

@@ -282,6 +282,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
       !p.contains("ObjectHashAggregate"), p.take(3000))
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    // the md5 bucket transform must be evaluated exactly once: a
+    // pushed-down filter(n_toks > 0) re-materializes the whole
+    // transform inside the Filter below the repartition (measured 2x
+    // wall, with the duplicate pass on the single-partition scan) —
+    // the empty-doc filter must ride the md5-FREE tokenizer instead
+    assert(p.sliding(4).count(_ == "md5(") == 1,
+      "md5 transform evaluated more than once:\n" + p.take(3000))
   }
 
   test("q114 semantic dedup: candidate joins keyed on cell_id, assignment join-free") {
