@@ -296,6 +296,14 @@ final class CorpusPipeline private (
         .drop("margin", "quality_prob")
     }
 
+  /** Terminal stage: land the surviving documents as `nShards`
+    * balanced parquet shards + manifest under `dir` (one file per
+    * shard, crash-safe swap — [[ShardExport.write]]) and return the
+    * manifest. The natural last call of a corpus build:
+    * pipeline...split().exportShards(dir, n). */
+  def exportShards(dir: String, nShards: Int): DataFrame =
+    ShardExport.write(docs, dir, nShards)
+
   /** Append the deterministic content-hash split column (q61). */
   def split(trainPct: Int = 90, validationPct: Int = 5): CorpusPipeline =
     step("split") { d =>

@@ -263,6 +263,26 @@ object PipelineQueries {
         .limit(100)
     },
 
+    // Training-shard manifest (ShardExport.assign + .manifest's exact
+    // expressions): deterministic md5 shard assignment + per-shard
+    // doc/token/char totals — integer-only emission. The agg's key
+    // space is bounded at nShards, so the partial agg reduces each
+    // input partition to ≤16 rows before the (tiny) exchange; at
+    // 100 TB this is a map-side-combine scan, nothing else.
+    "q118_shard_manifest" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(
+          graft.ml.ShardExport.shardId(col("doc_id"), 16).as("shard"),
+          size(graft.ml.QualityClassifier.toksCol(col("text")))
+            .cast("long").as("tk"),
+          length(col("text")).cast("long").as("ch"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_toks"),
+          sum(col("ch")).as("n_chars"))
+        .orderBy(col("shard"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -1106,6 +1126,22 @@ object PipelineQueries {
          |ORDER BY CAST(sum_coef AS DOUBLE) / n_toks DESC, doc_id
          |LIMIT 100""".stripMargin
     },
+
+    // q118: md5-of-decimal-doc_id shard bucket (the q61 hash form) +
+    // whitespace token counts (the q117 tokenizer contract); all
+    // integer emission
+    "q118_shard_manifest" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS INT) AS shard,
+        |    CAST(len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS BIGINT) AS tk,
+        |    CAST(length(text) AS BIGINT) AS ch
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tk) AS BIGINT) AS n_toks,
+        |  CAST(sum(ch) AS BIGINT) AS n_chars
+        |FROM tk GROUP BY shard ORDER BY shard""".stripMargin,
 
     // q114: the q54 cell-assignment CTEs + within-cell better-neighbor
     // rule; d2 and cos folds are list_dot_product — bit-identical to
