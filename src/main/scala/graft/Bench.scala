@@ -245,10 +245,27 @@ object Bench {
     else {
       val d = math.rint(matched.map(r => duck(r._1)).sum * 1e3) / 1e3
       val sp = matched.map(_._2).sum
-      s""","duck_total":$d,"duck_ratio":${math.rint(sp / d * 100) / 100},""" +
+      // A STALE pairing (benched queries missing from duckbench.json —
+      // see pairingStaleness) must not fold into a headline number
+      // someone will quote: BENCH_r11.json carried a flagged 2.35×
+      // that under-counted the duck side, and the flag alone didn't
+      // stop it being read as the round's ratio (r11 verdict #4).
+      // Emit duck_ratio:null under staleness — the totals stay for
+      // diagnosis, the quotable number refuses to exist.
+      val ratio =
+        if (isStale(duck, results)) "null"
+        else (math.rint(sp / d * 100) / 100).toString
+      s""","duck_total":$d,"duck_ratio":$ratio,""" +
         s""""duck_matched":${matched.size}"""
     }
   }
+
+  /** True when some benched query with a DuckDB oracle has no duck
+    * time in the pairing — the condition pairingStaleness names. */
+  private def isStale(duck: Map[String, Double],
+      results: Seq[(String, Double)]): Boolean =
+    duck.nonEmpty && results.exists { case (name, _) =>
+      SparkEntry.oracleSql.contains(name) && !duck.contains(name) }
 
   /** `,"duck_unmatched":[…],"pairing_stale":…` — the r7 protocol hole
     * made loud: BENCH_r07 silently excluded the round's five NEW

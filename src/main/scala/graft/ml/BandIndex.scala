@@ -61,22 +61,42 @@ object BandIndex {
     } finally { withDig.unpersist(); () }
   }
 
-  /** Fold a batch of NEW documents (doc_ids disjoint from the indexed
-    * corpus — the same contract as [[probe]]) into an existing stored
-    * index WITHOUT touching the corpus side: the
-    * [[LexIndex.appendBatch]] analog for the dedup path, and the
-    * "fold accepted batches into the corpus index" cadence hook the
-    * streaming screen's scaladoc names. The batch alone is digested
-    * (once, persisted, feeding both tables); its band rows and
-    * key-set rows APPEND into the two bucketed tables under the
-    * table's own bucket spec — one batch-sized shuffle each, corpus
-    * rows never rewritten. This is strictly cheaper than LexIndex's
-    * append (which must re-lay-out all postings because df rides
-    * every row): band and key rows carry NO corpus-global statistic,
-    * so appends are purely additive. Each append adds one file per
-    * touched bucket; at a daily cadence that is the small-file debt
-    * the compaction operator (store/Maintenance) exists to pay down.
-    */
+  /** Fold a batch of NEW documents into an existing stored index
+    * WITHOUT touching the corpus side: the [[LexIndex.appendBatch]]
+    * analog for the dedup path, and the "fold accepted batches into
+    * the corpus index" cadence hook the streaming screen's scaladoc
+    * names. The batch alone is digested (once, persisted, feeding
+    * both tables); its band rows and key-set rows APPEND into the two
+    * bucketed tables under the table's own bucket spec — one
+    * batch-sized shuffle each, corpus rows never rewritten. This is
+    * strictly cheaper than LexIndex's append (which must re-lay-out
+    * all postings because df rides every row): band and key rows
+    * carry NO corpus-global statistic, so appends are purely
+    * additive. Each append adds one file per touched bucket; at a
+    * daily cadence that is the small-file debt the compaction
+    * operator (store/Maintenance) exists to pay down.
+    *
+    * Crash contract (r12 — the last index to get one): the two table
+    * writes are ORDERED keys first, band LAST, and the append is
+    * IDEMPOTENT on doc_id against the BAND table (docs already
+    * banded are dropped from the batch; docs already keyed skip only
+    * the keys write). Band presence is what the [[probe]] screen
+    * consults, so:
+    *  - crash BEFORE the band write: the docs are invisible to the
+    *    screen — an at-least-once replay re-accepts them, the keys
+    *    anti-join skips their (already-landed) key rows, and the
+    *    band write completes the append. No duplicate rows, ever.
+    *  - crash AFTER the band write: the screen catches the docs as
+    *    corpus duplicates, and a direct replayed append no-ops on
+    *    the band anti-join.
+    * The invariant is band-docs ⊆ keys-docs at every instant — the
+    * safe direction: a key row without band rows is merely invisible
+    * (repaired by replay, reconciled by [[recover]]); a band row
+    * without keys would VERIFY-MISS real duplicates, and the order
+    * makes that state unreachable. The band-side id anti-join is the
+    * idempotence cost — a columnar scan of the band table's doc_id
+    * column (ids only, never text), the exact price
+    * LexIndex.appendBatch already pays for the same guarantee. */
   def append(spark: SparkSession, table: String, batch: DataFrame,
       n: Int, k: Int, bands: Int): Unit = {
     if (batch.isEmpty) return // no-op, no empty bucket files
@@ -85,9 +105,25 @@ object BandIndex {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(
         s"$table is not a bucketed band index table"))
-    val withDig = TextDedup.shingleDigests(TextDedup.shingleSets(batch, n))
+    // idempotence gate: docs with band rows are fully appended
+    val d = batch.join(spark.table(table).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    if (d.isEmpty) return // pure replay, nothing to fold
+    val withDig = TextDedup.shingleDigests(TextDedup.shingleSets(d, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // keys FIRST — and only for docs not keyed by a crashed prior
+      // attempt (the keys table is bucketed by doc_id, so this
+      // anti-join streams the corpus side bucket-local)
+      TextDedup.keySetsFromDigests(withDig)
+        .join(spark.table(keysTable(table)).select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "zstd")
+        .bucketBy(buckets, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable(keysTable(table))
+      // band LAST — the screen's source of truth commits the append
       TextDedup.bandKeyTable(
           TextDedup.minhashSignaturesFromDigests(withDig, k), k, bands)
         .write.mode(org.apache.spark.sql.SaveMode.Append)
@@ -95,13 +131,49 @@ object BandIndex {
         .bucketBy(buckets, "band", "key")
         .sortBy("band", "key")
         .saveAsTable(table)
-      TextDedup.keySetsFromDigests(withDig)
-        .write.mode(org.apache.spark.sql.SaveMode.Append)
-        .option("compression", "zstd")
-        .bucketBy(buckets, "doc_id")
-        .sortBy("doc_id")
-        .saveAsTable(keysTable(table))
     } finally { withDig.unpersist(); () }
+  }
+
+  /** Reconcile an interrupted [[append]] by doc_id set-diff: key rows
+    * whose doc never reached the band table are strays from a crash
+    * between the two writes. They are CORRECTNESS-harmless (the probe
+    * joins keys only for candidates the band table generated) and
+    * self-heal when the batch replays — recover exists for the
+    * non-replay case (the batch is gone for good): it rewrites the
+    * keys table without the strays so the two tables agree exactly
+    * with a never-crashed index. Rewrite is itself crash-safe via the
+    * side-table + rename swap (the IvfIndex protocol); cost is one
+    * keys-table rewrite, paid only when strays exist (the common
+    * no-stray call is a cheap id anti-join probe). Returns the number
+    * of stray docs reconciled. */
+  def recover(spark: SparkSession, table: String): Long = {
+    val keysT = keysTable(table)
+    val strays = spark.table(keysT).select(col("doc_id"))
+      .join(spark.table(table).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val nStray = strays.count()
+    if (nStray == 0L) return 0L
+    val buckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(keysT))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$keysT is not a bucketed keys table"))
+    val newT = keysT + "__new"
+    val oldT = keysT + "__old"
+    graft.store.Bucketing.dropWithDir(spark, newT)
+    spark.table(keysT)
+      .join(spark.table(table).select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(newT)
+    graft.store.Bucketing.dropWithDir(spark, oldT)
+    spark.sql(s"ALTER TABLE $keysT RENAME TO $oldT")
+    spark.sql(s"ALTER TABLE $newT RENAME TO $keysT")
+    spark.sql(s"DROP TABLE IF EXISTS $oldT")
+    nStray
   }
 
   /** Candidate (doc_a, doc_b) pairs for a NEW batch probed against the

@@ -259,7 +259,11 @@ final class CorpusPipeline private (
   /** DSIR-style importance selection as a pipeline stage (r11, the
     * q115 recipe): score every document against a target subset via
     * [[Dsir.hashedBigramWeights]] and keep those with rounded weight
-    * ≥ `minLogw` (default 0 = the q115 selection rule). Both hashed-
+    * STRICTLY ABOVE `minLogw` (default 0 = exactly the q115
+    * `selected = logw > 0` rule — strict, so a featureless or
+    * exactly-boundary doc is dropped at the default, matching the
+    * emitted flag; r11 review caught the >=-vs-> divergence). Both
+    * hashed-
     * bigram LMs are bounded at `buckets` rows, so the stage adds one
     * explode pass over the stage input plus broadcast-only joins —
     * no corpus-sized shuffle beyond the feature tf groupBy. The
@@ -276,7 +280,7 @@ final class CorpusPipeline private (
       val w = Dsir.hashedBigramWeights(d, isTarget, buckets)
         .select(col("doc_id"), col("logw"))
       d.join(w, Seq("doc_id"), "left")
-        .filter(coalesce(col("logw"), lit(0.0)) >= minLogw)
+        .filter(coalesce(col("logw"), lit(0.0)) > minLogw)
         .drop("logw")
     }
 
@@ -502,13 +506,37 @@ object CorpusPipeline {
     * small-file-debt threshold at which the maintenance slot runs
     * [[graft.store.Bucketing.compactBucketed]] on the bucketed index
     * tables (LexIndex needs no compaction: its append IS a full
-    * re-layout of the postings). */
+    * re-layout of the postings). `exportTo` attaches a training-shard
+    * re-export cadence (r12 — the loop's missing OUTPUT half): see
+    * [[ExportCadence]]. */
   final case class IndexMaintenance(
       bandTable: String, n: Int, k: Int, bands: Int, threshold: Double,
       lexIndexDir: Option[String] = None,
       ivfTable: Option[String] = None,
       embed: DataFrame => DataFrame = identity,
-      compactAtFilesPerBucket: Double = 16.0)
+      compactAtFilesPerBucket: Double = 16.0,
+      exportTo: Option[ExportCadence] = None)
+
+  /** Shard-export refresh policy for [[ingestAndMaintain]] — closes
+    * the loop for the artifact a training job actually reads: without
+    * it a continuously-ingesting deployment screens, stores and
+    * indexes forever but the shard export ([[ShardExport]]) goes
+    * stale at its last batch-terminal write. `corpus` resolves the
+    * caller's STORED accepted corpus (the loop never owns the store —
+    * `onBatch` landed the docs wherever the caller chose, so the
+    * caller says how to read them back). The trigger is MEASURED debt
+    * in the filesPerBucket/driftStats tradition, not a blind every-N
+    * counter: accepted docs accumulated since the last export,
+    * re-export when debt ≥ `staleFraction` of the live export's
+    * manifest doc count (manifest read is a tiny 1-file scan). No
+    * live export at all ⇒ infinite staleness ⇒ the first accepted
+    * batch exports immediately. Export writes ride the single-writer
+    * maintenance slot and inherit [[ShardExport.write]]'s
+    * recover-on-entry crash safety — a kill mid-export leaves the
+    * previous export serving. */
+  final case class ExportCadence(dir: String, nShards: Int,
+      corpus: org.apache.spark.sql.SparkSession => DataFrame,
+      staleFraction: Double = 0.10)
 
   /** [[streaming]]'s missing other half — the maintenance loop a
     * continuously-ingesting deployment runs (reference frame: the
@@ -538,6 +566,13 @@ object CorpusPipeline {
     * its stat arrives via the separate `onMaintain` callback rather
     * than the screen-stage vector.
     *
+    * Export cadence (r12): with [[IndexMaintenance.exportTo]] set,
+    * the maintenance slot also refreshes the training-shard export
+    * when the accepted-doc debt since the last export crosses the
+    * [[ExportCadence]] staleness threshold — so the artifact the
+    * training job reads tracks the corpus instead of freezing at the
+    * last batch-terminal [[CorpusPipeline.exportShards]] call.
+    *
     * Delivery semantics: foreachBatch is at-least-once — a batch
     * replayed after a crash BETWEEN onBatch and the appends re-screens
     * against an index that lacks it and is re-accepted (the store
@@ -554,7 +589,12 @@ object CorpusPipeline {
       chunkTo: Option[(Int, Int)] = None,
       onMaintain: (Long, StageStat) => Unit = (_, _) => ())(
       onBatch: (Long, DataFrame, Vector[StageStat]) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // accepted docs since the last shard export — the export-debt
+    // accumulator (foreachBatch bodies run serially, so a plain var
+    // is single-writer; an at-least-once replay can double-count a
+    // batch's debt, which only makes the next export slightly early)
+    var exportDebt = 0L
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -609,10 +649,12 @@ object CorpusPipeline {
           // fold in — so a partial crash can never strand an index
           // permanently behind the others. A crash after the band
           // append replays into the self-duplicate drop with lex/ivf
-          // already complete. (Residual: a crash INSIDE
-          // BandIndex.append between its two table writes — bounded
-          // by one batch, repaired by the next compaction-era
-          // rebuild, and it only over-screens, never corrupts.)
+          // already complete. (The r11 residual — a crash INSIDE
+          // BandIndex.append between its two table writes — is
+          // closed in r12: append writes keys first / band last and
+          // is band-anti-join idempotent, so the replay completes
+          // the half-landed append with no duplicate rows; see the
+          // BandIndex.append crash contract + BandIndex.recover.)
           maint.lexIndexDir.foreach(dir =>
             LexIndex.appendBatch(spark, dir, docs))
           maint.ivfTable.foreach(t =>
@@ -629,7 +671,35 @@ object CorpusPipeline {
           onMaintain(batchId, StageStat(
             s"indexMaintain(compacted=${compacted.size})", nA, nA,
             math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
+          // shard-export refresh LAST in the maintenance slot (the
+          // training artifact derives from the store + indexes, so
+          // it re-exports only after both are current for this batch)
+          maint.exportTo.foreach { ec =>
+            exportDebt += nA
+            // recover-then-read: a crash mid-export last batch left
+            // either the old export (roll back) or the new one (roll
+            // forward) — recover settles which before we read its size
+            val live =
+              if (ShardExport.recover(spark, ec.dir))
+                Some(ShardExport.readManifest(spark, ec.dir)
+                  .agg(sum(col("n_docs"))).head().getLong(0))
+              else None
+            val due = live match {
+              case None => true // no export yet: infinitely stale
+              case Some(e) =>
+                e == 0L || exportDebt.toDouble / e >= ec.staleFraction
+            }
+            if (due) {
+              t0 = System.nanoTime()
+              val mf = ShardExport.write(ec.corpus(spark), ec.dir, ec.nShards)
+              val n = mf.agg(sum(col("n_docs"))).head().getLong(0)
+              exportDebt = 0L
+              onMaintain(batchId, StageStat(s"shardExport(docs=$n)", nA, n,
+                math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
+            }
+          }
         }
       }
       .start()
+  }
 }

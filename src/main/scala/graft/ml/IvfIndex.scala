@@ -411,11 +411,21 @@ object IvfIndex {
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand_id"))
+    // Denominator = the per-query EXACT result count, not a flat k
+    // (r11 review): when the served corpus has fewer than k
+    // competitors the exact pass emits min(k, corpus-1) rows, and
+    // dividing by k would under-read recall — a perfect probe could
+    // never reach 1.0 and might trip a rebuild threshold spuriously.
+    // Edge out of scope: a query whose exact set is EMPTY (the stored
+    // corpus holds at most the query itself) has no recall to measure
+    // and is absent from the output — monitoring a ≤1-vector index is
+    // meaningless by construction.
     exact.join(approx.withColumn("hit", lit(1L)),
         Seq("query_id", "cand_id"), "left")
       .groupBy(col("query_id"))
-      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("n_exact"))
       .select(col("query_id"), col("hits"),
-        round(col("hits") / lit(k.toDouble), 4).as("recall"))
+        round(col("hits") / col("n_exact"), 4).as("recall"))
   }
 }

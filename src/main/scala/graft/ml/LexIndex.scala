@@ -108,6 +108,11 @@ object LexIndex {
     * point leaves either the old or the new complete table live. */
   def appendBatch(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, partitions: Int = 8): Unit = {
+    // Empty-batch short-circuit BEFORE touching the index dir (r11
+    // review): an empty batch against a not-yet-built index must be a
+    // clean no-op, not a parquet schema-resolution failure — and a
+    // trivially-empty batch shouldn't pay the postings scan at all.
+    if (newDocs.isEmpty) return
     val old0 = spark.read.parquet(s"$indexDir/postings")
     // IDEMPOTENT on doc_id (r11): docs already in the index are
     // dropped from the batch, so an at-least-once replay (the

@@ -28,11 +28,16 @@ import org.apache.spark.sql.functions._
   *    no small-file debt to compact later. At 100 TB pick nShards ≈
   *    totalBytes / targetShardBytes (shards are the parallelism unit
   *    for BOTH the write and the downstream loader).
-  *  - Crash-safe: shards + manifest are written under `<dir>.tmp_` and
-  *    swapped in with the Maintenance rename-aside protocol (aside →
-  *    rename-in → drop aside); a failure at any point leaves either
-  *    the old export or the new one serving, never a mix, and a stale
-  *    tmp from a dead writer is clobbered by the next run.
+  *  - Crash-safe: shards + manifest are written under `<dir>.tmp_`
+  *    (manifest LAST — its presence under tmp is the build-complete
+  *    marker) and swapped in with the rename-aside protocol (aside →
+  *    rename-in → drop aside). [[recover]] repairs an interrupted
+  *    swap the IvfIndex way: roll FORWARD when tmp is complete, roll
+  *    BACK the aside otherwise — so a crash at any point, including
+  *    between the two renames, leaves a readable export after the
+  *    next entry, and the old copy is never deleted until the new one
+  *    is serving (the r11 review hole: blind entry deletes destroyed
+  *    the stranded-aside last good copy).
   */
 object ShardExport {
 
@@ -74,8 +79,11 @@ object ShardExport {
       val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp_")
       val old = new org.apache.hadoop.fs.Path(dir + ".old_")
-      fs.delete(tmp, true) // stale tmp from a dead writer
-      fs.delete(old, true) // stale aside from a crash after rename-in
+      // repair any interrupted prior swap BEFORE touching tmp/old —
+      // a stranded aside may be the last good copy (never delete it
+      // until a replacement is serving)
+      recover(spark, dir)
+      fs.delete(tmp, true) // stale INCOMPLETE tmp from a dead writer
       assigned.write.mode("overwrite")
         .option("compression", "zstd")
         .partitionBy("shard")
@@ -93,6 +101,52 @@ object ShardExport {
       fs.delete(old, true)
       readManifest(spark, dir)
     } finally assigned.unpersist(false)
+  }
+
+  /** Repair an interrupted [[write]] swap (the IvfIndex.recover
+    * protocol, `IvfIndex.scala` — roll forward iff the new side is
+    * complete, roll back otherwise). States, decided from what exists
+    * on entry:
+    *
+    *  - base present: a live export is serving. Any `.old_` is a
+    *    post-rename-in straggler (write crashed inside its final
+    *    delete) — drop it. An incomplete tmp is a dead writer's
+    *    partial — write clobbers it anyway.
+    *  - base missing, tmp COMPLETE (its `_manifest/_SUCCESS` exists —
+    *    the manifest is written last): the writer died between
+    *    rename(base→old) and rename(tmp→base), or just before the
+    *    aside of a first export. Roll FORWARD: tmp → base, then drop
+    *    the aside (superseded by a complete new export).
+    *  - base missing, tmp absent/incomplete, aside present: the
+    *    writer died mid-build after setting the aside (or a prior
+    *    roll-forward crashed before its aside-drop... which cannot
+    *    strand: forward drops aside only after rename-in). Roll
+    *    BACK: `.old_` → base — the last good copy serves again.
+    *  - nothing at all: first-ever export, clean no-op.
+    *
+    * Idempotent; called defensively at the start of every [[write]]
+    * and safe to call any time. Returns true when an export is
+    * readable at `dir` afterwards. */
+  def recover(spark: SparkSession, dir: String): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp_")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old_")
+    val tmpComplete = fs.exists(
+      new org.apache.hadoop.fs.Path(tmp, "_manifest/_SUCCESS"))
+    if (fs.exists(base)) { fs.delete(old, true); true }
+    else if (tmpComplete) {
+      if (!fs.rename(tmp, base))
+        throw new java.io.IOException(
+          s"shard export roll-forward rename failed for $dir")
+      fs.delete(old, true); true
+    } else if (fs.exists(old)) {
+      fs.delete(tmp, true)
+      if (!fs.rename(old, base))
+        throw new java.io.IOException(
+          s"shard export roll-back rename failed for $dir")
+      true
+    } else { fs.delete(tmp, true); false }
   }
 
   /** The manifest of a completed export. */

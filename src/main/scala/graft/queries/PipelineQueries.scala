@@ -1062,7 +1062,8 @@ object PipelineQueries {
     "q54_ivf_topk" -> ivfTopkOracleSql,
 
     // q116: q54's approx CTEs + a brute-force exact ranking over the
-    // same vectors; recall = |approx ∩ exact| / k per query
+    // same vectors; recall = |approx ∩ exact| / |exact| per query
+    // (|exact| = min(k, corpus-1) — flat k under-reads small corpora)
     "q116_ann_recall" -> (ivfCtePrefix +
       """, brute AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, row_number() OVER (
@@ -1072,12 +1073,13 @@ object PipelineQueries {
         |  FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 10),
         |hits AS (
         |  SELECT b.query_id,
-        |    CAST(sum(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |    CAST(sum(CASE WHEN r.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |    count(*) AS n_exact
         |  FROM (SELECT query_id, cand_id FROM brute WHERE rnk <= 3) b
         |  LEFT JOIN (SELECT query_id, cand_id FROM ranked WHERE rnk <= 3) r
         |    USING (query_id, cand_id)
         |  GROUP BY b.query_id)
-        |SELECT query_id, hits, round(CAST(hits AS DOUBLE) / 3, 4) AS recall
+        |SELECT query_id, hits, round(CAST(hits AS DOUBLE) / n_exact, 4) AS recall
         |FROM hits ORDER BY query_id""".stripMargin),
 
     // q115: hashed-bigram importance weights; md5 bucketing is the q61

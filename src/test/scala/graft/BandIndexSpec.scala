@@ -131,4 +131,84 @@ class BandIndexSpec extends SparkSpec {
         "g_band_plain").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  // The r11 residual closed: a crash INSIDE append between its two
+  // table writes. The write order is keys FIRST / band LAST, so the
+  // crashed state is key rows with no band rows — simulated here by
+  // running exactly the first half of append by hand.
+  test("append killed between the two table writes: replay completes it, recover reconciles, probe equals never-crashed") {
+    val (n, k, bands, thr) = (3, 8, 4, 0.3)
+    val corpusA = (
+      mkDocs(Seq(0L, 1L), "the quick brown fox jumps over the lazy dog again and") ++
+      Seq((4L, "a singleton document with its own words entirely unlike others"))
+    ).toDF("doc_id", "text")
+    val batchB = Seq(
+      (11L, "fresh pair of documents sharing almost every single token here now"),
+      (12L, "completely separate subject matter concerning tidal estuaries and herons"))
+      .toDF("doc_id", "text")
+    val batchC = (
+      Seq((20L, "fresh pair of documents sharing almost every single token here too")) ++
+      mkDocs(Seq(21L), "the quick brown fox jumps over the lazy dog again and")
+    ).toDF("doc_id", "text")
+    def keysOnlyHalfAppend(table: String): Unit =
+      TextDedup.keySetsFromDigests(
+          TextDedup.shingleDigests(TextDedup.shingleSets(batchB, n)))
+        .write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "zstd")
+        .bucketBy(4, "doc_id").sortBy("doc_id")
+        .saveAsTable(BandIndex.keysTable(table))
+    try {
+      BandIndex.write(corpusA, "g_band_crash", n, k, bands, buckets = 4)
+      BandIndex.write(corpusA.unionByName(batchB), "g_band_cref", n, k, bands,
+        buckets = 4)
+      keysOnlyHalfAppend("g_band_crash") // ← "crash" between the writes
+      // invariant after the crash: band-docs ⊆ keys-docs (the safe
+      // direction — strays are invisible, never verify-missed)
+      assert(spark.table("g_band_crash")
+        .join(spark.table("g_band_crash_keys"), Seq("doc_id"), "left_anti")
+        .count() === 0L)
+      // the at-least-once replay (batchB re-accepted because the band
+      // table lacks it) completes the append...
+      BandIndex.append(spark, "g_band_crash", batchB, n, k, bands)
+      // ...with NO duplicate key rows from the crashed first half
+      assert(spark.table("g_band_crash_keys")
+        .groupBy($"doc_id").count().filter($"count" > 1).count() === 0L)
+      // and the probe output equals a never-crashed index
+      val got = BandIndex.probe(spark, "g_band_crash", batchC, n, k, bands, thr)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      val want = BandIndex.probe(spark, "g_band_cref", batchC, n, k, bands, thr)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      assert(got === want, "crashed+replayed index diverged from never-crashed")
+      // a further replay of the SAME batch is a pure no-op (band
+      // anti-join) — row counts in both tables unchanged
+      val (nb, nk) = (spark.table("g_band_crash").count(),
+        spark.table("g_band_crash_keys").count())
+      BandIndex.append(spark, "g_band_crash", batchB, n, k, bands)
+      assert(spark.table("g_band_crash").count() === nb)
+      assert(spark.table("g_band_crash_keys").count() === nk)
+
+      // recover: the NON-replay path (the batch is gone for good) —
+      // set-diff reconciliation drops the stray keys and the index
+      // equals one that never saw the batch
+      BandIndex.write(corpusA, "g_band_rec", n, k, bands, buckets = 4)
+      keysOnlyHalfAppend("g_band_rec")
+      assert(BandIndex.recover(spark, "g_band_rec") === 2L)
+      assert(BandIndex.recover(spark, "g_band_rec") === 0L) // idempotent
+      assert(spark.table("g_band_rec_keys").select($"doc_id")
+        .except(spark.table("g_band_rec").select($"doc_id")).count() === 0L)
+      val gotRec = BandIndex.probe(spark, "g_band_rec", batchC, n, k, bands, thr)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      BandIndex.write(corpusA, "g_band_rref", n, k, bands, buckets = 4)
+      val wantRec = BandIndex.probe(spark, "g_band_rref", batchC, n, k, bands, thr)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      assert(gotRec === wantRec,
+        "recovered index diverged from one that never saw the batch")
+    } finally {
+      Seq("g_band_crash", "g_band_crash_keys", "g_band_cref",
+        "g_band_cref_keys", "g_band_rec", "g_band_rec_keys",
+        "g_band_rec_keys__new", "g_band_rec_keys__old",
+        "g_band_rref", "g_band_rref_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

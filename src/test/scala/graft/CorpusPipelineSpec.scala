@@ -149,7 +149,8 @@ class CorpusPipelineSpec extends SparkSpec {
 
   test("importanceFilter: keeps target-like docs, drops off-target, stats recorded") {
     // Target = en docs. Docs built from en bigrams survive the
-    // default logw >= 0 rule; docs of source-only bigrams drop.
+    // default strict logw > 0 rule (the q115 selected flag, aligned
+    // r12); docs of source-only bigrams drop.
     val docs = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat today", "en")) ++
       (1 to 20).map(i => (100L + i, "der hund lief durch den park heute", "de")) ++
       Seq((200L, "the cat sat on the mat today", "de"))) // en-like content, de label
@@ -480,6 +481,75 @@ class CorpusPipelineSpec extends SparkSpec {
       evalIdx.grams.unpersist()
       Seq("g_maint_band", "g_maint_band_keys",
         "g_maint_ivf", "g_maint_ivf_centroids", "g_maint_ivf_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("ingestAndMaintain export cadence: shard export refreshes on measured debt and matches the accepted corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files.createTempDirectory("g_exp_store").toString + "/corpus"
+    val exportDir = java.nio.file.Files.createTempDirectory("g_exp_out").toString + "/shards"
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_exp_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val maintained = scala.collection.mutable.ListBuffer[(Long, String)]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_exp_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          exportTo = Some(CorpusPipeline.ExportCadence(exportDir, nShards = 2,
+            corpus = s => s.read.parquet(storeDir), staleFraction = 0.5))),
+        evalIdx, evalN = 3,
+        onMaintain = (id, st) => maintained.synchronized {
+          maintained += ((id, st.stage)); () }) { (_, acc, _) =>
+        // the caller's corpus store: accepted docs land as parquet
+        acc.select($"doc_id", $"text").write.mode("append").parquet(storeDir)
+      }
+      try {
+        // batch 0: 2 accepted, no live export -> infinitely stale ->
+        // first export fires with exactly the stored corpus
+        input.addData(
+          300L -> "seven silver falcons circle the ancient observatory tower at dusk tonight",
+          301L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q.processAllAvailable()
+        assert(graft.ml.ShardExport.readManifest(spark, exportDir)
+          .agg(sum($"n_docs")).head().getLong(0) === 2L)
+        // batch 1: 1 accepted -> debt 1 over live 2 = 0.5 >= 0.5 ->
+        // export refreshes to 3 docs
+        input.addData(
+          311L -> "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil")
+        q.processAllAvailable()
+        assert(graft.ml.ShardExport.readManifest(spark, exportDir)
+          .agg(sum($"n_docs")).head().getLong(0) === 3L)
+        // batch 2: 1 accepted -> debt 1 over live 3 < 0.5 -> NOT due;
+        // the export intentionally stays at 3 docs
+        input.addData(
+          322L -> "paper lanterns drift over the festival river while drummers keep gentle time")
+        q.processAllAvailable()
+        assert(graft.ml.ShardExport.readManifest(spark, exportDir)
+          .agg(sum($"n_docs")).head().getLong(0) === 3L)
+      } finally q.stop()
+      // exactly two export events, both after their batch's index work
+      val exports = maintained.toList.filter(_._2.startsWith("shardExport"))
+      assert(exports.map(_._1) === List(0L, 1L), s"export events: $maintained")
+      assert(maintained.toList.filter(_._2.startsWith("indexMaintain"))
+        .map(_._1) === List(0L, 1L, 2L))
+      // the live export's content equals the accepted corpus at its
+      // last refresh (doc set, not just counts)
+      val exported = graft.ml.ShardExport.read(spark, exportDir)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(exported === Set(300L, 301L, 311L))
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_exp_band", "g_exp_band_keys")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }

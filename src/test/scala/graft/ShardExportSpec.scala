@@ -84,6 +84,58 @@ class ShardExportSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".old_").exists(), "aside must be dropped")
   }
 
+  // Simulate the exact r11-verdict crash: writer died BETWEEN
+  // rename(base→old) and rename(tmp→base) — base gone, last good
+  // copy stranded in .old_, complete new export in .tmp_. recover
+  // must roll FORWARD (tmp is complete: its _manifest landed last).
+  test("recover rolls forward a complete tmp stranded between the two renames") {
+    val dir = tmpDir()
+    ShardExport.write(corpus(100), dir, 4) // v1 serving
+    // build v2's complete tmp via the real writer, then arrange the
+    // mid-swap state with plain renames (exactly what write does)
+    val side = tmpDir()
+    ShardExport.write(corpus(300), side, 4)
+    assert(new java.io.File(side, "_manifest/_SUCCESS").exists(),
+      "manifest _SUCCESS is the completeness marker — must exist")
+    assert(new java.io.File(side).renameTo(new java.io.File(dir + ".tmp_")))
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old_")))
+    // crash here: NO live export
+    assert(!new java.io.File(dir).exists())
+    assert(ShardExport.recover(spark, dir), "recover must leave an export readable")
+    assert(ShardExport.read(spark, dir).count() === 300, "forward = the NEW export")
+    assert(!new java.io.File(dir + ".tmp_").exists())
+    assert(!new java.io.File(dir + ".old_").exists())
+  }
+
+  test("recover rolls back the aside when tmp is incomplete; a follow-up write never destroys the last good copy") {
+    val dir = tmpDir()
+    ShardExport.write(corpus(100), dir, 4) // v1 serving
+    // crash state: aside taken, tmp only partially written (no
+    // _manifest — the completeness marker is written last)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old_")))
+    val tmp = new java.io.File(dir + ".tmp_")
+    tmp.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(tmp, "partial.parquet")).close()
+    assert(ShardExport.recover(spark, dir), "recover must restore the aside")
+    assert(ShardExport.read(spark, dir).count() === 100, "back = the OLD export")
+    assert(!tmp.exists() && !new java.io.File(dir + ".old_").exists())
+    // and the write entry path repairs the same state by itself
+    // (the r11 hole: blind entry deletes destroyed the aside copy)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old_")))
+    tmp.mkdirs()
+    val mf = ShardExport.write(corpus(250), dir, 4)
+    assert(mf.agg(sum($"n_docs")).head().getLong(0) === 250L)
+    assert(ShardExport.read(spark, dir).count() === 250)
+  }
+
+  test("recover is a clean no-op on a healthy or absent export") {
+    val dir = tmpDir()
+    assert(!ShardExport.recover(spark, dir), "nothing to recover")
+    ShardExport.write(corpus(50), dir, 2)
+    assert(ShardExport.recover(spark, dir))
+    assert(ShardExport.read(spark, dir).count() === 50)
+  }
+
   test("pipeline terminal exportShards lands the chain's survivors") {
     val dir = tmpDir()
     val mf = graft.ml.CorpusPipeline(corpus(200))
