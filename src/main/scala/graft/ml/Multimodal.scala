@@ -337,4 +337,161 @@ object Multimodal {
         least(lit(maxSide) / col("width"), lit(maxSide) / col("height"), lit(1.0)))
       .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+
+  /** Perceptual image hashing over REAL decoded pixels (r12) — the
+    * multimodal member of the dedup family: aHash (average hash) and
+    * dHash (gradient hash), the published perceptual-dedup recipes
+    * (downscale → grayscale → threshold → 64-bit signature; two
+    * re-encodes/resizes of the same picture land within a few bits,
+    * unrelated pictures ~32 bits apart). Decode is the JDK's pure-JVM
+    * `javax.imageio` (PNG/JPEG/GIF/BMP — no external codec library),
+    * so unlike [[DecodeStub]] this path reads actual pixels
+    * end-to-end. Anything ImageIO cannot decode returns None and is
+    * simply absent from the signature table — a truncated or lying
+    * payload must never throw inside an executor task. */
+  object PerceptualHash {
+
+    /** `gw`×`gh` box-averaged luminance grid (BT.601 weights) — the
+      * downscale step. Every source pixel lands in exactly one box,
+      * so the grid is exact for any image size (no resampling kernel
+      * to disagree about); row-major, values 0..255. */
+    def grayGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Double] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sum = new Array[Double](gw * gh)
+      val cnt = new Array[Int](gw * gh)
+      var y = 0
+      while (y < h) {
+        val gy = ((y.toLong * gh) / h).toInt.min(gh - 1)
+        var x = 0
+        while (x < w) {
+          val gx = ((x.toLong * gw) / w).toInt.min(gw - 1)
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          sum(gy * gw + gx) += lum
+          cnt(gy * gw + gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(gw * gh)(i => if (cnt(i) == 0) 0.0 else sum(i) / cnt(i))
+    }
+
+    /** aHash bit rule: '1' where the cell is >= the grid mean. Bit
+      * strings (not packed longs) are the repo-wide signature format —
+      * they flow through the codegen'd [[graft.plans.BitHamming]]
+      * exactly like the q33 simhash signatures. */
+    def aHashBits(grid: Array[Double]): String = {
+      val mean = grid.sum / grid.length
+      val sb = new java.lang.StringBuilder(grid.length)
+      grid.foreach(v => sb.append(if (v >= mean) '1' else '0'))
+      sb.toString
+    }
+
+    /** dHash bit rule over a (gw+1)×gh grid: '1' where a cell is
+      * brighter going right — per published recipe, row-wise gradient
+      * signs, gw bits per row. */
+    def dHashBits(grid: Array[Double], gw: Int): String = {
+      val cols = gw + 1
+      val rows = grid.length / cols
+      val sb = new java.lang.StringBuilder(gw * rows)
+      var r = 0
+      while (r < rows) {
+        var c = 0
+        while (c < gw) {
+          sb.append(if (grid(r * cols + c) < grid(r * cols + c + 1)) '1' else '0')
+          c += 1
+        }
+        r += 1
+      }
+      sb.toString
+    }
+
+    /** Decode + both signatures: (ahash 64 bits from an 8×8 grid,
+      * dhash 64 bits from a 9×8 grid). None when ImageIO cannot
+      * positively decode the payload. */
+    def ofImage(payload: Array[Byte]): Option[(String, String)] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+        else Some((
+          aHashBits(grayGrid(img, 8, 8)),
+          dHashBits(grayGrid(img, 9, 8), gw = 8)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-image perceptual signatures. */
+  case class ImageSig(media_id: Long, ahash: String, dhash: String)
+
+  /** Signature stage: same narrow partition-local batch shape as
+    * [[decodeMeta]] — payloads that decode emit one row, the rest are
+    * dropped (the caller's media table keeps them; only the dedup
+    * family ignores what it cannot see). No shuffle; at 100 TB the
+    * decode cost is embarrassingly parallel and the output is ~16
+    * bytes/asset of signature, the table the pair join actually
+    * reads. */
+  def imageSignatures(media: Dataset[MediaRow]): Dataset[ImageSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      PerceptualHash.ofImage(r.payload).map { case (a, d) =>
+        ImageSig(r.media_id, a, d) }))
+  }
+
+  /** Near-duplicate pairs among equal-length bit-string signatures:
+    * banded hamming-LSH candidate generation + codegen
+    * [[graft.plans.BitHamming]] verify — `(id_a, id_b, hamming)` with
+    * hamming <= maxDist, a < b. EXACT by pigeonhole: the signature is
+    * split into `bands` equal substrings and two signatures within
+    * hamming distance bands-1 must agree on at least one whole band,
+    * so the (band_idx, band_key) equi-join generates every qualifying
+    * pair — `require(bands > maxDist)` enforces the precondition
+    * instead of silently under-recalling. Scale shape: candidates are
+    * bounded by band-bucket population (the q34/BandIndex blocking
+    * pattern), never all-pairs; the join carries the two 64-char
+    * signatures only, and the verify is one codegen'd byte-compare
+    * loop per candidate. */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxDist: Int, bands: Int): DataFrame = {
+    require(bands > maxDist,
+      s"pigeonhole exactness needs bands > maxDist, got $bands <= $maxDist")
+    val s = sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+    val bandLen = (length(col("_sig")) / bands).cast("int")
+    val banded = s
+      .select(col("_id"), col("_sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          i => col("_sig").substr(i * bandLen + 1, bandLen))))
+      .select(col("_id"), col("_sig"), col("pos").as("band"),
+        col("col").as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a._sig").as("sig_a"), col("b._sig").as("sig_b"))
+      .distinct() // a pair sharing several bands is one candidate
+    cand
+      .withColumn("hamming",
+        graft.plans.BitHamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The aHash bit rule in Column space over an INTEGER grid, exact
+    * integer compare (the q71 emission contract — no float mean):
+    * bit_i = grid[i] * N >= total. `total` is taken as a separate
+    * column so callers project it once instead of re-summing the grid
+    * per lambda element (the higher-order-function re-evaluation trap,
+    * CLAUDE.md). Shared semantics with [[PerceptualHash.aHashBits]]:
+    * for integer-valued grids the two agree bit-for-bit (mean
+    * division by a power-of-two cell count is exact in double), which
+    * MlSpec pins differentially — the q119 oracle gates this rule +
+    * the banded pair math end-to-end in DuckDB. */
+  def aHashBitsCol(grid: org.apache.spark.sql.Column,
+      total: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws("",
+      transform(grid, v =>
+        when(v * size(grid) >= total, lit("1")).otherwise(lit("0"))))
 }

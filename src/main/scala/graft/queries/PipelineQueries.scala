@@ -283,6 +283,34 @@ object PipelineQueries {
         .orderBy(col("shard"))
     },
 
+    // Perceptual-hash signature plumbing (r12): per-doc 64-bucket
+    // token-histogram "pixel grid" → exact-integer aHash bit rule
+    // (Multimodal.aHashBitsCol — the SAME rule the real ImageIO path
+    // applies to decoded pixel grids; MlSpec pins the two
+    // implementations bit-for-bit). DuckDB can't decode images, so
+    // the oracle gates the grid→signature math on a grid both engines
+    // can derive (the q33/q34 md5 template); the real-pixel path is
+    // MlSpec-gated on planted PNGs.
+    "q119_phash_sig" -> { (s, dir) =>
+      phashSigs(s, dir).orderBy(col("doc_id"))
+    },
+
+    // Banded hamming-LSH near-dup pairs over the q119 signatures +
+    // codegen bit_hamming verify (exact by pigeonhole: bands=8 >
+    // maxDist=2). doc_id-capped by contract — the token-histogram
+    // bits are corpus-correlated, so band buckets are fat and the
+    // uncapped pair set grows quadratically at bigger SFs (real
+    // 64-bit image hashes debias this; the cap bounds the oracle's
+    // all-pairs comparator the same way q36/q116 bound theirs).
+    "q120_phash_pairs" -> { (s, dir) =>
+      graft.ml.Multimodal.hammingNearDupPairs(
+          phashSigs(s, dir).filter(col("doc_id") < 600), "doc_id", "sig",
+          maxDist = 2, bands = 8)
+        .withColumnRenamed("id_a", "doc_a")
+        .withColumnRenamed("id_b", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -746,6 +774,59 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q119/q120 shared signature build: 64-bucket md5 token histogram
+    * as the "pixel grid", then [[graft.ml.Multimodal.aHashBitsCol]]'s
+    * exact-integer bit rule (bit = count*64 >= n_tokens — no float
+    * mean, the q71 contract). Relational explode+groupBy shape (the
+    * q115 precedent): md5 evaluated exactly once per token, map-side
+    * combinable histogram agg, grid assembly over the ≤64-cell
+    * aggregated array — no higher-order lambda ever re-touches text
+    * or md5 (the CLAUDE.md re-evaluation trap). explode_outer per the
+    * shingleTable note: plain explode's implicit size>0 filter gets
+    * pushed below the repartition and re-runs the split on the
+    * single-file input partition. */
+  private def phashSigs(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        explode_outer(col("toks")).as("tk"))
+    val hist = tok
+      .select(col("doc_id"), col("n"),
+        (conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long") % 64)
+          .cast("int").as("b"))
+      .groupBy(col("doc_id"), col("n"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val cells = hist.groupBy(col("doc_id"), col("n"))
+      .agg(collect_list(struct(col("b"), col("c"))).as("cells"))
+    val grid = cells.select(col("doc_id"), col("n"),
+      transform(sequence(lit(0), lit(63)), i =>
+        // get() is null-safe past the array end (ANSI element_at
+        // throws on the empty buckets this coalesce exists for)
+        coalesce(get(filter(col("cells"),
+          cl => cl.getField("b") === i), lit(0)).getField("c"), lit(0L)))
+        .as("grid"))
+    grid.select(col("doc_id"),
+      graft.ml.Multimodal.aHashBitsCol(col("grid"), col("n")).as("sig"))
+  }
+
+  /** q119/q120 shared signature CTE (through `sig`): dense 64-bucket
+    * histogram via generate_series cross join, integer-exact bit rule
+    * c*64 >= n — mirrors [[phashSigs]] term for term. */
+  private val phashSigCte: String =
+    """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |tok AS (SELECT doc_id, len(toks) AS n, unnest(toks) AS tk FROM tt),
+      |hb AS (SELECT doc_id, n,
+      |  CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 64 AS b FROM tok),
+      |hist AS (SELECT doc_id, n, b, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+      |dense AS (SELECT d.doc_id, d.n, gs.i AS b, coalesce(h.c, 0) AS c
+      |  FROM (SELECT DISTINCT doc_id, n FROM hist) d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) gs
+      |  LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.b = gs.i),
+      |sig AS (SELECT doc_id,
+      |  string_agg(CASE WHEN c * 64 >= n THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+      |  FROM dense GROUP BY doc_id)""".stripMargin
+
   /** The q54 IVF top-k oracle — shared verbatim by q112 (stored-index
     * probe), which must reproduce the from-scratch scores exactly. */
   /** Build-once memo for the stored IVF index q112/q116 probe (the
@@ -1144,6 +1225,27 @@ object PipelineQueries {
         |  CAST(sum(tk) AS BIGINT) AS n_toks,
         |  CAST(sum(ch) AS BIGINT) AS n_chars
         |FROM tk GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q119/q120: 64-bucket md5 token histogram as the pixel grid,
+    // aHash bit = c*64 >= n (exact integers both sides). The pairs
+    // oracle is deliberately ALL-PAIRS (no banding): Spark's banded
+    // hamming-LSH claims pigeonhole exactness for maxDist < bands, so
+    // the unblocked form is the stronger comparator — any pair the
+    // bands failed to generate would hash-mismatch here.
+    "q119_phash_sig" ->
+      (phashSigCte + "\nSELECT doc_id, sig FROM sig ORDER BY doc_id"),
+
+    "q120_phash_pairs" -> {
+      val ham = (1 to 64)
+        .map(i => s"(CASE WHEN substr(a.sig, $i, 1) != substr(b.sig, $i, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$phashSigCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $ham AS hamming
+         |FROM sig a JOIN sig b
+         |  ON a.doc_id < b.doc_id AND a.doc_id < 600 AND b.doc_id < 600
+         |WHERE $ham <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // q114: the q54 cell-assignment CTEs + within-cell better-neighbor
     // rule; d2 and cos folds are list_dot_product — bit-identical to

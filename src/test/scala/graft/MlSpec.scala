@@ -517,6 +517,90 @@ class MlSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L)) // identical payloads
   }
 
+  test("perceptual hash: real PNG pixels, near-identical pair found, distinct pair not") {
+    import Multimodal.{MediaRow, PerceptualHash}
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = f(x, y).max(0).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    // base: gradient + bright square; near-copy: 5 scattered pixels
+    // flipped (re-save noise); distinct: inverted layout
+    val baseF = (x: Int, y: Int) =>
+      if (x >= 8 && x < 24 && y >= 8 && y < 24) 230 else (x + y) * 3 / 2
+    val base = png(baseF)
+    val near = png((x, y) =>
+      if ((x * 64 + y) % 823 == 0) 0 else baseF(x, y))
+    val far = png((x, y) =>
+      if (x >= 40 && x < 60 && y >= 36 && y < 60) 10 else 200 - x)
+    val Some((aBase, dBase)) = PerceptualHash.ofImage(base)
+    val Some((aNear, dNear)) = PerceptualHash.ofImage(near)
+    val Some((aFar, dFar)) = PerceptualHash.ofImage(far)
+    assert(aBase.length === 64 && dBase.length === 64)
+    assert(ham(aBase, aNear) <= 2, s"near aHash dist ${ham(aBase, aNear)}")
+    assert(ham(dBase, dNear) <= 2, s"near dHash dist ${ham(dBase, dNear)}")
+    assert(ham(aBase, aFar) > 10, s"far aHash dist ${ham(aBase, aFar)}")
+    assert(ham(dBase, dFar) > 10, s"far dHash dist ${ham(dBase, dFar)}")
+    // PNG is lossless: a byte-identical re-decode hashes identically
+    assert(PerceptualHash.ofImage(base.clone()) === Some((aBase, dBase)))
+    // JPEG RE-ENCODE of the same picture stays within a few bits —
+    // the actual perceptual-dedup claim (different bytes, same image)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jout)
+    val Some((aJpg, dJpg)) = PerceptualHash.ofImage(jout.toByteArray)
+    assert(!java.util.Arrays.equals(jout.toByteArray, base))
+    assert(ham(aBase, aJpg) <= 6, s"jpeg aHash dist ${ham(aBase, aJpg)}")
+    assert(ham(dBase, dJpg) <= 6, s"jpeg dHash dist ${ham(dBase, dJpg)}")
+    // undecodable payloads are None, never a throw
+    assert(PerceptualHash.ofImage("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(PerceptualHash.ofImage(base.take(30)).isEmpty)
+
+    // distributed: signatures drop undecodables; banded pair join +
+    // codegen bit_hamming finds exactly the planted near pair
+    val rows = Seq(
+      MediaRow(1L, "image/png", base, "s"),
+      MediaRow(2L, "image/png", near, "s"),
+      MediaRow(3L, "image/png", far, "s"),
+      MediaRow(4L, "application/octet-stream", "opaque".getBytes("UTF-8"), "s"))
+    val sigs = Multimodal.imageSignatures(spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow]))
+    assert(sigs.collect().map(_.media_id).toSet === Set(1L, 2L, 3L))
+    val pairs = Multimodal.hammingNearDupPairs(sigs.toDF(), "media_id", "ahash",
+        maxDist = 6, bands = 8)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((1L, 2L)), pairs.toString)
+    assert(pairs.head._3 === ham(aBase, aNear), "codegen hamming != JVM hamming")
+    // pigeonhole precondition is enforced, not silently under-recalled
+    intercept[IllegalArgumentException] {
+      Multimodal.hammingNearDupPairs(sigs.toDF(), "media_id", "ahash",
+        maxDist = 8, bands = 8)
+    }
+  }
+
+  test("perceptual hash: JVM aHash bit rule == Column aHash bit rule on integer grids") {
+    import Multimodal.PerceptualHash
+    val rnd = new scala.util.Random(42)
+    val grids = Seq.fill(25)(Array.fill(64)(rnd.nextInt(256).toLong)) :+
+      Array.fill(64)(7L) :+ // all-equal grid: every bit is >= mean
+      (Array.fill(63)(0L) :+ 64L) // one hot cell
+    val jvm = grids.map(g => PerceptualHash.aHashBits(g.map(_.toDouble)))
+    val colSide = grids.zipWithIndex
+      .map { case (g, i) => (i, g.toSeq, g.sum) }
+      .toDF("i", "grid", "total")
+      .select($"i", Multimodal.aHashBitsCol($"grid", $"total").as("sig"))
+      .orderBy($"i").as[(Int, String)].collect().map(_._2).toSeq
+    assert(colSide === jvm,
+      "Column-space aHash rule diverged from the JVM pixel-path rule")
+  }
+
   test("span dedup: repeated passage excised, unique text kept") {
     // "alpha beta gamma delta epsilon" is a 5-gram planted in docs 1+2;
     // everything else is unique. dfMax=1 => exactly that span goes.
