@@ -515,7 +515,30 @@ object CorpusPipeline {
       ivfTable: Option[String] = None,
       embed: DataFrame => DataFrame = identity,
       compactAtFilesPerBucket: Double = 16.0,
-      exportTo: Option[ExportCadence] = None)
+      exportTo: Option[ExportCadence] = None,
+      ivfMaintain: Option[IvfMaintainCadence] = None)
+
+  /** Vector-index rebuild policy for [[ingestAndMaintain]] (r12) —
+    * closes the REBUILD half of the IVF story the way append closed
+    * the fold-in half: [[IvfIndex.append]] assigns new vectors under
+    * stale centroids forever, so without a cadence the only rebuild
+    * trigger is an operator remembering to run one. The trigger is
+    * measured debt in the filesPerBucket/ExportCadence tradition:
+    * vectors appended since the last check ≥ `checkFraction` of the
+    * index population at that check (the check itself —
+    * [[IvfIndex.maintainIndex]] — is O(index), so it must not run
+    * per batch; the debt ratio bounds its amortized cost at
+    * 1/checkFraction of the append volume). When the check fires,
+    * geometry ([[IvfIndex.driftStats]] past `driftThreshold`) OR
+    * quality (mean recall@`k` under `recallFloor`, measured on
+    * `recallQueries`' sample when supplied) triggers a crash-safe
+    * [[IvfIndex.rebuild]] from the stored payload. */
+  final case class IvfMaintainCadence(
+      checkFraction: Double = 0.25,
+      driftThreshold: Double = 1.5,
+      recallQueries: Option[org.apache.spark.sql.SparkSession => DataFrame] = None,
+      recallFloor: Double = 0.8, k: Int = 10, nprobe: Int = 2,
+      iters: Int = 2)
 
   /** Shard-export refresh policy for [[ingestAndMaintain]] — closes
     * the loop for the artifact a training job actually reads: without
@@ -595,6 +618,11 @@ object CorpusPipeline {
     // is single-writer; an at-least-once replay can double-count a
     // batch's debt, which only makes the next export slightly early)
     var exportDebt = 0L
+    // vectors appended since the last IVF maintenance check + the
+    // index population as of that check (-1 = not yet read); same
+    // single-writer foreachBatch serialization argument as exportDebt
+    var ivfDebt = 0L
+    var ivfBase = -1L
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -671,6 +699,30 @@ object CorpusPipeline {
           onMaintain(batchId, StageStat(
             s"indexMaintain(compacted=${compacted.size})", nA, nA,
             math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
+          // IVF rebuild cadence (r12): measured appended-vector debt
+          // gates the O(index) drift/recall check; the check gates
+          // the rebuild. Runs before the export refresh so a fired
+          // rebuild's better index is what the next probes serve.
+          for (mc <- maint.ivfMaintain; t <- maint.ivfTable) {
+            ivfDebt += nA
+            // population read once, then carried forward from each
+            // check's own measurement (drift.nIndexed)
+            if (ivfBase < 0L) ivfBase = spark.table(t).count()
+            if (ivfBase == 0L ||
+                ivfDebt.toDouble / ivfBase >= mc.checkFraction) {
+              t0 = System.nanoTime()
+              val rep = IvfIndex.maintainIndex(spark, t,
+                mc.driftThreshold, mc.recallQueries.map(f => f(spark)),
+                mc.recallFloor, mc.k, mc.nprobe, mc.iters)
+              ivfDebt = 0L
+              ivfBase = rep.drift.nIndexed
+              onMaintain(batchId, StageStat(
+                s"ivfMaintain(rebuilt=${rep.rebuilt}" +
+                  rep.reason.fold("")(r => s": $r") + ")",
+                nA, rep.drift.nIndexed,
+                math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
+            }
+          }
           // shard-export refresh LAST in the maintenance slot (the
           // training artifact derives from the store + indexes, so
           // it re-exports only after both are current for this batch)

@@ -200,6 +200,53 @@ object IvfIndex {
     else None
   }
 
+  /** One maintenance check's full evidence + outcome: the measured
+    * geometry cue ([[Drift]]), the measured quality cue (mean
+    * recall@k over the caller's query sample, when one was supplied),
+    * whether a rebuild fired, and which cue justified it. */
+  final case class MaintainReport(drift: Drift, meanRecall: Option[Double],
+      rebuilt: Boolean, reason: Option[String])
+
+  /** The composed rebuild decision (r12) — geometry OR quality: an
+    * index can degrade two ways, and each cue sees only one of them.
+    * [[driftStats]] catches distribution shift (appended vectors far
+    * from the centroids they were assigned under — mean-d2 ratio
+    * inflates) but reads ≈1 when appends are in-distribution yet
+    * unluckily split across cell boundaries; [[recallProbe]] measures
+    * the probe's actual answer quality against the exact answer over
+    * the served payload and catches exactly that, but costs a
+    * sample×corpus pass, so it rides the same monitoring cadence.
+    * Decision order: drift first (cheaper — one aggregation over the
+    * index, no exact pass), recall only when drift is quiet and a
+    * query sample was supplied. Either cue past its threshold fires
+    * ONE [[rebuild]] (retrain from the stored payload, crash-safe
+    * swap); the report carries both measurements and the firing cue
+    * so operators can log the justification — the
+    * [[rebuildIfDrifted]] contract, widened to both halves. */
+  def maintainIndex(spark: SparkSession, table: String,
+      driftThreshold: Double = 1.5,
+      recallQueries: Option[DataFrame] = None,
+      recallFloor: Double = 0.8, k: Int = 10, nprobe: Int = 2,
+      iters: Int = 2): MaintainReport = {
+    val d = driftStats(spark, table)
+    if (d.ratio > driftThreshold) {
+      rebuild(spark, table, iters = iters)
+      MaintainReport(d, None, rebuilt = true,
+        Some(f"drift ratio ${d.ratio}%.3f > $driftThreshold%.2f"))
+    } else {
+      val rec = recallQueries.map(q =>
+        recallProbe(spark, table, q, k, nprobe)
+          .agg(avg(col("recall"))).head().getDouble(0))
+      rec match {
+        case Some(r) if r < recallFloor =>
+          rebuild(spark, table, iters = iters)
+          MaintainReport(d, rec, rebuilt = true,
+            Some(f"mean recall@$k $r%.4f < $recallFloor%.2f"))
+        case _ => MaintainReport(d, rec, rebuilt = false, None)
+      }
+    }
+  }
+
   /** 1-row (mean_d2, n) of the stored payload's squared distance to
     * its assigned cell centroid (decoded when quantized). Table names
     * are explicit so [[buildAndSwap]] can measure the `__new` side

@@ -554,6 +554,78 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestAndMaintain IVF cadence: measured debt gates the check; drift from shifted batches fires a rebuild in the loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // embedder with a planted distribution shift: docs with id >= 500
+    // land 1000 units away from the base population — the
+    // drift-inducing batch of the IvfIndexSpec driftStats test, in
+    // streaming form
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("vec_id"), lit("x").as("label"),
+        array((1 to 4).map(i =>
+          ((pmod(hash(col("doc_id") * i), lit(97)) + 1).cast("float") +
+            when(col("doc_id") >= 500L, lit(1000.0f)).otherwise(lit(0.0f)))): _*)
+          .as("embedding"))
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_ivfm_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      // IVF population: 100 base-distribution vectors, so the write-time
+      // baseline is representative and in-distribution appends hold
+      // drift ≈ 1 (the 4-doc band corpus would over-fit the baseline)
+      graft.ml.IvfIndex.write(
+        embed(spark.range(0, 100).select($"id".as("doc_id"))),
+        "g_ivfm_ivf", cells = 4, iters = 2, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val maintained = scala.collection.mutable.ListBuffer[(Long, String)]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_ivfm_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          ivfTable = Some("g_ivfm_ivf"), embed = embed,
+          // base is first read POST-append (102): debt 2/102 ≈ 0.0196
+          // >= 0.015, so the check runs every 2-doc batch
+          ivfMaintain = Some(CorpusPipeline.IvfMaintainCadence(
+            checkFraction = 0.015, driftThreshold = 1.5))),
+        evalIdx, evalN = 3,
+        onMaintain = (id, st) => maintained.synchronized {
+          maintained += ((id, st.stage)); () }) { (_, _, _) => () }
+      try {
+        // batch 0: in-distribution docs — check fires (debt ratio at
+        // threshold) and measures quiet drift: NO rebuild
+        input.addData(
+          300L -> "seven silver falcons circle the ancient observatory tower at dusk tonight",
+          301L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q.processAllAvailable()
+        // batch 1: shifted docs (>= 500 ⇒ +1000 offset) — the check
+        // measures inflated drift and fires a rebuild IN the loop
+        input.addData(
+          510L -> "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil",
+          511L -> "paper lanterns drift over the festival river while drummers keep gentle time")
+        q.processAllAvailable()
+      } finally q.stop()
+      val checks = maintained.toList.filter(_._2.startsWith("ivfMaintain"))
+      assert(checks.map(_._1) === List(0L, 1L), s"cadence events: $maintained")
+      assert(checks(0)._2.startsWith("ivfMaintain(rebuilt=false"), checks(0)._2)
+      assert(checks(1)._2.startsWith("ivfMaintain(rebuilt=true: drift"), checks(1)._2)
+      // the rebuild retrained centroids over the shifted population:
+      // geometry is repaired and no vectors were lost
+      assert(graft.ml.IvfIndex.driftStats(spark, "g_ivfm_ivf").ratio < 1.5)
+      assert(spark.table("g_ivfm_ivf").select($"vec_id").distinct().count() === 104L)
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_ivfm_band", "g_ivfm_band_keys",
+        "g_ivfm_ivf", "g_ivfm_ivf_centroids", "g_ivfm_ivf_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming chunk stage: micro-batch chunks equal the batch stage") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = corpus.filter($"doc_id" =!= 1L && $"doc_id" =!= 8L)

@@ -330,4 +330,53 @@ class IvfIndexSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("maintainIndex: healthy index is untouched; recall cue fires when drift is quiet; drift cue fires alone") {
+    val embs = seededEmbs(200, 16)
+    try {
+      IvfIndex.write(embs, "g_ivf_mn", cells = 8, iters = 2, buckets = 4)
+      val queries = embs.filter(col("vec_id") < 8)
+      // healthy: drift ≈ 1, exhaustive-probe recall = 1.0 — both cues
+      // quiet, no rebuild, and the report carries BOTH measurements
+      val ok = IvfIndex.maintainIndex(spark, "g_ivf_mn",
+        driftThreshold = 1.5, recallQueries = Some(queries),
+        recallFloor = 0.8, k = 5, nprobe = 8)
+      assert(!ok.rebuilt && ok.reason.isEmpty, ok.toString)
+      assert(ok.meanRecall === Some(1.0), ok.toString)
+      assert(ok.drift.ratio < 1.5, ok.toString)
+      // quality cue: drift stays quiet (threshold pushed out of
+      // reach), but nprobe=1 under-recalls on an 8-cell index — the
+      // recall floor alone must justify the rebuild
+      val lowRecall = IvfIndex.recallProbe(spark, "g_ivf_mn", queries,
+        k = 5, nprobe = 1).agg(avg(col("recall"))).head().getDouble(0)
+      assert(lowRecall < 0.99, f"precondition: nprobe=1 recall $lowRecall%.4f")
+      val byRecall = IvfIndex.maintainIndex(spark, "g_ivf_mn",
+        driftThreshold = 100.0, recallQueries = Some(queries),
+        recallFloor = 0.99, k = 5, nprobe = 1)
+      assert(byRecall.rebuilt, byRecall.toString)
+      assert(byRecall.reason.exists(_.contains("recall")), byRecall.toString)
+      assert(byRecall.meanRecall.exists(_ < 0.99), byRecall.toString)
+      assert(byRecall.drift.ratio <= 100.0, byRecall.toString)
+      // geometry cue: shifted append inflates drift past the
+      // threshold; decision order takes it FIRST (no recall pass —
+      // meanRecall empty even though a query sample was supplied)
+      val shifted = embs.filter(col("vec_id") < 60)
+        .select((col("vec_id") + 1000L).as("vec_id"), col("label"),
+          transform(col("embedding"), x => x + lit(10.0f)).as("embedding"))
+      IvfIndex.append(spark, "g_ivf_mn", shifted)
+      val byDrift = IvfIndex.maintainIndex(spark, "g_ivf_mn",
+        driftThreshold = 1.5, recallQueries = Some(queries),
+        recallFloor = 0.8, k = 5, nprobe = 8)
+      assert(byDrift.rebuilt, byDrift.toString)
+      assert(byDrift.reason.exists(_.contains("drift")), byDrift.toString)
+      assert(byDrift.drift.ratio > 1.5, byDrift.toString)
+      assert(byDrift.meanRecall.isEmpty, byDrift.toString)
+      // the fired rebuild actually repaired the geometry
+      assert(IvfIndex.driftStats(spark, "g_ivf_mn").ratio < 1.5)
+      assert(spark.table("g_ivf_mn").count() === 260L)
+    } finally {
+      Seq("g_ivf_mn", "g_ivf_mn_centroids", "g_ivf_mn_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
