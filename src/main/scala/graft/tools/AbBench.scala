@@ -1057,6 +1057,8 @@ object AbBench {
         .limit(100).count()
     }
 
+    val (q116Full, q116ProbeOnly, q116ExactOnly) = q116Variants(spark, sfDir)
+
     Seq(
       "q117_cur" -> (() => q117Cur()),
       "q117_scan_only" -> (() => q117ScanOnly()),
@@ -1138,7 +1140,60 @@ object AbBench {
       "q83_new3" -> (() => bm25New3()),
       "bpe_train10" -> (() => bpeTrain10()),
       "cc_powerlaw" -> (() => ccPowerlaw()),
-      "cc_chain" -> (() => ccChain()))
+      "cc_chain" -> (() => ccChain()),
+      "q116_full" -> (() => q116Full()),
+      "q116_probe_only" -> (() => q116ProbeOnly()),
+      "q116_exact_only" -> (() => q116ExactOnly()))
+  }
+
+  /** q116 decomposition (r12 pin): recallProbe = stored-index probe
+    * (approx side) + by-contract exact brute-force pass + the
+    * hits-join/agg. The exact pass is expected to dominate — it is
+    * sample×corpus BY CONTRACT (monitoring cadence, never serving) —
+    * but the pin discipline wants that measured, not asserted. Index
+    * built once per session (the q112 config) and probed warm, like
+    * the shipping query's build-once memo. */
+  private def q116Variants(spark: SparkSession, sfDir: String) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val table = "g_ab_q116_ivf"
+    def index(): String = {
+      if (!spark.catalog.tableExists(table)) {
+        for (t0 <- Seq(table, graft.ml.IvfIndex.centroidsTable(table),
+            graft.ml.IvfIndex.statsTable(table)))
+          graft.store.Bucketing.dropWithDir(spark, t0)
+        graft.ml.IvfIndex.write(graft.Tables.t(spark, sfDir, "embeddings"),
+          table, cells = 8, iters = 0, buckets = 4)
+      }
+      table
+    }
+    def queries = graft.Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 10)
+    def full(): Long =
+      graft.ml.IvfIndex.recallProbe(spark, index(), queries, k = 3, nprobe = 2)
+        .count()
+    def probeOnly(): Long =
+      graft.ml.IvfIndex.probe(spark, index(), queries, k = 3, nprobe = 2)
+        .count()
+    // the exact side of recallProbe, verbatim (float payload mode)
+    def exactOnly(): Long = {
+      val cands = spark.table(index())
+        .select(col("vec_id").as("cand_id"), col("v").as("cv"),
+          col("nrm").as("cn"))
+      val q = graft.ml.Similarity.prepared(queries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(round(col("cos"), 6).desc, col("cand_id"))
+      broadcast(q).crossJoin(cands)
+        .filter(col("query_id") =!= col("cand_id"))
+        .withColumn("cos",
+          graft.ml.Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .count()
+    }
+    (full _, probeOnly _, exactOnly _)
   }
 
   def time(f: () => Long): Double = {
