@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{Multimodal, SigIndex}
+
+/** Stored bit-signature index: banded probe must equal the batch-form
+  * hammingNearDupPairs restricted to batch-touching pairs; append is
+  * additive + id-idempotent; cross-batch near-dups are caught FROM
+  * the index; the pigeonhole precondition is enforced. */
+class SigIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randSig(seed: Long): String = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(64)(if (r.nextBoolean()) '1' else '0').mkString
+  }
+  private def flip(sig: String, bits: Int, seed: Long): String = {
+    val r = new scala.util.Random(seed)
+    val idx = r.shuffle((0 until sig.length).toList).take(bits).toSet
+    sig.zipWithIndex
+      .map { case (c, i) => if (idx(i)) (if (c == '1') '0' else '1') else c }
+      .mkString
+  }
+
+  test("probe equals the batch form on batch-touching pairs; append idempotent; cross-batch dup caught from the index") {
+    // corpus: 6 well-separated random sigs + one planted near-pair
+    val corpus = ((1L to 6L).map(i => (i, randSig(i * 37))) :+
+      (7L, flip(randSig(2 * 37), 2, 99))).toDF("media_id", "sig")
+    try {
+      SigIndex.write(corpus, "media_id", "sig", "g_sigidx", bands = 8,
+        buckets = 4)
+      // batch: 100 ≈ corpus 3 (2 bits), 101 ≈ 102 within-batch (1 bit),
+      // 103 unrelated
+      val batch = Seq(
+        (100L, flip(randSig(3 * 37), 2, 7)),
+        (101L, randSig(555)),
+        (102L, flip(randSig(555), 1, 8)),
+        (103L, randSig(777))).toDF("media_id", "sig")
+      val got = SigIndex.probe(spark, "g_sigidx", batch, "media_id", "sig",
+          maxDist = 3, bands = 8)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got.map(p => (p._1, p._2)) === Set((3L, 100L), (101L, 102L)), got)
+      // differential vs the batch form over the union, restricted to
+      // pairs touching the batch (probe's contract excludes
+      // corpus×corpus — those were screened when THEY were the batch)
+      val batchIds = Set(100L, 101L, 102L, 103L)
+      val full = Multimodal.hammingNearDupPairs(
+          corpus.unionByName(batch), "media_id", "sig",
+          maxDist = 3, bands = 8)
+        .as[(Long, Long, Int)].collect().toSet
+        .filter(p => batchIds(p._1) || batchIds(p._2))
+      assert(got === full, s"probe diverged from batch form: $got vs $full")
+
+      // append: additive, then a REPLAY is a no-op
+      SigIndex.append(spark, "g_sigidx", batch, "media_id", "sig", bands = 8)
+      val n1 = spark.table("g_sigidx").count()
+      SigIndex.append(spark, "g_sigidx", batch, "media_id", "sig", bands = 8)
+      assert(spark.table("g_sigidx").count() === n1, "replay appended rows")
+      assert(spark.table("g_sigidx").select($"id").distinct().count() === 11L)
+
+      // cross-batch: a later batch near APPENDED id 101 is caught
+      // from the index, not from any in-memory state
+      val b2 = Seq((200L, flip(randSig(555), 2, 9))).toDF("media_id", "sig")
+      val got2 = SigIndex.probe(spark, "g_sigidx", b2, "media_id", "sig",
+          maxDist = 3, bands = 8)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got2.map(p => (p._1, p._2)) === Set((101L, 200L), (102L, 200L)),
+        got2)
+
+      // pigeonhole precondition enforced, not silently under-recalled
+      intercept[IllegalArgumentException] {
+        SigIndex.probe(spark, "g_sigidx", b2, "media_id", "sig",
+          maxDist = 8, bands = 8)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS g_sigidx")
+    }
+  }
+}
