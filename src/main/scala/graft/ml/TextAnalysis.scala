@@ -21,14 +21,33 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("de", "shi", "bu", "le", "zai"))
 
-  /** Count of whole-word occurrences of `word` in text. */
+  /** The qualityScore punct-class complement for the translate-based
+    * counter: every ASCII alphanumeric plus space. */
+  private val alnumSpace: String =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).mkString + " "
+
+  /** Count of whole-word occurrences of `word` in text.
+    * `regexp_count` (r12): counts matches without materializing the
+    * match array `size(regexp_extract_all(...))` built just to
+    * measure — same value (both count the same non-overlapping
+    * leftmost matches), one less allocation per row. */
   def wordHits(text: Column, word: String): Column =
-    size(regexp_extract_all(text, lit("\\b" + word + "\\b"), lit(0)))
+    regexp_count(text, lit("\\b" + word + "\\b"))
+
+  /** Total whole-word hits over a word SET, as ONE fused alternation
+    * scan (r12) — value-identical to summing [[wordHits]] per word:
+    * whole-token matches at a given position are mutually exclusive
+    * (the trailing \b fails the shorter alternative and backtracks to
+    * the longer), so the per-word counts partition the alternation's
+    * matches. One regex pass instead of |words| — the scans were the
+    * dominant cost of qualityScore/langId (q38/q39/q74 class). */
+  def phraseHits(text: Column, words: Seq[String]): Column =
+    regexp_count(text, lit(words.mkString("\\b(", "|", ")\\b")))
 
   /** Per-language marker score columns: lang -> integer score. */
   def langScores(text: Column): Seq[(String, Column)] =
     langProfiles.map { case (lang, words) =>
-      lang -> words.map(w => wordHits(text, w)).reduce(_ + _)
+      lang -> phraseHits(text, words)
     }
 
   /** Predicted language: argmax of marker scores, ties broken by
@@ -46,7 +65,7 @@ object TextAnalysis {
   /** BPE-ish subword count: alpha runs + digit runs + individual
     * punctuation, the pre-tokenization split every BPE vocab shares. */
   def bpeishTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+    regexp_count(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
 
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(split(text, " ")))
@@ -58,10 +77,17 @@ object TextAnalysis {
     val nChars = length(text)
     val nToks = wsTokenCount(text)
     val ttr = distinctTokenCount(text).cast("double") / nToks
-    val stopHits = Seq("the", "a", "of", "is", "and")
-      .map(w => wordHits(text, w)).reduce(_ + _)
+    val stopHits = phraseHits(text, Seq("the", "a", "of", "is", "and"))
     val stopRatio = stopHits.cast("double") / nToks
-    val punctCount = size(regexp_extract_all(text, lit("[^a-zA-Z0-9 ]"), lit(0)))
+    // Punct count via translate, NOT regexp_count("[^a-zA-Z0-9 ]"):
+    // value-identical (a single-char class matches once per char, so
+    // match count == survivor length after deleting the class's
+    // complement), but the regex form is a measured 10-20× hot spot —
+    // Java regex evaluates a negated class through per-char lambda
+    // predicates with no Boyer-Moore skip, and a zero-match scan
+    // walks every char at ~57 ns (AbBench r12 q74_punctonly 1.98 s
+    // vs q74_translate 0.2 s at sf1); translate is a table lookup.
+    val punctCount = length(translate(text, alnumSpace, ""))
     // greatest(.,1): total on the EMPTY string (a span-dedup pass can
     // legitimately excise a whole document) — ANSI mode turns the bare
     // division into a job-killing error there; identical result for

@@ -1058,6 +1058,13 @@ object AbBench {
     }
 
     val (q116Full, q116ProbeOnly, q116ExactOnly) = q116Variants(spark, sfDir)
+    val (q74Cur, q74NoRepart, q74MapScan, q74Md5Only, q74QualOnly,
+      q74TtrOnly, q74RegexOnly, q74RegexNoRepart, q74StopOnly,
+      q74PunctOnly, q74PunctOldForm, q74Split1m, q74Split256k,
+      q74PartsProbe, q74PunctNoFilter, q74PunctFilterSplit,
+      q74PunctFilterAgg, q74PunctCheapFilterAgg, q74PunctFilterNoCodegen,
+      q74BareFilter, q74BareFilterStop, q74AggStop) =
+      q74Variants(spark, sfDir)
 
     Seq(
       "q117_cur" -> (() => q117Cur()),
@@ -1141,9 +1148,149 @@ object AbBench {
       "bpe_train10" -> (() => bpeTrain10()),
       "cc_powerlaw" -> (() => ccPowerlaw()),
       "cc_chain" -> (() => ccChain()),
+      "q74_cur" -> (() => q74Cur()),
+      "q74_norepart" -> (() => q74NoRepart()),
+      "q74_mapscan" -> (() => q74MapScan()),
+      "q74_md5only" -> (() => q74Md5Only()),
+      "q74_qualonly" -> (() => q74QualOnly()),
+      "q74_ttronly" -> (() => q74TtrOnly()),
+      "q74_regexonly" -> (() => q74RegexOnly()),
+      "q74_regexnorepart" -> (() => q74RegexNoRepart()),
+      "q74_stoponly" -> (() => q74StopOnly()),
+      "q74_punctonly" -> (() => q74PunctOnly()),
+      "q74_punctoldform" -> (() => q74PunctOldForm()),
+      "q74_split1m" -> (() => q74Split1m()),
+      "q74_split256k" -> (() => q74Split256k()),
+      "q74_partsprobe" -> (() => q74PartsProbe()),
+      "q74_punctnofilter" -> (() => q74PunctNoFilter()),
+      "q74_punctfiltersplit" -> (() => q74PunctFilterSplit()),
+      "q74_punctfilteragg" -> (() => q74PunctFilterAgg()),
+      "q74_punctcheapfilteragg" -> (() => q74PunctCheapFilterAgg()),
+      "q74_punctfilternocodegen" -> (() => q74PunctFilterNoCodegen()),
+      "q74_barefilter" -> (() => q74BareFilter()),
+      "q74_barefilterstop" -> (() => q74BareFilterStop()),
+      "q74_aggstop" -> (() => q74AggStop()),
       "q116_full" -> (() => q116Full()),
       "q116_probe_only" -> (() => q116ProbeOnly()),
       "q116_exact_only" -> (() => q116ExactOnly()))
+  }
+
+  /** q74 decomposition (r12): isolate repartition / qualityScore /
+    * md5-bucket / filter contributions at a chosen SF. */
+  private def q74Variants(spark: SparkSession, sfDir: String) = {
+    import org.apache.spark.sql.functions._
+    def docs = graft.Tables.t(spark, sfDir, "documents")
+    def q4 = round(graft.ml.TextAnalysis.qualityScore(col("text")), 4)
+    def bucket = (conv(substring(md5(col("text")), 1, 8), 16, 10)
+      .cast("long") % 10000)
+    def cur(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), q4.as("quality"), bucket.as("bucket"))
+      .filter(col("bucket") < col("quality") * 10000)
+      .orderBy(col("doc_id")).count()
+    def noRepart(): Long = docs
+      .select(col("doc_id"), q4.as("quality"), bucket.as("bucket"))
+      .filter(col("bucket") < col("quality") * 10000)
+      .orderBy(col("doc_id")).count()
+    def mapScan(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), q4.as("quality"), bucket.as("bucket"))
+      .filter(col("bucket") < col("quality") * 10000).count()
+    def md5Only(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), bucket.as("bucket"))
+      .filter(col("bucket") < 5000).count()
+    def qualOnly(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), q4.as("quality"))
+      .filter(col("quality") > 0.5).count()
+    def ttrOnly(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        (size(array_distinct(split(col("text"), " "))).cast("double") /
+          size(split(col("text"), " "))).as("ttr"))
+      .filter(col("ttr") > 0.5).count()
+    def regexOnly(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        (graft.ml.TextAnalysis.phraseHits(col("text"),
+          Seq("the", "a", "of", "is", "and")) +
+          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))).as("h"))
+      .filter(col("h") >= 0).count()
+    def regexNoRepart(): Long = docs
+      .select(col("doc_id"),
+        (graft.ml.TextAnalysis.phraseHits(col("text"),
+          Seq("the", "a", "of", "is", "and")) +
+          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]"))).as("h"))
+      .filter(col("h") >= 0).count()
+    def stopOnly(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), graft.ml.TextAnalysis.phraseHits(col("text"),
+        Seq("the", "a", "of", "is", "and")).as("h"))
+      .filter(col("h") >= 0).count()
+    def punctOnly(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("h"))
+      .filter(col("h") >= 0).count()
+    def punctOldForm(): Long = docs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0))).as("h"))
+      .filter(col("h") >= 0).count()
+    def withSplit(bytes: Long)(f: () => Long): Long = {
+      val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
+      try f() finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    }
+    def curSplit1m(): Long = withSplit(1L << 20)(cur _)
+    def partsProbe(): Long = withSplit(1L << 20)(() =>
+      docs.select(col("doc_id"),
+          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("h"))
+        .filter(col("h") >= 0).rdd.getNumPartitions.toLong)
+    def punctNoFilter(): Long = withSplit(1L << 20)(() =>
+      docs.select(regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("h"))
+        .agg(sum(col("h"))).count())
+    def punctFilterSplit(): Long = withSplit(1L << 20) { () =>
+      docs.select(col("doc_id"),
+          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("h"))
+        .filter(col("h") >= 0).count()
+    }
+    def punctFilterAgg(): Long = withSplit(1L << 20) { () =>
+      docs.select(col("doc_id"),
+          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("h"))
+        .filter(col("h") >= 0).agg(sum(col("h"))).count()
+    }
+    def punctCheapFilterAgg(): Long = withSplit(1L << 20) { () =>
+      docs.select(col("doc_id"),
+          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("h"))
+        .filter(col("doc_id") >= 0).agg(sum(col("h"))).count()
+    }
+    def punctBareFilter(): Long = withSplit(1L << 20)(() =>
+      docs.filter(
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")) >= 0).count())
+    def punctBareFilterStop(): Long = withSplit(1L << 20)(() =>
+      docs.filter(
+        regexp_count(col("text"), lit("\\b(the|a|of|is|and)\\b")) >= 0).count())
+    def punctAggStop(): Long = withSplit(1L << 20)(() =>
+      docs.select(regexp_count(col("text"),
+          lit("\\b(the|a|of|is|and)\\b")).as("h"))
+        .agg(sum(col("h"))).count())
+    def punctFilterNoCodegen(): Long = withSplit(1L << 20) { () =>
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      try docs.select(col("doc_id"),
+          regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).as("h"))
+        .filter(col("h") >= 0).count()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    def curSplit256k(): Long = withSplit(256L << 10)(cur _)
+    (cur _, noRepart _, mapScan _, md5Only _, qualOnly _, ttrOnly _,
+      regexOnly _, regexNoRepart _, stopOnly _, punctOnly _, punctOldForm _,
+      curSplit1m _, curSplit256k _, partsProbe _, punctNoFilter _,
+      punctFilterSplit _, punctFilterAgg _, punctCheapFilterAgg _,
+      punctFilterNoCodegen _, punctBareFilter _, punctBareFilterStop _,
+      punctAggStop _)
   }
 
   /** q116 decomposition (r12 pin): recallProbe = stored-index probe
