@@ -167,11 +167,26 @@ object Similarity {
     val p = prepared(embs)
     val joined =
       if (bucketBits > 0) {
-        // Scale path: equi-join on the bucket key — partitions by bucket.
+        // Scale path: equi-join on the bucket key. The plain form
+        // collapses parallelism to 2^bits partitions (a self-join's
+        // exchange clusters on the bucket key — 16 buckets cap a
+        // 32-core box at half width, and a 1000-executor cluster at
+        // 1.6%), so the join is SHAPED like Ivf.probeShaped (r12,
+        // AbBench q53_cur/bcast/salted at sf1: 1.88/1.15/1.44 s min):
+        //  - corpus under the broadcast threshold: broadcast the build
+        //    side and round-robin the stream side to full width — the
+        //    Σ|bucket|² scoring rides cluster-wide partitions with no
+        //    keyed exchange at all;
+        //  - past the threshold: salt the key — stream rows take
+        //    hash(vec_id)%S, build rows replicate ×S — multiplying
+        //    join parallelism to 2^bits·S for S× build-row (not pair)
+        //    duplication. Each qualifying pair still meets exactly
+        //    once (one matching (bucket, salt) replica), so output is
+        //    bit-identical either way.
         val pb = p.withColumn("bucket", signBucket(col("v"), bucketBits))
         val a = pb.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
         val b = pb.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-        a.join(b, Seq("bucket"))
+        shapedSelfJoin(a, b, "bucket", 1 << bucketBits, "vec_a")
       } else {
         // Exact baseline: broadcast-nested-loop cross join — every
         // partition streams against the broadcast side, keeping all
@@ -186,6 +201,36 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Self-join on a LOW-cardinality blocking key without the
+    * parallelism collapse (r12, AbBench q53 at sf1: plain 1.88 s /
+    * broadcast 1.15 / salted 1.44 min): a keyed exchange on 2^bits
+    * buckets or k cells caps the Σ|block|² scoring at the KEY COUNT
+    * of partitions — half a 32-core box, 1.6% of a 1000-executor
+    * cluster. Under the broadcast threshold (plan-stats decided, the
+    * Ivf.probeShaped idiom) the build side broadcasts and the stream
+    * side round-robins to full width — no keyed exchange at all; past
+    * it the key is SALTED: stream rows take hash(id)%S, build rows
+    * replicate ×S, multiplying parallelism to keyCard·S for S× build
+    * ROW (not pair) duplication. Each qualifying pair still meets
+    * exactly once — one matching (key, salt) replica — so output is
+    * bit-identical on either path. */
+  private def shapedSelfJoin(left: DataFrame, right: DataFrame,
+      key: String, keyCard: Int, leftIdCol: String): DataFrame = {
+    val spark = left.sparkSession
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val bytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    val width = spark.sparkContext.defaultParallelism
+    if (thr >= 0 && bytes <= BigInt(thr))
+      left.repartition(width).join(broadcast(right), Seq(key))
+    else {
+      val s = math.max(1, 4 * width / math.max(1, keyCard))
+      left.withColumn("__salt", pmod(hash(col(leftIdCol)), lit(s)))
+        .join(right.withColumn("__salt",
+          explode(sequence(lit(0), lit(s - 1)))), Seq(key, "__salt"))
+        .drop("__salt")
+    }
   }
 
   /** SemDeDup-style semantic deduplication (the published recipe:
@@ -224,7 +269,9 @@ object Similarity {
     val other = assigned.select(col("cell_id"),
       col("vec_id").as("o_id"), col("v").as("ov"),
       col("nrm").as("on"), col("d2").as("od2"))
-    val dropped = assigned.join(other, Seq("cell_id"))
+    // shapedSelfJoin (r12): k cells would otherwise cap the within-
+    // cell pair scoring at k partitions — see the helper's scaladoc
+    val dropped = shapedSelfJoin(assigned, other, "cell_id", cells, "vec_id")
       .filter(col("vec_id") =!= col("o_id"))
       .withColumn("cos", dot(col("v"), col("ov")) / (col("nrm") * col("on")))
       .filter(round(col("cos"), 6) >= threshold)

@@ -1057,6 +1057,53 @@ object AbBench {
         .limit(100).count()
     }
 
+    def q53Cur(): Long =
+      graft.ml.Similarity.cosineNearDupPairs(
+        graft.Tables.t(spark, sfDir, "embeddings"), threshold = 0.45,
+        bucketBits = 4).count()
+    def q53Bcast(): Long = {
+      val p0 = graft.ml.Similarity.prepared(
+        graft.Tables.t(spark, sfDir, "embeddings"))
+        .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
+      val a = p0.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val b = p0.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(broadcast(b), Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", graft.ml.Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")))
+        .filter(round(col("cos"), 6) >= 0.45).count()
+    }
+
+    def q53Stats(): Long = {
+      val pb = graft.ml.Similarity.prepared(
+        graft.Tables.t(spark, sfDir, "embeddings"))
+        .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
+      System.err.println("Q53STATS=" +
+        pb.queryExecution.optimizedPlan.stats.sizeInBytes +
+        " thr=" + org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold)
+      1L
+    }
+    def q53Salted(): Long = {
+      val S = 8
+      val p0 = graft.ml.Similarity.prepared(
+        graft.Tables.t(spark, sfDir, "embeddings"))
+        .withColumn("bucket", graft.ml.Similarity.signBucket(col("v"), 4))
+      val a = p0.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        .withColumn("salt", pmod(hash(col("vec_a")), lit(S)))
+      val b = p0.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      a.join(b, Seq("bucket", "salt"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", graft.ml.Similarity.dot(col("va"), col("vb")) /
+          (col("na") * col("nb")))
+        .filter(round(col("cos"), 6) >= 0.45).count()
+    }
+
     val (q116Full, q116ProbeOnly, q116ExactOnly) = q116Variants(spark, sfDir)
     val (q74Cur, q74NoRepart, q74MapScan, q74Md5Only, q74QualOnly,
       q74TtrOnly, q74RegexOnly, q74RegexNoRepart, q74StopOnly,
@@ -1148,6 +1195,10 @@ object AbBench {
       "bpe_train10" -> (() => bpeTrain10()),
       "cc_powerlaw" -> (() => ccPowerlaw()),
       "cc_chain" -> (() => ccChain()),
+      "q53_cur" -> (() => q53Cur()),
+      "q53_bcast" -> (() => q53Bcast()),
+      "q53_salted" -> (() => q53Salted()),
+      "q53_stats" -> (() => q53Stats()),
       "q74_cur" -> (() => q74Cur()),
       "q74_norepart" -> (() => q74NoRepart()),
       "q74_mapscan" -> (() => q74MapScan()),
