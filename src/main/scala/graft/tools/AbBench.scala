@@ -1104,6 +1104,54 @@ object AbBench {
         .filter(round(col("cos"), 6) >= 0.45).count()
     }
 
+    // q67 OLD: customer ⋈ orders LEFT then double-agg (the literal
+    // TPC-H Q13 plan — shuffles 1.5M order rows into the join).
+    def q67Join(): Long = {
+      graft.Tables.t(spark, sfDir, "customer")
+        .join(graft.Tables.t(spark, sfDir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders")).agg(count(lit(1)).as("n_cust"))
+        .count()
+    }
+    // q67 NEW: pre-aggregate orders BELOW the join (map-side combine
+    // shrinks the shuffle to (custkey,count) partials), then left-join
+    // the 10×-smaller count table to customer keys.
+    def q67PreAgg(): Long = {
+      val cnt = graft.Tables.t(spark, sfDir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      graft.Tables.t(spark, sfDir, "customer").select(col("c_custkey"))
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .groupBy(col("n_orders")).agg(count(lit(1)).as("n_cust"))
+        .count()
+    }
+
+    // q15 OLD: two events scans (JSON parsed twice) + EXCEPT
+    // (distinct both sides + anti-join = three exchanges).
+    def q15Except(): Long = {
+      val ev = graft.Tables.t(spark, sfDir, "events")
+      val a = ev.filter(col("event_type") === "error" && dayofmonth(col("ts")) <= 15)
+        .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      val b = ev.filter(col("event_type") === "error" && dayofmonth(col("ts")) > 15)
+        .select(col("user_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      a.except(b).count()
+    }
+    // q15 NEW: one scan, JSON parsed once, one (user,k) shuffle with
+    // half-membership flags; EXCEPT = a ∧ ¬b on the grouped row.
+    def q15OneScan(): Long = {
+      graft.Tables.t(spark, sfDir, "events")
+        .filter(col("event_type") === "error")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          (dayofmonth(col("ts")) <= 15).as("h1"))
+        .groupBy(col("user_id"), col("k"))
+        .agg(max(col("h1")).as("a"), max(!col("h1")).as("b"))
+        .filter(col("a") && !col("b"))
+        .count()
+    }
+
     val (q116Full, q116ProbeOnly, q116ExactOnly) = q116Variants(spark, sfDir)
     val (q74Cur, q74NoRepart, q74MapScan, q74Md5Only, q74QualOnly,
       q74TtrOnly, q74RegexOnly, q74RegexNoRepart, q74StopOnly,
@@ -1195,6 +1243,10 @@ object AbBench {
       "bpe_train10" -> (() => bpeTrain10()),
       "cc_powerlaw" -> (() => ccPowerlaw()),
       "cc_chain" -> (() => ccChain()),
+      "q67_join" -> (() => q67Join()),
+      "q67_preagg" -> (() => q67PreAgg()),
+      "q15_except" -> (() => q15Except()),
+      "q15_onescan" -> (() => q15OneScan()),
       "q53_cur" -> (() => q53Cur()),
       "q53_bcast" -> (() => q53Bcast()),
       "q53_salted" -> (() => q53Salted()),
