@@ -258,29 +258,29 @@ object ShapeQueries {
     // behind dedup-aware data selection — what fraction of a document's
     // distinct 3-grams has never appeared in any earlier document
     // (doc_id order = ingest order). Novelty 0 = fully redundant.
-    // Plan: one groupBy finds each gram's first doc, one join tags each
-    // (doc, gram) row, one groupBy rolls up per doc. The join (not a
-    // collect_list re-explode) is deliberate: a corpus-hot gram's
-    // posting never materializes as a single giant array row, and AQE
-    // skew-split handles hot gram keys. Measured (AbBench q96_join vs
-    // q96_collect, interleaved, sf0.1): the collect form is ~15%
-    // faster at toy scale (min 0.51 vs 0.64 s) — kept the join form
-    // anyway, the q32 call: a bounded local win does not buy an
-    // unbounded array row at 100 TB. The gram table feeds two
-    // consumers, so it persists (gram-table lifetime, reclaimed by the
-    // ContextCleaner once the result frame is GC'd).
+    // Plan (r12): NO gram-scale join at all — because the gram table
+    // is distinct per doc, n_new(doc) is read straight off the gram
+    // aggregate (min(doc_id) per gram, then a DOC-scale count of
+    // grams claimed by each first doc) and joined to a per-doc gram
+    // count at doc cardinality. The r6 form joined the first-doc agg
+    // BACK to the gram table (gram-scale join + gram-scale per-doc
+    // rollup); AbBench sf1 interleaved: join 2.14 s / collect-explode
+    // 1.00 s / this 0.48 s — and unlike the collect form, no
+    // corpus-hot gram ever materializes a giant posting array, so the
+    // skew story survives 100 TB. The gram table feeds two consumers,
+    // so it persists (reclaimed once the result frame is GC'd).
     "q96_ngram_novelty" -> { (s, dir) =>
       val sh = graft.ml.TextDedup
         .shingleKeyTable(t(s, dir, "documents"), 3)
+        .filter(col("shingle").isNotNull)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, Seq("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_new"))
-        .select(col("doc_id"), col("n_grams"), col("n_new"),
-          round(col("n_new") / col("n_grams"), 4).as("novelty"))
+      val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val nNew = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("fd"))
+        .groupBy(col("fd")).agg(count(lit(1)).as("nn"))
+      perDoc.join(nNew, col("doc_id") === col("fd"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("nn"), lit(0L)).as("n_new"),
+          round(coalesce(col("nn"), lit(0L)) / col("n_grams"), 4).as("novelty"))
         .orderBy(col("doc_id"))
     },
 

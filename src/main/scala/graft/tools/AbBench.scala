@@ -1152,6 +1152,86 @@ object AbBench {
         .count()
     }
 
+    // q89 r12: replace the gram-scale SORT window (count over
+    // partition by gram) with a gram hash-agg collecting the
+    // (source, df_src) pairs — the array is bounded by the SOURCE
+    // vocabulary (dozens), so no skew hazard, and the n_sources<=3
+    // filter drops to a tiny frame before the per-source rank.
+    def q89Collect(): Long = {
+      val toks = col("toks")
+      val grams = transform(toks, (x, i) =>
+        concat_ws(" ", x, get(toks, i + lit(1)), get(toks, i + lit(2))))
+      val d = docs.withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          explode_outer(when(size(toks) >= 3,
+            array_distinct(slice(grams, lit(1), size(toks) - 2)))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .filter(col("gram").isNotNull)
+        .groupBy(col("gram"), col("source"))
+        .agg(count(lit(1)).as("df_src"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("df_src").desc, col("gram"))
+      d.groupBy(col("gram"))
+        .agg(collect_list(struct(col("source"), col("df_src"))).as("ss"))
+        .filter(size(col("ss")) <= 3)
+        .select(col("gram"), size(col("ss")).cast("long").as("n_sources"),
+          explode(col("ss")).as("s"))
+        .select(col("gram"), col("n_sources"),
+          col("s.source").as("source"), col("s.df_src").as("df_src"))
+        .filter(col("df_src") >= 2)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3).count()
+    }
+
+    // q89 stage isolates: explode+agg only (no windows), and an
+    // all-LONG variant hashing grams (xxhash64 over token triples, no
+    // string concat/allocation) to size the string-gram tax.
+    def q89AggOnly(): Long = {
+      val toks = col("toks")
+      val grams = transform(toks, (x, i) =>
+        concat_ws(" ", x, get(toks, i + lit(1)), get(toks, i + lit(2))))
+      docs.withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          explode_outer(when(size(toks) >= 3,
+            array_distinct(slice(grams, lit(1), size(toks) - 2)))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .filter(col("gram").isNotNull)
+        .groupBy(col("gram"), col("source"))
+        .agg(count(lit(1)).as("df_src")).count()
+    }
+    def q89HashAgg(): Long = {
+      val th = col("th")
+      val grams = transform(th, (x, i) =>
+        xxhash64(x, get(th, i + lit(1)), get(th, i + lit(2))))
+      docs.withColumn("th",
+          transform(split(col("text"), " "), t => xxhash64(t)))
+        .select(col("doc_id"), col("source"),
+          explode_outer(when(size(th) >= 3,
+            array_distinct(slice(grams, lit(1), size(th) - 2)))
+            .otherwise(array().cast("array<bigint>"))).as("gram"))
+        .filter(col("gram").isNotNull)
+        .groupBy(col("gram"), col("source"))
+        .agg(count(lit(1)).as("df_src")).count()
+    }
+
+    // q96 NEW: n_new(doc) = |{grams: min(doc_id)=doc}| — read off the
+    // gram agg alone (second groupBy is DOC-scale), joined to a
+    // per-doc gram count at doc cardinality. No gram-scale join.
+    def q96NoJoin(): Long = {
+      val sh = graft.ml.TextDedup
+        .shingleKeyTable(graft.Tables.t(spark, sfDir, "documents"), 3)
+        .filter(col("shingle").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val perDoc = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val nNew = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("fd"))
+        .groupBy(col("fd")).agg(count(lit(1)).as("nn"))
+      val r = perDoc.join(nNew, col("doc_id") === col("fd"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("nn"), lit(0L)).as("n_new"))
+        .count()
+      sh.unpersist(false); r
+    }
+
     val (q116Full, q116ProbeOnly, q116ExactOnly) = q116Variants(spark, sfDir)
     val (q74Cur, q74NoRepart, q74MapScan, q74Md5Only, q74QualOnly,
       q74TtrOnly, q74RegexOnly, q74RegexNoRepart, q74StopOnly,
@@ -1229,6 +1309,9 @@ object AbBench {
       "q96_collect" -> (() => q96Collect()),
       "q89_old" -> (() => q89Old()),
       "q89_new" -> (() => q89New()),
+      "q89_collect" -> (() => q89Collect()),
+      "q89_aggonly" -> (() => q89AggOnly()),
+      "q89_hashagg" -> (() => q89HashAgg()),
       "q32_current" -> (() => q32Current()),
       "q32_digests" -> (() => q32Digests()),
       "q32_sigs" -> (() => q32Sigs()),
@@ -1243,6 +1326,7 @@ object AbBench {
       "bpe_train10" -> (() => bpeTrain10()),
       "cc_powerlaw" -> (() => ccPowerlaw()),
       "cc_chain" -> (() => ccChain()),
+      "q96_nojoin" -> (() => q96NoJoin()),
       "q67_join" -> (() => q67Join()),
       "q67_preagg" -> (() => q67PreAgg()),
       "q15_except" -> (() => q15Except()),
