@@ -547,33 +547,36 @@ object CoreQueries {
     // order where NO OTHER supplier was late. The classic plan is a
     // semi+anti probe pair over a distinct late set; this is the
     // aggregation decorrelation instead (r7, AbBench med 0.80 s vs
-    // 1.16 s for semi+anti at sf0.1): collapse the fact to distinct
-    // (order, supplier, max_ship) — one bounded shuffle with map-side
-    // partial agg — join orders for the lateness flag (per pair:
-    // late iff the LATEST line is late, identical to "any line
-    // late"), then one per-order aggregate produces n_supp / n_late /
-    // the sole late suppkey, and the Q21 EXISTS + NOT EXISTS pair
-    // becomes the filter n_late=1 ∧ n_supp>1. Two aggregations
-    // bounded by pairs/orders replace three fact-keyed joins and a
-    // persist; supplier (a bounded dim ~orders/150) broadcasts for
-    // the name lookup.
+    // 1.16 s for semi+anti at sf0.1): attach the order date to each
+    // line, collapse to (order, supplier, any-line-late) — one
+    // bounded shuffle with map-side partial agg — then one per-order
+    // aggregate produces n_supp / n_late / the sole late suppkey,
+    // and the Q21 EXISTS + NOT EXISTS pair becomes the filter
+    // n_late=1 ∧ n_supp>1. Two aggregations bounded by pairs/orders
+    // replace three fact-keyed joins and a persist; supplier (a
+    // bounded dim ~orders/150) broadcasts for the name lookup.
     "q81_sole_late_supplier" -> { (s, dir) =>
-      // r8 (AbBench q81_cur/q81_oneshuffle interleaved, min 1.22→0.96,
-      // med 1.38→1.00 at sf0.1): repartition the FACT on l_orderkey so
-      // ONE exchange serves the whole query — the (ok, sk) pair agg
-      // (hash(ok) satisfies its clustering by the subset rule), the
-      // orders join, and the per-order agg all reuse it; the old form
-      // re-shuffled the pairs frame from hash(ok, sk) to hash(ok).
-      val pairs = t(s, dir, "lineitem")
+      // r12 (AbBench interleaved at sf1: cur 2.11 / date-broadcast
+      // fold 1.57 / THIS 1.26 min; sf0.1: 1.29→0.78): join the order
+      // dates onto the fact BEFORE the pair agg — the r8 form's
+      // mid-plan pairs⋈orders join (and the max_ship carry) disappear
+      // and the lateness flag folds into the first aggregate. The
+      // join is shuffle_hash on the order key with BOTH sides
+      // exchanged (lineitem's repartition feeds the join, both aggs
+      // ride its partitioning by the subset rule): no SMJ sorts of
+      // two fact tables, and no fact-side broadcast — the r9
+      // broadcast-dates fold was faster than r8 too but dies at
+      // 100 TB where orders is not a dim; this form keeps its fusion
+      // win with fact⋈fact-honest movement.
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
         .repartition(col("l_orderkey"))
-        .groupBy(col("l_orderkey"), col("l_suppkey"))
-        .agg(max(col("l_shipdate")).as("max_ship"))
-      pairs
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")).hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
-        .withColumn("is_late",
-          (col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-            .cast("int"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .cast("int")).as("is_late"))
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
           max(when(col("is_late") === 1, col("l_suppkey"))).as("sole_supp"))

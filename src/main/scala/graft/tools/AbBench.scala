@@ -435,6 +435,32 @@ object AbBench {
         .count()
     }
 
+    // r12: the fold shape WITHOUT the fact-side broadcast — orders
+    // exchanges on its key like any fact⋈fact join, shuffle_hash
+    // build per partition (no SMJ sorts of 6M+1.5M rows), aggs ride
+    // the join's partitioning. The honest 100 TB form of q81_fold.
+    def q81FoldSh(): Long = {
+      val od = graft.Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")).hint("shuffle_hash")
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .repartition(col("l_orderkey"))
+        .join(od, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .cast("int")).as("is_late"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"), sum(col("is_late")).as("n_late"),
+          max(when(col("is_late") === 1, col("l_suppkey"))).as("sole_supp"))
+        .filter(col("n_late") === 1 && col("n_supp") > 1)
+        .join(broadcast(graft.Tables.t(spark, sfDir, "supplier")),
+          col("sole_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .count()
+    }
+
     // q31 r9 decomposition: where does the 1.2-1.6 s go? Stage
     // isolates over the same parameters as the query (n=3, dfCap=50).
     def q31Cur(): Long = {
@@ -1284,6 +1310,7 @@ object AbBench {
       "q81_cur" -> (() => q81Cur()),
       "q81_oneshuffle" -> (() => q81OneShuffle()),
       "q81_fold" -> (() => q81Fold()),
+      "q81_fold_sh" -> (() => q81FoldSh()),
       "q101_cur" -> (() => q101Cur()),
       "q101_struct" -> (() => q101Struct()),
       "q101_postings" -> (() => q101Postings()),

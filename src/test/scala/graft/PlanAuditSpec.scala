@@ -159,6 +159,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p81.contains("HashAggregate"), p81.take(3000))
     assert(p81.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("s_suppkey")), p81.take(3000))
+    // r12 fold: the order-date attach is a fact⋈fact SHUFFLE-HASH
+    // join (no SMJ sorts, no fact-side broadcast) feeding both aggs
+    assert(p81.linesIterator.exists(l =>
+      l.contains("ShuffledHashJoin") && l.contains("o_orderkey")), p81.take(3000))
+    assert(!p81.contains("SortMergeJoin"), p81.take(3000))
   }
 
   test("q76 span dedup: consumers read the persisted token table, no doc-pair join") {
