@@ -41,6 +41,42 @@ object Tables {
       else df
     })
 
+  /** Scale-adaptive shape pick for a fact-table attach side (r12).
+    *
+    * The recurring q06/q81/q90/q92 pattern: a query attaches one or
+    * two columns of a second fact table (orders) onto the main fact
+    * by key. At small scale the right plan is Catalyst's own
+    * broadcast of the attach side — but past the broadcast threshold
+    * AQE's fallback is either an SMJ (two fact sorts) or a broadcast
+    * of the OTHER, fact-derived side, whose build serializes
+    * single-threaded (measured: q90 1.15 s unhinted vs 0.59 s
+    * shuffle-hash at sf1; q92 1.25 vs 0.89). Decide from the attach
+    * side's optimizer stats: under the session broadcast threshold,
+    * leave the frame unhinted (dim regime — broadcast is correct);
+    * over it, pin shuffle_hash so both sides exchange on the join key
+    * and the build stays per-partition (fact regime). Same
+    * stats-driven cutover idiom as Ivf.probeShaped and
+    * Similarity.shapedSelfJoin; costs one driver-side stats read on
+    * an already-resolved plan, no job.
+    *
+    * The decision reads the UNPROJECTED table's stats, not the
+    * projection's: "is this table a dim or a fact" is a property of
+    * the table, and the projected estimate (compressed file bytes
+    * scaled by column ratio) carries exactly the underestimate that
+    * makes AQE mispick in the first place (measured: the 2-column
+    * orders projection at a 25 MB/1.5M-row scale reads ~5 MB —
+    * under the 10 MB threshold a broadcast of it would thrash).
+    * The hint attaches to the projected frame and survives the
+    * Project (EliminateResolvedHint collects hints through
+    * non-join nodes).
+    */
+  def attachSide(base: DataFrame)(project: DataFrame => DataFrame): DataFrame = {
+    val thr = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val bytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val out = project(base)
+    if (thr >= 0 && bytes <= BigInt(thr)) out else out.hint("shuffle_hash")
+  }
+
   /** Session config every entry point (Verify / Bench / tests) applies. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.legacy.parquet.nanosAsLong", "true")

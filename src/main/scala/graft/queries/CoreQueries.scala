@@ -531,12 +531,20 @@ object CoreQueries {
     // summed in exact integer cents (the q71 lesson) and divided once
     // on emission.
     "q80_small_qty_revenue" -> { (s, dir) =>
-      val li = t(s, dir, "lineitem")
+      // r12 (AbBench sf1: join-back 0.87 / window 0.66 min; the
+      // collect_list one-exchange fold measured 1.41 — array overhead
+      // loses): the agg-join-back's two fact scans + two exchanges
+      // collapse to ONE scan + ONE hash(partkey) exchange when the
+      // per-part average is a window aggregate over the same
+      // partition. avg over an unbounded frame accumulates the exact
+      // integral sums, so the IEEE division — and the 0.5 boundary —
+      // is bit-identical to the groupBy avg. Partition key is
+      // part-cardinality: no parallelism collapse at any scale.
+      val w = Window.partitionBy(col("l_partkey"))
+      t(s, dir, "lineitem")
         .select(col("l_partkey"), col("l_quantity"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("ep_cents"))
-      val avgq = li.groupBy(col("l_partkey"))
-        .agg(avg(col("l_quantity")).as("aq"))
-      li.join(avgq, Seq("l_partkey"))
+        .withColumn("aq", avg(col("l_quantity")).over(w))
         .filter(col("l_quantity") < lit(0.5) * col("aq"))
         .agg(count(lit(1)).as("n_items"),
           (sum(col("ep_cents")) / lit(100.0)).as("revenue"))

@@ -54,7 +54,17 @@ object ShapeQueries {
         .join(broadcast(nations.withColumnRenamed("n_name", "cust_nation")),
           col("c_nationkey") === col("n_nationkey"))
         .select(col("c_custkey"), col("cust_nation"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      // r12 (AbBench sf1: unhinted 1.15 / custfirst 0.99 / shuffle_
+      // hash 0.59 min; at sf0.1 the ranking INVERTS — 0.47 unhinted
+      // vs 0.58): the orders attach is scale-dependent. Small scale:
+      // Catalyst broadcasts the attach side, correct. Fact scale:
+      // AQE instead broadcasts the 2-nation lineitem slice, whose
+      // fact-derived build serializes single-threaded (the q06/q81
+      // lesson) — shuffle_hash keeps both sides exchanged on the
+      // order key. Tables.attachSide picks from the attach side's
+      // optimizer stats vs the broadcast threshold.
+      val ord = graft.Tables.attachSide(t(s, dir, "orders"))(
+        _.select(col("o_orderkey"), col("o_custkey")))
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
@@ -134,8 +144,17 @@ object ShapeQueries {
         .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name"))
-      val ord = t(s, dir, "orders").select(col("o_orderkey"),
-        year(col("o_orderdate")).as("o_year"))
+      // r12 (AbBench sf1: unhinted 1.25 / agg-below-join fold 0.92 /
+      // shuffle_hash 0.89 min; sf0.1 inverts — 0.44 unhinted vs
+      // 0.54): same q06/q81/q90 finding — at fact scale AQE's
+      // broadcast of the part-filtered lineitem slice pays a
+      // serialized build, so the o_year attach goes shuffle_hash with
+      // both sides exchanged; at dim scale the plain broadcast wins.
+      // Tables.attachSide picks from stats. The fold variant (profit
+      // pre-agg below the join) measured no better — the pair
+      // cardinality barely compresses — so the flat join stays.
+      val ord = graft.Tables.attachSide(t(s, dir, "orders"))(
+        _.select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")))
       t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           revE4.as("rev_e4"), col("l_quantity").cast("long").as("qty"))

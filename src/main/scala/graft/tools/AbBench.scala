@@ -626,6 +626,193 @@ object AbBench {
         .orderBy(col("s_name")).count()
     }
 
+    // r12 sf1 sweep, remaining TPC-H hotspots. q92/q90 carry the q81
+    // question: is the orders attach paying SMJ sorts, and does a
+    // shuffle_hash (or agg-below-join fold) beat it? q80 asks whether
+    // the agg-join-back's two fact passes collapse to one exchange
+    // (cells-per-part are bounded by the 1..50 qty domain, so the
+    // per-part fold is a <=50-element array op). q72 isolates the
+    // bigOrders aggregation from the join tail.
+    def q92Cur(): Long =
+      graft.SparkEntry.queries("q92_product_profit")(spark, sfDir).count()
+    def q92Body(ordHint: Boolean): Long = {
+      val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      val parts = graft.Tables.t(spark, sfDir, "part")
+        .filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("retail_e2"))
+      val supNation = graft.Tables.t(spark, sfDir, "supplier")
+        .join(broadcast(graft.Tables.t(spark, sfDir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      val ord0 = graft.Tables.t(spark, sfDir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"))
+      val ord = if (ordHint) ord0.hint("shuffle_hash") else ord0
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          revE4.as("rev_e4"), col("l_quantity").cast("long").as("qty"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("rev_e4") - col("retail_e2") * col("qty") * lit(10L))
+          .as("profit_e4"))
+        .select(col("n_name"), col("o_year"),
+          (col("profit_e4") / lit(10000.0)).as("profit"))
+        .orderBy(col("n_name"), col("o_year")).count()
+    }
+    def q92Sh(): Long = q92Body(true)
+    // q92 fold: profit is orders-independent, so pre-aggregate it to
+    // (orderkey, nation) partials BELOW the orders join (q67/q81
+    // pattern); repartition(orderkey) serves the pre-agg AND the join.
+    def q92Fold(): Long = {
+      val revE4 = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      val parts = graft.Tables.t(spark, sfDir, "part")
+        .filter(col("p_name").like("%gear%"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100, 0).cast("long").as("retail_e2"))
+      val supNation = graft.Tables.t(spark, sfDir, "supplier")
+        .join(broadcast(graft.Tables.t(spark, sfDir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          revE4.as("rev_e4"), col("l_quantity").cast("long").as("qty"))
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .repartition(col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("n_name"))
+        .agg(sum(col("rev_e4") - col("retail_e2") * col("qty") * lit(10L))
+          .as("p_e4"))
+        .join(graft.Tables.t(spark, sfDir, "orders").select(col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year")).hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("p_e4")).as("profit_e4"))
+        .select(col("n_name"), col("o_year"),
+          (col("profit_e4") / lit(10000.0)).as("profit"))
+        .orderBy(col("n_name"), col("o_year")).count()
+    }
+    def q90Cur(): Long =
+      graft.SparkEntry.queries("q90_nation_trade")(spark, sfDir).count()
+    def q90Scan(): Long =
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("rev_e4"))
+        .count()
+    def q90Parts(stage: Int, custFirst: Boolean): Long = {
+      val nations = graft.Tables.t(spark, sfDir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = graft.Tables.t(spark, sfDir, "supplier")
+        .join(broadcast(nations.withColumnRenamed("n_name", "supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = graft.Tables.t(spark, sfDir, "customer")
+        .join(broadcast(nations.withColumnRenamed("n_name", "cust_nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = graft.Tables.t(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = graft.Tables.t(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("rev_e4"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      if (stage == 1) return li.count()
+      val ordJ = if (stage == 4) ord.hint("shuffle_hash") else ord
+      val joined =
+        if (custFirst)
+          li.join(ordJ.join(cust, col("o_custkey") === col("c_custkey"))
+              .select(col("o_orderkey"), col("cust_nation")),
+            col("l_orderkey") === col("o_orderkey"))
+        else
+          li.join(ordJ, col("l_orderkey") === col("o_orderkey"))
+            .join(cust, col("o_custkey") === col("c_custkey"))
+      if (stage == 2 && !custFirst)
+        return li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+      joined
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("rev_e4")).as("rev_e4"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          (col("rev_e4") / lit(10000.0)).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .count()
+    }
+    def q80Cur(): Long =
+      graft.SparkEntry.queries("q80_small_qty_revenue")(spark, sfDir).count()
+    def q80AggOnly(): Long =
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("aq")).count()
+    // q80 one exchange: repartition(partkey); the (partkey, qty) cell
+    // agg and the per-part fold both ride it. qty is integral 1..50 so
+    // cells/part <= 50; aq = sq/n is the same IEEE division as avg().
+    def q80OneScan(): Long = {
+      val cells = graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("ep_cents"))
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"), sum(col("ep_cents")).as("cents"))
+      cells.groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity") * col("cnt")).as("sq"),
+          sum(col("cnt")).as("n"),
+          collect_list(struct(col("l_quantity").as("q"), col("cnt"),
+            col("cents"))).as("cells"))
+        .select(explode(filter(col("cells"),
+          c => c("q") < lit(0.5) * (col("sq") / col("n")))).as("c"))
+        .agg(sum(col("c.cnt")).as("n_items"),
+          (sum(col("c.cents")) / lit(100.0)).as("revenue"))
+        .count()
+    }
+    // q80 old agg-join-back form (kept for cross-scale regression
+    // checks of the shipped window form)
+    def q80JoinBack(): Long = {
+      val li = graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("ep_cents"))
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      li.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity") < lit(0.5) * col("aq"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("ep_cents")) / lit(100.0)).as("revenue"))
+        .count()
+    }
+    // q80 window form: same single exchange but sort-based (window avg
+    // over partkey) instead of the two hash aggs.
+    def q80Window(): Long = {
+      val w = Window.partitionBy(col("l_partkey"))
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("ep_cents"))
+        .withColumn("aq", avg(col("l_quantity")).over(w))
+        .filter(col("l_quantity") < lit(0.5) * col("aq"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(col("ep_cents")) / lit(100.0)).as("revenue"))
+        .count()
+    }
+    def q72Cur(): Long =
+      graft.SparkEntry.queries("q72_large_volume_cust")(spark, sfDir).count()
+    def q72AggOnly(): Long =
+      graft.Tables.t(spark, sfDir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sq"))
+        .filter(round(col("sq"), 4) > 300).count()
+
     // q85 r8 decomposition (the 31.9x finding): current =
     // repartition + centroid agg (2 exchanges) + broadcast join +
     // score; litmap = collect the (label, pos) centroid rows once
@@ -1321,6 +1508,25 @@ object AbBench {
       "q95_pairagg" -> (() => q95PairAgg()),
       "q100_cur" -> (() => q100Cur()),
       "q100_oneshuffle" -> (() => q100OneShuffle()),
+      "q92_cur" -> (() => q92Cur()),
+      "q92_nohint" -> (() => q92Body(false)),
+      "q92_sh" -> (() => q92Sh()),
+      "q80_joinback" -> (() => q80JoinBack()),
+      "q92_fold" -> (() => q92Fold()),
+      "q90_cur" -> (() => q90Cur()),
+      "q90_scan" -> (() => q90Scan()),
+      "q90_supjoin" -> (() => q90Parts(1, false)),
+      "q90_ordjoin" -> (() => q90Parts(2, false)),
+      "q90_full" -> (() => q90Parts(3, false)),
+      "q90_custfirst" -> (() => q90Parts(3, true)),
+      "q90_sh" -> (() => q90Parts(4, false)),
+      "q90_custfirst_sh" -> (() => q90Parts(4, true)),
+      "q80_cur" -> (() => q80Cur()),
+      "q80_aggonly" -> (() => q80AggOnly()),
+      "q80_onescan" -> (() => q80OneScan()),
+      "q80_window" -> (() => q80Window()),
+      "q72_cur" -> (() => q72Cur()),
+      "q72_aggonly" -> (() => q72AggOnly()),
       "q37_cur" -> (() => q37Cur()),
       "q37_prep_only" -> (() => q37PrepOnly()),
       "q37_persist" -> (() => q37Persist()),

@@ -190,6 +190,43 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p91).size <= 2, p91.take(3000))
   }
 
+  test("q90/q92 orders attach: stats-driven shape pick (Tables.attachSide)") {
+    // dim regime (sf0.001, default threshold): the attach side is
+    // under the broadcast threshold — plain broadcast, no fact sort
+    for (q <- Seq("q90_nation_trade", "q92_product_profit")) {
+      val p = plans(q)
+      assert(!p.contains("SortMergeJoin"), s"$q: ${p.take(3000)}")
+      assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("o_orderkey")),
+        s"$q: ${p.take(3000)}")
+    }
+    // fact regime (threshold forced off): attachSide must pin
+    // shuffle_hash — both sides exchanged, no SMJ sorts, and never an
+    // AQE broadcast of the fact-derived probe side
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (q <- Seq("q90_nation_trade", "q92_product_profit")) {
+        val p = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.sparkPlan.toString()
+        // (other, unhinted dim joins may degrade to SMJ under the
+        // forced-off threshold — only the orders attach is pinned)
+        assert(p.linesIterator.exists(l =>
+          l.contains("ShuffledHashJoin") && l.contains("o_orderkey")),
+          s"$q: ${p.take(3000)}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("q80 small-qty revenue: one fact scan, window avg, no join-back") {
+    val p = plans("q80_small_qty_revenue")
+    // the agg-join-back form scanned lineitem twice and joined; the
+    // window form scans once and has no join at all
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(p.contains("Window"), p.take(3000))
+  }
+
   test("q93 disjunctive parts: brand/size residual pushed to the part scan") {
     val p = plans("q93_disjunctive_parts")
     assert(p.linesIterator.exists(l =>
