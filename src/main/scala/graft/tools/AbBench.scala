@@ -251,6 +251,33 @@ object AbBench {
         bands = 4, threshold = 0.3, minAgree = 5).count()
       spark.catalog.clearCache(); r
     }
+    // r12 sf1 isolates: digests 0.21 / sigs 0.24 but full 1.98+ — cut
+    // the tail at the candidate distinct (expand = bucket agg +
+    // triangular expansion + minAgree + distinct; full − expand =
+    // the two-sided verify join).
+    def q32Expand(): Long = {
+      import graft.ml.TextDedup
+      val d = graft.Tables.t(spark, sfDir, "documents")
+      val withDig = TextDedup.shingleDigests(TextDedup.shingleSets(d, 3))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = TextDedup.minhashSignaturesFromDigests(withDig, 12)
+      val bk = TextDedup.bandKeyTable(sig, 12, 4)
+      val ds2 = col("ds2")
+      val r = bk.groupBy(col("band"), col("key"))
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(array_sort(col("ds")).as("ds2"))
+        .select(explode_outer(flatten(transform(ds2, (a, i) =>
+          transform(slice(ds2, i + lit(2), size(ds2)), b =>
+            struct(a.getField("doc_id").as("doc_a"),
+              b.getField("doc_id").as("doc_b"),
+              TextDedup.sigAgreement(a.getField("sig"),
+                b.getField("sig")).as("agree")))))).as("p"))
+        .filter(col("p.agree") >= lit(5))
+        .select(col("p.doc_a"), col("p.doc_b"))
+        .distinct().count()
+      spark.catalog.clearCache(); r
+    }
     // variant: band shuffle carries ONLY (doc_id); agreement estimate
     // joins signatures back onto the candidate pairs after the distinct
     def q32JoinBack(): Long = {
@@ -1546,6 +1573,7 @@ object AbBench {
       "q89_aggonly" -> (() => q89AggOnly()),
       "q89_hashagg" -> (() => q89HashAgg()),
       "q32_current" -> (() => q32Current()),
+      "q32_expand" -> (() => q32Expand()),
       "q32_digests" -> (() => q32Digests()),
       "q32_sigs" -> (() => q32Sigs()),
       "q32_joinback" -> (() => q32JoinBack()),
