@@ -42,16 +42,25 @@ object CoreQueries {
     // A1: grouped rollup with filtered input (TPC-H Q1 shape).
     // Scale: single shuffle on the group keys with map-side partial agg;
     // shipdate predicate pushed to the parquet scan.
+    // Money sums follow the q71 cents contract (integer-scaled units,
+    // one division at emission): the float-product sum diverged from
+    // the oracle in the LAST CENT at sf1 (26792087102.88 vs .89 —
+    // accumulation-order rounding over 6M terms), caught only by the
+    // 1000×-span parity sweep. avg_disc likewise accumulates exact
+    // integer percents; qty is integral so its double sums are exact.
     "q01_pricing_summary" -> { (s, dir) =>
+      val epCents = round(col("l_extendedprice") * 100, 0).cast("long")
+      val discPct = round(col("l_discount") * 100, 0).cast("long")
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(epCents) / lit(100.0), 2).as("sum_base_price"),
+          round(sum(epCents * (lit(100L) - discPct)) / lit(10000.0), 2)
+            .as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(sum(discPct) / count(lit(1)) / lit(100.0), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -95,8 +104,15 @@ object CoreQueries {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
+        // q71 cents contract (r12): ~120k float products per group at
+        // sf1 is the q01 risk class — sum exact e4 integers, divide
+        // once at emission. Small-group money sums elsewhere
+        // (q03/q45/q65) keep the float form: term counts are bounded
+        // and 4-scale-point parity holds.
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          round(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))) /
+            lit(10000.0), 2).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     },
@@ -790,9 +806,14 @@ object CoreQueries {
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
-        | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
-        | round(avg(l_quantity),4) AS avg_qty, round(avg(l_discount),4) AS avg_disc,
+        | round(sum(CAST(round(l_extendedprice*100,0) AS BIGINT)) / 100.0, 2)
+        |   AS sum_base_price,
+        | round(sum(CAST(round(l_extendedprice*100,0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount*100,0) AS BIGINT))) / 10000.0, 2)
+        |   AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(sum(CAST(round(l_discount*100,0) AS BIGINT)) / count(*) / 100.0, 4)
+        |   AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -805,7 +826,10 @@ object CoreQueries {
       """SELECT o_custkey, round(sum(o_totalprice),2) AS total_spend, count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin,
     "q04_region_revenue" ->
-      """SELECT r_name, n_name, round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+      """SELECT r_name, n_name,
+        | round(sum(CAST(round(l_extendedprice*100,0) AS BIGINT) *
+        |           (100 - CAST(round(l_discount*100,0) AS BIGINT))) / 10000.0, 2)
+        |   AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey

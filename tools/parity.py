@@ -23,7 +23,10 @@ def main():
     con = duckdb.connect()
     for p in sorted(glob.glob(f"{sfdir}/*.parquet")):
         name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # driver testdata ships single files; ScaleGen/TpchGen growth
+        # dirs are Spark-written DIRECTORIES of part files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
