@@ -833,6 +833,29 @@ object AbBench {
           (sum(col("ep_cents")) / lit(100.0)).as("revenue"))
         .count()
     }
+    // q87: the partkey fact agg's map-side partials barely compress
+    // (partkey is uniform-random over the fact, each mapper sees most
+    // of the part domain: ~1.3:1) — do the 150k-entry mapper hash
+    // maps pay for themselves vs shuffling raw narrow rows into a
+    // clustered single-phase agg?
+    def q87Cur(): Long =
+      graft.SparkEntry.queries("q87_part_revenue_concentration")(spark, sfDir)
+        .count()
+    def q87AggOnly(): Long =
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+          .as("rev_e4")).count()
+    def q87RepartAgg(): Long =
+      graft.Tables.t(spark, sfDir, "lineitem")
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100, 0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100, 0).cast("long")))
+            .as("e4"))
+        .repartition(col("l_partkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("e4")).as("rev_e4")).count()
     def q72Cur(): Long =
       graft.SparkEntry.queries("q72_large_volume_cust")(spark, sfDir).count()
     def q72AggOnly(): Long =
@@ -1554,6 +1577,9 @@ object AbBench {
       "q80_window" -> (() => q80Window()),
       "q72_cur" -> (() => q72Cur()),
       "q72_aggonly" -> (() => q72AggOnly()),
+      "q87_cur" -> (() => q87Cur()),
+      "q87_aggonly" -> (() => q87AggOnly()),
+      "q87_repartagg" -> (() => q87RepartAgg()),
       "q37_cur" -> (() => q37Cur()),
       "q37_prep_only" -> (() => q37PrepOnly()),
       "q37_persist" -> (() => q37Persist()),
