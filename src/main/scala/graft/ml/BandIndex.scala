@@ -37,6 +37,33 @@ object BandIndex {
   /** Companion stored verify-key table name for a band index table. */
   def keysTable(table: String): String = table + "_keys"
 
+  /** Entry-time repair of an interrupted [[recover]] keys-table swap
+    * (r12 advice — the IvfIndex.recover analog this index's swap was
+    * missing): a crash between recover's two RENAMEs leaves the live
+    * keys table absent with the data intact in `__new`/`__old`, and
+    * every subsequent `spark.table(keysT)` read throws until repaired.
+    * `__new` is always a COMPLETE rewrite (written in full before any
+    * rename), so when the live name is missing we roll FORWARD to it;
+    * the `__old`-only state is unreachable from recover's sequence but
+    * is restored defensively; a present live table with an `__old`
+    * straggler means the swap committed and only the final drop
+    * crashed — finish it. Safe no-op on a clean index; called at the
+    * top of every [[recover]]/[[append]]/[[probe]]. */
+  private def repairKeysSwap(spark: SparkSession, table: String): Unit = {
+    val keysT = keysTable(table)
+    val newT = keysT + "__new"
+    val oldT = keysT + "__old"
+    def ex(n: String) = spark.catalog.tableExists(n)
+    if (!ex(keysT) && ex(newT)) {
+      spark.sql(s"ALTER TABLE $newT RENAME TO $keysT")
+      spark.sql(s"DROP TABLE IF EXISTS $oldT")
+    } else if (!ex(keysT) && ex(oldT)) {
+      spark.sql(s"ALTER TABLE $oldT RENAME TO $keysT")
+    } else if (ex(keysT) && ex(oldT)) {
+      spark.sql(s"DROP TABLE IF EXISTS $oldT")
+    }
+  }
+
   /** Write `docs`' band table AND verify-key sets as the bucketed
     * corpus index. Both tables derive from ONE persisted digest pass
     * (the expensive tokenize+md5 work happens once, not per table). */
@@ -99,6 +126,7 @@ object BandIndex {
     * LexIndex.appendBatch already pays for the same guarantee. */
   def append(spark: SparkSession, table: String, batch: DataFrame,
       n: Int, k: Int, bands: Int): Unit = {
+    repairKeysSwap(spark, table)
     if (batch.isEmpty) return // no-op, no empty bucket files
     val buckets = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -147,6 +175,7 @@ object BandIndex {
     * no-stray call is a cheap id anti-join probe). Returns the number
     * of stray docs reconciled. */
   def recover(spark: SparkSession, table: String): Long = {
+    repairKeysSwap(spark, table)
     val keysT = keysTable(table)
     val strays = spark.table(keysT).select(col("doc_id"))
       .join(spark.table(table).select(col("doc_id")),
@@ -218,6 +247,10 @@ object BandIndex {
     * same split — BandIndexSpec pins the differential. */
   def probe(spark: SparkSession, table: String, batch: DataFrame,
       n: Int, k: Int, bands: Int, threshold: Double): DataFrame = {
+    // probe runs BEFORE append in the ingest loop's screen stage, so
+    // it must self-heal a mid-swap crash too (three catalog existence
+    // checks on the clean path — noise next to the probe itself)
+    repairKeysSwap(spark, table)
     val batchDig = TextDedup.shingleDigests(TextDedup.shingleSets(batch, n))
     val batchBands = TextDedup.bandKeyTable(
       TextDedup.minhashSignaturesFromDigests(batchDig, k), k, bands)

@@ -561,6 +561,24 @@ object CorpusPipeline {
       corpus: org.apache.spark.sql.SparkSession => DataFrame,
       staleFraction: Double = 0.10)
 
+  /** Table property persisting the IVF population as of the last
+    * maintenance check — the durable half of the ivfDebt/ivfBase
+    * clock, read back to seed it after a streaming-query restart. */
+  private[ml] val ivfCheckBaseProp = "graft.ivf.checkBase"
+
+  private def tablePropLong(spark: org.apache.spark.sql.SparkSession,
+      table: String, key: String): Option[Long] =
+    spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(key)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+
+  private def setTableProp(spark: org.apache.spark.sql.SparkSession,
+      table: String, key: String, v: Long): Unit = {
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES('$key'='$v')")
+    ()
+  }
+
   /** [[streaming]]'s missing other half — the maintenance loop a
     * continuously-ingesting deployment runs (reference frame: the
     * per-run INSERT path, bird.py:775-919, continuously maintained):
@@ -616,10 +634,18 @@ object CorpusPipeline {
     // accepted docs since the last shard export — the export-debt
     // accumulator (foreachBatch bodies run serially, so a plain var
     // is single-writer; an at-least-once replay can double-count a
-    // batch's debt, which only makes the next export slightly early)
+    // batch's debt, which only makes the next export slightly early).
+    // Driver vars die with the query (r12 advice): the first
+    // maintenance slot after a (re)start SEEDS them from durable
+    // state — stored corpus vs live manifest for export debt, the
+    // persisted check-base table property for IVF debt — so debt
+    // accrued before a restart is never silently forgotten (the
+    // failure mode: restarts more frequent than the cadence threshold
+    // deferring re-export/IVF checks indefinitely).
     var exportDebt = 0L
+    var exportSeeded = false
     // vectors appended since the last IVF maintenance check + the
-    // index population as of that check (-1 = not yet read); same
+    // index population as of that check (-1 = not yet seeded); same
     // single-writer foreachBatch serialization argument as exportDebt
     var ivfDebt = 0L
     var ivfBase = -1L
@@ -704,10 +730,24 @@ object CorpusPipeline {
           // the rebuild. Runs before the export refresh so a fired
           // rebuild's better index is what the next probes serve.
           for (mc <- maint.ivfMaintain; t <- maint.ivfTable) {
-            ivfDebt += nA
-            // population read once, then carried forward from each
-            // check's own measurement (drift.nIndexed)
-            if (ivfBase < 0L) ivfBase = spark.table(t).count()
+            if (ivfBase < 0L) {
+              // first slot after (re)start: the population as of the
+              // last check is persisted as a table property, so true
+              // debt = current population's excess over it (the count
+              // already includes this batch's append — nA is NOT
+              // added again). A never-checked index stamps the
+              // PRE-batch population as its clock base now, so the
+              // NEXT restart still measures true debt even if no
+              // check fires between restarts.
+              val n = spark.table(t).count()
+              tablePropLong(spark, t, ivfCheckBaseProp) match {
+                case Some(b) => ivfBase = b; ivfDebt = math.max(0L, n - b)
+                case None =>
+                  ivfBase = math.max(0L, n - nA)
+                  ivfDebt = nA
+                  setTableProp(spark, t, ivfCheckBaseProp, ivfBase)
+              }
+            } else ivfDebt += nA
             if (ivfBase == 0L ||
                 ivfDebt.toDouble / ivfBase >= mc.checkFraction) {
               t0 = System.nanoTime()
@@ -716,6 +756,9 @@ object CorpusPipeline {
                 mc.recallFloor, mc.k, mc.nprobe, mc.iters)
               ivfDebt = 0L
               ivfBase = rep.drift.nIndexed
+              // persist the new base — a rebuild recreated the table
+              // (property gone), a check-only pass re-based the clock
+              setTableProp(spark, t, ivfCheckBaseProp, ivfBase)
               onMaintain(batchId, StageStat(
                 s"ivfMaintain(rebuilt=${rep.rebuilt}" +
                   rep.reason.fold("")(r => s": $r") + ")",
@@ -727,7 +770,6 @@ object CorpusPipeline {
           // training artifact derives from the store + indexes, so
           // it re-exports only after both are current for this batch)
           maint.exportTo.foreach { ec =>
-            exportDebt += nA
             // recover-then-read: a crash mid-export last batch left
             // either the old export (roll back) or the new one (roll
             // forward) — recover settles which before we read its size
@@ -736,6 +778,16 @@ object CorpusPipeline {
                 Some(ShardExport.readManifest(spark, ec.dir)
                   .agg(sum(col("n_docs"))).head().getLong(0))
               else None
+            if (!exportSeeded) {
+              exportSeeded = true
+              // first slot after (re)start: docs in the stored corpus
+              // but not in the live manifest ARE the export debt,
+              // whatever a prior incarnation had accrued. The corpus
+              // already contains this batch (onBatch ran first), so
+              // the seed subsumes this batch's nA.
+              exportDebt = live.fold(0L)(e =>
+                math.max(0L, ec.corpus(spark).count() - e))
+            } else exportDebt += nA
             val due = live match {
               case None => true // no export yet: infinitely stale
               case Some(e) =>

@@ -457,7 +457,12 @@ object Multimodal {
       maxDist: Int, bands: Int): DataFrame = {
     require(bands > maxDist,
       s"pigeonhole exactness needs bands > maxDist, got $bands <= $maxDist")
-    val s = sigs.select(col(idCol).as("_id"), col(sigCol).as("_sig"))
+    // same per-row banding precondition as the stored-index form
+    // (SigIndex.checkedSig, r12 advice): a length not divisible by
+    // `bands` truncates tail bits out of every band key, and
+    // len < bands degenerates the candidate join to all-pairs
+    val s = sigs.select(col(idCol).as("_id"),
+      SigIndex.checkedSig(col(sigCol), bands).as("_sig"))
     val bandLen = (length(col("_sig")) / bands).cast("int")
     val banded = s
       .select(col("_id"), col("_sig"),

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The STORED form of bit-signature near-dup screening (r12) — the
@@ -40,13 +40,33 @@ import org.apache.spark.sql.functions._
   * to the multimodal/simhash signature family. */
 object SigIndex {
 
+  /** Per-row banding precondition (r12 advice): a signature whose
+    * length is not a positive multiple of `bands` would silently
+    * degrade — floor-truncated bandLen leaves the tail bits out of
+    * every band key (weaker blocking), and len < bands yields
+    * bandLen 0 so every key is the empty string and the candidate
+    * join degenerates to all-pairs. The module's contract elsewhere
+    * is enforce-don't-degrade ([[probe]]'s pigeonhole `require`), so
+    * the sig column is routed through a codegen'd CASE that
+    * `raise_error`s on the first offending ROW — stronger than a
+    * driver-side first-row sample (mixed-length batches fail too)
+    * and free of an extra driver action on this lazily-composed
+    * path. */
+  private[ml] def checkedSig(sig: Column, bands: Int): Column =
+    when(length(sig) >= bands && length(sig) % bands === 0, sig)
+      .otherwise(raise_error(concat(
+        lit(s"signature length must be a positive multiple of bands=$bands, got "),
+        length(sig).cast("string"))))
+
   /** `(band, key, id, sig)` rows for equal-length bit-string
     * signatures: `bands` equal substrings per signature. Shared by
     * write/append/probe so the banding rule can never diverge
     * between the stored and probe sides. */
   def bandRows(sigs: DataFrame, idCol: String, sigCol: String,
       bands: Int): DataFrame = {
-    val s = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    require(bands > 0, s"bands must be positive, got $bands")
+    val s = sigs.select(col(idCol).as("id"),
+      checkedSig(col(sigCol), bands).as("sig"))
     val bandLen = (length(col("sig")) / bands).cast("int")
     s.select(col("id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),

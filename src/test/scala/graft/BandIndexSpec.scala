@@ -211,4 +211,63 @@ class BandIndexSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("recover killed mid-swap: entry repair rolls the keys table forward; probe/append/recover all self-heal") {
+    val (n, k, bands, thr) = (3, 8, 4, 0.3)
+    val corpusA = (
+      mkDocs(Seq(0L, 1L), "the quick brown fox jumps over the lazy dog again and") ++
+      Seq((4L, "a singleton document with its own words entirely unlike others"))
+    ).toDF("doc_id", "text")
+    val batchC = Seq(
+      (21L, "the quick brown fox jumps over the lazy dog again and padding"))
+      .toDF("doc_id", "text")
+    val keysT = "g_band_swap_keys"
+    // the mid-swap crash state recover() can leave (between its two
+    // RENAMEs): live keys table ABSENT, a complete __new rewrite and
+    // the renamed-away __old both present
+    def simulateMidSwap(): Unit = {
+      spark.table(keysT).write
+        .option("compression", "zstd")
+        .bucketBy(4, "doc_id").sortBy("doc_id")
+        .saveAsTable(keysT + "__new")
+      spark.sql(s"ALTER TABLE $keysT RENAME TO ${keysT}__old")
+    }
+    try {
+      BandIndex.write(corpusA, "g_band_swap", n, k, bands, buckets = 4)
+      BandIndex.write(corpusA, "g_band_sref", n, k, bands, buckets = 4)
+      val want = BandIndex.probe(spark, "g_band_sref", batchC, n, k, bands, thr)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+
+      // probe self-heals the mid-swap state (it runs FIRST in the
+      // ingest loop's screen stage) and equals a never-crashed index
+      simulateMidSwap()
+      val got = BandIndex.probe(spark, "g_band_swap", batchC, n, k, bands, thr)
+        .orderBy("doc_a", "doc_b").as[(Long, Long, Double)].collect().toSeq
+      assert(got === want, "repaired index diverged from never-crashed")
+      assert(spark.catalog.tableExists(keysT))
+      assert(!spark.catalog.tableExists(keysT + "__new"))
+      assert(!spark.catalog.tableExists(keysT + "__old"))
+
+      // append self-heals it too (a crash could land between probe
+      // and append of the same batch)
+      simulateMidSwap()
+      BandIndex.append(spark, "g_band_swap", batchC, n, k, bands)
+      assert(spark.catalog.tableExists(keysT))
+      assert(!spark.catalog.tableExists(keysT + "__old"))
+      assert(spark.table(keysT).filter($"doc_id" === 21L).count() > 0L)
+
+      // final-drop crash state (swap committed, __old straggler):
+      // recover finishes the drop and reads the committed table
+      spark.table(keysT).write
+        .option("compression", "zstd")
+        .bucketBy(4, "doc_id").sortBy("doc_id")
+        .saveAsTable(keysT + "__old")
+      assert(BandIndex.recover(spark, "g_band_swap") === 0L)
+      assert(!spark.catalog.tableExists(keysT + "__old"))
+    } finally {
+      Seq("g_band_swap", "g_band_swap_keys", "g_band_swap_keys__new",
+        "g_band_swap_keys__old", "g_band_sref", "g_band_sref_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

@@ -668,4 +668,138 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(st.last.docsIn === 1 && st.last.docsOut === 3)
     evalIdx.grams.unpersist()
   }
+
+  test("ingestAndMaintain restart: export debt accrued before a restart is seeded from durable state, not forgotten") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files.createTempDirectory("g_rst_store").toString + "/corpus"
+    val exportDir = java.nio.file.Files.createTempDirectory("g_rst_out").toString + "/shards"
+    def start(input: MemoryStream[(Long, String)]) =
+      CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_rst_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          exportTo = Some(CorpusPipeline.ExportCadence(exportDir, nShards = 2,
+            corpus = s => s.read.parquet(storeDir), staleFraction = 0.6))),
+        evalIdx, evalN = 3) { (_, acc, _) =>
+        acc.select($"doc_id", $"text").write.mode("append").parquet(storeDir)
+      }
+    def exportedDocs(): Long =
+      graft.ml.ShardExport.readManifest(spark, exportDir)
+        .agg(sum($"n_docs")).head().getLong(0)
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_rst_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val in1 = MemoryStream[(Long, String)]
+      val q1 = start(in1)
+      try {
+        // incarnation 1: first export fires (no live export), then one
+        // accepted batch stays UNDER the staleness threshold — real
+        // debt (1 doc) exists only in the driver var when we stop
+        in1.addData(
+          300L -> "seven silver falcons circle the ancient observatory tower at dusk tonight",
+          301L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q1.processAllAvailable()
+        assert(exportedDocs() === 2L)
+        in1.addData(
+          311L -> "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil")
+        q1.processAllAvailable()
+        assert(exportedDocs() === 2L, "debt 1/2 < 0.6 must not re-export")
+      } finally q1.stop()
+      // incarnation 2 (the restart): zero-seeded vars would read this
+      // batch's debt as 1/2 < 0.6 and defer again — forever, under
+      // restarts more frequent than the cadence. The durable seed
+      // (stored corpus 4 − live manifest 2 = 2 ≥ 0.6·2) re-exports.
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = start(in2)
+      try {
+        in2.addData(
+          322L -> "paper lanterns drift over the festival river while drummers keep gentle time")
+        q2.processAllAvailable()
+        assert(exportedDocs() === 4L,
+          "restart must seed export debt from corpus − manifest")
+        val exported = graft.ml.ShardExport.read(spark, exportDir)
+          .select($"doc_id").as[Long].collect().toSet
+        assert(exported === Set(300L, 301L, 311L, 322L))
+      } finally q2.stop()
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_rst_band", "g_rst_band_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("ingestAndMaintain restart: IVF check debt survives a restart via the persisted check-base table property") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("vec_id"), lit("x").as("label"),
+        array((1 to 4).map(i =>
+          (pmod(hash(col("doc_id") * i), lit(97)) + 1).cast("float")): _*)
+          .as("embedding"))
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val maintained = scala.collection.mutable.ListBuffer[String]()
+    def start(input: MemoryStream[(Long, String)]) =
+      CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_rsti_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          ivfTable = Some("g_rsti_ivf"), embed = embed,
+          ivfMaintain = Some(CorpusPipeline.IvfMaintainCadence(
+            checkFraction = 0.3, driftThreshold = 100.0))),
+        evalIdx, evalN = 3,
+        onMaintain = (_, st) => maintained.synchronized {
+          maintained += st.stage; () }) { (_, _, _) => () }
+    def checkBase(): String = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("g_rsti_ivf"))
+      .properties.getOrElse("graft.ivf.checkBase", "absent")
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_rsti_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      graft.ml.IvfIndex.write(
+        embed(spark.range(0, 6).select($"id".as("doc_id"))),
+        "g_rsti_ivf", cells = 2, iters = 2, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val in1 = MemoryStream[(Long, String)]
+      val q1 = start(in1)
+      try {
+        // incarnation 1: 1 append over base 6 → debt 1/6 < 0.3, no
+        // check; the PRE-batch population is stamped durably
+        in1.addData(
+          300L -> "seven silver falcons circle the ancient observatory tower at dusk tonight")
+        q1.processAllAvailable()
+        assert(!maintained.exists(_.startsWith("ivfMaintain")),
+          s"no check expected below threshold: $maintained")
+        assert(checkBase() === "6")
+      } finally q1.stop()
+      // incarnation 2: zero-seeded debt would read 1/6 < 0.3 and defer
+      // again; the property seeds true debt (8 − 6 = 2)/6 ≥ 0.3 → the
+      // check fires and re-bases the durable clock at 8
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = start(in2)
+      try {
+        in2.addData(
+          301L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q2.processAllAvailable()
+        assert(maintained.exists(_.startsWith("ivfMaintain(rebuilt=false")),
+          s"seeded debt must fire the check: $maintained")
+        assert(checkBase() === "8")
+      } finally q2.stop()
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_rsti_band", "g_rsti_band_keys",
+        "g_rsti_ivf", "g_rsti_ivf_centroids", "g_rsti_ivf_stats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

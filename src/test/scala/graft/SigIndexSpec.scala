@@ -76,4 +76,38 @@ class SigIndexSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS g_sigidx")
     }
   }
+
+  test("banding precondition: signature length must be a positive multiple of bands — bad rows fail loudly, never degrade") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // len 60 with bands=8: floor-truncation would silently drop the
+    // tail 4 bits from every band key
+    val truncated = Seq((1L, randSig(11).take(60))).toDF("media_id", "sig")
+    val e1 = intercept[Throwable] {
+      SigIndex.bandRows(truncated, "media_id", "sig", 8).count()
+    }
+    assert(chain(e1).contains("multiple of bands"), chain(e1))
+    // len 4 < bands=8: bandLen floor = 0, every key would be the
+    // empty string and the candidate join would degenerate to all-pairs
+    val short = Seq((1L, "1010")).toDF("media_id", "sig")
+    val e2 = intercept[Throwable] {
+      Multimodal.hammingNearDupPairs(
+        short.unionByName(short.withColumn("media_id", lit(2L))),
+        "media_id", "sig", maxDist = 2, bands = 8).count()
+    }
+    assert(chain(e2).contains("multiple of bands"), chain(e2))
+    // a MIXED batch fails too (per-row check, not a first-row sample)
+    val mixed = Seq((1L, randSig(12)), (2L, randSig(13).take(60)))
+      .toDF("media_id", "sig")
+    val e3 = intercept[Throwable] {
+      SigIndex.bandRows(mixed, "media_id", "sig", 8).count()
+    }
+    assert(chain(e3).contains("multiple of bands"), chain(e3))
+    // the valid shape still bands cleanly: 64/8 → 8 bands of 8
+    val rows = SigIndex.bandRows(
+      Seq((1L, randSig(14))).toDF("media_id", "sig"), "media_id", "sig", 8)
+      .as[(Int, String, Long, String)].collect()
+    assert(rows.length === 8 && rows.forall(_._2.length === 8))
+  }
 }
