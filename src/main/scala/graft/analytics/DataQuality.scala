@@ -1,0 +1,124 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-validation rules over a table — the admission
+  * gate a 100 TB training pipeline runs BEFORE the expensive stages
+  * (dedup, decontamination, indexing) so malformed ingest batches are
+  * quarantined by report instead of silently polluting the corpus.
+  * Reference behavior frame: blq-cli validates every parsed event
+  * against its typed schema at insert time (src/blq/schema.py's typed
+  * event model + the parser registry's per-format contracts); this
+  * generalizes that per-row admission check to declarative,
+  * corpus-scale rule suites with a violation REPORT as the output.
+  *
+  * Scale design — the evaluation cost model is the point:
+  *
+  *  - ROW-LOCAL rules (not-null, range, accepted-set, regex) all
+  *    FUSE into ONE aggregate pass: each rule is a
+  *    `sum(when(violated, 1))` column in a single global aggregate,
+  *    so a 40-rule suite over 100 TB costs exactly one scan with
+  *    map-side partials and a 1-row combine — no shuffle of data
+  *    rows, no per-rule jobs. Adding a rule adds a codegen'd
+  *    expression, not a pass.
+  *  - UNIQUE rules need key cardinality: one `groupBy(keys)` each —
+  *    the unavoidable shuffle is bounded by the distinct-key count,
+  *    and excess = n_rows − n_distinct needs no second pass.
+  *  - REFERENTIAL rules are anti-join counts: the dim side is
+  *    broadcast when small (Catalyst's call — dims here are nation/
+  *    region-sized), the fact side never shuffles.
+  *
+  * Emission contract: counts are exact longs (`checked`,
+  * `violations`) — no floats anywhere, so the report hash-matches
+  * any engine (the q71 exactness discipline).
+  */
+object DataQuality {
+
+  /** One validation rule. `name` keys the report row; `target` names
+    * the column(s) under check for the reader. */
+  sealed trait Rule { def name: String; def target: String }
+
+  /** `col` must not be NULL. */
+  final case class NotNull(col: String) extends Rule {
+    val name = s"not_null($col)"; val target = col
+  }
+  /** `col` must lie in [lo, hi] (inclusive); NULLs don't violate —
+    * pair with [[NotNull]] when they should. */
+  final case class InRange(col: String, lo: Double, hi: Double) extends Rule {
+    val name = s"in_range($col,$lo,$hi)"; val target = col
+  }
+  /** `col` must be one of `values` (NULLs don't violate). */
+  final case class Accepted(col: String, values: Seq[String]) extends Rule {
+    val name = s"accepted($col)"; val target = col
+  }
+  /** `col` must match `regex` entirely (NULLs don't violate). */
+  final case class Matches(col: String, regex: String) extends Rule {
+    val name = s"matches($col)"; val target = col
+  }
+  /** The row set must be unique on `cols`; violations = excess rows
+    * beyond one per distinct key (NULL keys group like values). */
+  final case class Unique(cols: Seq[String]) extends Rule {
+    val name = s"unique(${cols.mkString(",")})"; val target = cols.mkString(",")
+  }
+  /** Every non-NULL `col` value must exist in `dimCol` of `dim` —
+    * referential integrity, violations = orphan row count. */
+  final case class RefIntegrity(col: String, dim: DataFrame, dimCol: String,
+      dimName: String) extends Rule {
+    val name = s"ref_integrity($col->$dimName.$dimCol)"; val target = col
+  }
+
+  private def violatedExpr(r: Rule): Column = r match {
+    case NotNull(c) => col(c).isNull
+    case InRange(c, lo, hi) =>
+      col(c).isNotNull && (col(c) < lo || col(c) > hi)
+    case Accepted(c, vs) => col(c).isNotNull && !col(c).isin(vs: _*)
+    case Matches(c, re) => col(c).isNotNull && !col(c).rlike("^(?:" + re + ")$")
+    case r => throw new IllegalArgumentException(s"not row-local: $r")
+  }
+
+  /** Evaluate `rules` over `table` → one report row per rule:
+    * (rule, target, checked, violations, pass). Row-local rules cost
+    * one fused scan total; each Unique costs one bounded groupBy;
+    * each RefIntegrity one anti-join count. */
+  def check(table: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    require(rules.nonEmpty, "empty rule suite")
+    val rowLocal = rules.filter {
+      case _: NotNull | _: InRange | _: Accepted | _: Matches => true
+      case _ => false
+    }
+    val local: Seq[(String, String, Long, Long)] =
+      if (rowLocal.isEmpty) Seq.empty
+      else {
+        val aggs = count(lit(1)).as("_checked") +:
+          rowLocal.zipWithIndex.map { case (r, i) =>
+            sum(when(violatedExpr(r), 1L).otherwise(0L)).as(s"_v$i") }
+        val row = table.agg(aggs.head, aggs.tail: _*).head()
+        val checked = row.getLong(0)
+        rowLocal.zipWithIndex.map { case (r, i) =>
+          (r.name, r.target, checked,
+            if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+        }
+      }
+    val keyed: Seq[(String, String, Long, Long)] = rules.collect {
+      case r @ Unique(cols) =>
+        val row = table.groupBy(cols.map(col): _*).count()
+          .agg(coalesce(sum(col("count")), lit(0L)).as("n"),
+            count(lit(1)).as("k")).head()
+        (r.name, r.target, row.getLong(0), row.getLong(0) - row.getLong(1))
+      case r @ RefIntegrity(c, dim, dimCol, _) =>
+        val nonNull = table.select(col(c)).filter(col(c).isNotNull)
+        val orphans = nonNull
+          .join(dim.select(col(dimCol).as(c)).distinct(), Seq(c), "left_anti")
+          .count()
+        (r.name, r.target, nonNull.count(), orphans)
+    }
+    // report order follows the suite's rule order (stable, caller-chosen)
+    val order = rules.map(_.name).zipWithIndex.toMap
+    (local ++ keyed).sortBy(t => order(t._1))
+      .toDF("rule", "target", "checked", "violations")
+      .withColumn("pass", (col("violations") === 0L).cast("int"))
+  }
+}

@@ -42,6 +42,20 @@ object Dsir {
     * deterministic). */
   def hashedBigramWeights(docs: DataFrame, isTarget: Column,
       buckets: Int = 256): DataFrame = {
+    // Spread the two tokenize+explode passes when the input arrives
+    // under-parallel (single-file testdata = ONE partition, the
+    // CLAUDE.md narrow-work trap): the r11 pin measured its isolates
+    // on a repartitioned helper frame and missed that the SHIPPED
+    // path ran both passes on one core — r13 interleaved A/B: 1.04
+    // vs 1.42 s min at sf0.1. Guarded so a real multi-split scan
+    // never pays a corpus-wide text shuffle; only the three needed
+    // columns ride the exchange when it does fire.
+    val narrow = docs.select(col("doc_id"), isTarget.as("is_t"), col("text"))
+    val spark = docs.sparkSession
+    val spread =
+      if (narrow.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
+        narrow.repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      else narrow
     val toks = split(col("text"), " ")
     // adjacent-pair grams via the q84 zip_with/slice pattern — no
     // posexplode self-join, one pass
@@ -50,8 +64,8 @@ object Dsir {
         lit(2), size(toks)),
         (a, b) => concat_ws(" ", a, b)),
       lit(1), size(toks) - 1)
-    val instances = docs
-      .select(col("doc_id"), isTarget.as("is_t"), grams.as("grams"))
+    val instances = spread
+      .select(col("doc_id"), col("is_t"), grams.as("grams"))
       .filter(size(col("grams")) >= 1)
       .select(col("doc_id"), col("is_t"), explode(col("grams")).as("gram"))
       .select(col("doc_id"), col("is_t"),

@@ -311,6 +311,34 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Data-validation report (r13, analytics/DataQuality): the
+    // admission gate a training pipeline runs before the expensive
+    // stages. All row-local rules per table fuse into ONE aggregate
+    // scan (a 40-rule suite over 100 TB is one pass with map-side
+    // partials); Unique is a bounded groupBy; RefIntegrity is an
+    // anti-join count. Exact-integer emission, mixed pass/violate
+    // suite probed non-vacuous at sf0.01 (5088 'P' orders, 29896
+    // out-of-range quantities, 45257 excess duplicate line rows).
+    "q121_data_quality" -> { (s, dir) =>
+      import graft.analytics.DataQuality._
+      check(t(s, dir, "orders"), Seq(
+          NotNull("o_custkey"),
+          Accepted("o_orderstatus", Seq("F", "O")),
+          Unique(Seq("o_orderkey"))))
+        .unionByName(check(t(s, dir, "lineitem"), Seq(
+          InRange("l_quantity", 1, 25),
+          Unique(Seq("l_orderkey")),
+          RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey",
+            "orders"))))
+        .unionByName(check(t(s, dir, "documents"), Seq(
+          Matches("lang", "[a-z]{2}"),
+          Matches("source", "src[0-9]+"))))
+        .unionByName(check(t(s, dir, "events"), Seq(
+          RefIntegrity("user_id", t(s, dir, "customer"), "c_custkey",
+            "customer"))))
+        .orderBy(col("rule"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -1102,6 +1130,59 @@ object PipelineQueries {
         |FROM ev e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.user_id AND e.ts_ms >= o.ord_ms
         |ORDER BY e.event_id""".stripMargin,
+
+    // q121: every count is the rule's definition written directly in
+    // SQL; rule/target strings are the exact literals DataQuality
+    // emits. DISTINCT-vs-Spark NULL-key caveat documented on Unique
+    // (no NULL keys in these suites).
+    "q121_data_quality" ->
+      """SELECT rule, target, checked, violations,
+        |  CAST(violations = 0 AS INTEGER) AS pass
+        |FROM (
+        |  SELECT 'not_null(o_custkey)' AS rule, 'o_custkey' AS target,
+        |    (SELECT count(*) FROM orders) AS checked,
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+        |  UNION ALL
+        |  SELECT 'accepted(o_orderstatus)', 'o_orderstatus',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
+        |  UNION ALL
+        |  SELECT 'unique(o_orderkey)', 'o_orderkey',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity,1.0,25.0)', 'l_quantity',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 25.0))
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey)', 'l_orderkey',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) - count(DISTINCT l_orderkey) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'ref_integrity(l_orderkey->orders.o_orderkey)', 'l_orderkey',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |    (SELECT count(*) FROM lineitem l
+        |     WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'matches(lang)', 'lang',
+        |    (SELECT count(*) FROM documents),
+        |    (SELECT count(*) FROM documents
+        |     WHERE lang IS NOT NULL AND NOT regexp_matches(lang, '^(?:[a-z]{2})$'))
+        |  UNION ALL
+        |  SELECT 'matches(source)', 'source',
+        |    (SELECT count(*) FROM documents),
+        |    (SELECT count(*) FROM documents
+        |     WHERE source IS NOT NULL AND NOT regexp_matches(source, '^(?:src[0-9]+)$'))
+        |  UNION ALL
+        |  SELECT 'ref_integrity(user_id->customer.c_custkey)', 'user_id',
+        |    (SELECT count(*) FROM events WHERE user_id IS NOT NULL),
+        |    (SELECT count(*) FROM events e
+        |     WHERE e.user_id IS NOT NULL AND NOT EXISTS (
+        |       SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
+        |) r ORDER BY rule""".stripMargin,
 
     "q55_salted_hotkey_agg" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty

@@ -1156,6 +1156,16 @@ object AbBench {
     }
     def q115Cur(): Long =
       graft.SparkEntry.queries("q115_dsir_selection")(spark, sfDir).count()
+    // r13: the shipped q115 feeds UNrepartitioned documents into the
+    // two bigram-explode passes — on single-file testdata both passes
+    // run on ONE core (the CLAUDE.md trap); the r11 decomposition's
+    // isolates all used the repartitioned `docs` helper, so the pin
+    // never measured the shipped partitioning
+    def q115Repart(): Long =
+      graft.ml.Dsir.hashedBigramWeights(
+        graft.Tables.t(spark, sfDir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+        isTarget = col("lang") === "en", buckets = 256).count()
     def q115ScanOnly(): Long = docs
       .select(col("doc_id"), explode(q115Grams()).as("gram")).count()
     def q115Md5Only(): Long = docs
@@ -1515,6 +1525,7 @@ object AbBench {
       "q117_oneref" -> (() => q117OneRef()),
       "q117_norep" -> (() => q117NoRep()),
       "q115_cur" -> (() => q115Cur()),
+      "q115_repart" -> (() => q115Repart()),
       "q115_rest" -> (() => q115Rest()),
       "q115_scan_only" -> (() => q115ScanOnly()),
       "q115_md5_only" -> (() => q115Md5Only()),
