@@ -121,4 +121,41 @@ object DataQuality {
       .toDF("rule", "target", "checked", "violations")
       .withColumn("pass", (col("violations") === 0L).cast("int"))
   }
+
+  /** The actionable half of [[check]]: per-row violation flags for
+    * routing rows into a quarantine store instead of (or before) a
+    * corpus append. Appends two columns to the input: `violations`
+    * (the violated rule names, suite order) and `quarantine`
+    * (1 when any rule fired). Row-local rules stay MAP-ONLY — the
+    * flags are codegen'd expressions, the table never shuffles;
+    * [[RefIntegrity]] rules compose as one left join each against the
+    * dim's distinct keys (broadcast when the dim is small — the same
+    * plan a manual orphan check would build). [[Unique]] is
+    * deliberately NOT supported here: duplicate-row quarantine
+    * requires choosing a keeper, which is the dedup family's job
+    * ([[graft.ml.TextDedup]], canonical selection), not a per-row
+    * predicate. */
+  def flagRows(table: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(!rules.exists(_.isInstanceOf[Unique]),
+      "Unique is not row-local: route duplicates through the dedup " +
+        "operators (keeper selection), not quarantine flags")
+    // each RefIntegrity joins a marker for key presence; violation =
+    // non-null value with no marker
+    val (joined, flags) = rules.zipWithIndex.foldLeft(
+        (table, Seq.empty[Column])) {
+      case ((acc, fs), (r @ RefIntegrity(c, dim, dimCol, _), i)) =>
+        val m = s"__dq_m$i"
+        val withM = acc.join(
+          dim.select(col(dimCol).as(c)).distinct().withColumn(m, lit(1)),
+          Seq(c), "left")
+        (withM, fs :+ when(col(c).isNotNull && col(m).isNull, lit(r.name)))
+      case ((acc, fs), (r, _)) =>
+        (acc, fs :+ when(violatedExpr(r), lit(r.name)))
+    }
+    joined
+      .withColumn("violations",
+        filter(array(flags: _*), x => x.isNotNull))
+      .withColumn("quarantine", (size(col("violations")) > 0).cast("int"))
+      .drop(joined.columns.filter(_.startsWith("__dq_m")).toSeq: _*)
+  }
 }

@@ -339,6 +339,28 @@ object PipelineQueries {
         .orderBy(col("rule"))
     },
 
+    // The actionable half of q121 (DataQuality.flagRows): per-row
+    // quarantine routing. Row-local flags are map-only codegen'd
+    // expressions; the referential rule is ONE left join against the
+    // dim's distinct keys (broadcast here). 50011 flagged rows at
+    // sf0.01 (probed); reasons string in suite order; full-row
+    // ORDER BY because (l_orderkey, l_linenumber) is non-unique in
+    // this synthetic lineitem (11785 dup groups probed).
+    "q122_quarantine" -> { (s, dir) =>
+      import graft.analytics.DataQuality._
+      flagRows(
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+          Seq(InRange("l_quantity", 1, 25),
+            RefIntegrity("l_orderkey",
+              t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+              "o_orderkey", "orders_f")))
+        .filter(col("quarantine") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          concat_ws(";", col("violations")).as("reasons"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("reasons"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -1183,6 +1205,24 @@ object PipelineQueries {
         |     WHERE e.user_id IS NOT NULL AND NOT EXISTS (
         |       SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
         |) r ORDER BY rule""".stripMargin,
+
+    "q122_quarantine" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  rtrim(concat(
+        |    CASE WHEN l_quantity IS NOT NULL
+        |      AND (l_quantity < 1.0 OR l_quantity > 25.0)
+        |      THEN 'in_range(l_quantity,1.0,25.0);' ELSE '' END,
+        |    CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS (
+        |        SELECT 1 FROM orders o
+        |        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        |      THEN 'ref_integrity(l_orderkey->orders_f.o_orderkey);' ELSE '' END
+        |  ), ';') AS reasons
+        |FROM lineitem l
+        |WHERE (l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 25.0))
+        |   OR (l_orderkey IS NOT NULL AND NOT EXISTS (
+        |        SELECT 1 FROM orders o
+        |        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'))
+        |ORDER BY l_orderkey, l_linenumber, reasons""".stripMargin,
 
     "q55_salted_hotkey_agg" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty

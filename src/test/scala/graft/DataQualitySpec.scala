@@ -71,6 +71,28 @@ class DataQualitySpec extends SparkSpec {
       "in_range(score,0.0,100.0)"))
   }
 
+  test("flagRows: per-row reasons in suite order, referential orphans flagged, Unique refused") {
+    import org.apache.spark.sql.functions.concat_ws
+    val dim = Seq(1L, 2L).toDF("k")
+    val got = DataQuality.flagRows(rows, Seq(
+        NotNull("name"), InRange("score", 0, 100),
+        RefIntegrity("id", dim, "k", "dim")))
+      .select($"id", concat_ws(";", $"violations").as("r"), $"quarantine")
+      .as[(Long, String, Int)].collect().toSet
+    assert(got === Set(
+      (1L, "", 0),
+      (2L, "not_null(name);in_range(score,0.0,100.0)", 1),
+      (2L, "", 0),
+      (3L, "ref_integrity(id->dim.k)", 1),
+      (3L, "in_range(score,0.0,100.0);ref_integrity(id->dim.k)", 1)))
+    // no leaked marker columns
+    assert(!DataQuality.flagRows(rows, Seq(RefIntegrity("id", dim, "k", "d")))
+      .columns.exists(_.startsWith("__dq_m")))
+    intercept[IllegalArgumentException] {
+      DataQuality.flagRows(rows, Seq(Unique(Seq("id"))))
+    }
+  }
+
   test("row-local fusion: a 6-rule suite costs exactly as many jobs as a 1-rule suite") {
     val sc = spark.sparkContext
     def jobsFor(body: => Unit): Int = {
