@@ -79,19 +79,46 @@ object DataQuality {
 
   /** Evaluate `rules` over `table` → one report row per rule:
     * (rule, target, checked, violations, pass). Row-local rules cost
-    * one fused scan total; each Unique costs one bounded groupBy;
-    * each RefIntegrity one anti-join count. */
-  def check(table: DataFrame, rules: Seq[Rule]): DataFrame = {
-    val spark = table.sparkSession
+    * one fused scan total; each Unique one bounded groupBy; each
+    * RefIntegrity ONE left-join pass (checked and orphan counts from
+    * the same aggregate — not a count + anti-join pair). The
+    * independent jobs run CONCURRENTLY (driver-side futures — Spark's
+    * scheduler interleaves their stages across the cluster), so a
+    * multi-family suite's wall clock is its slowest pass, not the sum
+    * of 8-10 sequential job floors (the first form measured 1.26 s at
+    * sf0.1 where the data work itself is ~0.3 s). */
+  def check(table: DataFrame, rules: Seq[Rule]): DataFrame =
+    checkAll(Seq(table -> rules))
+
+  /** Multi-table suite — every table's independent rule jobs launch in
+    * ONE concurrent wave (a 4-table admission report is one scheduling
+    * round, not four sequential [[check]] waits). Report rows follow
+    * call order: tables in suite order, rules in each table's order. */
+  def checkAll(suites: Seq[(DataFrame, Seq[Rule])]): DataFrame = {
+    require(suites.nonEmpty && suites.forall(_._2.nonEmpty),
+      "empty rule suite")
+    val spark = suites.head._1.sparkSession
     import spark.implicits._
-    require(rules.nonEmpty, "empty rule suite")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence(suites.map { case (t, rs) => evaluate(t, rs) }),
+      scala.concurrent.duration.Duration.Inf).flatten
+    results.toDF("rule", "target", "checked", "violations")
+      .withColumn("pass", (col("violations") === 0L).cast("int"))
+  }
+
+  private def evaluate(table: DataFrame, rules: Seq[Rule])(
+      implicit ec: scala.concurrent.ExecutionContext)
+      : scala.concurrent.Future[Seq[(String, String, Long, Long)]] = {
+    import scala.concurrent.Future
     val rowLocal = rules.filter {
       case _: NotNull | _: InRange | _: Accepted | _: Matches => true
       case _ => false
     }
-    val local: Seq[(String, String, Long, Long)] =
-      if (rowLocal.isEmpty) Seq.empty
-      else {
+    val localF: Future[Seq[(String, String, Long, Long)]] =
+      if (rowLocal.isEmpty) Future.successful(Seq.empty)
+      else Future {
         val aggs = count(lit(1)).as("_checked") +:
           rowLocal.zipWithIndex.map { case (r, i) =>
             sum(when(violatedExpr(r), 1L).otherwise(0L)).as(s"_v$i") }
@@ -102,24 +129,28 @@ object DataQuality {
             if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
         }
       }
-    val keyed: Seq[(String, String, Long, Long)] = rules.collect {
-      case r @ Unique(cols) =>
+    val keyedF: Seq[Future[(String, String, Long, Long)]] = rules.collect {
+      case r @ Unique(cols) => Future {
         val row = table.groupBy(cols.map(col): _*).count()
           .agg(coalesce(sum(col("count")), lit(0L)).as("n"),
             count(lit(1)).as("k")).head()
         (r.name, r.target, row.getLong(0), row.getLong(0) - row.getLong(1))
-      case r @ RefIntegrity(c, dim, dimCol, _) =>
-        val nonNull = table.select(col(c)).filter(col(c).isNotNull)
-        val orphans = nonNull
-          .join(dim.select(col(dimCol).as(c)).distinct(), Seq(c), "left_anti")
-          .count()
-        (r.name, r.target, nonNull.count(), orphans)
+      }
+      case r @ RefIntegrity(c, dim, dimCol, _) => Future {
+        val row = table.select(col(c)).filter(col(c).isNotNull)
+          .join(dim.select(col(dimCol).as(c)).distinct()
+            .withColumn("__dq_m", lit(1)), Seq(c), "left")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("__dq_m").isNull, 1L).otherwise(0L)).as("o"))
+          .head()
+        (r.name, r.target, row.getLong(0),
+          if (row.isNullAt(1)) 0L else row.getLong(1))
+      }
     }
     // report order follows the suite's rule order (stable, caller-chosen)
     val order = rules.map(_.name).zipWithIndex.toMap
-    (local ++ keyed).sortBy(t => order(t._1))
-      .toDF("rule", "target", "checked", "violations")
-      .withColumn("pass", (col("violations") === 0L).cast("int"))
+    localF.zip(Future.sequence(keyedF))
+      .map { case (l, k) => (l ++ k).sortBy(t => order(t._1)) }
   }
 
   /** The actionable half of [[check]]: per-row violation flags for

@@ -321,19 +321,20 @@ object PipelineQueries {
     // out-of-range quantities, 45257 excess duplicate line rows).
     "q121_data_quality" -> { (s, dir) =>
       import graft.analytics.DataQuality._
-      check(t(s, dir, "orders"), Seq(
+      checkAll(Seq(
+        t(s, dir, "orders") -> Seq(
           NotNull("o_custkey"),
           Accepted("o_orderstatus", Seq("F", "O")),
-          Unique(Seq("o_orderkey"))))
-        .unionByName(check(t(s, dir, "lineitem"), Seq(
+          Unique(Seq("o_orderkey"))),
+        t(s, dir, "lineitem") -> Seq(
           InRange("l_quantity", 1, 25),
           Unique(Seq("l_orderkey")),
           RefIntegrity("l_orderkey", t(s, dir, "orders"), "o_orderkey",
-            "orders"))))
-        .unionByName(check(t(s, dir, "documents"), Seq(
+            "orders")),
+        t(s, dir, "documents") -> Seq(
           Matches("lang", "[a-z]{2}"),
-          Matches("source", "src[0-9]+"))))
-        .unionByName(check(t(s, dir, "events"), Seq(
+          Matches("source", "src[0-9]+")),
+        t(s, dir, "events") -> Seq(
           RefIntegrity("user_id", t(s, dir, "customer"), "c_custkey",
             "customer"))))
         .orderBy(col("rule"))
