@@ -582,8 +582,10 @@ object CorpusPipeline {
   /** [[streaming]]'s missing other half — the maintenance loop a
     * continuously-ingesting deployment runs (reference frame: the
     * per-run INSERT path, bird.py:775-919, continuously maintained):
-    * each micro-batch is SCREENED against the STORED indexes (quality
-    * gate → [[BandIndex.probe]] near-dup screen → decontamination),
+    * each micro-batch is SCREENED against the STORED indexes
+    * (optional [[graft.analytics.DataQuality]] `admission` rule gate
+    * → quality gate → [[BandIndex.probe]] near-dup screen →
+    * decontamination),
     * handed to `onBatch` (where the caller lands it in the corpus
     * store), and then the ACCEPTED documents are FOLDED BACK into
     * every attached index — [[BandIndex.append]], optionally
@@ -628,7 +630,8 @@ object CorpusPipeline {
       maint: IndexMaintenance,
       evalIndex: Decontaminate.EvalIndex, evalN: Int,
       chunkTo: Option[(Int, Int)] = None,
-      onMaintain: (Long, StageStat) => Unit = (_, _) => ())(
+      onMaintain: (Long, StageStat) => Unit = (_, _) => (),
+      admission: Seq[graft.analytics.DataQuality.Rule] = Nil)(
       onBatch: (Long, DataFrame, Vector[StageStat]) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // accepted docs since the last shard export — the export-debt
@@ -663,8 +666,25 @@ object CorpusPipeline {
         }
         val nIn = batch.count()
         var t0 = System.nanoTime()
-        val (q, nQ) = staged(s"quality>=$minQuality", nIn,
-          batch.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
+        // admission FIRST (r13): the DataQuality rule screen —
+        // malformed rows (nulls, out-of-range metadata, broken
+        // referential links) are quarantined by declarative rule
+        // before any content-based stage spends tokenize/md5 work on
+        // them. Row-local rules are map-only; RefIntegrity dims
+        // re-resolve per batch (stream-static, the BandIndex.probe
+        // precedent). Quarantined rows are DROPPED and counted in the
+        // stage stat — a deployment that routes them to a quarantine
+        // store runs DataQuality.flagRows in its own foreachBatch
+        // upstream instead, where it owns the sink.
+        val (adm, nAdm) =
+          if (admission.isEmpty) (batch, nIn)
+          else staged(s"admission(${admission.size})", nIn,
+            graft.analytics.DataQuality.flagRows(batch, admission)
+              .filter(col("quarantine") === 0)
+              .drop("violations", "quarantine"), t0)
+        t0 = System.nanoTime()
+        val (q, nQ) = staged(s"quality>=$minQuality", nAdm,
+          adm.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
         t0 = System.nanoTime()
         // near-dup screen against the STORED band index — prior
         // accepted batches are already folded in, so cross-batch

@@ -669,6 +669,49 @@ class CorpusPipelineSpec extends SparkSpec {
     evalIdx.grams.unpersist()
   }
 
+  test("ingestAndMaintain admission stage: rule-violating rows quarantined before the content screens, counted in stats") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_adm_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      var accepted = Set.empty[Long]
+      var st = Vector.empty[CorpusPipeline.StageStat]
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_adm_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3),
+        evalIdx, evalN = 3,
+        admission = Seq(
+          graft.analytics.DataQuality.InRange("doc_id", 0, 1e9),
+          graft.analytics.DataQuality.NotNull("text"))) { (_, acc, stats) =>
+        accepted ++= acc.select($"doc_id").as[Long].collect().toSet
+        st = stats
+      }
+      try {
+        // doc -5 has perfectly fine TEXT (the quality gate would pass
+        // it) but violates the id-range rule — only admission drops it
+        input.addData(
+          -5L -> "eleven elephants wander dusty savannah trails seeking distant water holes",
+          301L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(accepted === Set(301L), s"admission must drop doc -5: $accepted")
+      assert(st.head.stage === "admission(2)" &&
+        st.head.docsIn === 2 && st.head.docsOut === 1, st)
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_adm_band", "g_adm_band_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ingestAndMaintain restart: export debt accrued before a restart is seeded from durable state, not forgotten") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = Seq(
