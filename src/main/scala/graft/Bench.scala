@@ -104,9 +104,17 @@ object Bench {
       !sys.env.get("SPARK_GRAFT_LIVE_PAIR").exists(v => v == "0" || v == "false")
     val livePaired = if (livePairWanted) liveDuckBench(sfDir) else None
     val duck = livePaired.getOrElse(duckQueries(sfDir))
+    // In file mode the pairing's host-symmetry is NOT guaranteed —
+    // surface the raw facts (duck-side 1-min loadavg at its run vs
+    // this run's) so an asymmetric pairing is visible in the artifact
+    // without a fragile threshold judgment.
     val pairMode =
       if (duck.isEmpty) ""
-      else s""","pair_mode":"${if (livePaired.isDefined) "live" else "file"}""""
+      else if (livePaired.isDefined) s""","pair_mode":"live""""
+      else {
+        val duckLoad = duckLoadavg1m()
+        s""","pair_mode":"file","pair_loadavg_1m":[$duckLoad,${loadavg()._1}]"""
+      }
     // Two timed runs per query, report the min: the first run pays
     // one-time Janino codegen compilation (seconds for the nested
     // lambda expressions) which is not a property of the plan; min of
@@ -288,6 +296,18 @@ object Bench {
         }
       }
     } catch { case _: Throwable => None }
+
+  /** The committed duckbench.json's recorded 1-min loadavg at ITS run
+    * time (-1 when unreadable) — the duck half of the file-mode
+    * symmetry annotation. */
+  private def duckLoadavg1m(): Double =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get("duckbench.json")))
+      val l = node.path("loadavg_start")
+      if (l.isArray && l.size() > 0) l.get(0).asDouble() else -1.0
+    } catch { case _: Throwable => -1.0 }
 
   /** Per-query DuckDB seconds from ./duckbench.json when it covers
     * the same sf dir; empty on any mismatch or parse failure. */

@@ -1,0 +1,116 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded-state cardinality sketching — the KMV (k minimum values)
+  * distinct-count estimator, built for the corpus-monitoring jobs a
+  * 100 TB pipeline runs continuously (distinct users/sources/tokens
+  * per partition) where an exact COUNT(DISTINCT) means shuffling the
+  * full key set and a built-in approx sketch (HLL++) is
+  * engine-PROPRIETARY and therefore unverifiable cross-engine.
+  *
+  * Reference behavior frame: blq-cli's summary/value-counts surface
+  * (distinct-cardinality reporting over stored events,
+  * /root/reference/src/blq/query.py) — generalized to a sketch whose
+  * state is bounded at k longs per group.
+  *
+  * Why KMV and not approx_count_distinct: this repo's dedup thesis —
+  * md5 everywhere SPECIFICALLY so the oracles are exact (README).
+  * KMV over a deterministic md5-derived hash space is an
+  * approximation whose VALUE is still bit-reproducible: both engines
+  * hash identically, so the k minima, the kth-smallest hash, and the
+  * (k−1)/h_k estimate are identical doubles — an approximate
+  * operator with an EXACT DuckDB gate. Spark's HLL++ can never have
+  * one.
+  *
+  * Scale shape: [[MinK]] is a typed Aggregator, so it PARTIAL
+  * aggregates — each map task reduces its slice to ≤ k hashes before
+  * the shuffle (the [[graft.functions.TopK]] cost model: k·partitions
+  * rows per group cross the network, never the key set). The buffer
+  * dedups internally, so no pre-distinct pass exists anywhere —
+  * that pre-pass would BE the exact-distinct shuffle the sketch
+  * avoids.
+  *
+  * Estimator (the published KMV/bottom-k result): with hashes uniform
+  * in [0, 1), E[h_k] ≈ k/(n+1), so n̂ = (k−1)/h_k (the unbiased
+  * form). When a group holds fewer than k distinct hashes the sketch
+  * IS the distinct set and the count is exact.
+  */
+object Sketches {
+
+  /** 15 hex digits = 60 bits: inside a signed long, and the hash
+    * space size 16^15 = 2^60 is a power of two — exactly
+    * representable in a double, as is (k−1)·2^60 for any k ≤ 2^53-60. */
+  val KmvHexDigits = 15
+  val KmvSpace: Double = 1152921504606846976.0 // 16^15 = 2^60
+
+  /** The deterministic KMV hash: md5 of the value's canonical string
+    * form, first 15 hex digits as a long — the q61/q115 oracle-hash
+    * contract (`CAST('0x' || substr(md5(v),1,15) AS BIGINT)` on the
+    * DuckDB side). */
+  def kmvHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, KmvHexDigits), 16, 10)
+      .cast("long")
+
+  /** Per-group KMV sketch → (groupCol, n_mins, h_k, distinct_est):
+    * `n_mins` = stored minima (= exact distinct count when < k),
+    * `h_k` = largest stored hash (the kth minimum on the estimate
+    * path — emitted so an oracle can gate the sketch CONTENT, not
+    * just the estimate), `distinct_est` = exact n_mins below k,
+    * (k−1)·2^60/h_k otherwise, rounded to 2 decimals (identical
+    * doubles both sides — one division of identically-rounded
+    * operands). NULL values don't count (COUNT(DISTINCT) semantics). */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        kmvHash(col(valueCol)).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(MinK.minK(k))
+      .toDF("g", "mins")
+      .select(col("g").as(groupCol),
+        size(col("mins")).cast("long").as("n_mins"),
+        element_at(col("mins"), -1).as("h_k"))
+      .withColumn("distinct_est",
+        when(col("n_mins") < k, col("n_mins").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * KmvSpace) / col("h_k"), 2)))
+  }
+}
+
+/** Typed bounded k-minima aggregator with internal dedup: the KMV
+  * sketch state. Buffer is an ascending-sorted Seq capped at k;
+  * insertion is O(k) — fine for the k ≤ a few hundred a sketch uses.
+  * Duplicate hashes never occupy a slot (KMV is defined over the
+  * DISTINCT hash set), which is exactly what makes the aggregator
+  * shape legal: no pre-distinct shuffle feeds it. */
+final class MinK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Seq[Long] = Seq.empty
+
+  override def reduce(buf: Seq[Long], h: Long): Seq[Long] =
+    if (buf.lengthCompare(k) >= 0 && h >= buf.last) buf // full & not smaller
+    else if (buf.contains(h)) buf
+    else ((buf :+ h).sorted).take(k)
+
+  override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+    (b1 ++ b2).distinct.sorted.take(k)
+
+  override def finish(r: Seq[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+object MinK {
+  def minK(k: Int): TypedColumn[Long, Seq[Long]] = new MinK(k).toColumn
+}

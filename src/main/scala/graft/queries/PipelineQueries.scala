@@ -362,6 +362,39 @@ object PipelineQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("reasons"))
     },
 
+    // KMV distinct-count sketch (r13, ml/Sketches): bounded-state
+    // approximate cardinality whose VALUE is still bit-reproducible
+    // cross-engine (md5 hash space — an approximate operator with an
+    // EXACT oracle, which Spark's HLL++ can never have). Two suites
+    // exercise both branches: events per type has 150 distinct users
+    // (> k=64 → estimate path, kth-minimum hash emitted and gated),
+    // documents per lang has 20 sources (< k → sketch IS the set,
+    // count exact). n_exact joined alongside as the accuracy
+    // demonstration the monitoring job would chart.
+    "q123_kmv_distinct" -> { (s, dir) =>
+      import graft.ml.Sketches
+      val k = 64
+      val ev = Sketches.kmvDistinct(t(s, dir, "events"),
+          "event_type", "user_id", k)
+        .select(concat(lit("events:"), col("event_type")).as("grp"),
+          col("n_mins"), col("h_k"), col("distinct_est"))
+      val dc = Sketches.kmvDistinct(t(s, dir, "documents"),
+          "lang", "source", k)
+        .select(concat(lit("docs:"), col("lang")).as("grp"),
+          col("n_mins"), col("h_k"), col("distinct_est"))
+      val exact = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(concat(lit("events:"), col("event_type")).as("grp"),
+          col("n_exact"))
+        .unionByName(t(s, dir, "documents")
+          .groupBy(col("lang"))
+          .agg(countDistinct(col("source")).as("n_exact"))
+          .select(concat(lit("docs:"), col("lang")).as("grp"),
+            col("n_exact")))
+      ev.unionByName(dc).join(exact, Seq("grp")).orderBy(col("grp"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -1224,6 +1257,37 @@ object PipelineQueries {
         |        SELECT 1 FROM orders o
         |        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'))
         |ORDER BY l_orderkey, l_linenumber, reasons""".stripMargin,
+
+    // q123: the KMV definition written directly in window SQL — the
+    // per-group k minima of the SAME md5-derived 60-bit hash space,
+    // kth-minimum hash gated exactly, estimate = (k−1)·2^60/h_k from
+    // identically-rounded doubles both sides
+    "q123_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT 'events:' || event_type AS grp,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'docs:' || lang,
+        |    CAST(('0x' || substr(md5(source), 1, 15)) AS BIGINT)
+        |  FROM documents WHERE source IS NOT NULL GROUP BY 1, 2),
+        |r AS (
+        |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY grp) AS nd FROM h),
+        |s AS (
+        |  SELECT grp, CAST(LEAST(min(nd), 64) AS BIGINT) AS n_mins,
+        |    max(CASE WHEN rn = LEAST(nd, 64) THEN h END) AS h_k
+        |  FROM r GROUP BY grp),
+        |ex AS (
+        |  SELECT 'events:' || event_type AS grp,
+        |    count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'docs:' || lang, count(DISTINCT source) FROM documents GROUP BY 1)
+        |SELECT s.grp, s.n_mins, s.h_k,
+        |  CASE WHEN s.n_mins < 64 THEN CAST(s.n_mins AS DOUBLE)
+        |       ELSE round(63.0 * 1152921504606846976 / s.h_k, 2) END AS distinct_est,
+        |  ex.n_exact
+        |FROM s JOIN ex ON s.grp = ex.grp ORDER BY s.grp""".stripMargin,
 
     "q55_salted_hotkey_agg" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty

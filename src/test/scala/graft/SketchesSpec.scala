@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{MinK, Sketches}
+
+/** KMV sketch: the aggregator must equal the brute-force k smallest
+  * DISTINCT hashes (the shape q123's oracle writes in window SQL),
+  * the exact path must be exact, and the estimate path must land
+  * near truth — all deterministic facts here, since the hash space
+  * is md5. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MinK equals sort-distinct-take-k on duplicate-heavy input") {
+    val r = new scala.util.Random(7)
+    val rows = Seq.fill(500)((r.nextInt(3).toString, r.nextInt(40).toLong))
+    val got = rows.toDF("g", "h").as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2).agg(MinK.minK(8))
+      .collect().toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.sorted.take(8)
+    }
+    assert(got === want)
+  }
+
+  test("kmvDistinct: exact below k; estimate near truth above k; h_k is the true kth-minimum hash") {
+    // 3 groups: tiny (4 distinct — exact path), mid (exactly k),
+    // large (500 distinct — estimate path)
+    val df = ((1 to 4).map(i => ("tiny", s"v$i")) ++
+      (1 to 16).map(i => ("atk", s"w$i")) ++
+      (1 to 500).map(i => ("big", s"u$i")) ++
+      (1 to 500).map(i => ("big", s"u$i"))) // duplicates must not matter
+      .toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, "g", "v", k = 16)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (tn, _, te) = out("tiny")
+    assert(tn === 4L && te === 4.0)
+    val (an, _, ae) = out("atk")
+    // exactly k distinct: buffer full, estimate path engages
+    assert(an === 16L && ae > 8.0 && ae < 40.0)
+    val (bn, bhk, be) = out("big")
+    assert(bn === 16L)
+    // deterministic accuracy fact for THIS hash space and key set
+    assert(math.abs(be - 500.0) / 500.0 < 0.35, s"estimate $be vs 500")
+    // h_k must equal the brute-force kth smallest distinct hash
+    val wantHk = df.filter($"g" === "big")
+      .select(Sketches.kmvHash($"v").as("h")).distinct()
+      .orderBy($"h").limit(16).agg(max($"h")).head().getLong(0)
+    assert(bhk === wantHk)
+  }
+
+  test("NULL values don't count (COUNT DISTINCT semantics)") {
+    val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")))
+      .toDF("g", "v")
+    val out = Sketches.kmvDistinct(df, "g", "v", k = 8)
+      .select($"n_mins").as[Long].head()
+    assert(out === 2L)
+  }
+}
