@@ -54,15 +54,13 @@ object Sketches {
     conv(substring(md5(c.cast("string")), 1, KmvHexDigits), 16, 10)
       .cast("long")
 
-  /** Per-group KMV sketch → (groupCol, n_mins, h_k, distinct_est):
-    * `n_mins` = stored minima (= exact distinct count when < k),
-    * `h_k` = largest stored hash (the kth minimum on the estimate
-    * path — emitted so an oracle can gate the sketch CONTENT, not
-    * just the estimate), `distinct_est` = exact n_mins below k,
-    * (k−1)·2^60/h_k otherwise, rounded to 2 decimals (identical
-    * doubles both sides — one division of identically-rounded
-    * operands). NULL values don't count (COUNT(DISTINCT) semantics). */
-  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+  /** Raw per-group sketch STATE → (groupCol, mins) — the storable/
+    * mergeable form ([[kmvMerge]] + [[finalizeKmv]] reconstruct
+    * everything [[kmvDistinct]] emits). A monitoring deployment
+    * stores one of these per ingest day and answers "distinct over
+    * any day window" by merging k-bounded arrays — never re-touching
+    * the raw data. */
+  def kmvState(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val spark = df.sparkSession
@@ -74,14 +72,39 @@ object Sketches {
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(MinK.minK(k))
-      .toDF("g", "mins")
-      .select(col("g").as(groupCol),
+      .toDF(groupCol, "mins")
+  }
+
+  /** Merge stored sketch states (the KMV mergeability law: the k
+    * smallest of a union = the k smallest of the per-part minima).
+    * Pure Column math — collect_list over ≤ k-long arrays, flatten,
+    * distinct, sort, take k — so merging a year of daily sketches is
+    * one tiny bounded aggregation. */
+  def kmvMerge(states: DataFrame, groupCol: String, k: Int): DataFrame =
+    states.groupBy(col(groupCol))
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("mins"))))), 1, k).as("mins"))
+
+  /** (groupCol, mins) state → the [[kmvDistinct]] report columns. */
+  def finalizeKmv(states: DataFrame, groupCol: String, k: Int): DataFrame =
+    states.select(col(groupCol),
         size(col("mins")).cast("long").as("n_mins"),
         element_at(col("mins"), -1).as("h_k"))
       .withColumn("distinct_est",
         when(col("n_mins") < k, col("n_mins").cast("double"))
           .otherwise(round(lit((k - 1).toDouble * KmvSpace) / col("h_k"), 2)))
-  }
+
+  /** Per-group KMV sketch → (groupCol, n_mins, h_k, distinct_est):
+    * `n_mins` = stored minima (= exact distinct count when < k),
+    * `h_k` = largest stored hash (the kth minimum on the estimate
+    * path — emitted so an oracle can gate the sketch CONTENT, not
+    * just the estimate), `distinct_est` = exact n_mins below k,
+    * (k−1)·2^60/h_k otherwise, rounded to 2 decimals (identical
+    * doubles both sides — one division of identically-rounded
+    * operands). NULL values don't count (COUNT(DISTINCT) semantics). */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    finalizeKmv(kmvState(df, groupCol, valueCol, k), groupCol, k)
 }
 
 /** Typed bounded k-minima aggregator with internal dedup: the KMV

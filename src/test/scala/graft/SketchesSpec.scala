@@ -50,6 +50,24 @@ class SketchesSpec extends SparkSpec {
     assert(bhk === wantHk)
   }
 
+  test("mergeability law: merge(sketch(day1), sketch(day2)) == sketch(day1 ∪ day2)") {
+    val r = new scala.util.Random(11)
+    def day(n: Int, seed: Int) =
+      Seq.fill(n)(("g" + r.nextInt(2), "id" + (r.nextInt(300) + seed)))
+        .toDF("g", "v")
+    val d1 = day(400, 0)
+    val d2 = day(400, 150) // overlapping id range: real cross-day dups
+    val merged = Sketches.finalizeKmv(
+      Sketches.kmvMerge(
+        Sketches.kmvState(d1, "g", "v", 16)
+          .unionByName(Sketches.kmvState(d2, "g", "v", 16)), "g", 16),
+      "g", 16)
+    val direct = Sketches.kmvDistinct(d1.unionByName(d2), "g", "v", 16)
+    val m = merged.as[(String, Long, Long, Double)].collect().toSet
+    val d = direct.as[(String, Long, Long, Double)].collect().toSet
+    assert(m === d, s"merged $m vs direct $d")
+  }
+
   test("NULL values don't count (COUNT DISTINCT semantics)") {
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")))
       .toDF("g", "v")
