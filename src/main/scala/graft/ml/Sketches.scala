@@ -85,6 +85,49 @@ object Sketches {
       .agg(slice(array_sort(array_distinct(flatten(
         collect_list(col("mins"))))), 1, k).as("mins"))
 
+  /** Continuously-maintained distinct monitor: fold each micro-batch's
+    * sketch into a stored per-group state table (parquet at `stateDir`)
+    * via the mergeability law — the streaming form of the
+    * daily-sketch story, with per-batch cost bounded by (groups ×
+    * k longs) + the batch's own hash pass, NEVER the cumulative key
+    * set. foreachBatch bodies run serially, so read-merge-overwrite
+    * is single-writer; the overwrite stages to a temp dir and swaps
+    * via rename-aside (the index-family crash protocol: a kill leaves
+    * the previous state serving, and at-least-once replay of a batch
+    * is IDEMPOTENT because merging the same hashes twice is a no-op
+    * — the distinct/sort/take-k merge absorbs duplicates by
+    * definition). Read the live estimate any time with
+    * `finalizeKmv(spark.read.parquet(stateDir), groupCol, k)`. */
+  def kmvMonitor(stream: DataFrame, stateDir: String, groupCol: String,
+      valueCol: String, k: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val batchState = kmvState(batch, groupCol, valueCol, k)
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val live = new org.apache.hadoop.fs.Path(stateDir)
+        val tmp = new org.apache.hadoop.fs.Path(stateDir + "__new")
+        val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+        // entry repair: finish a forward roll a prior kill left behind
+        if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
+        fs.delete(old, true)
+        val merged =
+          if (fs.exists(live))
+            kmvMerge(spark.read.parquet(stateDir).unionByName(batchState),
+              groupCol, k)
+          else batchState
+        fs.delete(tmp, true)
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(live)) { fs.rename(live, old); () }
+        fs.rename(tmp, live)
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+
   /** (groupCol, mins) state → the [[kmvDistinct]] report columns. */
   def finalizeKmv(states: DataFrame, groupCol: String, k: Int): DataFrame =
     states.select(col(groupCol),

@@ -68,6 +68,35 @@ class SketchesSpec extends SparkSpec {
     assert(m === d, s"merged $m vs direct $d")
   }
 
+  test("kmvMonitor: streaming state equals the direct sketch of everything seen; replay is idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("g_kmv").toString + "/state"
+    val input = MemoryStream[(String, String)]
+    val q = Sketches.kmvMonitor(input.toDF().toDF("g", "v"), stateDir,
+      "g", "v", k = 16)
+    try {
+      val b1 = (1 to 120).map(i => ("a", s"id$i"))
+      val b2 = (60 to 200).map(i => ("a", s"id$i")) // overlaps b1
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // replayed content (at-least-once): merging the same hashes
+      // again must change nothing
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val live = Sketches.finalizeKmv(
+          spark.read.parquet(stateDir), "g", 16)
+        .as[(String, Long, Long, Double)].head()
+      val direct = Sketches.kmvDistinct(
+          (b1 ++ b2).toDF("g", "v"), "g", "v", 16)
+        .as[(String, Long, Long, Double)].head()
+      assert(live === direct, s"streaming state $live vs direct $direct")
+    } finally q.stop()
+  }
+
   test("NULL values don't count (COUNT DISTINCT semantics)") {
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")))
       .toDF("g", "v")
