@@ -128,6 +128,54 @@ object Sketches {
       }
       .start()
 
+  /** Distinct-overlap estimate between two sketch states over the
+    * same group space (the published KMV set-operation result, Beyer
+    * et al. 2007): per group, take the k minima of the UNION sketch;
+    * ρ = the fraction of them present in BOTH input sketches
+    * estimates Jaccard, and ρ·n̂(union) estimates the intersection
+    * cardinality. EXACT when the union holds fewer than k hashes
+    * (the sketches then ARE the sets). The corpus-overlap monitoring
+    * question ("how much of corpus B is already in corpus A?")
+    * answered from two k-long arrays per group — no raw data, no
+    * exact-distinct shuffle, mergeable across days like the states
+    * themselves. All arithmetic derives from exact integers through
+    * identically-rounded doubles, so the estimate oracles exactly
+    * (q124). */
+  def kmvOverlap(a: DataFrame, b: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val empty = array().cast("array<bigint>")
+    // u materialized as its own projection BEFORE the expressions
+    // that reference it repeatedly (no CSE inside lambda bodies —
+    // the TextDedup.tokTable rule)
+    val joined = a.select(col(groupCol), col("mins").as("ma"))
+      .join(b.select(col(groupCol), col("mins").as("mb")),
+        Seq(groupCol), "full")
+      .select(col(groupCol),
+        coalesce(col("ma"), empty).as("ma"),
+        coalesce(col("mb"), empty).as("mb"))
+      .withColumn("u",
+        slice(array_sort(array_distinct(concat(col("ma"), col("mb")))),
+          1, k))
+    val estUnion =
+      when(size(col("u")) < k, size(col("u")).cast("double"))
+        .otherwise(lit((k - 1).toDouble * KmvSpace) /
+          element_at(col("u"), -1))
+    joined
+      .select(col(groupCol),
+        size(col("u")).cast("long").as("n_union_mins"),
+        element_at(col("u"), -1).as("h_k"),
+        size(filter(col("u"), h =>
+          array_contains(col("ma"), h) && array_contains(col("mb"), h)))
+          .cast("long").as("n_both"),
+        estUnion.as("est_u"))
+      .select(col(groupCol), col("n_union_mins"), col("h_k"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_union_mins"), 4)
+          .as("jaccard_est"),
+        round(col("n_both") * col("est_u") / col("n_union_mins"), 2)
+          .as("inter_est"))
+  }
+
   /** (groupCol, mins) state → the [[kmvDistinct]] report columns. */
   def finalizeKmv(states: DataFrame, groupCol: String, k: Int): DataFrame =
     states.select(col(groupCol),

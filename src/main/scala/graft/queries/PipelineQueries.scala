@@ -395,6 +395,25 @@ object PipelineQueries {
       ev.unionByName(dc).join(exact, Seq("grp")).orderBy(col("grp"))
     },
 
+    // KMV set-overlap estimate (r13, Sketches.kmvOverlap — the Beyer
+    // et al. set-operation result): distinct-overlap between two
+    // corpus slices (long docs vs English docs, by doc_id) answered
+    // from two k-long sketch arrays. Estimate path exercised at both
+    // driver scales (|A| ≈ 255, |B| ≈ 218 > k=64, true J ≈ 0.3);
+    // every emitted number derives from exact integers through
+    // identically-rounded doubles, so the estimate oracles exactly.
+    "q124_kmv_overlap" -> { (s, dir) =>
+      import graft.ml.Sketches
+      val docs = t(s, dir, "documents").withColumn("grp", lit("docs"))
+      Sketches.kmvOverlap(
+        Sketches.kmvState(docs.filter(col("n_chars") > 300),
+          "grp", "doc_id", 64),
+        Sketches.kmvState(docs.filter(col("lang") === "en"),
+          "grp", "doc_id", 64),
+        "grp", 64)
+        .orderBy(col("grp"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -1288,6 +1307,35 @@ object PipelineQueries {
         |       ELSE round(63.0 * 1152921504606846976 / s.h_k, 2) END AS distinct_est,
         |  ex.n_exact
         |FROM s JOIN ex ON s.grp = ex.grp ORDER BY s.grp""".stripMargin,
+
+    // q124: both sketches, their union's k minima, and the membership
+    // fraction written directly in window SQL — same hash space, same
+    // branch structure, same operation order as the Spark side
+    "q124_kmv_overlap" ->
+      """WITH ah AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE n_chars > 300),
+        |ak AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ah) WHERE rn <= 64),
+        |bh AS (
+        |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents WHERE lang = 'en'),
+        |bk AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn FROM bh) WHERE rn <= 64),
+        |u AS (SELECT h FROM (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT h FROM ak UNION SELECT h FROM bk)) WHERE rn <= 64),
+        |s AS (
+        |  SELECT count(*) AS nu, max(h) AS hk,
+        |    count(*) FILTER (h IN (SELECT h FROM ak)
+        |                 AND h IN (SELECT h FROM bk)) AS nb
+        |  FROM u)
+        |SELECT 'docs' AS grp, nu AS n_union_mins, hk AS h_k, nb AS n_both,
+        |  round(CAST(nb AS DOUBLE) / nu, 4) AS jaccard_est,
+        |  round(nb * (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |                   ELSE 63.0 * 1152921504606846976 / hk END) / nu, 2)
+        |    AS inter_est
+        |FROM s""".stripMargin,
 
     "q55_salted_hotkey_agg" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty

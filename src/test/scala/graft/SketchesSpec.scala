@@ -97,6 +97,37 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvOverlap: exact Jaccard/intersection below k; deterministic estimates near truth above k") {
+    // exact path: |A∪B| = 15 < k → the sketches ARE the sets
+    val aS = Seq.tabulate(10)(i => ("g", s"id${i + 1}")).toDF("g", "v")
+    val bS = Seq.tabulate(10)(i => ("g", s"id${i + 6}")).toDF("g", "v")
+    val ex = Sketches.kmvOverlap(
+        Sketches.kmvState(aS, "g", "v", 64),
+        Sketches.kmvState(bS, "g", "v", 64), "g", 64)
+      .as[(String, Long, Long, Long, Double, Double)].head()
+    assert(ex._2 === 15L && ex._4 === 5L, ex)   // union 15, both 5
+    assert(ex._5 === 0.3333 && ex._6 === 5.0, ex)
+    // estimate path: A=1..300, B=201..500 → J=0.2, |A∩B|=100
+    val aL = Seq.tabulate(300)(i => ("g", s"id${i + 1}")).toDF("g", "v")
+    val bL = Seq.tabulate(300)(i => ("g", s"id${i + 201}")).toDF("g", "v")
+    val est = Sketches.kmvOverlap(
+        Sketches.kmvState(aL, "g", "v", 64),
+        Sketches.kmvState(bL, "g", "v", 64), "g", 64)
+      .as[(String, Long, Long, Long, Double, Double)].head()
+    assert(est._2 === 64L)
+    // deterministic accuracy facts for THIS hash space and key sets
+    assert(math.abs(est._5 - 0.2) < 0.12, s"jaccard ${est._5} vs 0.2")
+    assert(math.abs(est._6 - 100.0) / 100.0 < 0.6, s"inter ${est._6} vs 100")
+    // a group present on only one side overlaps nothing, never errors
+    val solo = Sketches.kmvOverlap(
+        Sketches.kmvState(Seq(("only", "x")).toDF("g", "v"), "g", "v", 8),
+        Sketches.kmvState(Seq(("other", "y")).toDF("g", "v"), "g", "v", 8),
+        "g", 8)
+      .select($"g", $"n_both", $"jaccard_est")
+      .as[(String, Long, Double)].collect().toSet
+    assert(solo === Set(("only", 0L, 0.0), ("other", 0L, 0.0)))
+  }
+
   test("NULL values don't count (COUNT DISTINCT semantics)") {
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")))
       .toDF("g", "v")
