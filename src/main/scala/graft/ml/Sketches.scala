@@ -85,48 +85,151 @@ object Sketches {
       .agg(slice(array_sort(array_distinct(flatten(
         collect_list(col("mins"))))), 1, k).as("mins"))
 
+  /** Stable state-bucket assignment for the monitor's stored state:
+    * md5-derived (not Spark's internal Murmur3 `hash`) so a group's
+    * bucket never moves across Spark versions — a moved group would
+    * leave TWO state rows for one group in different buckets, and the
+    * read path ([[finalizeKmv]]) assumes one row per group. */
+  private[graft] def kmvBucket(g: Column, buckets: Int): Column =
+    conv(substring(md5(g.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
   /** Continuously-maintained distinct monitor: fold each micro-batch's
-    * sketch into a stored per-group state table (parquet at `stateDir`)
-    * via the mergeability law — the streaming form of the
-    * daily-sketch story, with per-batch cost bounded by (groups ×
-    * k longs) + the batch's own hash pass, NEVER the cumulative key
-    * set. foreachBatch bodies run serially, so read-merge-overwrite
-    * is single-writer; the overwrite stages to a temp dir and swaps
-    * via rename-aside (the index-family crash protocol: a kill leaves
-    * the previous state serving, and at-least-once replay of a batch
-    * is IDEMPOTENT because merging the same hashes twice is a no-op
-    * — the distinct/sort/take-k merge absorbs duplicates by
-    * definition). Read the live estimate any time with
+    * sketch into a stored per-group state table via the mergeability
+    * law — the streaming form of the daily-sketch story, with
+    * per-batch cost bounded by the batch's own hash pass plus the
+    * state of the buckets the batch TOUCHES, never the cumulative key
+    * set and (r14 — the r13 verdict's scale finding) never the full
+    * group population either: the state lives hash-bucketed by group
+    * (`stateDir/b=K/`, [[kmvBucket]], `buckets` dirs), a batch marks
+    * its dirty buckets, reads ONLY those, merges, and swaps ONLY
+    * those — a high-cardinality group column (per-source×day,
+    * per-token) no longer pays O(all groups) of IO and a
+    * single-file rewrite per micro-batch. foreachBatch bodies run
+    * serially, so read-merge-swap is single-writer; crash safety is
+    * per-bucket rename-aside with entry repair ([[repairKmvState]]),
+    * and at-least-once replay of a batch is IDEMPOTENT because
+    * merging the same hashes twice is a no-op — the
+    * distinct/sort/take-k merge absorbs duplicates by definition.
+    * Read the live estimate any time with
     * `finalizeKmv(spark.read.parquet(stateDir), groupCol, k)`. */
   def kmvMonitor(stream: DataFrame, stateDir: String, groupCol: String,
-      valueCol: String, k: Int)
+      valueCol: String, k: Int, buckets: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val batchState = kmvState(batch, groupCol, valueCol, k)
-        val fs = new org.apache.hadoop.fs.Path(stateDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val live = new org.apache.hadoop.fs.Path(stateDir)
-        val tmp = new org.apache.hadoop.fs.Path(stateDir + "__new")
-        val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
-        // entry repair: finish a forward roll a prior kill left behind
-        if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
-        fs.delete(old, true)
-        val merged =
-          if (fs.exists(live))
-            kmvMerge(spark.read.parquet(stateDir).unionByName(batchState),
-              groupCol, k)
-          else batchState
-        fs.delete(tmp, true)
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(live)) { fs.rename(live, old); () }
-        fs.rename(tmp, live)
-        fs.delete(old, true)
-        ()
+        foldKmvBatch(batch, stateDir, groupCol, valueCol, k, buckets)
       }
       .start()
+
+  /** One monitor fold, batch-callable (the maintenance loop's
+    * telemetry hook uses it directly): merge `batch`'s sketch into the
+    * bucketed state at `stateDir`, touching only dirty buckets.
+    * Protocol per batch: entry repair → batch sketch + dirty-bucket
+    * set (bounded by `buckets`) → partition-pruned read of ONLY the
+    * dirty live buckets → k-bounded merge → stage write
+    * (`stateDir__stage`, partitioned by bucket) → per-bucket
+    * rename-aside swap (live→`__old`, stage→live, drop old). A kill
+    * at any point leaves every bucket serving either its old or its
+    * new state, and the streaming checkpoint replays the batch into
+    * an idempotent merge that converges them. */
+  def foldKmvBatch(batch: DataFrame, stateDir: String, groupCol: String,
+      valueCol: String, k: Int, buckets: Int = 16): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val stage = new org.apache.hadoop.fs.Path(stateDir + "__stage")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+    val fs = live.getFileSystem(hconf)
+    repairKmvState(fs, live, stage, old)
+    val batchState = kmvState(batch, groupCol, valueCol, k)
+      .withColumn("b", kmvBucket(col(groupCol), buckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dirty = batchState.select(col("b")).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded by `buckets`
+      if (dirty.isEmpty) return // empty/null-only batch: nothing to fold
+      val priorPaths = dirty
+        .map(bk => new org.apache.hadoop.fs.Path(live, s"b=$bk"))
+        .filter(fs.exists).map(_.toString)
+      val merged =
+        (if (priorPaths.isEmpty) batchState.drop("b")
+         else kmvMerge(
+           spark.read.parquet(priorPaths.toIndexedSeq: _*)
+             .select(col(groupCol), col("mins"))
+             .unionByName(batchState.drop("b")),
+           groupCol, k))
+          .withColumn("b", kmvBucket(col(groupCol), buckets))
+      fs.delete(stage, true)
+      merged.repartition(dirty.length, col("b"))
+        .write.partitionBy("b").mode("overwrite").parquet(stage.toString)
+      fs.mkdirs(live)
+      fs.mkdirs(old)
+      dirty.foreach { bk =>
+        val lv = new org.apache.hadoop.fs.Path(live, s"b=$bk")
+        val st = new org.apache.hadoop.fs.Path(stage, s"b=$bk")
+        val od = new org.apache.hadoop.fs.Path(old, s"b=$bk")
+        if (fs.exists(st)) { // every dirty bucket got >= 1 merged group
+          fs.delete(od, true)
+          if (fs.exists(lv)) { fs.rename(lv, od); () }
+          fs.rename(st, lv)
+          fs.delete(od, true)
+          ()
+        }
+      }
+      fs.delete(stage, true)
+      fs.delete(old, true)
+      ()
+    } finally { batchState.unpersist(); () }
+  }
+
+  /** Entry repair for an interrupted [[foldKmvBatch]] swap. The swap
+    * phase only starts after the stage write COMMITS (`_SUCCESS`
+    * present), and the single-writer contract means a committed stage
+    * found at entry is the COMPLETE merged result of the interrupted
+    * fold — so repair FINISHES that swap for every staged bucket (a
+    * bucket whose live dir still holds pre-merge content is swapped
+    * too; the staged merge already contains it). An uncommitted stage
+    * is deleted. Then the `__old` tree: a bucket with live present is
+    * a committed swap whose final delete crashed (drop the aside); a
+    * bucket with live missing is the rename-anomaly state unreachable
+    * from the happy sequence — the aside is the ONLY surviving copy
+    * of that bucket's sketches, so it is RESTORED, never deleted (the
+    * BandIndex.repairKeysSwap defensive-restore rule, r13 advice
+    * applied here). */
+  private[graft] def repairKmvState(fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, stage: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path): Unit = {
+    def bucketDirs(p: org.apache.hadoop.fs.Path) =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("b="))
+    val committed = fs.exists(
+      new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))
+    if (committed) {
+      fs.mkdirs(live)
+      fs.mkdirs(old)
+      bucketDirs(stage).foreach { st =>
+        val lv = new org.apache.hadoop.fs.Path(live, st.getPath.getName)
+        val od = new org.apache.hadoop.fs.Path(old, st.getPath.getName)
+        fs.delete(od, true)
+        if (fs.exists(lv)) { fs.rename(lv, od); () }
+        fs.rename(st.getPath, lv)
+        fs.delete(od, true)
+        ()
+      }
+    }
+    fs.delete(stage, true)
+    bucketDirs(old).foreach { od =>
+      val lv = new org.apache.hadoop.fs.Path(live, od.getPath.getName)
+      if (fs.exists(lv)) { fs.delete(od.getPath, true); () }
+      else { fs.rename(od.getPath, lv); () } // defensive restore
+    }
+    fs.delete(old, true)
+    ()
+  }
 
   /** Distinct-overlap estimate between two sketch states over the
     * same group space (the published KMV set-operation result, Beyer
@@ -169,11 +272,17 @@ object Sketches {
           array_contains(col("ma"), h) && array_contains(col("mb"), h)))
           .cast("long").as("n_both"),
         estUnion.as("est_u"))
+      // q71 emission contract (r13 advice): round(double, n) diverges
+      // between engines near decimal boundaries, so the n-dp estimates
+      // are emitted as an integer-target round (safe: a double's
+      // shortest repr can only read exactly "N.5" when the double IS
+      // N.5, so both engines round the same real number) followed by
+      // one division of that exact long — identical doubles both sides
       .select(col(groupCol), col("n_union_mins"), col("h_k"), col("n_both"),
-        round(col("n_both").cast("double") / col("n_union_mins"), 4)
-          .as("jaccard_est"),
-        round(col("n_both") * col("est_u") / col("n_union_mins"), 2)
-          .as("inter_est"))
+        (round(col("n_both").cast("double") / col("n_union_mins") * 10000, 0)
+          .cast("long") / lit(10000.0)).as("jaccard_est"),
+        (round(col("n_both") * col("est_u") / col("n_union_mins") * 100, 0)
+          .cast("long") / lit(100.0)).as("inter_est"))
   }
 
   /** (groupCol, mins) state → the [[kmvDistinct]] report columns. */
@@ -181,9 +290,13 @@ object Sketches {
     states.select(col(groupCol),
         size(col("mins")).cast("long").as("n_mins"),
         element_at(col("mins"), -1).as("h_k"))
+      // integer-target round then one exact-long division (the q71
+      // emission contract — see kmvOverlap's note)
       .withColumn("distinct_est",
         when(col("n_mins") < k, col("n_mins").cast("double"))
-          .otherwise(round(lit((k - 1).toDouble * KmvSpace) / col("h_k"), 2)))
+          .otherwise(
+            round(lit((k - 1).toDouble * KmvSpace) / col("h_k") * 100, 0)
+              .cast("long") / lit(100.0)))
 
   /** Per-group KMV sketch → (groupCol, n_mins, h_k, distinct_est):
     * `n_mins` = stored minima (= exact distinct count when < k),

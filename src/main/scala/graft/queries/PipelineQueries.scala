@@ -1304,7 +1304,8 @@ object PipelineQueries {
         |  SELECT 'docs:' || lang, count(DISTINCT source) FROM documents GROUP BY 1)
         |SELECT s.grp, s.n_mins, s.h_k,
         |  CASE WHEN s.n_mins < 64 THEN CAST(s.n_mins AS DOUBLE)
-        |       ELSE round(63.0 * 1152921504606846976 / s.h_k, 2) END AS distinct_est,
+        |       ELSE CAST(round(63.0 * 1152921504606846976 / s.h_k * 100) AS BIGINT) / 100.0
+        |  END AS distinct_est,
         |  ex.n_exact
         |FROM s JOIN ex ON s.grp = ex.grp ORDER BY s.grp""".stripMargin,
 
@@ -1331,9 +1332,11 @@ object PipelineQueries {
         |                 AND h IN (SELECT h FROM bk)) AS nb
         |  FROM u)
         |SELECT 'docs' AS grp, nu AS n_union_mins, hk AS h_k, nb AS n_both,
-        |  round(CAST(nb AS DOUBLE) / nu, 4) AS jaccard_est,
-        |  round(nb * (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
-        |                   ELSE 63.0 * 1152921504606846976 / hk END) / nu, 2)
+        |  CAST(round(CAST(nb AS DOUBLE) / nu * 10000) AS BIGINT) / 10000.0
+        |    AS jaccard_est,
+        |  CAST(round(nb * (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |                        ELSE 63.0 * 1152921504606846976 / hk END)
+        |             / nu * 100) AS BIGINT) / 100.0
         |    AS inter_est
         |FROM s""".stripMargin,
 

@@ -97,6 +97,78 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foldKmvBatch: untouched buckets are byte-identical across a batch that doesn't touch them") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("g_kmvb").toString + "/state"
+    // batch 1: many groups spread across the bucket space
+    val b1 = (1 to 40).flatMap(g => (1 to 5).map(i => (s"g$g", s"v$g-$i")))
+    Sketches.foldKmvBatch(b1.toDF("g", "v"), stateDir, "g", "v",
+      k = 8, buckets = 8)
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(stateDir))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).map(f =>
+            (f.getPath.getName, f.getLen, f.getModificationTime))
+            .toSeq.sortBy(_._1))
+        .toMap
+    val before = snapshot()
+    assert(before.size > 1, s"need several buckets, got ${before.keySet}")
+    // batch 2 touches exactly one group — one bucket is dirty
+    Sketches.foldKmvBatch(Seq(("g1", "vNEW")).toDF("g", "v"), stateDir,
+      "g", "v", k = 8, buckets = 8)
+    val after = snapshot()
+    val dirtyBucket = "b=" + spark.range(1)
+      .select(Sketches.kmvBucket(lit("g1"), 8)).head().getLong(0)
+    assert(before.keySet === after.keySet)
+    before.keys.filter(_ != dirtyBucket).foreach { b =>
+      assert(before(b) === after(b),
+        s"untouched bucket $b was rewritten: ${before(b)} vs ${after(b)}")
+    }
+    assert(before(dirtyBucket) !== after(dirtyBucket),
+      "the dirty bucket must have been rewritten")
+    // and the merged state still equals the direct sketch of all data
+    val live = Sketches.finalizeKmv(spark.read.parquet(stateDir), "g", 8)
+      .select($"g", $"n_mins", $"h_k", $"distinct_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val direct = Sketches.kmvDistinct(
+        (b1 :+ (("g1", "vNEW"))).toDF("g", "v"), "g", "v", 8)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(live === direct)
+  }
+
+  test("repairKmvState: an __old-only bucket is restored, never deleted (defensive restore)") {
+    val root = java.nio.file.Files.createTempDirectory("g_kmvr").toString
+    val stateDir = root + "/state"
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val b1 = (1 to 30).flatMap(g => (1 to 3).map(i => (s"g$g", s"v$g-$i")))
+    Sketches.foldKmvBatch(b1.toDF("g", "v"), stateDir, "g", "v",
+      k = 8, buckets = 4)
+    val want = Sketches.finalizeKmv(spark.read.parquet(stateDir), "g", 8)
+      .as[(String, Long, Long, Double)].collect().toSet
+    // simulate the rename anomaly: one live bucket survives only as
+    // its __old aside (live dir gone, no staged replacement)
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+    val victim = fs.listStatus(live)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+      .head.getPath
+    fs.mkdirs(old)
+    assert(fs.rename(victim, new org.apache.hadoop.fs.Path(old, victim.getName)))
+    // the next fold's entry repair must restore it — fold a batch
+    // that does NOT touch the victim's groups' buckets... simplest:
+    // fold an empty-effect batch via a direct repair call
+    Sketches.repairKmvState(fs, live,
+      new org.apache.hadoop.fs.Path(stateDir + "__stage"), old)
+    val got = Sketches.finalizeKmv(spark.read.parquet(stateDir), "g", 8)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === want, "restored state must equal the pre-anomaly state")
+    assert(!fs.exists(old))
+  }
+
   test("kmvOverlap: exact Jaccard/intersection below k; deterministic estimates near truth above k") {
     // exact path: |A∪B| = 15 < k → the sketches ARE the sets
     val aS = Seq.tabulate(10)(i => ("g", s"id${i + 1}")).toDF("g", "v")
