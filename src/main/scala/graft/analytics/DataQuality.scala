@@ -57,7 +57,12 @@ object DataQuality {
     val name = s"matches($col)"; val target = col
   }
   /** The row set must be unique on `cols`; violations = excess rows
-    * beyond one per distinct key (NULL keys group like values). */
+    * beyond one per distinct key. Rows with a NULL in any key column
+    * are NOT checked (r13 advice — SQL COUNT(DISTINCT) semantics on
+    * both engines, so the oracle form `count(key) − count(DISTINCT
+    * key)` is the definition, not an approximation of it); pair with
+    * [[NotNull]] on the key columns when NULL keys should themselves
+    * be violations. */
   final case class Unique(cols: Seq[String]) extends Rule {
     val name = s"unique(${cols.mkString(",")})"; val target = cols.mkString(",")
   }
@@ -93,64 +98,97 @@ object DataQuality {
   /** Multi-table suite — every table's independent rule jobs launch in
     * ONE concurrent wave (a 4-table admission report is one scheduling
     * round, not four sequential [[check]] waits). Report rows follow
-    * call order: tables in suite order, rules in each table's order. */
+    * call order: tables in suite order, rules in each table's order —
+    * POSITIONAL, so duplicate rule names keep their own rows (r13
+    * verdict: the name-keyed sort collapsed identical rules). */
   def checkAll(suites: Seq[(DataFrame, Seq[Rule])]): DataFrame = {
     require(suites.nonEmpty && suites.forall(_._2.nonEmpty),
       "empty rule suite")
     val spark = suites.head._1.sparkSession
     import spark.implicits._
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val results = Await.result(
-      Future.sequence(suites.map { case (t, rs) => evaluate(t, rs) }),
-      scala.concurrent.duration.Duration.Inf).flatten
-    results.toDF("rule", "target", "checked", "violations")
+    // one task per independent Spark job, tagged (suiteIdx, ruleIdx)
+    val tasks: Seq[() => Seq[((Int, Int), (String, String, Long, Long))]] =
+      suites.zipWithIndex.flatMap { case ((t, rs), si) =>
+        evaluateTasks(t, rs).map(task =>
+          () => task().map { case (ri, row) => ((si, ri), row) })
+      }
+    runWave(tasks).flatten.sortBy(_._1).map(_._2)
+      .toDF("rule", "target", "checked", "violations")
       .withColumn("pass", (col("violations") === 0L).cast("int"))
   }
 
-  private def evaluate(table: DataFrame, rules: Seq[Rule])(
-      implicit ec: scala.concurrent.ExecutionContext)
-      : scala.concurrent.Future[Seq[(String, String, Long, Long)]] = {
-    import scala.concurrent.Future
-    val rowLocal = rules.filter {
-      case _: NotNull | _: InRange | _: Accepted | _: Matches => true
+  /** Run every task of one wave concurrently on a DEDICATED pool
+    * sized to the wave (capped at [[WavePoolCap]]) — NOT the global
+    * fork-join pool (r13 verdict: blocking Spark actions on the
+    * CPU-count global pool silently serialize any suite wider than
+    * the core count and starve the pool's other driver-side users).
+    * The threads only block on job results, so a wave-sized pool
+    * costs idle waiters, not CPU; past the cap the tail queues —
+    * by then the Spark scheduler itself is the limiter. */
+  private[graft] val WavePoolCap = 64
+  private[graft] def runWave[A](tasks: Seq[() => A]): Seq[A] =
+    if (tasks.isEmpty) Seq.empty
+    else if (tasks.lengthCompare(1) == 0) Seq(tasks.head())
+    else {
+      import scala.concurrent.{Await, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tasks.length, WavePoolCap))
+      val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence(tasks.map(t => Future(t())(ec)))(
+          implicitly, ec),
+        scala.concurrent.duration.Duration.Inf)
+      finally { pool.shutdown(); () }
+    }
+
+  /** One table's independent jobs as thunks, each returning its rows
+    * tagged with the POSITION of the rule in the caller's list. All
+    * row-local rules share one fused-scan thunk; each Unique /
+    * RefIntegrity is its own thunk. */
+  private def evaluateTasks(table: DataFrame, rules: Seq[Rule])
+      : Seq[() => Seq[(Int, (String, String, Long, Long))]] = {
+    val indexed = rules.zipWithIndex
+    val rowLocal = indexed.filter {
+      case (_: NotNull | _: InRange | _: Accepted | _: Matches, _) => true
       case _ => false
     }
-    val localF: Future[Seq[(String, String, Long, Long)]] =
-      if (rowLocal.isEmpty) Future.successful(Seq.empty)
-      else Future {
+    val localTask: Seq[() => Seq[(Int, (String, String, Long, Long))]] =
+      if (rowLocal.isEmpty) Seq.empty
+      else Seq(() => {
         val aggs = count(lit(1)).as("_checked") +:
-          rowLocal.zipWithIndex.map { case (r, i) =>
+          rowLocal.zipWithIndex.map { case ((r, _), i) =>
             sum(when(violatedExpr(r), 1L).otherwise(0L)).as(s"_v$i") }
         val row = table.agg(aggs.head, aggs.tail: _*).head()
         val checked = row.getLong(0)
-        rowLocal.zipWithIndex.map { case (r, i) =>
-          (r.name, r.target, checked,
-            if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1))
+        rowLocal.zipWithIndex.map { case ((r, ri), i) =>
+          (ri, (r.name, r.target, checked,
+            if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)))
         }
-      }
-    val keyedF: Seq[Future[(String, String, Long, Long)]] = rules.collect {
-      case r @ Unique(cols) => Future {
-        val row = table.groupBy(cols.map(col): _*).count()
+      })
+    val keyedTasks = indexed.collect {
+      case (r @ Unique(cols), ri) => () => {
+        // NULL-keyed rows are excluded on BOTH sides of the count —
+        // the COUNT(DISTINCT) oracle definition (see Unique's doc)
+        val row = table
+          .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+          .groupBy(cols.map(col): _*).count()
           .agg(coalesce(sum(col("count")), lit(0L)).as("n"),
             count(lit(1)).as("k")).head()
-        (r.name, r.target, row.getLong(0), row.getLong(0) - row.getLong(1))
+        Seq((ri, (r.name, r.target, row.getLong(0),
+          row.getLong(0) - row.getLong(1))))
       }
-      case r @ RefIntegrity(c, dim, dimCol, _) => Future {
+      case (r @ RefIntegrity(c, dim, dimCol, _), ri) => () => {
         val row = table.select(col(c)).filter(col(c).isNotNull)
           .join(dim.select(col(dimCol).as(c)).distinct()
             .withColumn("__dq_m", lit(1)), Seq(c), "left")
           .agg(count(lit(1)).as("n"),
             sum(when(col("__dq_m").isNull, 1L).otherwise(0L)).as("o"))
           .head()
-        (r.name, r.target, row.getLong(0),
-          if (row.isNullAt(1)) 0L else row.getLong(1))
+        Seq((ri, (r.name, r.target, row.getLong(0),
+          if (row.isNullAt(1)) 0L else row.getLong(1))))
       }
     }
-    // report order follows the suite's rule order (stable, caller-chosen)
-    val order = rules.map(_.name).zipWithIndex.toMap
-    localF.zip(Future.sequence(keyedF))
-      .map { case (l, k) => (l ++ k).sortBy(t => order(t._1)) }
+    localTask ++ keyedTasks
   }
 
   /** The actionable half of [[check]]: per-row violation flags for

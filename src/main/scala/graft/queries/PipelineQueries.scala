@@ -1224,8 +1224,8 @@ object PipelineQueries {
         |     WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O'))
         |  UNION ALL
         |  SELECT 'unique(o_orderkey)', 'o_orderkey',
-        |    (SELECT count(*) FROM orders),
-        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |    (SELECT count(o_orderkey) FROM orders),
+        |    (SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders)
         |  UNION ALL
         |  SELECT 'in_range(l_quantity,1.0,25.0)', 'l_quantity',
         |    (SELECT count(*) FROM lineitem),
@@ -1233,8 +1233,8 @@ object PipelineQueries {
         |     WHERE l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 25.0))
         |  UNION ALL
         |  SELECT 'unique(l_orderkey)', 'l_orderkey',
-        |    (SELECT count(*) FROM lineitem),
-        |    (SELECT count(*) - count(DISTINCT l_orderkey) FROM lineitem)
+        |    (SELECT count(l_orderkey) FROM lineitem),
+        |    (SELECT count(l_orderkey) - count(DISTINCT l_orderkey) FROM lineitem)
         |  UNION ALL
         |  SELECT 'ref_integrity(l_orderkey->orders.o_orderkey)', 'l_orderkey',
         |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL),

@@ -43,15 +43,51 @@ class DataQualitySpec extends SparkSpec {
       .as[(String, String, Long, Long, Int)].collect().toList
     assert(rep === List(
       ("unique(id)", "id", 5L, 2L, 0),        // ids 2 and 3 doubled
-      ("unique(id,name)", "id,name", 5L, 0L, 1),
+      ("unique(id,name)", "id,name", 4L, 0L, 1), // null-name row not checked
       ("ref_integrity(id->dim.k)", "id", 5L, 2L, 0))) // both id=3 rows orphan
   }
 
-  test("NULL unique keys group like values (documented Spark semantics)") {
-    val withNulls = Seq(Some(1L), None, None).toDF("id")
+  test("NULL unique keys are not checked (COUNT DISTINCT semantics — pair with NotNull to flag them)") {
+    // 1, 1, NULL, NULL: the NULLs are excluded from checked AND from
+    // the distinct count, so the only violation is the duplicated 1 —
+    // exactly count(id) − count(DISTINCT id) in any SQL engine
+    val withNulls = Seq(Some(1L), Some(1L), None, None).toDF("id")
     val rep = DataQuality.check(withNulls, Seq(Unique(Seq("id"))))
       .as[(String, String, Long, Long, Int)].collect().toList
-    assert(rep === List(("unique(id)", "id", 3L, 1L, 0)))
+    assert(rep === List(("unique(id)", "id", 2L, 1L, 0)))
+    // multi-column keys: a NULL in ANY key column excludes the row
+    val multi = Seq((Some(1L), Some("a")), (Some(1L), Some("a")),
+      (Some(1L), None), (None, Some("a"))).toDF("a", "b")
+    val rep2 = DataQuality.check(multi, Seq(Unique(Seq("a", "b"))))
+      .as[(String, String, Long, Long, Int)].collect().toList
+    assert(rep2 === List(("unique(a,b)", "a,b", 2L, 1L, 0)))
+  }
+
+  test("duplicate rule names keep their own report rows in positional order") {
+    val dim = Seq(1L, 2L).toDF("k")
+    val rep = DataQuality.check(rows, Seq(
+      RefIntegrity("id", dim, "k", "dim"),
+      NotNull("name"),
+      RefIntegrity("id", dim, "k", "dim"))) // identical name, own row
+      .select($"rule").as[String].collect().toList
+    assert(rep === List("ref_integrity(id->dim.k)", "not_null(name)",
+      "ref_integrity(id->dim.k)"))
+  }
+
+  test("runWave: a wave wider than the driver's core count still runs as one concurrent wave") {
+    // 48 tasks, each blocking until ALL 48 have started: only true
+    // wave concurrency lets the latch reach zero. On the old global
+    // fork-join pool (parallelism = cores, no blocking{} wrapper)
+    // this deadlocks until the await times out and the test fails.
+    val width = 48
+    val latch = new java.util.concurrent.CountDownLatch(width)
+    val results = DataQuality.runWave(Seq.fill(width)(() => {
+      latch.countDown()
+      latch.await(20, java.util.concurrent.TimeUnit.SECONDS)
+    }))
+    assert(results.size === width)
+    assert(results.forall(identity),
+      "all tasks must have been concurrent (latch reached zero)")
   }
 
   test("empty table: zero checked, zero violations, all rules pass") {
