@@ -516,7 +516,28 @@ object CorpusPipeline {
       embed: DataFrame => DataFrame = identity,
       compactAtFilesPerBucket: Double = 16.0,
       exportTo: Option[ExportCadence] = None,
-      ivfMaintain: Option[IvfMaintainCadence] = None)
+      ivfMaintain: Option[IvfMaintainCadence] = None,
+      sigIndex: Option[SigMaintenance] = None)
+
+  /** Stored bit-signature index attachment for [[ingestAndMaintain]]
+    * (r14 — the r13 verdict's top item: [[SigIndex]] was the only
+    * stored index the loop neither probed nor fed). `sig` maps batch
+    * rows to `(id, sig)` — id MUST be the row's doc_id, sig an
+    * equal-length bit string (perceptual image hash
+    * ([[Multimodal.PerceptualHash]]) over a payload column, simhash
+    * over text, any signature source); rows `sig` drops (undecodable
+    * payloads) are simply never signature-screened — the
+    * [[Multimodal.imageSignatures]] policy. The loop probes the
+    * table BEFORE admission (same drop policy as the minhash screen:
+    * corpus match drops the batch doc, in-batch pair keeps the lower
+    * id) and appends the accepted docs' signatures AFTER the store
+    * write — [[SigIndex.append]] is one-table, id-idempotent, so the
+    * at-least-once replay contract carries over unchanged; the table
+    * joins the band/ivf tables in the measured files-per-bucket
+    * compaction cadence. Pigeonhole exactness needs
+    * `bands > maxDist` (enforced by the probe). */
+  final case class SigMaintenance(table: String,
+      sig: DataFrame => DataFrame, maxDist: Int = 2, bands: Int = 8)
 
   /** Vector-index rebuild policy for [[ingestAndMaintain]] (r12) —
     * closes the REBUILD half of the IVF story the way append closed
@@ -584,13 +605,15 @@ object CorpusPipeline {
     * per-run INSERT path, bird.py:775-919, continuously maintained):
     * each micro-batch is SCREENED against the STORED indexes
     * (optional [[graft.analytics.DataQuality]] `admission` rule gate
-    * → quality gate → [[BandIndex.probe]] near-dup screen →
-    * decontamination),
+    * → quality gate → [[BandIndex.probe]] near-dup screen → optional
+    * [[SigIndex.probe]] signature screen (r14 — the multimodal dedup
+    * leg, [[SigMaintenance]]) → decontamination),
     * handed to `onBatch` (where the caller lands it in the corpus
     * store), and then the ACCEPTED documents are FOLDED BACK into
     * every attached index — [[BandIndex.append]], optionally
-    * [[LexIndex.appendBatch]] and [[IvfIndex.append]] — so the NEXT
-    * batch's screen already sees them. [[streaming]] only probes a
+    * [[LexIndex.appendBatch]], [[IvfIndex.append]] and
+    * [[SigIndex.append]] — so the NEXT batch's screen already sees
+    * them. [[streaming]] only probes a
     * frozen index; this closes the accept→append→compact loop.
     *
     * Because the screen reads the stored band table (a stream-static
@@ -695,11 +718,32 @@ object CorpusPipeline {
         val (d, nD) = staged("nearDedupScreen", nQ,
           q.join(dupDropIds(pairs, q.select(col("doc_id"))),
             Seq("doc_id"), "left_anti"), t0)
+        // signature (multimodal/simhash) near-dup screen against the
+        // stored SigIndex — same probe-before-admit shape as the
+        // minhash screen. Self-pairs (id_a == id_b) are REPLAY ECHOES,
+        // not duplicates: the sig append runs before the band append,
+        // so a batch replayed after a crash between them finds its own
+        // ids in the sig index — dropping on those would silently
+        // shrink the replayed accepted set the store write then
+        // overwrites. The band index stays the sole replay-drop
+        // authority (its append commits the batch).
+        val (d2, nD2) = maint.sigIndex match {
+          case None => (d, nD)
+          case Some(sc) =>
+            t0 = System.nanoTime()
+            val sigPairs = SigIndex.probe(spark, sc.table, sc.sig(d),
+                "id", "sig", sc.maxDist, sc.bands)
+              .filter(col("id_a") =!= col("id_b"))
+              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+            staged("sigDedupScreen", nD,
+              d.join(dupDropIds(sigPairs, d.select(col("doc_id"))),
+                Seq("doc_id"), "left_anti"), t0)
+        }
         t0 = System.nanoTime()
-        val flagged = Decontaminate.screenBatch(d, evalIndex, evalN)
+        val flagged = Decontaminate.screenBatch(d2, evalIndex, evalN)
           .select(col("doc_id"))
-        val (accepted, nA) = staged("decontaminateScreen", nD,
-          d.join(flagged, Seq("doc_id"), "left_anti"), t0)
+        val (accepted, nA) = staged("decontaminateScreen", nD2,
+          d2.join(flagged, Seq("doc_id"), "left_anti"), t0)
         val out = chunkTo.fold(accepted) { case (sz, stride) =>
           t0 = System.nanoTime()
           staged(s"chunk($sz/$stride)", nA,
@@ -733,10 +777,14 @@ object CorpusPipeline {
             LexIndex.appendBatch(spark, dir, docs))
           maint.ivfTable.foreach(t =>
             IvfIndex.append(spark, t, maint.embed(accepted)))
+          maint.sigIndex.foreach(sc =>
+            SigIndex.append(spark, sc.table, sc.sig(accepted),
+              "id", "sig", sc.bands))
           BandIndex.append(spark, maint.bandTable, docs,
             maint.n, maint.k, maint.bands)
           val bucketed = Seq(maint.bandTable,
-            BandIndex.keysTable(maint.bandTable)) ++ maint.ivfTable
+            BandIndex.keysTable(maint.bandTable)) ++ maint.ivfTable ++
+            maint.sigIndex.map(_.table)
           val compacted = bucketed.filter(t =>
             graft.store.Bucketing.filesPerBucket(spark, t) >=
               maint.compactAtFilesPerBucket)

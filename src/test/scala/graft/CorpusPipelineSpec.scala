@@ -485,6 +485,130 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestAndMaintain sig leg: cross-batch near-identical PNG caught FROM the SigIndex two appends later; compact_index preview lists its debt") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ml.{Multimodal, SigIndex}
+    // real PNG payloads (the MlSpec perceptual-hash fixture recipe):
+    // near-copies differ by a few scattered pixels — different BYTES,
+    // aHash within 2 bits; distinct layouts are > 10 bits apart
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = f(x, y).max(0).min(255)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def noisy(f: (Int, Int) => Int): (Int, Int) => Int =
+      (x, y) => if ((x * 64 + y) % 823 == 0) 0 else f(x, y)
+    val imgA = (x: Int, y: Int) =>
+      if (x >= 8 && x < 24 && y >= 8 && y < 24) 230 else (x + y) * 3 / 2
+    val imgB = (x: Int, y: Int) =>
+      if (x >= 40 && x < 60 && y >= 36 && y < 60) 10 else 200 - x
+    val imgC = (x: Int, y: Int) => if ((x / 8 + y / 8) % 2 == 0) 240 else 15
+    val imgD = (x: Int, y: Int) => if (y >= 32) 235 else x * 2
+    val imgSeed = (x: Int, y: Int) => if (x >= 30 && x < 34) 250 else y * 3
+    // sig attachment: decode the payload column to the aHash signature
+    // (rows that fail to decode are simply not signature-screened)
+    def sigFn(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageSignatures(
+        df.select(col("doc_id").as("media_id"),
+            lit("image/png").as("mime"), col("payload"),
+            lit("s").as("source"))
+          .as[Multimodal.MediaRow])
+        .toDF().select(col("media_id").as("id"), col("ahash").as("sig"))
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_sig_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      SigIndex.write(
+        sigFn(corpusDocs.withColumn("payload", lit(png(imgSeed)))),
+        "id", "sig", "g_sig_idx", bands = 8, buckets = 4)
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String, Array[Byte])]
+      val accepted = scala.collection.mutable.Map[Long, Set[Long]]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text", "payload"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_sig_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          compactAtFilesPerBucket = 1000.0, // let debt accumulate
+          sigIndex = Some(CorpusPipeline.SigMaintenance("g_sig_idx",
+            sigFn, maxDist = 2, bands = 8))),
+        evalIdx, evalN = 3) { (batchId, acc, _) =>
+        accepted.synchronized {
+          accepted(batchId) = acc.select($"doc_id").as[Long].collect().toSet
+          ()
+        }
+      }
+      try {
+        // batch 0: two novel texts, two distinct images — accepted
+        input.addData(
+          (300L, "seven silver falcons circle the ancient observatory tower at dusk tonight", png(imgA)),
+          (301L, "migrating whales sing layered songs across the cold northern strait waters", png(imgB)))
+        q.processAllAvailable()
+        // batch 1: 310 = NOVEL text but near-copy of batch-0 image A —
+        // only the sig index append makes this catchable; 311 novel
+        input.addData(
+          (310L, "granite cliffs hold nesting seabirds above the churning spring tide line", png(noisy(imgA))),
+          (311L, "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil", png(imgC)))
+        q.processAllAvailable()
+        // batch 2: 320 ≈ batch-0 image B, 321 ≈ batch-1 image C — both
+        // caught FROM THE INDEX two appends later; 322 novel
+        input.addData(
+          (320L, "lantern moths gather around the orchard shed lamps in the warm evening air", png(noisy(imgB))),
+          (321L, "river otters slide down the muddy bank into the clear morning shallows", png(noisy(imgC))),
+          (322L, "paper lanterns drift over the festival river while drummers keep gentle time", png(imgD)))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(accepted(0L) === Set(300L, 301L), s"batch 0: ${accepted(0L)}")
+      assert(accepted(1L) === Set(311L), s"batch 1: ${accepted(1L)}")
+      assert(accepted(2L) === Set(322L), s"batch 2: ${accepted(2L)}")
+      // the sig index grew by exactly the accepted docs
+      val sigIds = spark.table("g_sig_idx")
+        .select($"id").distinct().as[Long].collect().toSet
+      assert(sigIds === Set(10L, 300L, 301L, 311L, 322L), sigIds.toString)
+
+      // the appends accumulated measured files-per-bucket debt on the
+      // sig table, and the serving surface's clean mode=compact_index
+      // previews it (and packs it on confirm) like any index table
+      val debt = graft.store.Bucketing.filesPerBucket(spark, "g_sig_idx")
+      assert(debt > 1.0, s"expected append debt on g_sig_idx, got $debt")
+      val s = new graft.api.Serve(GraftEngine(spark,
+        java.nio.file.Files.createTempDirectory("g_sig_srv").toString))
+      val prev = s.call("clean", Map("mode" -> "compact_index",
+        "table" -> "g_sig_idx"))
+      assert(prev.contains("\"preview\":true") &&
+        prev.contains("\"table\":\"g_sig_idx\"") &&
+        prev.contains("\"files_per_bucket\""), prev)
+      val done = s.call("clean", Map("mode" -> "compact_index",
+        "table" -> "g_sig_idx", "confirm" -> "true"))
+      assert(done.contains("\"compacted\":[\"g_sig_idx\"]"), done)
+      assert(graft.store.Bucketing.filesPerBucket(spark, "g_sig_idx") <= 1.0)
+      // compaction preserved the probe: a near-copy of image D still
+      // pairs with appended doc 322
+      val probe = SigIndex.probe(spark, "g_sig_idx",
+          Seq((900L, "x")).toDF("doc_id", "text")
+            .withColumn("payload", lit(png(noisy(imgD))).cast("binary"))
+            .transform(sigFn),
+          "id", "sig", maxDist = 2, bands = 8)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(probe.map(p => (p._1, p._2)) === Set((322L, 900L)), probe.toString)
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_sig_band", "g_sig_band_keys", "g_sig_idx")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ingestAndMaintain export cadence: shard export refreshes on measured debt and matches the accepted corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = Seq(
