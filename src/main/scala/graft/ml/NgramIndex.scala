@@ -1,0 +1,225 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stored n-gram postings index (r14) — the fifth member of the
+  * persistent-index family ([[BandIndex]] minhash bands, [[LexIndex]]
+  * term postings, [[IvfIndex]] vectors, [[SigIndex]] bit signatures):
+  * the inverted shingle index the n-gram pair family (q31 Jaccard,
+  * q97/q101 containment) rebuilt FROM TEXT on every run — tokenize,
+  * per-token xxhash64, gram-key fold, explode — now paid once at
+  * build. Probes read 8-byte keys and int doc ids from parquet; the
+  * corpus text is never touched again (the q83→q102 LexIndex
+  * precedent, applied to the dedup-pairs family — the r13 verdict's
+  * item 3).
+  *
+  * Reference behavior frame: blq-cli's stored-fingerprint set ops
+  * (src/blq/query.py fingerprint set-diff over stored runs) — the
+  * n-gram generalization, stored so repeat screens never re-derive.
+  *
+  * Layout under an index dir:
+  *  - `postings/`: (shingle: long, df: long, docs: array<id>) — one
+  *    row per distinct gram key; `docs` is the COMPLETE sorted
+  *    posting list iff df <= dfMax, else EMPTY (hot shingles are
+  *    dropped by every rare-gram consumer — q31/q97/q101 all df-cap —
+  *    so only their df is stored, bounding every stored list at dfMax
+  *    entries; the df column still lets a probe detect that a
+  *    batch-merged list crossed its cap).
+  *  - `_meta`: n, dfMax, id type — probes validate against it.
+  *
+  * Scale shape: the build is two grouped passes over the (doc_id,
+  * shingle) keys (df count first, lists collected ONLY for rare
+  * shingles — `collect_list` never buffers a hot gram's millions of
+  * ids); probes are bounded by the stored-lists scan plus, on the
+  * incremental path, the batch's own tokenize pass. Pair expansion,
+  * packing fast path and finalize are [[TextDedup]]'s OWN code
+  * ([[TextDedup.pairCountsFromCapped]],
+  * [[TextDedup.containmentPairsIncrementalFromPostings]]), so the
+  * indexed and ad-hoc paths cannot diverge — q125/q126 gate the
+  * indexed plans against the SAME DuckDB oracles as q31/q101. */
+object NgramIndex {
+
+  /** One tokenize+hash pass over the corpus → the stored postings.
+    * `dfMax` fixes the largest COMPLETE stored list; probes may use
+    * any dfCap <= dfMax exactly. */
+  def build(docs: DataFrame, dir: String, n: Int, dfMax: Int): Unit = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(dfMax >= 1, s"dfMax must be positive, got $dfMax")
+    val spark = docs.sparkSession
+    val sh = TextDedup.shingleKeyTable(docs, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val idType = sh.schema("doc_id").dataType
+      val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      // lists ONLY for rare shingles: the collect_list buffer never
+      // sees a hot gram's full id stream
+      val lists = sh
+        .join(dfs.filter(col("df") <= dfMax).select(col("shingle")),
+          Seq("shingle"), "left_semi")
+        .groupBy(col("shingle"))
+        .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      dfs.join(lists, Seq("shingle"), "left")
+        .select(col("shingle"), col("df"),
+          coalesce(col("docs"),
+            array().cast(org.apache.spark.sql.types.ArrayType(idType)))
+            .as("docs"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$dir/postings")
+      writeMeta(spark, dir, n, dfMax)
+      invalidate(dir)
+    } finally { sh.unpersist(); () }
+  }
+
+  /** Full-corpus Jaccard pairs from the stored postings — q31's exact
+    * output with zero text processing: filter stored lists at the
+    * probe's dfCap, then the shared pair machinery. */
+  def pairsJaccard(spark: SparkSession, dir: String, threshold: Double,
+      dfCap: Int): DataFrame = {
+    val (pairs, sizes) = TextDedup.pairCountsFromCapped(
+      cappedLists(spark, dir, dfCap))
+    TextDedup.finalizeJaccard(pairs, sizes, threshold)
+  }
+
+  /** Full-corpus containment pairs from the stored postings — q97's
+    * exact output, same cost model as [[pairsJaccard]]. */
+  def pairsContainment(spark: SparkSession, dir: String,
+      threshold: Double, dfCap: Int): DataFrame = {
+    val (pairs, sizes) = TextDedup.pairCountsFromCapped(
+      cappedLists(spark, dir, dfCap))
+    TextDedup.finalizeContainment(pairs, sizes, threshold)
+  }
+
+  /** Incremental containment probe: `batch` (the docs that arrived
+    * AFTER the index was built; id-disjoint from it) tokenizes ITSELF
+    * only, merges its lists into the stored ones, re-caps df over the
+    * merged counts (a gram rare in the corpus can go hot with the
+    * batch — exactly like the ad-hoc form's df over corpus∪batch) and
+    * expands only batch-touching pairs. Output identical to
+    * [[TextDedup.containmentPairsIncremental]] over corpus∪batch —
+    * q126 gates it against q101's oracle. */
+  def probeContainment(spark: SparkSession, dir: String, batch: DataFrame,
+      threshold: Double, dfCap: Int): DataFrame = {
+    val m = meta(spark, dir)
+    require(dfCap <= m.dfMax,
+      s"probe dfCap $dfCap exceeds the index's stored dfMax ${m.dfMax}")
+    val stored = postingsFrame(spark, dir)
+    val idType = stored.schema("docs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val batchLists = TextDedup.shingleKeyTable(batch, m.n)
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col("doc_id").cast(idType))).as("bdocs"))
+    val emptyIds = array()
+      .cast(org.apache.spark.sql.types.ArrayType(idType))
+    val merged = stored
+      .join(batchLists, Seq("shingle"), "full")
+      .withColumn("df_m",
+        coalesce(col("df"), lit(0L)) +
+          coalesce(size(col("bdocs")).cast("long"), lit(0L)))
+      .filter(col("df_m") <= dfCap)
+      // a corpus list stored empty has df > dfMax >= dfCap, so the
+      // filter above already dropped it — every surviving stored list
+      // is complete by the build contract
+      .select(concat(
+        transform(coalesce(col("docs"), emptyIds),
+          d => struct(d.as("doc_id"), lit(false).as("is_new"))),
+        transform(coalesce(col("bdocs"), emptyIds),
+          d => struct(d.as("doc_id"), lit(true).as("is_new"))))
+        .as("docs"))
+    TextDedup.containmentPairsIncrementalFromPostings(merged, threshold)
+  }
+
+  private def cappedLists(spark: SparkSession, dir: String,
+      dfCap: Int): DataFrame = {
+    val m = meta(spark, dir)
+    require(dfCap <= m.dfMax,
+      s"probe dfCap $dfCap exceeds the index's stored dfMax ${m.dfMax}")
+    postingsFrame(spark, dir)
+      .filter(col("df") <= dfCap)
+      .select(col("shingle"), col("docs"))
+  }
+
+  /** Resolved-postings frame cache (the LexIndex.postingsFrame
+    * precedent, r10): `spark.read.parquet` pays driver-side listing +
+    * footer reads per call — a fixed tax on every probe of an
+    * immutable index. Session-validated; [[invalidate]]d on rebuild. */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Meta]()
+
+  private def postingsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val cached = postingsCache.get(dir)
+    if (cached != null && (cached.sparkSession eq spark)) cached
+    else {
+      val df = spark.read.parquet(s"$dir/postings")
+      postingsCache.put(dir, df)
+      df
+    }
+  }
+
+  private def invalidate(dir: String): Unit = {
+    postingsCache.remove(dir)
+    metaCache.remove(dir)
+    ()
+  }
+
+  private[graft] final case class Meta(n: Int, dfMax: Int)
+
+  private def writeMeta(spark: SparkSession, dir: String, n: Int,
+      dfMax: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"n":$n,"dfMax":$dfMax}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def meta(spark: SparkSession, dir: String): Meta =
+    metaCache.computeIfAbsent(dir, { _ =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def f(k: String) = s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"bad _meta at $dir: $s"))
+      Meta(f("n"), f("dfMax"))
+    })
+
+  /** Ensure an up-to-date index over `docs` for the corpus at `sfDir`
+    * exists; rebuild only when the stored fingerprint mismatches
+    * (the LexIndex.ensure pattern). `tag` names the corpus SLICE the
+    * index covers (full corpus vs the pre-batch snapshot), so one
+    * sfDir can carry several. Returns the index dir. */
+  def ensure(spark: SparkSession, sfDir: String, docs: => DataFrame,
+      n: Int, dfMax: Int, tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ngramindex/" +
+      s"$h/n${n}_df${dfMax}_$tag"
+    val fp = fingerprint(spark, sfDir)
+    val fpPath = java.nio.file.Paths.get(dir, "_fingerprint")
+    val current =
+      if (java.nio.file.Files.exists(fpPath))
+        Some(new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8"))
+      else None
+    if (!current.contains(fp)) {
+      build(docs, dir, n, dfMax)
+      java.nio.file.Files.createDirectories(fpPath.getParent)
+      java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
+      ()
+    }
+    dir
+  }
+
+  /** "v1" = index FORMAT version — bump on any schema change so a
+    * code upgrade rebuilds instead of reading a stale layout. */
+  private def fingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"v1:${st.getLen}:${st.getModificationTime}"
+  }
+}

@@ -218,17 +218,33 @@ object TextDedup {
     * frames — the expensive index/pair stages exist exactly once. */
   private def postingsPairCounts(docs: DataFrame, n: Int,
       dfCap: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
-    val idType = docs.schema("doc_id").dataType
-    val packIds = idType match {
-      case IntegerType | ShortType | ByteType => true
-      case _ => false
-    }
     val sh = shingleKeyTable(docs, n)
     val postings = sh.groupBy(col("shingle"))
       .agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= dfCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairCountsFromCapped(postings)
+  }
+
+  /** Sizes + co-occurrence pair counts from an ALREADY df-capped
+    * postings-list frame (`docs` array column of doc ids) — the shared
+    * back half of [[postingsPairCounts]], factored out (r14) so the
+    * stored-postings index ([[NgramIndex]]) feeds the identical pair
+    * machinery without re-tokenizing anything: key identity, packing
+    * fast path and pair orientation are THE SAME CODE on the ad-hoc
+    * and indexed paths, so the two cannot diverge. */
+  private[ml] def pairCountsFromCapped(postings: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, ShortType}
+    val idType = postings.schema("docs").dataType match {
+      case ArrayType(et, _) => et
+      case other => throw new IllegalArgumentException(
+        s"postings.docs must be an array of doc ids, got $other")
+    }
+    val packIds = idType match {
+      case IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
     val sizes = postings.select(explode(col("docs")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // materialize the sorted list BEFORE the pair lambda references it
@@ -290,7 +306,7 @@ object TextDedup {
   /** The ONE containment finalize (mirrors [[finalizeJaccard]]): both
     * variants emit through here so the measure cannot silently
     * diverge between them. */
-  private def finalizeContainment(pairs: DataFrame, sizes: DataFrame,
+  private[ml] def finalizeContainment(pairs: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame =
     attachSizes(pairs, sizes)
       .withColumn("containment",
@@ -411,7 +427,7 @@ object TextDedup {
 
   /** Shared tail of both jaccard forms: attach per-doc set sizes,
     * compute the ratio, apply the threshold. */
-  private def finalizeJaccard(pairs: DataFrame, sizes: DataFrame,
+  private[ml] def finalizeJaccard(pairs: DataFrame, sizes: DataFrame,
       threshold: Double): DataFrame =
     attachSizes(pairs, sizes)
       .withColumn("jaccard",

@@ -51,6 +51,22 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // q31 from the STORED n-gram postings index (r14 — the q83→q102
+    // precedent applied to the dedup-pairs family): ensure() builds
+    // the index once per corpus snapshot (one tokenize+xxhash64 pass);
+    // every later run reads 8-byte keys + int doc lists from parquet
+    // and never touches the text. Same oracle as q31 — identical
+    // output proves the index IS the postings q31 recomputes per run.
+    "q125_ngram_jaccard_indexed" -> { (s, dir) =>
+      val idx = graft.ml.NgramIndex.ensure(s, dir,
+        t(s, dir, "documents")
+          .withColumn("doc_id", col("doc_id").cast("int"))
+          .select(col("doc_id"), col("text")),
+        n = 3, dfMax = 64, tag = "full")
+      graft.ml.NgramIndex.pairsJaccard(s, idx, threshold = 0.3, dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // MinHash(12) + LSH(4 bands × 3 rows) candidate generation with the
     // slot-agreement estimate pre-filter (minAgree = 5: candidates whose
     // estimated Jaccard < 5/12 never reach the verify join), verified
@@ -786,6 +802,24 @@ object PipelineQueries {
 
   private[queries] val shingleCte: String = ngramCte(3)
 
+  /** Shared q31/q125 oracle: the full df-capped 3-gram Jaccard pair
+    * computation — the ad-hoc and stored-index plans both gate against
+    * this ONE text. */
+  private val ngramJaccardOracle: String =
+    s"""WITH $shingleCte,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+       |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+       |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** 32-bit simhash CTE chain ending in sig(doc_id, simhash). */
   private val simhashCte: String = {
     val dCols = (0 until 8)
@@ -1000,20 +1034,13 @@ object PipelineQueries {
         | array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash""".stripMargin,
 
-    "q31_ngram_jaccard" ->
-      s"""WITH $shingleCte,
-         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
-         |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-         |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT doc_a, doc_b,
-         | round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
-         |FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
-         |WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q31_ngram_jaccard" -> ngramJaccardOracle,
+
+    // The indexed plan must reproduce the ad-hoc plan's output exactly
+    // — ONE oracle text gates both (the q97/q101 containmentOracle
+    // discipline: a semantics edit cannot reach one and leave the
+    // other gating stale behavior).
+    "q125_ngram_jaccard_indexed" -> ngramJaccardOracle,
 
     // Mirrors TextDedup.minhashSignatures: ONE md5 per shingle, two
     // 32-bit halves, slot j = (h1*A_j + h2*B_j + j) mod 2^31-1 with the

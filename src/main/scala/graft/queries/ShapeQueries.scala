@@ -584,6 +584,25 @@ object ShapeQueries {
         .containmentPairsIncremental(docs, col("doc_id") >= 400,
           n = 4, threshold = 0.6, dfCap = 50)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // q101 from the STORED n-gram postings index (r14, the q125
+    // companion): the corpus snapshot (docs < 400) is indexed once;
+    // each batch tokenizes ITSELF, merges its lists into the stored
+    // ones, re-caps df over the merged counts and expands only
+    // batch-touching pairs — the corpus text is never re-tokenized.
+    // Same oracle as q101: identical output proves the stored lists
+    // plus the batch pass equal the from-scratch incremental plan.
+    "q126_containment_indexed" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+      val idx = graft.ml.NgramIndex.ensure(s, dir,
+        docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text")),
+        n = 4, dfMax = 64, tag = "pre400")
+      graft.ml.NgramIndex.probeContainment(s, idx,
+          docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text")),
+          threshold = 0.6, dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 
   private def e4sum(expr: String): String =
@@ -817,6 +836,10 @@ object ShapeQueries {
     // minhashLshOracle pattern), so a semantics edit cannot reach one
     // and silently leave the other gating stale behavior.
     "q101_containment_incremental" ->
+      containmentOracle("  AND (doc_a >= 400 OR doc_b >= 400)\n"),
+
+    // indexed plan, same generator — the q31/q125 shared-oracle rule
+    "q126_containment_indexed" ->
       containmentOracle("  AND (doc_a >= 400 OR doc_b >= 400)\n"))
 
   /** Shared q97/q101 oracle body; `restriction` is an extra WHERE

@@ -509,6 +509,32 @@ object AbBench {
       spark.catalog.clearCache(); r
     }
 
+    // r14: shipped ad-hoc vs shipped stored-index paths — both sides
+    // call SparkEntry.queries (the r13 *_cur mandate: only the shipped
+    // path measures shipped input partitioning). The indexed entries'
+    // ensure() builds on the FIRST rep; min-of-reps reads the warm
+    // probe, which is the amortized cost the index exists to buy.
+    def q31Entry(): Long = {
+      val r = graft.SparkEntry
+        .queries("q31_ngram_jaccard")(spark, sfDir).count()
+      spark.catalog.clearCache(); r
+    }
+    def q125Entry(): Long = {
+      val r = graft.SparkEntry
+        .queries("q125_ngram_jaccard_indexed")(spark, sfDir).count()
+      spark.catalog.clearCache(); r
+    }
+    def q101Entry(): Long = {
+      val r = graft.SparkEntry
+        .queries("q101_containment_incremental")(spark, sfDir).count()
+      spark.catalog.clearCache(); r
+    }
+    def q126Entry(): Long = {
+      val r = graft.SparkEntry
+        .queries("q126_containment_indexed")(spark, sfDir).count()
+      spark.catalog.clearCache(); r
+    }
+
     // q32 r9 decomposition (companion to q31's): same parameters as
     // the query (n=3, k=12, bands=4).
     def q32Digests(): Long = {
@@ -1565,6 +1591,10 @@ object AbBench {
       "q31_cur" -> (() => q31Cur()),
       "q31_keys" -> (() => q31Keys()),
       "q31_postings" -> (() => q31Postings()),
+      "q31_entry" -> (() => q31Entry()),
+      "q125_entry" -> (() => q125Entry()),
+      "q101_entry" -> (() => q101Entry()),
+      "q126_entry" -> (() => q126Entry()),
       "q95_cur" -> (() => q95Cur()),
       "q95_pairagg" -> (() => q95PairAgg()),
       "q100_cur" -> (() => q100Cur()),

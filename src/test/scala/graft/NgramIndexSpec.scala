@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.{NgramIndex, TextDedup}
+
+/** Stored n-gram postings index: the indexed plans must equal the
+  * ad-hoc TextDedup forms row-for-row (q125/q126 gate them against
+  * the DuckDB oracles; this spec pins the differential at unit scale
+  * plus the storage contract the oracles can't see — hot-shingle
+  * truncation, dfCap-vs-dfMax enforcement, merged-df re-capping). */
+class NgramIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a corpus with real structure: shared boilerplate (hot grams),
+  // a near-dup pair, a containment pair, and unique docs
+  private def docs = Seq(
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 1
+    (3, "kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi"),
+    (4, "kappa lambda mu nu xi omicron"), // contained in 3
+    (5, "completely different words live in this document only"),
+    (6, "common filler common filler common filler distinct tail one"),
+    (7, "common filler common filler common filler distinct tail two"))
+    .toDF("doc_id", "text")
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("g_ngidx").toString + "/idx"
+
+  test("pairsJaccard from the stored index equals jaccardPairsPostings; pairsContainment equals containmentPairsPostings") {
+    val dir = freshDir()
+    NgramIndex.build(docs, dir, n = 3, dfMax = 8)
+    val gotJ = NgramIndex.pairsJaccard(spark, dir, threshold = 0.1, dfCap = 4)
+      .as[(Int, Int, Double)].collect().toSet
+    val wantJ = TextDedup.jaccardPairsPostings(docs, n = 3,
+        threshold = 0.1, dfCap = 4)
+      .as[(Int, Int, Double)].collect().toSet
+    assert(gotJ === wantJ && gotJ.nonEmpty, s"jaccard: $gotJ vs $wantJ")
+    val gotC = NgramIndex.pairsContainment(spark, dir, threshold = 0.5,
+        dfCap = 4)
+      .as[(Int, Int, Long, Double, Long, Long)].collect().toSet
+    val wantC = TextDedup.containmentPairsPostings(docs, n = 3,
+        threshold = 0.5, dfCap = 4)
+      .as[(Int, Int, Long, Double, Long, Long)].collect().toSet
+    assert(gotC === wantC && gotC.nonEmpty, s"containment: $gotC vs $wantC")
+  }
+
+  test("probeContainment: stored corpus + self-tokenized batch equals the from-scratch incremental form, including merged-df re-capping") {
+    val dir = freshDir()
+    val corpus = docs.filter($"doc_id" <= 5)
+    val batch = Seq(
+      (8, "kappa lambda mu nu xi omicron pi rho"), // contained in 3
+      // shares the 'alpha beta gamma' gram family with corpus 1/2:
+      // merged df for those grams crosses a tight cap, exercising the
+      // re-cap path (a gram rare in the corpus goes hot with batches)
+      (9, "alpha beta gamma delta epsilon zeta eta theta wholly"),
+      (10, "alpha beta gamma delta epsilon zeta eta theta fully"))
+      .toDF("doc_id", "text")
+    NgramIndex.build(corpus, dir, n = 3, dfMax = 8)
+    for (cap <- Seq(3, 8)) {
+      val got = NgramIndex.probeContainment(spark, dir, batch,
+          threshold = 0.3, dfCap = cap)
+        .as[(Int, Int, Long, Double, Long, Long)].collect().toSet
+      val want = TextDedup.containmentPairsIncremental(
+          corpus.unionByName(batch), $"doc_id" >= 8, n = 3,
+          threshold = 0.3, dfCap = cap)
+        .as[(Int, Int, Long, Double, Long, Long)].collect().toSet
+      assert(got === want, s"cap=$cap: $got vs $want")
+      assert(got.nonEmpty, s"cap=$cap vacuous")
+    }
+  }
+
+  test("storage contract: hot shingles keep df but store EMPTY lists; probes refuse dfCap > dfMax") {
+    val dir = freshDir()
+    // 'common filler common' etc appear in docs 6+7 only; with dfMax=1
+    // every df-2 gram stores empty
+    NgramIndex.build(docs, dir, n = 3, dfMax = 2)
+    val stored = spark.read.parquet(s"$dir/postings")
+    val hot = stored.filter($"df" > 2)
+    assert(hot.count() === 0L) // this corpus has max df 2 (pairs only)
+    val df2 = stored.filter($"df" === 2)
+    assert(df2.count() > 0L)
+    assert(df2.filter(size($"docs") =!= 2).count() === 0L,
+      "df<=dfMax lists must be complete")
+    val dir2 = freshDir()
+    NgramIndex.build(docs, dir2, n = 3, dfMax = 1)
+    val stored2 = spark.read.parquet(s"$dir2/postings")
+    val truncated = stored2.filter($"df" === 2)
+    assert(truncated.count() > 0L)
+    assert(truncated.filter(size($"docs") =!= 0).count() === 0L,
+      "df>dfMax lists must store empty")
+    intercept[IllegalArgumentException] {
+      NgramIndex.pairsJaccard(spark, dir2, threshold = 0.1, dfCap = 2)
+    }
+    intercept[IllegalArgumentException] {
+      NgramIndex.probeContainment(spark, dir2,
+        Seq((9, "x y z")).toDF("doc_id", "text"), threshold = 0.1,
+        dfCap = 50)
+    }
+  }
+
+  test("ensure: builds once per corpus fingerprint; separate tags coexist") {
+    val sfDir = java.nio.file.Files.createTempDirectory("g_ngsf").toString
+    docs.coalesce(1).write.parquet(s"$sfDir/documents.parquet")
+    val d1 = NgramIndex.ensure(spark, sfDir, docs, n = 3, dfMax = 8, "full")
+    val t1 = new java.io.File(s"$d1/postings").lastModified()
+    // second ensure: same fingerprint, no rebuild
+    val d1b = NgramIndex.ensure(spark, sfDir, docs, n = 3, dfMax = 8, "full")
+    assert(d1b === d1)
+    assert(new java.io.File(s"$d1/postings").lastModified() === t1)
+    // a different tag is its own index dir
+    val d2 = NgramIndex.ensure(spark, sfDir,
+      docs.filter($"doc_id" <= 3), n = 4, dfMax = 8, "slice")
+    assert(d2 !== d1)
+    assert(NgramIndex.meta(spark, d2) === NgramIndex.Meta(4, 8))
+  }
+}
