@@ -102,18 +102,33 @@ object Bench {
     // when python3/duckdb are unavailable or SPARK_GRAFT_LIVE_PAIR=0.
     val livePairWanted = nameFilter.isEmpty &&
       !sys.env.get("SPARK_GRAFT_LIVE_PAIR").exists(v => v == "0" || v == "false")
-    val livePaired = if (livePairWanted) liveDuckBench(sfDir) else None
+    val livePairAttempt: Option[Either[String, Map[String, Double]]] =
+      if (livePairWanted) Some(liveDuckBench(sfDir)) else None
+    val livePaired = livePairAttempt.flatMap(_.toOption)
     val duck = livePaired.getOrElse(duckQueries(sfDir))
-    // In file mode the pairing's host-symmetry is NOT guaranteed —
-    // surface the raw facts (duck-side 1-min loadavg at its run vs
-    // this run's) so an asymmetric pairing is visible in the artifact
-    // without a fragile threshold judgment.
-    val pairMode =
-      if (duck.isEmpty) ""
-      else if (livePaired.isDefined) s""","pair_mode":"live""""
+    // File-mode host-symmetry is now a HARD gate (r14 — the r13
+    // verdict's item 8): the raw facts (duck-side 1-min loadavg at
+    // its run vs this run's) still surface, and when they exceed the
+    // symmetry band the quotable ratio REFUSES to exist
+    // (ratio_valid:false + duck_ratio:null) instead of riding an
+    // annotation a reader can miss — the r12 artifact's 2.92× was
+    // exactly a loaded-Spark/quiet-duck number quoted as a ratio.
+    // A failed LIVE pairing also names its cause (pair_fallback) so
+    // a file-mode artifact is distinguishable from an intentional
+    // SPARK_GRAFT_LIVE_PAIR=0 run (r13 advice).
+    val (pairMode, ratioValid) =
+      if (duck.isEmpty) ("", true)
+      else if (livePaired.isDefined)
+        (s""","pair_mode":"live","ratio_valid":true""", true)
       else {
         val duckLoad = duckLoadavg1m()
-        s""","pair_mode":"file","pair_loadavg_1m":[$duckLoad,${loadavg()._1}]"""
+        val sparkLoad = loadavg()._1
+        val fallback = livePairAttempt.collect {
+          case Left(reason) => s""","pair_fallback":"$reason"""" }
+          .getOrElse("")
+        val symmetric = pairSymmetric(duckLoad, sparkLoad)
+        (s""","pair_mode":"file","pair_loadavg_1m":[$duckLoad,$sparkLoad],""" +
+          s""""ratio_valid":$symmetric""" + fallback, symmetric)
       }
     // Two timed runs per query, report the min: the first run pays
     // one-time Janino codegen compilation (seconds for the nested
@@ -176,7 +191,7 @@ object Bench {
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingestStart, ingest)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
-        skippedJson + duckPairing(duck, results) + pairMode +
+        skippedJson + duckPairing(duck, results, ratioValid) + pairMode +
         pairingStaleness(duck, results) + queryRatios(duck, results) +
         s""","queries":$qs}"""
     // File first (durable even if the print path dies). On stdout:
@@ -198,7 +213,7 @@ object Bench {
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingestStart, ingest)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
-        duckPairing(duck, results) + pairMode +
+        duckPairing(duck, results, ratioValid) + pairMode +
         pairingStaleness(duck, results) +
         s""","queries_in":"bench.json"}"""
     println(compact)
@@ -250,16 +265,35 @@ object Bench {
         s""""control_healthy_band":[${controlHealthyBand._1},${controlHealthyBand._2}]"""
     }
 
+  /** File-mode pairing symmetry band (r14): the two 1-min loadavgs
+    * must be within 3.0 of each other OR within 1.5× — otherwise one
+    * side ran loaded and the other quiet (the r12 2.92× artifact
+    * class) and the ratio is not a measurement. Unknown duck-side
+    * load (pre-r9 duckbench.json without the annotation) cannot
+    * attest symmetry and is therefore NOT symmetric — re-pair. */
+  private[graft] def pairSymmetric(duckLoad1m: Double,
+      sparkLoad1m: Double): Boolean =
+    duckLoad1m >= 0 && sparkLoad1m >= 0 && {
+      val lo = math.min(duckLoad1m, sparkLoad1m)
+      val hi = math.max(duckLoad1m, sparkLoad1m)
+      hi - lo <= 3.0 || hi <= 1.5 * math.max(lo, 0.01)
+    }
+
   /** Run tools/duckbench.py in a temp dir against the SAME sf dir,
     * right now, on this host — the live half of the r13 symmetric
     * pairing. Bench owns the oracle SQL (SparkEntry.oracleSql), so it
     * writes the oracle_sql.json the script expects itself; the
     * script's durable duckbench.json lands in the temp cwd and, on
     * success, is copied over ./duckbench.json so the committed trail
-    * matches what the artifact's ratio was computed from. None on any
-    * failure (missing python3/duckdb, nonzero exit, timeout) — the
-    * caller falls back to the committed file and says so. */
-  private def liveDuckBench(sfDir: String): Option[Map[String, Double]] =
+    * matches what the artifact's ratio was computed from. Left(cause)
+    * on failure — missing python3/duckdb, nonzero exit, timeout, sf
+    * mismatch — so the artifact names WHY it fell back to file mode
+    * instead of silently reverting to the asymmetric pairing the live
+    * mode exists to prevent (r13 advice: the old Throwable catch
+    * swallowed even fatal errors into an unexplained fallback; fatal
+    * errors now propagate). */
+  private def liveDuckBench(sfDir: String)
+      : Either[String, Map[String, Double]] =
     try {
       val tmp = java.nio.file.Files.createTempDirectory("graft_pair")
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -274,28 +308,32 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(tmp.resolve("out.txt").toFile)
       val p = pb.start()
-      val done = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) { p.destroyForcibly(); None }
-      else if (p.exitValue() != 0) None
+      val done =
+        try p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case e: InterruptedException =>
+          p.destroyForcibly(); throw e }
+      if (!done) { p.destroyForcibly(); Left("timeout") }
+      else if (p.exitValue() != 0) Left(s"exit=${p.exitValue()}")
       else {
         val f = tmp.resolve("duckbench.json")
         val node = om.readTree(java.nio.file.Files.readString(f))
-        if (node.path("sf").asText() != sfDir) None
+        if (node.path("sf").asText() != sfDir) Left("sf_mismatch")
         else {
           import scala.jdk.CollectionConverters._
           val m = node.path("queries").properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          if (m.isEmpty) None
+          if (m.isEmpty) Left("empty_queries")
           else {
             try java.nio.file.Files.copy(f,
               java.nio.file.Paths.get("duckbench.json"),
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-            catch { case _: Throwable => }
-            Some(m)
+            catch { case scala.util.control.NonFatal(_) => }
+            Right(m)
           }
         }
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(e) =>
+      Left(e.getClass.getSimpleName) }
 
   /** The committed duckbench.json's recorded 1-min loadavg at ITS run
     * time (-1 when unreadable) — the duck half of the file-mode
@@ -332,7 +370,7 @@ object Bench {
     * duckbench run — the loadavg annotation on both records is what
     * makes a stale pairing visible. */
   private def duckPairing(duck: Map[String, Double],
-      results: Seq[(String, Double)]): String = {
+      results: Seq[(String, Double)], ratioValid: Boolean): String = {
     val matched = results.filter(r => duck.contains(r._1))
     if (matched.isEmpty) ""
     else {
@@ -344,9 +382,11 @@ object Bench {
       // that under-counted the duck side, and the flag alone didn't
       // stop it being read as the round's ratio (r11 verdict #4).
       // Emit duck_ratio:null under staleness — the totals stay for
-      // diagnosis, the quotable number refuses to exist.
+      // diagnosis, the quotable number refuses to exist. r14: the
+      // same refusal applies to a host-ASYMMETRIC file pairing
+      // (ratio_valid:false — see pairSymmetric).
       val ratio =
-        if (isStale(duck, results)) "null"
+        if (isStale(duck, results) || !ratioValid) "null"
         else (math.rint(sp / d * 100) / 100).toString
       s""","duck_total":$d,"duck_ratio":$ratio,""" +
         s""""duck_matched":${matched.size}"""

@@ -62,6 +62,29 @@ object IvfIndex {
   private def newName(n: String): String = n + "__new"
   private def oldName(n: String): String = n + "__old"
 
+  /** Collected centroid-literal cache per index table (r14 — the
+    * LexIndex postingsFrame/queryCache precedent applied to the IVF
+    * probe's fixed tax: AbBench `q112_cents_only` measured the
+    * centroid collect job at 0.08-0.10 s of every probe of an
+    * immutable index). Centroids change ONLY through the write/
+    * rebuild/recover swap (appends assign under the STORED
+    * centroids), and the collected form is pure literals — bound to
+    * no session — so every probe after the first skips the collect
+    * job entirely. Invalidated by [[swapIn]] and [[recover]]. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Column]()
+
+  private def cachedCentroidArray(spark: SparkSession,
+      table: String): org.apache.spark.sql.Column =
+    centroidCache.computeIfAbsent(table, { _ =>
+      Ivf.centroidArray(spark.table(centroidsTable(table)))
+    })
+
+  private def invalidateCentroids(table: String): Unit = {
+    centroidCache.remove(table)
+    ()
+  }
+
   /** Train cells on `embs` (vec_id, label, embedding) and store the
     * assignment + centroid + stats tables. Crash-safe (r11): all three
     * tables are built under `__new` side names first — a failure
@@ -111,6 +134,7 @@ object IvfIndex {
     * by [[recover]] (roll forward once all `__new` tables committed,
     * roll back otherwise). */
   private def swapIn(spark: SparkSession, names: Seq[String]): Unit = {
+    invalidateCentroids(names(1)) // names = (centroids, TABLE, stats)
     names.foreach { n =>
       graft.store.Bucketing.dropWithDir(spark, oldName(n))
       if (spark.catalog.tableExists(n))
@@ -128,6 +152,7 @@ object IvfIndex {
     * build. Called defensively at the start of every write/rebuild;
     * safe no-op on a clean index. */
   def recover(spark: SparkSession, table: String): Unit = {
+    invalidateCentroids(table) // any branch may change the live build
     val names = indexTables(table)
     def ex(n: String) = spark.catalog.tableExists(n)
     val haveNew = names.count(n => ex(newName(n)))
@@ -353,7 +378,7 @@ object IvfIndex {
     * promptly. */
   def probeNearDup(spark: SparkSession, table: String, batch: DataFrame,
       threshold: Double, nprobe: Int = 2): DataFrame = {
-    val cents = Ivf.centroidArray(spark.table(centroidsTable(table)))
+    val cents = cachedCentroidArray(spark, table)
     val b = Similarity.prepared(batch)
       .withColumn("cell_id", explode(transform(
         slice(Ivf.rankedCells(cents, col("v")), 1, nprobe),
@@ -390,7 +415,7 @@ object IvfIndex {
     * vec_id) are excluded, mirroring [[Ivf.topK]]. */
   def probe(spark: SparkSession, table: String, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
-    val cents = Ivf.centroidArray(spark.table(centroidsTable(table)))
+    val cents = cachedCentroidArray(spark, table)
     val q = Similarity.prepared(queries)
       .withColumn("cell_id", explode(transform(
         slice(Ivf.rankedCells(cents, col("v")), 1, nprobe),

@@ -1010,6 +1010,30 @@ object AbBench {
     }
     def q102Cur(): Long =
       graft.ml.LexIndex.probeIndexed(spark, lexIdx, col("doc_id") < 5, 5).count()
+    // q112 fixed-tax decomposition (r14, r13 verdict #7): shipped
+    // probe vs its driver-side preparatory costs — the centroid
+    // collect job and plan construction. Both isolates inherit the
+    // shipped path's stored tables (ensureQ112Index via the first
+    // q112_cur rep builds them).
+    def q112Cur(): Long = {
+      val r = graft.SparkEntry
+        .queries("q112_ivf_indexed")(spark, sfDir).count()
+      spark.catalog.clearCache(); r
+    }
+    def q112CentsOnly(): Long = {
+      val table = "g_q112_ivf_" + Integer.toHexString(sfDir.hashCode)
+      graft.ml.Ivf.centroidArray(
+        spark.table(graft.ml.IvfIndex.centroidsTable(table)))
+      1L
+    }
+    def q112PlanOnly(): Long = {
+      val table = "g_q112_ivf_" + Integer.toHexString(sfDir.hashCode)
+      graft.ml.IvfIndex.probe(spark, table,
+          graft.Tables.t(spark, sfDir, "embeddings").filter(col("vec_id") < 10),
+          k = 3, nprobe = 2)
+        .queryExecution.executedPlan
+      1L
+    }
     def q102PlanOnly(): Long = {
       graft.ml.LexIndex.probeIndexed(spark, lexIdx, col("doc_id") < 5, 5)
         .queryExecution.executedPlan
@@ -1579,6 +1603,9 @@ object AbBench {
       "q06_build_distinct" -> (() => q06BuildDistinct()),
       "q102_cur" -> (() => q102Cur()),
       "q102_plan_only" -> (() => q102PlanOnly()),
+      "q112_cur" -> (() => q112Cur()),
+      "q112_cents_only" -> (() => q112CentsOnly()),
+      "q112_plan_only" -> (() => q112PlanOnly()),
       "q102_scan_only" -> (() => q102ScanOnly()),
       "q102_scan_join" -> (() => q102ScanJoin()),
       "q81_cur" -> (() => q81Cur()),
