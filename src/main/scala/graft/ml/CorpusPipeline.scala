@@ -517,7 +517,29 @@ object CorpusPipeline {
       compactAtFilesPerBucket: Double = 16.0,
       exportTo: Option[ExportCadence] = None,
       ivfMaintain: Option[IvfMaintainCadence] = None,
-      sigIndex: Option[SigMaintenance] = None)
+      sigIndex: Option[SigMaintenance] = None,
+      kmvTelemetry: Option[KmvTelemetry] = None)
+
+  /** Cardinality-drift telemetry for [[ingestAndMaintain]] (r14 — the
+    * cue the loop's other clocks don't see: IVF driftStats watches
+    * vector geometry, export/file debt watch volume, but nothing
+    * watched VOCABULARY or source-mix growth). Each monitor maps the
+    * ACCEPTED batch rows to a (g, v) frame — g the group label
+    * (a constant for a global count, or e.g. lang), v the value whose
+    * per-g distinct cardinality is monitored (tokens, sources). The
+    * maintenance slot folds every batch into the monitor's stored KMV
+    * state at `<stateDir>/<name>` ([[Sketches.foldKmvBatchStats]] —
+    * bounded at groups×k longs, dirty-bucket IO only, crash-safe +
+    * replay-idempotent like the streaming monitor) and reports the
+    * estimate movement via onMaintain as
+    * `kmvMonitor(<name>) (estBefore → estAfter)` — a near-zero delta
+    * on a large batch means the corpus vocabulary has saturated; a
+    * delta tracking batch size means genuinely novel content (or
+    * drift, when the mixture was expected stable). Exact whenever
+    * every touched group is below k. */
+  final case class KmvTelemetry(stateDir: String,
+      monitors: Seq[(String, DataFrame => DataFrame)],
+      k: Int = 256, buckets: Int = 16)
 
   /** Stored bit-signature index attachment for [[ingestAndMaintain]]
     * (r14 — the r13 verdict's top item: [[SigIndex]] was the only
@@ -793,6 +815,24 @@ object CorpusPipeline {
           onMaintain(batchId, StageStat(
             s"indexMaintain(compacted=${compacted.size})", nA, nA,
             math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
+          // cardinality telemetry: fold the accepted batch into each
+          // stored KMV monitor and report the distinct-estimate
+          // movement over the batch-touched groups (docsIn/docsOut
+          // carry the rounded before/after estimates — the DELTA is
+          // the drift cue). Replay-idempotent: a re-folded batch's
+          // hashes merge to a no-op and the reported delta reads 0.
+          maint.kmvTelemetry.foreach { kt =>
+            kt.monitors.foreach { case (mName, f) =>
+              t0 = System.nanoTime()
+              Sketches.foldKmvBatchStats(f(accepted),
+                  s"${kt.stateDir}/$mName", "g", "v", kt.k, kt.buckets)
+                .foreach(st =>
+                  onMaintain(batchId, StageStat(s"kmvMonitor($mName)",
+                    math.rint(st.estBefore).toLong,
+                    math.rint(st.estAfter).toLong,
+                    math.rint((System.nanoTime() - t0) / 1e5) / 1e4)))
+            }
+          }
           // IVF rebuild cadence (r12): measured appended-vector debt
           // gates the O(index) drift/recall check; the check gates
           // the rebuild. Runs before the export refresh so a fired

@@ -190,6 +190,74 @@ object Multimodal {
       } yield WavHeader(ch, rate, bits, dl)
     }
 
+    /** Minimal 16-bit PCM mono WAV writer — the synthesis half of the
+      * audio fixtures (q127, AudioSpec): samples clamp to int16 and
+      * land little-endian after a canonical 44-byte RIFF header.
+      * Round-trips through [[wavHeader]], [[energyEnvelope]] and
+      * [[windowEnergySums]]. */
+    def pcmWav(samples: Array[Int], sampleRate: Int = 8000): Array[Byte] = {
+      val dataBytes = samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      samples.foreach(s =>
+        out.putShort(s.max(Short.MinValue).min(Short.MaxValue).toShort))
+      out.array()
+    }
+
+    /** EXACT integer window-energy vector over a 16-bit PCM MONO WAV:
+      * element w = Σ s_i² over the samples whose window is w under the
+      * [[energyEnvelope]] rule w = i·dim/n (integer division) — pure
+      * long arithmetic on the raw little-endian samples, byte-parsed
+      * with the same RIFF chunk walk as [[wavHeader]]. This is the
+      * integer-exact core energyEnvelope peak-normalizes into floats:
+      * floats cannot carry a cross-engine-exact oracle, these longs
+      * can (q127 — the q71 exactness discipline applied to audio).
+      * None for anything that isn't PCM(1) 16-bit mono, or with a
+      * data chunk lying about its length. */
+    def windowEnergySums(b: Array[Byte], dim: Int): Option[Array[Long]] = {
+      require(dim > 0, s"dim must be positive, got $dim")
+      if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // code, channels, bits
+      var data: Option[(Int, Int)] = None // offset, bytes
+      try {
+        while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+          val id = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val size = le32(b, i + 4)
+          if (id == "fmt " && size >= 16 && i + 8 + 16 <= b.length)
+            fmt = Some((le16(b, i + 8), le16(b, i + 10), le16(b, i + 22)))
+          if (id == "data") data = Some((i + 8, size.toInt))
+          val next = i.toLong + 8L + size + (size % 2)
+          if (next > Int.MaxValue.toLong) return None
+          i = next.toInt
+        }
+      } catch { case _: IndexOutOfBoundsException => return None }
+      (fmt, data) match {
+        case (Some((1, 1, 16)), Some((off, len)))
+            if len >= 2 && off + len <= b.length =>
+          val n = len / 2
+          val acc = new Array[Long](dim)
+          var k = 0
+          while (k < n) {
+            val lo = b(off + 2 * k) & 0xff
+            val hi = b(off + 2 * k + 1)
+            val s = ((hi << 8) | lo).toShort.toLong
+            acc((k.toLong * dim / n).toInt.min(dim - 1)) += s * s
+            k += 1
+          }
+          Some(acc)
+        case _ => None
+      }
+    }
+
     def decode(r: MediaRow): Option[MediaMeta] =
       wavHeader(r.payload).map { h =>
         MediaMeta(r.media_id, "audio/wav", r.payload.length,

@@ -136,6 +136,29 @@ object Sketches {
     * an idempotent merge that converges them. */
   def foldKmvBatch(batch: DataFrame, stateDir: String, groupCol: String,
       valueCol: String, k: Int, buckets: Int = 16): Unit = {
+    foldKmvBatchStats(batch, stateDir, groupCol, valueCol, k, buckets,
+      wantStats = false)
+    ()
+  }
+
+  /** Per-fold cardinality movement over the BATCH-TOUCHED groups:
+    * `estBefore`/`estAfter` sum `distinct_est` over the dirty buckets
+    * before and after the merge (untouched groups contribute zero
+    * delta by construction, so `estAfter - estBefore` is the batch's
+    * distinct-growth over the whole state at dirty-bucket read cost).
+    * Exact whenever every touched group is still below k. */
+  final case class KmvFoldStats(touchedGroups: Long, estBefore: Double,
+      estAfter: Double) {
+    def delta: Double = estAfter - estBefore
+  }
+
+  /** [[foldKmvBatch]] with the fold's cardinality movement measured —
+    * the maintenance loop's vocabulary/source drift cue
+    * ([[graft.ml.CorpusPipeline]] KmvTelemetry). The two extra reads
+    * are bounded by the dirty buckets (k longs per touched group). */
+  def foldKmvBatchStats(batch: DataFrame, stateDir: String,
+      groupCol: String, valueCol: String, k: Int, buckets: Int = 16,
+      wantStats: Boolean = true): Option[KmvFoldStats] = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -147,17 +170,23 @@ object Sketches {
     val batchState = kmvState(batch, groupCol, valueCol, k)
       .withColumn("b", kmvBucket(col(groupCol), buckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def estSum(paths: Seq[String]): Double =
+      if (paths.isEmpty) 0.0
+      else finalizeKmv(spark.read.parquet(paths: _*)
+          .select(col(groupCol), col("mins")), groupCol, k)
+        .agg(coalesce(sum(col("distinct_est")), lit(0.0))).head().getDouble(0)
     try {
       val dirty = batchState.select(col("b")).distinct()
         .collect().map(_.getLong(0)).sorted // bounded by `buckets`
-      if (dirty.isEmpty) return // empty/null-only batch: nothing to fold
+      if (dirty.isEmpty) return None // empty/null-only batch: no fold
       val priorPaths = dirty
         .map(bk => new org.apache.hadoop.fs.Path(live, s"b=$bk"))
-        .filter(fs.exists).map(_.toString)
+        .filter(fs.exists).map(_.toString).toIndexedSeq
+      val estBefore = if (wantStats) estSum(priorPaths) else 0.0
       val merged =
         (if (priorPaths.isEmpty) batchState.drop("b")
          else kmvMerge(
-           spark.read.parquet(priorPaths.toIndexedSeq: _*)
+           spark.read.parquet(priorPaths: _*)
              .select(col(groupCol), col("mins"))
              .unionByName(batchState.drop("b")),
            groupCol, k))
@@ -181,7 +210,21 @@ object Sketches {
       }
       fs.delete(stage, true)
       fs.delete(old, true)
-      ()
+      if (!wantStats) None
+      else {
+        val livePaths = dirty
+          .map(bk => new org.apache.hadoop.fs.Path(live, s"b=$bk"))
+          .filter(fs.exists).map(_.toString).toIndexedSeq
+        val after = spark.read.parquet(livePaths: _*)
+          .select(col(groupCol), col("mins"))
+        val (groups, estAfter) = {
+          val r = finalizeKmv(after, groupCol, k)
+            .agg(count(lit(1)),
+              coalesce(sum(col("distinct_est")), lit(0.0))).head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        Some(KmvFoldStats(groups, estBefore, estAfter))
+      }
     } finally { batchState.unpersist(); () }
   }
 

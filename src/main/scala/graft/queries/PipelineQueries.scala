@@ -327,6 +327,55 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Audio near-dup screen over REAL WAV bytes (r14 — the audio gate
+    // q119/q120 gave images): per doc, a deterministic 16-bit PCM
+    // mono WAV is SYNTHESIZED (AudioCodec.pcmWav — samples are a pure
+    // integer function of (doc_id, i), five amplitude-mask families),
+    // then BYTE-PARSED back through AudioCodec.windowEnergySums's
+    // real RIFF walk into the exact integer window-energy vector the
+    // float envelope normalizes — so the gate covers the synth→parse
+    // round trip, not just column math. Pair screen = cosine over the
+    // energy vectors: dot/norms are exact longs, cos is three IEEE
+    // ops on exact integers (identical doubles both engines), emitted
+    // via the q71 integer-target round. doc_id < 200 caps the
+    // all-pairs comparator (the q116/q120 bounded-contract class —
+    // the blocked scale path for signatures is SigIndex).
+    "q127_audio_neardup" -> { (s, dir) =>
+      import s.implicits._
+      import graft.ml.Multimodal.AudioCodec
+      val env = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") < 200)
+        .as[Long]
+        .mapPartitions(_.map { d =>
+          val n = 512 + (d % 4).toInt * 128
+          val fam = (d % 5).toInt
+          val samples = Array.tabulate(n) { i =>
+            val w = i * 16 / n
+            if ((w + fam) % 4 < 2) ((i * 7 + d.toInt) % 61) - 30 else 0
+          }
+          val wav = AudioCodec.pcmWav(samples)
+          (d, AudioCodec.windowEnergySums(wav, 16).get.toSeq)
+        }).toDF("doc_id", "env")
+        .withColumn("n2", aggregate(transform(col("env"), e => e * e),
+          lit(0L), (a, v) => a + v))
+      val a = env.select(col("doc_id").as("doc_a"), col("env").as("ea"),
+        col("n2").as("na2"))
+      val b = env.select(col("doc_id").as("doc_b"), col("env").as("eb"),
+        col("n2").as("nb2"))
+      a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+        .withColumn("dot", aggregate(
+          zip_with(col("ea"), col("eb"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+        .filter(col("cos") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("dot"),
+          (round(col("cos") * 10000, 0).cast("long") / lit(10000.0))
+            .as("cos_sim"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Data-validation report (r13, analytics/DataQuality): the
     // admission gate a training pipeline runs before the expensive
     // stages. All row-local rules per table fuse into ONE aggregate
@@ -1303,6 +1352,37 @@ object PipelineQueries {
         |        SELECT 1 FROM orders o
         |        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'))
         |ORDER BY l_orderkey, l_linenumber, reasons""".stripMargin,
+
+    // q127: the same deterministic sample formula written over
+    // generate_series — window energies as exact integer sums, cosine
+    // as the identical three IEEE ops on them
+    "q127_audio_neardup" ->
+      """WITH d AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |         512 + (doc_id % 4) * 128 AS n
+        |  FROM documents WHERE doc_id < 200),
+        |smp AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+        |sv AS (SELECT doc_id, (i * 16) // n AS w,
+        |  CASE WHEN ((i * 16) // n + doc_id % 5) % 4 < 2
+        |       THEN (i * 7 + doc_id) % 61 - 30 ELSE 0 END AS s
+        |  FROM smp),
+        |env AS (SELECT doc_id, w, CAST(sum(s * s) AS BIGINT) AS e
+        |        FROM sv GROUP BY 1, 2),
+        |nrm AS (SELECT doc_id, CAST(sum(e * e) AS BIGINT) AS n2
+        |        FROM env GROUP BY doc_id),
+        |dots AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(sum(a.e * b.e) AS BIGINT) AS dot
+        |  FROM env a JOIN env b ON a.w = b.w AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dot,
+        |  CAST(round(dot / (sqrt(na.n2) * sqrt(nb.n2)) * 10000) AS BIGINT)
+        |    / 10000.0 AS cos_sim
+        |FROM dots
+        | JOIN nrm na ON doc_a = na.doc_id
+        | JOIN nrm nb ON doc_b = nb.doc_id
+        |WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q123: the KMV definition written directly in window SQL — the
     // per-group k minima of the SAME md5-derived 60-bit hash space,

@@ -609,6 +609,80 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestAndMaintain KMV telemetry: per-batch distinct-vocabulary deltas; saturated batch reads zero, drift batch reads its new-token count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val monDir = java.nio.file.Files.createTempDirectory("g_kmvtel").toString
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_tel_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      // monitor: distinct TOKENS over the accepted batch (one global
+      // group) — the vocabulary-growth cue
+      val tokMon: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        d => d.select(lit("tokens").as("g"),
+          explode(split(col("text"), " ")).as("v"))
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val tele = scala.collection.mutable.ArrayBuffer[(Long, CorpusPipeline.StageStat)]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_tel_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          compactAtFilesPerBucket = 1000.0,
+          kmvTelemetry = Some(CorpusPipeline.KmvTelemetry(monDir,
+            Seq("tokens" -> tokMon), k = 256, buckets = 8))),
+        evalIdx, evalN = 3,
+        onMaintain = (id, st) => tele.synchronized {
+          if (st.stage.startsWith("kmvMonitor")) { tele += ((id, st)); () }
+        }) { (_, _, _) => () }
+      try {
+        // batch 0: vocabulary A (12 distinct tokens across both docs)
+        input.addData(
+          300L -> "silver falcon circles the old stone tower at dusk",
+          301L -> "the old falcon watches silver stars from stone tower")
+        q.processAllAvailable()
+        // batch 1: SAME vocabulary recombined (novel shingles — the
+        // near-dup screen keeps them; zero new tokens)
+        input.addData(
+          310L -> "stone stars circle the silver tower at old dusk",
+          311L -> "dusk falcon watches the tower from silver stone stars")
+        q.processAllAvailable()
+        // batch 2: fresh vocabulary (only 'the' recurs) — genuine drift
+        input.addData(
+          320L -> "quantum looms weave the probabilistic tapestries inside their humming vaults")
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val byBatch = tele.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      assert(byBatch.keySet === Set(0L, 1L, 2L), byBatch.toString)
+      def delta(id: Long): Long = {
+        val st = byBatch(id).head
+        st.docsOut - st.docsIn
+      }
+      // batch 0 seeds the state: delta = its full distinct vocabulary
+      val vocabA = Set("silver", "falcon", "circles", "the", "old",
+        "stone", "tower", "at", "dusk", "watches", "stars", "from")
+      assert(delta(0L) === vocabA.size.toLong, byBatch(0L).toString)
+      // batch 1: same vocabulary plus 'circle' — near-saturated
+      assert(delta(1L) === 1L, byBatch(1L).toString)
+      // batch 2: every token but 'the' is new
+      assert(delta(2L) === 9L, byBatch(2L).toString)
+      // the stored state equals the direct sketch of everything folded
+      val live = graft.ml.Sketches.finalizeKmv(
+          spark.read.parquet(s"$monDir/tokens"), "g", 256)
+        .select($"n_mins").as[Long].head()
+      assert(live === vocabA.size + 1L + 9L)
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_tel_band", "g_tel_band_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ingestAndMaintain export cadence: shard export refreshes on measured debt and matches the accepted corpus") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = Seq(

@@ -448,6 +448,50 @@ class MlSpec extends SparkSpec {
     assert(meta(3L).width >= 64) // stub-derived
   }
 
+  test("multimodal: pcmWav/windowEnergySums round trip — exact integer energies agree with the float envelope; non-mono/garbage refused") {
+    import Multimodal.AudioCodec
+    // deterministic samples with distinct per-window energy
+    val n = 640
+    val samples = Array.tabulate(n) { i =>
+      val w = i * 8 / n
+      if (w % 2 == 0) ((i * 7) % 61) - 30 else 0
+    }
+    val wav = AudioCodec.pcmWav(samples)
+    // pcmWav writes a header the walk parses back verbatim
+    val h = AudioCodec.wavHeader(wav).get
+    assert(h.channels === 1 && h.bitsPerSample === 16 && h.frames === n.toLong)
+    // exact integer energies equal the brute-force windowed sum of squares
+    val got = AudioCodec.windowEnergySums(wav, 8).get
+    val want = Array.tabulate(8) { w =>
+      samples.zipWithIndex
+        .filter { case (_, i) => i * 8 / n == w }
+        .map { case (s, _) => s.toLong * s }.sum
+    }
+    assert(got.toSeq === want.toSeq)
+    assert(got.zipWithIndex.forall { case (e, w) => (e > 0) == (w % 2 == 0) })
+    // the float envelope is the peak-normalized sqrt of these —
+    // proportionality differential (same windows hot, same order)
+    val env = AudioCodec.energyEnvelope(wav, dim = 8).get
+    val scaled = got.map(e => math.sqrt(e.toDouble / (n / 8)))
+    val peak = scaled.max
+    env.indices.foreach { w =>
+      assert(math.abs(env(w) - scaled(w) / peak) < 1e-4,
+        s"window $w: ${env(w)} vs ${scaled(w) / peak}")
+    }
+    // a JDK-encoder STEREO clip is refused (mono-only contract);
+    // garbage never throws
+    val fmt2 = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val pcm2 = new Array[Byte](400)
+    val ais2 = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm2), fmt2, 100L)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais2,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos2)
+    assert(AudioCodec.windowEnergySums(bos2.toByteArray, 8).isEmpty)
+    assert(AudioCodec.windowEnergySums("not audio".getBytes("UTF-8"), 8).isEmpty)
+    assert(AudioCodec.windowEnergySums(wav.take(50), 8).isEmpty)
+  }
+
   test("multimodal: real WAV decode — header metadata and sample-level energy envelope") {
     import Multimodal.{AudioCodec, MediaRow}
     // real fixture: a 0.5 s 16-bit mono 8 kHz clip written by the JDK's
