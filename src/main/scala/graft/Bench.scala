@@ -18,14 +18,19 @@ object Bench {
   /** Deliberate baseline queries — correctness-gated like everything
     * else, excluded from the default bench suite (see the filter in
     * main): the two all-pairs quality yardsticks (q35/q36, shipping
-    * paths q53 and q37/q54) and, since r9, the from-scratch BM25 q83 —
+    * paths q53 and q37/q54); since r9 the from-scratch BM25 q83 —
     * its shipping path is the stored LexIndex (q102 indexed probe /
-    * q107 ad-hoc text probe); a headline that re-tokenizes the whole
-    * corpus per query misstates the engine the same way an all-pairs
-    * join does. All three still run under SPARK_GRAFT_BASELINES=1 or
-    * an explicit name filter, and still parity-verify every round. */
+    * q107 ad-hoc text probe); and since r14 the from-scratch n-gram
+    * pair forms q31/q101 — their shipping paths are the stored
+    * NgramIndex probes (q125 Jaccard / q126 incremental containment,
+    * AbBench-interleaved wins at sf0.1 AND sf1). A headline that
+    * re-tokenizes the whole corpus per query misstates the engine the
+    * same way an all-pairs join does. All five still run under
+    * SPARK_GRAFT_BASELINES=1 or an explicit name filter, and still
+    * parity-verify every round. */
   val baselineQueries: Set[String] =
-    Set("q35_embedding_neardup", "q36_ann_brute", "q83_bm25_search")
+    Set("q35_embedding_neardup", "q36_ann_brute", "q83_bm25_search",
+      "q31_ngram_jaccard", "q101_containment_incremental")
 
   /** (1-min, 5-min, 15-min loadavg, runnable count) from /proc/loadavg;
     * zeros if unreadable (non-Linux). */

@@ -518,7 +518,26 @@ object CorpusPipeline {
       exportTo: Option[ExportCadence] = None,
       ivfMaintain: Option[IvfMaintainCadence] = None,
       sigIndex: Option[SigMaintenance] = None,
-      kmvTelemetry: Option[KmvTelemetry] = None)
+      kmvTelemetry: Option[KmvTelemetry] = None,
+      ngramIndex: Option[NgramMaintenance] = None)
+
+  /** Stored n-gram postings attachment for [[ingestAndMaintain]]
+    * (r14): the CONTAINMENT screen leg — a short doc substantially
+    * embedded in an earlier accepted long doc scores containment ~1
+    * but Jaccard near zero, so the minhash screen STRUCTURALLY misses
+    * it ([[CorpusPipeline.containmentDedup]]'s rationale, now at
+    * ingest time against the stored corpus postings, batch-bounded
+    * text work). Probe-before-admit with the loop's standard drop
+    * policy (corpus match drops the batch doc, in-batch pair drops
+    * the higher id; replay echoes are excluded inside
+    * [[NgramIndex.probeContainment]], so the band index stays the
+    * sole replay-drop authority); append-after in the maintenance
+    * slot ([[NgramIndex.append]] — replay-idempotent merge,
+    * crash-safe staged swap; one O(index) rewrite per fold, the
+    * LexIndex.appendBatch cost model). The index fixes gram width n
+    * at build; `dfCap <= dfMax` enforced by the probe. */
+  final case class NgramMaintenance(dir: String, threshold: Double,
+      dfCap: Int = 50)
 
   /** Cardinality-drift telemetry for [[ingestAndMaintain]] (r14 — the
     * cue the loop's other clocks don't see: IVF driftStats watches
@@ -761,11 +780,26 @@ object CorpusPipeline {
               d.join(dupDropIds(sigPairs, d.select(col("doc_id"))),
                 Seq("doc_id"), "left_anti"), t0)
         }
+        // containment screen against the stored n-gram postings — the
+        // near-dup class (short-inside-long) Jaccard structurally
+        // under-scores, caught here batch-bounded (see NgramMaintenance)
+        val (d3, nD3) = maint.ngramIndex match {
+          case None => (d2, nD2)
+          case Some(ng) =>
+            t0 = System.nanoTime()
+            val cPairs = NgramIndex.probeContainment(spark, ng.dir,
+                d2.select(col("doc_id"), col("text")),
+                ng.threshold, ng.dfCap)
+              .select(col("doc_a"), col("doc_b"))
+            staged("containmentScreen", nD2,
+              d2.join(dupDropIds(cPairs, d2.select(col("doc_id"))),
+                Seq("doc_id"), "left_anti"), t0)
+        }
         t0 = System.nanoTime()
-        val flagged = Decontaminate.screenBatch(d2, evalIndex, evalN)
+        val flagged = Decontaminate.screenBatch(d3, evalIndex, evalN)
           .select(col("doc_id"))
-        val (accepted, nA) = staged("decontaminateScreen", nD2,
-          d2.join(flagged, Seq("doc_id"), "left_anti"), t0)
+        val (accepted, nA) = staged("decontaminateScreen", nD3,
+          d3.join(flagged, Seq("doc_id"), "left_anti"), t0)
         val out = chunkTo.fold(accepted) { case (sz, stride) =>
           t0 = System.nanoTime()
           staged(s"chunk($sz/$stride)", nA,
@@ -802,6 +836,8 @@ object CorpusPipeline {
           maint.sigIndex.foreach(sc =>
             SigIndex.append(spark, sc.table, sc.sig(accepted),
               "id", "sig", sc.bands))
+          maint.ngramIndex.foreach(ng =>
+            NgramIndex.append(spark, ng.dir, docs))
           BandIndex.append(spark, maint.bandTable, docs,
             maint.n, maint.k, maint.bands)
           val bucketed = Seq(maint.bandTable,

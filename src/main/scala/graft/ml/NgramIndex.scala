@@ -71,6 +71,94 @@ object NgramIndex {
     } finally { sh.unpersist(); () }
   }
 
+  /** Fold a batch of NEW documents into the stored postings — the
+    * incremental maintenance path (the LexIndex.appendBatch analog:
+    * df rides every row, so touched rows must rewrite; the merge is
+    * one full postings pass + the batch's own tokenize, under a
+    * crash-safe staged swap with entry repair). The merge is
+    * REPLAY-IDEMPOTENT without any id ledger:
+    *  - complete rows (df <= dfMax) merge as
+    *    `array_distinct(concat(docs, bdocs))` with df recomputed from
+    *    the deduped list — re-merging the same batch is a no-op;
+    *  - hot rows (stored empty) can't dedup against unknown
+    *    membership, so a replay inflates their df — HARMLESS: df only
+    *    ever grows, and a gram already past dfMax is above every
+    *    legal probe cap regardless (monotone in the safe direction);
+    *  - a complete row whose merged df crosses dfMax truncates to
+    *    empty, exactly like a fresh build would have stored it.
+    * At 100 TB the rewrite cost is O(index) per fold, amortized by
+    * cadence like LexIndex's append — the alternative (per-probe
+    * corpus re-tokenize) is O(corpus TEXT) per query. */
+  def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val m = meta(spark, dir)
+    repairSwap(spark, dir)
+    if (batch.isEmpty) return
+    val stored = postingsFrame(spark, dir)
+    val idType = stored.schema("docs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    val emptyIds = array()
+      .cast(org.apache.spark.sql.types.ArrayType(idType))
+    val batchLists = TextDedup.shingleKeyTable(batch, m.n)
+      .groupBy(col("shingle"))
+      .agg(collect_list(col("doc_id").cast(idType)).as("bdocs"))
+    val mergedList = array_sort(array_distinct(concat(
+      coalesce(col("docs"), emptyIds), coalesce(col("bdocs"), emptyIds))))
+    val merged = stored
+      .join(batchLists, Seq("shingle"), "full")
+      .select(col("shingle"),
+        when(coalesce(col("df"), lit(0L)) > m.dfMax,
+          col("df") + coalesce(size(col("bdocs")).cast("long"), lit(0L)))
+          .otherwise(size(mergedList).cast("long")).as("df"),
+        mergedList.as("docs"))
+      .select(col("shingle"), col("df"),
+        when(col("df") <= m.dfMax, col("docs")).otherwise(emptyIds)
+          .as("docs"))
+    val stage = s"$dir/postings__stage"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    merged.write.mode("overwrite").option("compression", "zstd")
+      .parquet(stage)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/postings__old")
+    fs.delete(old, true)
+    if (fs.exists(live)) { fs.rename(live, old); () }
+    fs.rename(new org.apache.hadoop.fs.Path(stage), live)
+    fs.delete(old, true)
+    invalidate(dir)
+  }
+
+  /** Entry repair for an interrupted [[append]] swap (the
+    * kmvMonitor/BandIndex discipline): a committed stage (`_SUCCESS`
+    * present) is the complete merged result — finish the swap; an
+    * uncommitted stage is dropped; a live-missing/old-present state
+    * RESTORES the aside (the defensive-restore rule). Safe no-op on a
+    * clean index; called by [[append]] and [[postingsFrame]]. */
+  private def repairSwap(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/postings__stage")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/postings__old")
+    val committed = fs.exists(
+      new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))
+    if (committed) {
+      fs.delete(old, true)
+      if (fs.exists(live)) { fs.rename(live, old); () }
+      fs.rename(stage, live)
+      fs.delete(old, true)
+      invalidate(dir)
+    } else {
+      fs.delete(stage, true)
+      if (!fs.exists(live) && fs.exists(old)) {
+        fs.rename(old, live) // defensive restore
+        invalidate(dir)
+        ()
+      } else { fs.delete(old, true); () }
+    }
+    ()
+  }
+
   /** Full-corpus Jaccard pairs from the stored postings — q31's exact
     * output with zero text processing: filter stored lists at the
     * probe's dfCap, then the shared pair machinery. */
@@ -113,17 +201,27 @@ object NgramIndex {
       .cast(org.apache.spark.sql.types.ArrayType(idType))
     val merged = stored
       .join(batchLists, Seq("shingle"), "full")
+      // merged df counts each doc once even under replay (echo-aware:
+      // batch ids already in the stored list don't re-count)
       .withColumn("df_m",
         coalesce(col("df"), lit(0L)) +
-          coalesce(size(col("bdocs")).cast("long"), lit(0L)))
+          coalesce(size(array_except(col("bdocs"),
+            coalesce(col("docs"), emptyIds))).cast("long"), lit(0L)))
       .filter(col("df_m") <= dfCap)
       // a corpus list stored empty has df > dfMax >= dfCap, so the
       // filter above already dropped it — every surviving stored list
-      // is complete by the build contract
+      // is complete by the build contract. Batch ids already PRESENT
+      // in the stored list are replay echoes (an at-least-once replay
+      // after [[append]] but before the loop's band-append commit
+      // point) — array_except drops them so a replayed doc never
+      // pairs against itself or double-counts its own gram sizes; a
+      // genuinely new batch is disjoint and the except is a no-op.
       .select(concat(
         transform(coalesce(col("docs"), emptyIds),
           d => struct(d.as("doc_id"), lit(false).as("is_new"))),
-        transform(coalesce(col("bdocs"), emptyIds),
+        transform(
+          array_except(coalesce(col("bdocs"), emptyIds),
+            coalesce(col("docs"), emptyIds)),
           d => struct(d.as("doc_id"), lit(true).as("is_new"))))
         .as("docs"))
     TextDedup.containmentPairsIncrementalFromPostings(merged, threshold)
@@ -152,6 +250,9 @@ object NgramIndex {
     val cached = postingsCache.get(dir)
     if (cached != null && (cached.sparkSession eq spark)) cached
     else {
+      // cache miss = first touch this session: self-heal a swap a
+      // prior incarnation's kill left mid-flight before reading
+      repairSwap(spark, dir)
       val df = spark.read.parquet(s"$dir/postings")
       postingsCache.put(dir, df)
       df

@@ -609,6 +609,88 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestAndMaintain ngram leg: cross-batch CONTAINMENT dup (invisible to the minhash screen) caught FROM the stored postings") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ml.NgramIndex
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val ngDir = java.nio.file.Files
+      .createTempDirectory("g_ngmaint").toString + "/idx"
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_ng_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      NgramIndex.build(corpusDocs, ngDir, n = 4, dfMax = 64)
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val accepted = scala.collection.mutable.Map[Long, Set[Long]]()
+      val stages = scala.collection.mutable.Map[Long, Vector[CorpusPipeline.StageStat]]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_ng_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          compactAtFilesPerBucket = 1000.0,
+          ngramIndex = Some(CorpusPipeline.NgramMaintenance(ngDir,
+            threshold = 0.6, dfCap = 50))),
+        evalIdx, evalN = 3) { (batchId, acc, st) =>
+        accepted.synchronized {
+          accepted(batchId) = acc.select($"doc_id").as[Long].collect().toSet
+          stages(batchId) = st
+          ()
+        }
+      }
+      // 300: a LONG novel doc; 301 short novel (not contained)
+      val long300 =
+        "granite cliffs hold nesting seabirds above the churning spring " +
+          "tide line while distant trawlers drag silver nets through cold " +
+          "morning water under wheeling hungry gulls"
+      try {
+        input.addData(
+          300L -> long300,
+          301L -> "terraced vineyards ripen slowly along volcanic hillsides")
+        q.processAllAvailable()
+        // batch 1: 310 = a CONTIGUOUS 10-token substring of 300 —
+        // containment 1.0, Jaccard ≈ 7/22 grams < 0.3 → the minhash
+        // screen passes it; only the appended postings catch it.
+        // 311 novel.
+        input.addData(
+          310L -> "distant trawlers drag silver nets through cold morning water under",
+          311L -> "paper lanterns drift over the festival river while drummers keep gentle time tonight")
+        q.processAllAvailable()
+        // batch 2: 320 = substring of batch-1's 311 (one append later);
+        // 321 novel
+        input.addData(
+          320L -> "the festival river while drummers keep gentle time",
+          321L -> "river otters slide down the muddy bank into clear shallows")
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(accepted(0L) === Set(300L, 301L), s"batch 0: ${accepted(0L)}")
+      assert(accepted(1L) === Set(311L), s"batch 1: ${accepted(1L)}")
+      assert(accepted(2L) === Set(321L), s"batch 2: ${accepted(2L)}")
+      // the drop happened in the CONTAINMENT stage, not the minhash one
+      val st1 = stages(1L)
+      val near = st1.find(_.stage == "nearDedupScreen").get
+      val cont = st1.find(_.stage == "containmentScreen").get
+      assert(near.docsIn === 2 && near.docsOut === 2,
+        s"minhash screen should pass both: $near")
+      assert(cont.docsIn === 2 && cont.docsOut === 1,
+        s"containment screen should drop 310: $cont")
+      // postings grew by exactly the accepted docs
+      val ids = spark.read.parquet(s"$ngDir/postings")
+        .select(explode($"docs").as("id")).distinct()
+        .as[Long].collect().toSet
+      assert(ids === Set(10L, 300L, 301L, 311L, 321L), ids.toString)
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_ng_band", "g_ng_band_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ingestAndMaintain KMV telemetry: per-batch distinct-vocabulary deltas; saturated batch reads zero, drift batch reads its new-token count") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = Seq(

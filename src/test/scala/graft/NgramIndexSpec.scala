@@ -98,6 +98,71 @@ class NgramIndexSpec extends SparkSpec {
     }
   }
 
+  test("append: incremental fold equals a from-scratch build; probes agree; replay no-op on complete rows") {
+    val dir = freshDir()
+    val corpus = docs.filter($"doc_id" <= 5)
+    // batch shares grams with corpus docs 1/2 (merged df grows) and
+    // carries its own near-dup pair (6/7's common filler)
+    val batch = docs.filter($"doc_id" >= 6)
+      .unionByName(Seq(
+        (8, "alpha beta gamma delta epsilon zeta brand new ending"))
+        .toDF("doc_id", "text"))
+    NgramIndex.build(corpus, dir, n = 3, dfMax = 8)
+    NgramIndex.append(spark, dir, batch)
+    val dirFull = freshDir()
+    NgramIndex.build(docs.unionByName(Seq(
+        (8, "alpha beta gamma delta epsilon zeta brand new ending"))
+        .toDF("doc_id", "text")),
+      dirFull, n = 3, dfMax = 8)
+    def rows(d: String) = spark.read.parquet(s"$d/postings")
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(rows(dir) === rows(dirFull), "appended index != from-scratch build")
+    // probes over the appended index equal the ad-hoc full forms
+    val all = docs.unionByName(Seq(
+      (8, "alpha beta gamma delta epsilon zeta brand new ending"))
+      .toDF("doc_id", "text"))
+    val gotJ = NgramIndex.pairsJaccard(spark, dir, 0.1, dfCap = 4)
+      .as[(Int, Int, Double)].collect().toSet
+    val wantJ = TextDedup.jaccardPairsPostings(all, n = 3, threshold = 0.1,
+        dfCap = 4)
+      .as[(Int, Int, Double)].collect().toSet
+    assert(gotJ === wantJ && gotJ.nonEmpty)
+    // replay: the identical batch re-merged changes nothing
+    val before = rows(dir)
+    NgramIndex.append(spark, dir, batch)
+    assert(rows(dir) === before, "replayed append changed the postings")
+  }
+
+  test("append: a complete row crossing dfMax truncates like a fresh build; hot-row df inflation under replay is monotone and stays above every legal cap") {
+    val dir = freshDir()
+    // dfMax=1: corpus pair-grams (df 2) store EMPTY from the start
+    NgramIndex.build(docs.filter($"doc_id" <= 5), dir, n = 3, dfMax = 1)
+    val batch = Seq(
+      (9, "alpha beta gamma delta epsilon zeta eta theta again"))
+      .toDF("doc_id", "text")
+    NgramIndex.append(spark, dir, batch)
+    val dirFull = freshDir()
+    NgramIndex.build(
+      docs.filter($"doc_id" <= 5).unionByName(batch), dirFull, n = 3,
+      dfMax = 1)
+    def rows(d: String) = spark.read.parquet(s"$d/postings")
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    assert(rows(dir) === rows(dirFull),
+      "crossing-to-hot truncation diverged from a fresh build")
+    // replay: hot rows may inflate df (can't dedup unknown membership)
+    // but never shrink, never regain a list, and the complete rows
+    // stay byte-identical
+    val before = rows(dir).map(r => r._1 -> r).toMap
+    NgramIndex.append(spark, dir, batch)
+    val after = rows(dir).map(r => r._1 -> r).toMap
+    assert(after.keySet === before.keySet)
+    before.foreach { case (sh, (_, df0, docs0)) =>
+      val (_, df1, docs1) = after(sh)
+      if (df0 <= 1) assert((df1, docs1) === ((df0, docs0)), s"complete row $sh moved")
+      else { assert(df1 >= df0, s"hot row $sh shrank"); assert(docs1.isEmpty) }
+    }
+  }
+
   test("ensure: builds once per corpus fingerprint; separate tags coexist") {
     val sfDir = java.nio.file.Files.createTempDirectory("g_ngsf").toString
     docs.coalesce(1).write.parquet(s"$sfDir/documents.parquet")
