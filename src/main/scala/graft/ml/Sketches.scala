@@ -328,6 +328,56 @@ object Sketches {
           .cast("long") / lit(100.0)).as("inter_est"))
   }
 
+  /** Deterministic bottom-k SAMPLE quantiles — the KMV trick extended
+    * from counting to distribution monitoring: the k rows whose
+    * md5-derived key hash is smallest form a uniform-without-
+    * replacement sample of the group (keys are hashed, not values, so
+    * the sample is unbiased in the value dimension), and quantiles
+    * over that sample approximate the true quantiles with the
+    * standard bottom-k sampling guarantees — while being
+    * BIT-REPRODUCIBLE cross-engine: both engines select the IDENTICAL
+    * rows, so the estimate carries an EXACT DuckDB gate (q128), which
+    * `approx_percentile`'s engine-private sketch never can. EXACT
+    * when the group holds fewer than k distinct keys (the sample IS
+    * the group).
+    *
+    * Contract: `keyCol` must be unique per row (the sampling unit —
+    * doc_id, order key); duplicate keys dedup to ONE row inside the
+    * aggregator, same as KMV's distinct semantics. Quantile q emits
+    * the sample value at index floor(q·(m−1)) of the (value, hash)-
+    * sorted sample — a raw VALUE from the data, no interpolation
+    * arithmetic to diverge on. Scale shape: [[MinKPairs]] partial-
+    * aggregates like [[MinK]] — ≤ k (hash, value) pairs per group per
+    * map task cross the shuffle, never the row set. */
+  def kmvSampleQuantiles(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, k: Int, quantiles: Seq[Double]): DataFrame = {
+    require(k >= 2, s"sample quantiles need k >= 2, got $k")
+    require(quantiles.nonEmpty && quantiles.forall(q => q >= 0 && q <= 1),
+      s"quantiles must lie in [0, 1], got $quantiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val state = df.filter(col(valueCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        kmvHash(col(keyCol)).as("h"),
+        col(valueCol).cast("double").as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(MinKPairs.minK(k))
+      .toDF(groupCol, "mins")
+    // sample sorted by (value, hash) — the hash tiebreak makes equal
+    // values order identically in both engines
+    val sorted = array_sort(transform(col("mins"),
+      m => struct(m.getField("_2").as("v"), m.getField("_1").as("h"))))
+    val m = size(col("mins"))
+    val qCols = quantiles.map { q =>
+      val name = "p" + math.rint(q * 100).toInt
+      element_at(sorted, (floor(lit(q) * (m - 1)) + 1).cast("int"))
+        .getField("v").as(name)
+    }
+    state.select(col(groupCol) +: m.cast("long").as("n_sample") +: qCols: _*)
+  }
+
   /** (groupCol, mins) state → the [[kmvDistinct]] report columns. */
   def finalizeKmv(states: DataFrame, groupCol: String, k: Int): DataFrame =
     states.select(col(groupCol),
@@ -383,4 +433,37 @@ final class MinK(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
 
 object MinK {
   def minK(k: Int): TypedColumn[Long, Seq[Long]] = new MinK(k).toColumn
+}
+
+/** [[MinK]] carrying a payload: bounded k smallest (hash, value)
+  * pairs, hash-deduped and hash-sorted — the state behind
+  * [[Sketches.kmvSampleQuantiles]]. Same partial-aggregation shape
+  * and O(k) insertion as MinK. */
+final class MinKPairs(k: Int)
+    extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Long, Double)]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: Seq[(Long, Double)] = Seq.empty
+
+  override def reduce(buf: Seq[(Long, Double)],
+      p: (Long, Double)): Seq[(Long, Double)] =
+    if (buf.lengthCompare(k) >= 0 && p._1 >= buf.last._1) buf
+    else if (buf.exists(_._1 == p._1)) buf
+    else ((buf :+ p).sortBy(_._1)).take(k)
+
+  override def merge(b1: Seq[(Long, Double)],
+      b2: Seq[(Long, Double)]): Seq[(Long, Double)] =
+    (b1 ++ b2).distinctBy(_._1).sortBy(_._1).take(k)
+
+  override def finish(r: Seq[(Long, Double)]): Seq[(Long, Double)] = r
+
+  override def bufferEncoder: Encoder[Seq[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+}
+
+object MinKPairs {
+  def minK(k: Int): TypedColumn[(Long, Double), Seq[(Long, Double)]] =
+    new MinKPairs(k).toColumn
 }

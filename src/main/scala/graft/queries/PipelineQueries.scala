@@ -479,6 +479,27 @@ object PipelineQueries {
         .orderBy(col("grp"))
     },
 
+    // Bottom-k sample quantiles (r14, Sketches.kmvSampleQuantiles):
+    // distribution monitoring with an exact cross-engine gate — the
+    // q123 trick extended from counting to quantiles. Both branches
+    // exercised at sf0.01: 5 langs × 100 docs > k=32 (sample path),
+    // 20 sources × 25 docs < k (exact path — the sample IS the
+    // group). Emitted quantiles are raw data VALUES (no interpolation
+    // arithmetic), selected identically by both engines.
+    "q128_kmv_quantiles" -> { (s, dir) =>
+      import graft.ml.Sketches
+      val k = 32
+      val byLang = Sketches.kmvSampleQuantiles(t(s, dir, "documents"),
+          "lang", "doc_id", "n_chars", k, Seq(0.5, 0.9))
+        .select(concat(lit("lang:"), col("lang")).as("grp"),
+          col("n_sample"), col("p50"), col("p90"))
+      val bySource = Sketches.kmvSampleQuantiles(t(s, dir, "documents"),
+          "source", "doc_id", "n_chars", k, Seq(0.5, 0.9))
+        .select(concat(lit("src:"), col("source")).as("grp"),
+          col("n_sample"), col("p50"), col("p90"))
+      byLang.unionByName(bySource).orderBy(col("grp"))
+    },
+
     // Salted two-stage aggregation over a pathologically hot key
     // (l_returnflag has 3 values): groupBy(key, salt) partials then a
     // tiny final combine — the planned skew shape for when the table
@@ -1352,6 +1373,34 @@ object PipelineQueries {
         |        SELECT 1 FROM orders o
         |        WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'))
         |ORDER BY l_orderkey, l_linenumber, reasons""".stripMargin,
+
+    // q128: the bottom-k sample written in window SQL — the k
+    // smallest key hashes per group, the (value, hash)-ordered rank,
+    // and the floor-indexed quantile pick, all over the SAME md5 hash
+    // space so both engines select the identical rows
+    "q128_kmv_quantiles" ->
+      """WITH h AS (
+        |  SELECT 'lang:' || lang AS grp,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+        |    CAST(n_chars AS DOUBLE) AS v
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'src:' || source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+        |    CAST(n_chars AS DOUBLE)
+        |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT grp, h, v,
+        |        row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+        |      FROM h),
+        |s AS (SELECT grp, h, v FROM r WHERE rn <= 32),
+        |o AS (SELECT grp, v,
+        |        row_number() OVER (PARTITION BY grp ORDER BY v, h) AS vr,
+        |        count(*) OVER (PARTITION BY grp) AS m
+        |      FROM s)
+        |SELECT grp, CAST(max(m) AS BIGINT) AS n_sample,
+        |  max(CASE WHEN vr = CAST(floor(0.5 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p50,
+        |  max(CASE WHEN vr = CAST(floor(0.9 * (m - 1)) AS BIGINT) + 1 THEN v END) AS p90
+        |FROM o GROUP BY grp ORDER BY grp""".stripMargin,
 
     // q127: the same deterministic sample formula written over
     // generate_series — window energies as exact integer sums, cosine

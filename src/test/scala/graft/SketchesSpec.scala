@@ -200,6 +200,32 @@ class SketchesSpec extends SparkSpec {
     assert(solo === Set(("only", 0L, 0.0), ("other", 0L, 0.0)))
   }
 
+  test("kmvSampleQuantiles: exact below k; deterministic sample estimate near truth above k; NULLs excluded") {
+    // exact path: 9 values, quantile = value at floor(q*(m-1))
+    val small = (1 to 9).map(i => ("g", i.toLong, i * 10.0)).toDF("g", "k", "v")
+    val ex = Sketches.kmvSampleQuantiles(small, "g", "k", "v", k = 16,
+        Seq(0.0, 0.5, 1.0))
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(ex === (("g", 9L, 10.0, 50.0, 90.0)), ex)
+    // sample path: 2000 uniform values 1..2000, true p50 ≈ 1000,
+    // p90 ≈ 1800 — deterministic accuracy fact for THIS hash space
+    val big = (1 to 2000).map(i => ("g", i.toLong, i.toDouble)).toDF("g", "k", "v")
+    val est = Sketches.kmvSampleQuantiles(big, "g", "k", "v", k = 64,
+        Seq(0.5, 0.9))
+      .as[(String, Long, Double, Double)].head()
+    assert(est._2 === 64L)
+    assert(math.abs(est._3 - 1000.0) / 1000.0 < 0.25, s"p50 ${est._3}")
+    assert(math.abs(est._4 - 1800.0) / 1800.0 < 0.25, s"p90 ${est._4}")
+    // duplicate keys dedup to one sampled row; NULL keys/values excluded
+    val withDups = Seq(("g", Some(1L), Some(5.0)), ("g", Some(1L), Some(5.0)),
+      ("g", None, Some(9.0)), ("g", Some(2L), None), ("g", Some(3L), Some(7.0)))
+      .toDF("g", "k", "v")
+    val dd = Sketches.kmvSampleQuantiles(withDups, "g", "k", "v", k = 8,
+        Seq(1.0))
+      .as[(String, Long, Double)].head()
+    assert(dd._2 === 2L && dd._3 === 7.0, dd)
+  }
+
   test("NULL values don't count (COUNT DISTINCT semantics)") {
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")))
       .toDF("g", "v")
