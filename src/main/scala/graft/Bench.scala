@@ -23,14 +23,19 @@ object Bench {
     * q107 ad-hoc text probe); and since r14 the from-scratch n-gram
     * pair forms q31/q101 — their shipping paths are the stored
     * NgramIndex probes (q125 Jaccard / q126 incremental containment,
-    * AbBench-interleaved wins at sf0.1 AND sf1). A headline that
+    * AbBench-interleaved wins at sf0.1 AND sf1) plus q82, the
+    * from-scratch TF-IDF whose shipping path is the stored-LexIndex
+    * q106 (one postings scan + one window exchange vs re-tokenize +
+    * df agg per call — 1.84 s / 3.7× at sf1 purely from the
+    * re-derivation q106 amortized away in r8). A headline that
     * re-tokenizes the whole corpus per query misstates the engine the
-    * same way an all-pairs join does. All five still run under
+    * same way an all-pairs join does. All six still run under
     * SPARK_GRAFT_BASELINES=1 or an explicit name filter, and still
     * parity-verify every round. */
   val baselineQueries: Set[String] =
     Set("q35_embedding_neardup", "q36_ann_brute", "q83_bm25_search",
-      "q31_ngram_jaccard", "q101_containment_incremental")
+      "q31_ngram_jaccard", "q101_containment_incremental",
+      "q82_tfidf_keywords")
 
   /** (1-min, 5-min, 15-min loadavg, runnable count) from /proc/loadavg;
     * zeros if unreadable (non-Linux). */
