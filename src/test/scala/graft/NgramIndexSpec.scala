@@ -163,6 +163,28 @@ class NgramIndexSpec extends SparkSpec {
     }
   }
 
+  test("plan pin: indexed probes never touch text — no tokenize/hash work in the pairsJaccard plan; probeContainment hashes only the batch") {
+    val dir = freshDir()
+    NgramIndex.build(docs, dir, n = 3, dfMax = 8)
+    // full-corpus probe: the whole point is zero text processing —
+    // no split/xxhash64 anywhere in the optimized plan, and the scan
+    // reads the index parquet, not a documents table
+    val p = NgramIndex.pairsJaccard(spark, dir, 0.1, dfCap = 4)
+      .queryExecution.optimizedPlan.toString()
+    assert(!p.contains("xxhash64") && !p.toLowerCase.contains("split("),
+      p.take(2000))
+    assert(p.contains("Relation [shingle") && p.contains("parquet"),
+      p.take(2000))
+    // incremental probe: exactly the BATCH side tokenizes — the plan
+    // carries hash work (for the batch) but scans the index for the
+    // corpus side
+    val batch = Seq((9, "alpha beta gamma fresh tail")).toDF("doc_id", "text")
+    val p2 = NgramIndex.probeContainment(spark, dir, batch, 0.3, dfCap = 4)
+      .queryExecution.optimizedPlan.toString()
+    assert(p2.contains("xxhash64") && p2.contains("Relation [shingle"),
+      p2.take(2000))
+  }
+
   test("ensure: builds once per corpus fingerprint; separate tags coexist") {
     val sfDir = java.nio.file.Files.createTempDirectory("g_ngsf").toString
     docs.coalesce(1).write.parquet(s"$sfDir/documents.parquet")

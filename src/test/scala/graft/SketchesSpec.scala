@@ -226,6 +226,31 @@ class SketchesSpec extends SparkSpec {
     assert(dd._2 === 2L && dd._3 === 7.0, dd)
   }
 
+  test("plan pin: MinK and MinKPairs PARTIAL-aggregate — an exchange sits between two aggregate stages, so ≤ k entries per group per task cross the shuffle") {
+    val df = (1 to 500).map(i => ("g" + i % 3, i.toLong, i.toDouble))
+      .toDF("g", "k", "v")
+    val pDist = Sketches.kmvDistinct(df, "g", "k", 8)
+      .queryExecution.executedPlan.toString()
+    val pQuant = Sketches.kmvSampleQuantiles(df, "g", "k", "v", 8, Seq(0.5))
+      .queryExecution.executedPlan.toString()
+    for ((name, p) <- Seq("kmvDistinct" -> pDist, "kmvSampleQuantiles" -> pQuant)) {
+      // typed Aggregators plan as ObjectHashAggregate partial+final
+      // around the group exchange — the bounded-state scale claim
+      val aggs = "ObjectHashAggregate".r.findAllIn(p).size
+      assert(aggs >= 2, s"$name: expected partial+final aggregates:\n${p.take(2500)}")
+      val idxExchange = p.indexOf("Exchange hashpartitioning")
+      val idxFirstAgg = p.indexOf("ObjectHashAggregate")
+      assert(idxExchange >= 0, s"$name: no group exchange:\n${p.take(2500)}")
+      // plans print top-down: the FINAL aggregate appears before the
+      // exchange, the PARTIAL after it — both sides present means the
+      // map side reduces before the shuffle
+      assert(p.indexOf("ObjectHashAggregate", idxExchange) > 0,
+        s"$name: no partial aggregate below the exchange:\n${p.take(2500)}")
+      assert(idxFirstAgg < idxExchange,
+        s"$name: no final aggregate above the exchange:\n${p.take(2500)}")
+    }
+  }
+
   test("NULL values don't count (COUNT DISTINCT semantics)") {
     val df = Seq(("a", Some("x")), ("a", None), ("a", Some("y")))
       .toDF("g", "v")
