@@ -196,6 +196,29 @@ final class CorpusPipeline private (
         Seq("doc_id"), "left_anti")
     }
 
+  /** Containment-dedup an incoming BATCH against a stored
+    * [[NgramIndex]] (r14 — the [[nearDedupIndexed]] symmetry for the
+    * containment family): the in-pipeline [[containmentDedup]] builds
+    * postings over the whole frame per run; this stage treats the
+    * frame as the day's batch and probes the persistent corpus
+    * postings instead — only the batch tokenizes, the corpus side is
+    * a stored-lists scan. Drop policy matches the ingest loop's
+    * containment screen: a batch doc containment-matching the corpus
+    * is dropped; within the batch the LOWER doc_id survives (cluster-
+    * level canonical selection stays [[containmentDedup]]'s job).
+    * After the accepted batch lands in the corpus,
+    * [[NgramIndex.append]] folds it into the postings on the same
+    * cadence. */
+  def containmentDedupIndexed(indexDir: String, threshold: Double,
+      dfCap: Int = 50): CorpusPipeline =
+    step(s"containmentIndexed($indexDir)") { d =>
+      val pairs = NgramIndex.probeContainment(d.sparkSession, indexDir,
+          d.select(col("doc_id"), col("text")), threshold, dfCap)
+        .select(col("doc_a"), col("doc_b"))
+      d.join(CorpusPipeline.dupDropIds(pairs, d.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+    }
+
   /** Drop documents sharing any n-gram with the eval set
     * (Bloom-screened + exact-verified, `ml/Decontaminate`). */
   def decontaminate(evalDocs: DataFrame, n: Int, expectedEvalGrams: Long,

@@ -609,6 +609,36 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("containmentDedupIndexed: batch dedups against the stored postings; corpus-side drop on both pair orientations, lower id survives in-batch") {
+    import graft.ml.NgramIndex
+    // corpus ids straddle the batch range (the nearDedupIndexed
+    // orientation trick): 5 < 100 (corpus = doc_a), 900 > 150
+    // (corpus = doc_b)
+    val corpusDocs = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog while morning mist clings to the hedgerows"),
+      (900L, "catalyst rewrites logical plans through rule batches until a fixed point emerges cleanly"),
+      (7L, "unrelated corpus filler text that matches nothing in the arriving batch at all"))
+      .toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("g_cdi").toString + "/idx"
+    NgramIndex.build(corpusDocs, idxDir, n = 4, dfMax = 64)
+    val batch = Seq(
+      // contained in corpus 5 (substring — Jaccard would read ~0.3)
+      (100L, "jumps over the lazy dog while morning mist clings"),
+      // contains corpus 900's core (corpus lands on doc_a side's complement)
+      (150L, "catalyst rewrites logical plans through rule batches until a fixed point emerges"),
+      // in-batch containment pair: 161 contains 160
+      (160L, "fresh tidal charts guide the harbor pilots safely"),
+      (161L, "fresh tidal charts guide the harbor pilots safely past the shifting winter sandbars"),
+      (170L, "a novel batch document with entirely original content surviving the screen today"))
+      .toDF("doc_id", "text")
+    val p = CorpusPipeline(batch)
+      .containmentDedupIndexed(idxDir, threshold = 0.6)
+    val kept = p.docs.select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(160L, 170L), kept.toString)
+    assert(p.stats.head.docsIn === 5 && p.stats.head.docsOut === 2)
+  }
+
   test("ingestAndMaintain ngram leg: cross-batch CONTAINMENT dup (invisible to the minhash screen) caught FROM the stored postings") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.ml.NgramIndex
