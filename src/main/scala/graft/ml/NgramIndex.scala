@@ -224,6 +224,17 @@ object NgramIndex {
             coalesce(col("docs"), emptyIds)),
           d => struct(d.as("doc_id"), lit(true).as("is_new"))))
         .as("docs"))
+    // Deliberately NOT persisted, unlike the ad-hoc form's postings
+    // (r14, measured): the frame feeds both the sizes and the pair
+    // branch, but here recompute = one more stored-lists scan + the
+    // (small) batch tokenize, while a persist materializes
+    // corpus-postings-sized struct lists per probe — interleaved at
+    // sf0.1 the persist LOST (0.81 s unpersisted vs 1.02 persisted
+    // min on the 4%-batch split; tied on the inverted fixture split).
+    // The 2+-consumers persist rule applies to expensive-to-recompute
+    // pipelines (tokenize chains), not to stored-scan merges — and at
+    // 100 TB caching a corpus-scale frame per ingest batch is memory
+    // pressure the re-scan never costs.
     TextDedup.containmentPairsIncrementalFromPostings(merged, threshold)
   }
 

@@ -534,6 +534,28 @@ object AbBench {
         .queries("q126_containment_indexed")(spark, sfDir).count()
       spark.catalog.clearCache(); r
     }
+    // r14: q126's fixture split (>= 400) makes the "batch" 92-99% of
+    // the corpus, structurally capping the indexed win at the batch-
+    // tokenize term. This pair measures the REALISTIC daily-ingest
+    // ratio instead — a ~4% batch against the stored ~96% corpus.
+    def q126Small(): Long = {
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+      val idx = graft.ml.NgramIndex.ensure(spark, sfDir,
+        docs.filter(col("doc_id") < 4800).select(col("doc_id"), col("text")),
+        n = 4, dfMax = 64, tag = "pre4800")
+      val r = graft.ml.NgramIndex.probeContainment(spark, idx,
+        docs.filter(col("doc_id") >= 4800).select(col("doc_id"), col("text")),
+        threshold = 0.6, dfCap = 50).count()
+      spark.catalog.clearCache(); r
+    }
+    def q126SmallAdhoc(): Long = {
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+      val r = graft.ml.TextDedup.containmentPairsIncremental(docs,
+        col("doc_id") >= 4800, n = 4, threshold = 0.6, dfCap = 50).count()
+      spark.catalog.clearCache(); r
+    }
 
     // q32 r9 decomposition (companion to q31's): same parameters as
     // the query (n=3, k=12, bands=4).
@@ -1622,6 +1644,8 @@ object AbBench {
       "q125_entry" -> (() => q125Entry()),
       "q101_entry" -> (() => q101Entry()),
       "q126_entry" -> (() => q126Entry()),
+      "q126_small" -> (() => q126Small()),
+      "q126_small_adhoc" -> (() => q126SmallAdhoc()),
       "q95_cur" -> (() => q95Cur()),
       "q95_pairagg" -> (() => q95PairAgg()),
       "q100_cur" -> (() => q100Cur()),

@@ -185,6 +185,65 @@ class NgramIndexSpec extends SparkSpec {
       p2.take(2000))
   }
 
+  test("append swap repair: committed stage completes the interrupted swap; an __old-only dir is restored, never deleted; uncommitted stage dropped") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def state(dir: String) = spark.read.parquet(s"$dir/postings")
+      .as[(Long, Long, Seq[Int])].collect().toSet
+
+    // (1) committed stage + live still pre-merge: repair must finish
+    // the swap (the staged merge supersedes live by single-writer)
+    val d1 = freshDir()
+    NgramIndex.build(docs.filter($"doc_id" <= 5), d1, n = 3, dfMax = 8)
+    val batch = docs.filter($"doc_id" >= 6)
+    NgramIndex.append(spark, d1, batch) // clean append for the target state
+    val want = state(d1)
+    // rebuild the pre-merge live, then plant the merged result as a
+    // COMMITTED stage (simulates a kill between stage write and swap)
+    val d2 = freshDir()
+    NgramIndex.build(docs.filter($"doc_id" <= 5), d2, n = 3, dfMax = 8)
+    val d2live = new Path(s"$d2/postings")
+    val d2stage = new Path(s"$d2/postings__stage")
+    val d1live = new Path(s"$d1/postings")
+    // copy d1's merged postings in as d2's stage
+    org.apache.hadoop.fs.FileUtil.copy(fs, d1live, fs, d2stage, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(d2stage, "_SUCCESS")), "fixture: stage must look committed")
+    // next probe triggers entry repair through postingsFrame
+    val probed = NgramIndex.pairsJaccard(spark, d2, 0.1, dfCap = 4).count()
+    assert(state(d2) === want, "committed stage was not rolled forward")
+    assert(!fs.exists(d2stage) && !fs.exists(new Path(s"$d2/postings__old")))
+    assert(probed > 0)
+
+    // (2) live missing, only __old survives: defensive restore
+    val d3 = freshDir()
+    NgramIndex.build(docs, d3, n = 3, dfMax = 8)
+    val pre = state(d3)
+    assert(fs.rename(new Path(s"$d3/postings"), new Path(s"$d3/postings__old")))
+    NgramIndex.append(spark, d3,
+      Seq((9, "wholly novel appended words after the anomaly")).toDF("doc_id", "text"))
+    val post = state(d3)
+    // the appended doc's words are novel → its gram rows are disjoint
+    // from pre's, so post must be EXACTLY pre plus the new rows
+    assert(pre.subsetOf(post), "restored content lost")
+    assert(post.exists(_._3.contains(9)), "append after restore missing")
+
+    // (3) uncommitted stage is dropped, live untouched
+    val d4 = freshDir()
+    NgramIndex.build(docs, d4, n = 3, dfMax = 8)
+    val before4 = state(d4)
+    val junkStage = new Path(s"$d4/postings__stage")
+    fs.mkdirs(junkStage)
+    val out = fs.create(new Path(junkStage, "part-junk.parquet"), true)
+    out.write("partial garbage".getBytes("UTF-8")); out.close()
+    // no _SUCCESS → entry repair must delete it and read live cleanly
+    val d4n = NgramIndex.pairsJaccard(spark, d4, 0.1, dfCap = 4).count()
+    assert(!fs.exists(junkStage))
+    assert(state(d4) === before4)
+    assert(d4n > 0)
+  }
+
   test("ensure: builds once per corpus fingerprint; separate tags coexist") {
     val sfDir = java.nio.file.Files.createTempDirectory("g_ngsf").toString
     docs.coalesce(1).write.parquet(s"$sfDir/documents.parquet")
