@@ -42,11 +42,21 @@ object NgramIndex {
 
   /** One tokenize+hash pass over the corpus → the stored postings.
     * `dfMax` fixes the largest COMPLETE stored list; probes may use
-    * any dfCap <= dfMax exactly. */
+    * any dfCap <= dfMax exactly.
+    *
+    * Atomicity (r14 advice): the parquet AND the meta stage together
+    * under `postings__stage` — meta lives INSIDE the postings dir
+    * (`postings/_graft_meta`, written after the parquet commit, so its
+    * presence marks the stage complete) and one rename publishes both.
+    * A kill at any point leaves either the previous index serving or
+    * a stage that entry repair ([[repairSwap]]) finishes/drops; the
+    * half-built postings-without-meta dir the old layout could leave
+    * is unreachable. */
   def build(docs: DataFrame, dir: String, n: Int, dfMax: Int): Unit = {
     require(n >= 1, s"n must be positive, got $n")
     require(dfMax >= 1, s"dfMax must be positive, got $dfMax")
     val spark = docs.sparkSession
+    repairSwap(spark, dir)
     val sh = TextDedup.shingleKeyTable(docs, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -59,16 +69,53 @@ object NgramIndex {
           Seq("shingle"), "left_semi")
         .groupBy(col("shingle"))
         .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      val stage = s"$dir/postings__stage"
       dfs.join(lists, Seq("shingle"), "left")
         .select(col("shingle"), col("df"),
           coalesce(col("docs"),
             array().cast(org.apache.spark.sql.types.ArrayType(idType)))
             .as("docs"))
         .write.mode("overwrite").option("compression", "zstd")
-        .parquet(s"$dir/postings")
-      writeMeta(spark, dir, n, dfMax)
-      invalidate(dir)
+        .parquet(stage)
+      writeMetaInto(spark, stage, n, dfMax) // commit marker: stage is now complete
+      swapStageLive(spark, dir)
+      // a v1-era root _meta would shadow nothing (postings/_graft_meta
+      // wins) but could describe a DIFFERENT n/dfMax — drop it
+      val legacyMeta = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+      legacyMeta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(legacyMeta, false)
+      ()
     } finally { sh.unpersist(); () }
+  }
+
+  /** True iff every value of `from` round-trips through a cast to
+    * `to` — identical types, or integral widening. Anything else
+    * (Long→Int, floating, decimal, string) can wrap or reformat under
+    * non-ANSI cast semantics and is refused. */
+  private def losslessIdCast(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Int = d match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    from == to || (rank(from) > 0 && rank(to) > 0 && rank(from) <= rank(to))
+  }
+
+  /** Refuse a batch whose doc_id can silently corrupt the stored
+    * postings (r14 advice): a long-id batch cast down to an int-id
+    * index wraps under non-ANSI semantics with no error. Mirrors the
+    * dfCap <= dfMax guard. */
+  private def requireIdCompatible(batch: DataFrame,
+      idType: org.apache.spark.sql.types.DataType, dir: String): Unit = {
+    val bt = batch.schema("doc_id").dataType
+    require(losslessIdCast(bt, idType),
+      s"batch doc_id type $bt is not losslessly castable to the index's " +
+        s"stored id type $idType at $dir — rebuild the index with the " +
+        "wider id type instead of narrowing the batch")
   }
 
   /** Fold a batch of NEW documents into the stored postings — the
@@ -90,12 +137,13 @@ object NgramIndex {
     * cadence like LexIndex's append — the alternative (per-probe
     * corpus re-tokenize) is O(corpus TEXT) per query. */
   def append(spark: SparkSession, dir: String, batch: DataFrame): Unit = {
-    val m = meta(spark, dir)
     repairSwap(spark, dir)
+    val m = meta(spark, dir)
     if (batch.isEmpty) return
     val stored = postingsFrame(spark, dir)
     val idType = stored.schema("docs").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    requireIdCompatible(batch, idType, dir)
     val emptyIds = array()
       .cast(org.apache.spark.sql.types.ArrayType(idType))
     val batchLists = TextDedup.shingleKeyTable(batch, m.n)
@@ -119,11 +167,24 @@ object NgramIndex {
     fs.delete(new org.apache.hadoop.fs.Path(stage), true)
     merged.write.mode("overwrite").option("compression", "zstd")
       .parquet(stage)
+    // meta travels with the postings (build's atomicity contract);
+    // its presence is the stage-complete marker
+    writeMetaInto(spark, stage, m.n, m.dfMax)
+    swapStageLive(spark, dir)
+  }
+
+  /** Publish a complete stage (`postings/_graft_meta` present):
+    * live→`__old`, stage→live, drop the aside. Shared by [[build]],
+    * [[append]] and the committed branch of [[repairSwap]]. */
+  private def swapStageLive(spark: SparkSession, dir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/postings__stage")
     val old = new org.apache.hadoop.fs.Path(s"$dir/postings__old")
     fs.delete(old, true)
     if (fs.exists(live)) { fs.rename(live, old); () }
-    fs.rename(new org.apache.hadoop.fs.Path(stage), live)
+    fs.rename(stage, live)
     fs.delete(old, true)
     invalidate(dir)
   }
@@ -137,18 +198,17 @@ object NgramIndex {
   private def repairSwap(spark: SparkSession, dir: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val stage = new org.apache.hadoop.fs.Path(s"$dir/postings__stage")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val old = new org.apache.hadoop.fs.Path(s"$dir/postings__old")
+    // complete := meta present in the stage (written AFTER the parquet
+    // commit, so it implies _SUCCESS too — a stage with parquet but no
+    // meta died between the two writes and is dropped, never published
+    // as a postings-without-meta dir)
     val committed = fs.exists(
-      new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))
-    if (committed) {
-      fs.delete(old, true)
-      if (fs.exists(live)) { fs.rename(live, old); () }
-      fs.rename(stage, live)
-      fs.delete(old, true)
-      invalidate(dir)
-    } else {
+      new org.apache.hadoop.fs.Path(stage, MetaFile))
+    if (committed) swapStageLive(spark, dir)
+    else {
       fs.delete(stage, true)
       if (!fs.exists(live) && fs.exists(old)) {
         fs.rename(old, live) // defensive restore
@@ -194,6 +254,7 @@ object NgramIndex {
     val stored = postingsFrame(spark, dir)
     val idType = stored.schema("docs").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    requireIdCompatible(batch, idType, dir)
     val batchLists = TextDedup.shingleKeyTable(batch, m.n)
       .groupBy(col("shingle"))
       .agg(array_sort(collect_list(col("doc_id").cast(idType))).as("bdocs"))
@@ -278,27 +339,59 @@ object NgramIndex {
 
   private[graft] final case class Meta(n: Int, dfMax: Int)
 
-  private def writeMeta(spark: SparkSession, dir: String, n: Int,
-      dfMax: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+  /** Meta file name INSIDE the postings dir — `_`-prefixed so the
+    * parquet reader's hidden-file filter skips it; written after the
+    * parquet commit so its presence marks a postings tree complete. */
+  private val MetaFile = "_graft_meta"
+
+  private def writeMetaInto(spark: SparkSession, postingsDir: String,
+      n: Int, dfMax: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$postingsDir/$MetaFile")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(s"""{"n":$n,"dfMax":$dfMax}""".getBytes("UTF-8"))
     finally out.close()
   }
 
-  private[graft] def meta(spark: SparkSession, dir: String): Meta =
-    metaCache.computeIfAbsent(dir, { _ =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/_meta")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      def f(k: String) = s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toInt)
-        .getOrElse(throw new IllegalStateException(s"bad _meta at $dir: $s"))
-      Meta(f("n"), f("dfMax"))
-    })
+  private def readMetaFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, dir: String): Meta = {
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def f(k: String) = s"""\"$k\":(\\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"bad index meta at $dir: $s"))
+    Meta(f("n"), f("dfMax"))
+  }
+
+  // get/put, NOT computeIfAbsent: the resolve path may call repairSwap,
+  // whose invalidate() touches this map for the same key — a recursive
+  // update computeIfAbsent forbids
+  private[graft] def meta(spark: SparkSession, dir: String): Meta = {
+    val cached = metaCache.get(dir)
+    if (cached != null) cached
+    else {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def inPostings = new org.apache.hadoop.fs.Path(s"$dir/postings/$MetaFile")
+      val legacy = new org.apache.hadoop.fs.Path(s"$dir/_meta") // pre-r15 layout
+      val m =
+        if (fs.exists(inPostings)) readMetaFile(fs, inPostings, dir)
+        else {
+          // maybe only a committed stage exists (kill mid-swap): repair,
+          // then retry before concluding the index is broken
+          repairSwap(spark, dir)
+          if (fs.exists(inPostings)) readMetaFile(fs, inPostings, dir)
+          else if (fs.exists(legacy)) readMetaFile(fs, legacy, dir)
+          else throw new IllegalStateException(
+            s"n-gram index at $dir is incomplete (no ${MetaFile} and no " +
+              "legacy _meta) — an interrupted build left no committed " +
+              "state; rebuild with NgramIndex.build/ensure")
+        }
+      metaCache.put(dir, m)
+      m
+    }
+  }
 
   /** Ensure an up-to-date index over `docs` for the corpus at `sfDir`
     * exists; rebuild only when the stored fingerprint mismatches
@@ -326,12 +419,15 @@ object NgramIndex {
     dir
   }
 
-  /** "v1" = index FORMAT version — bump on any schema change so a
-    * code upgrade rebuilds instead of reading a stale layout. */
+  /** "v2" = index FORMAT version — bump on any schema/layout change so
+    * a code upgrade rebuilds instead of reading a stale layout (v2:
+    * meta moved inside postings/ as the atomic-commit marker; v1 dirs
+    * are still READABLE via the legacy `_meta` fallback, but ensure()
+    * refreshes them to the self-repairing layout). */
   private def fingerprint(spark: SparkSession, sfDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    s"v1:${st.getLen}:${st.getModificationTime}"
+    s"v2:${st.getLen}:${st.getModificationTime}"
   }
 }

@@ -63,6 +63,8 @@ object Sketches {
   def kmvState(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
+    require(groupCol != "mins",
+      "groupCol 'mins' collides with the sketch-state column name")
     val spark = df.sparkSession
     import spark.implicits._
     df.filter(col(valueCol).isNotNull)
@@ -115,13 +117,24 @@ object Sketches {
     * `finalizeKmv(spark.read.parquet(stateDir), groupCol, k)`. */
   def kmvMonitor(stream: DataFrame, stateDir: String, groupCol: String,
       valueCol: String, k: Int, buckets: Int = 16)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireMonitorCols(groupCol) // fail at setup, not at the first batch
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         foldKmvBatch(batch, stateDir, groupCol, valueCol, k, buckets)
       }
       .start()
+  }
+
+  /** The monitor's internal column names are part of its STORED layout
+    * (`b` is the partition dir name), so a groupCol that collides
+    * would be silently clobbered (r14 advice) — refuse it up front. */
+  private def requireMonitorCols(groupCol: String): Unit =
+    require(groupCol != "b" && groupCol != "mins",
+      s"groupCol '$groupCol' collides with the KMV monitor's internal " +
+        "column names ('b' = state bucket id, 'mins' = sketch state) — " +
+        "rename the group column before monitoring it")
 
   /** One monitor fold, batch-callable (the maintenance loop's
     * telemetry hook uses it directly): merge `batch`'s sketch into the
@@ -160,13 +173,18 @@ object Sketches {
       groupCol: String, valueCol: String, k: Int, buckets: Int = 16,
       wantStats: Boolean = true): Option[KmvFoldStats] = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    requireMonitorCols(groupCol)
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(stateDir)
     val stage = new org.apache.hadoop.fs.Path(stateDir + "__stage")
     val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
     val fs = live.getFileSystem(hconf)
+    // pre-r14 flat-protocol leftovers first: a flat __old would be
+    // deleted unrescued by repairKmvState's final cleanup
+    rescueFlatLegacy(fs, stateDir)
     repairKmvState(fs, live, stage, old)
+    migrateFlatLive(spark, fs, stateDir, groupCol, k, buckets)
     val batchState = kmvState(batch, groupCol, valueCol, k)
       .withColumn("b", kmvBucket(col(groupCol), buckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -183,33 +201,8 @@ object Sketches {
         .map(bk => new org.apache.hadoop.fs.Path(live, s"b=$bk"))
         .filter(fs.exists).map(_.toString).toIndexedSeq
       val estBefore = if (wantStats) estSum(priorPaths) else 0.0
-      val merged =
-        (if (priorPaths.isEmpty) batchState.drop("b")
-         else kmvMerge(
-           spark.read.parquet(priorPaths: _*)
-             .select(col(groupCol), col("mins"))
-             .unionByName(batchState.drop("b")),
-           groupCol, k))
-          .withColumn("b", kmvBucket(col(groupCol), buckets))
-      fs.delete(stage, true)
-      merged.repartition(dirty.length, col("b"))
-        .write.partitionBy("b").mode("overwrite").parquet(stage.toString)
-      fs.mkdirs(live)
-      fs.mkdirs(old)
-      dirty.foreach { bk =>
-        val lv = new org.apache.hadoop.fs.Path(live, s"b=$bk")
-        val st = new org.apache.hadoop.fs.Path(stage, s"b=$bk")
-        val od = new org.apache.hadoop.fs.Path(old, s"b=$bk")
-        if (fs.exists(st)) { // every dirty bucket got >= 1 merged group
-          fs.delete(od, true)
-          if (fs.exists(lv)) { fs.rename(lv, od); () }
-          fs.rename(st, lv)
-          fs.delete(od, true)
-          ()
-        }
-      }
-      fs.delete(stage, true)
-      fs.delete(old, true)
+      mergeIntoBuckets(spark, fs, live, stage, old, batchState, dirty,
+        groupCol, k, buckets)
       if (!wantStats) None
       else {
         val livePaths = dirty
@@ -226,6 +219,128 @@ object Sketches {
         Some(KmvFoldStats(groups, estBefore, estAfter))
       }
     } finally { batchState.unpersist(); () }
+  }
+
+  /** The fold's write half, shared with [[migrateFlatLive]]: merge
+    * `incoming` (groupCol, mins, b) into the live buckets it touches —
+    * partition-pruned prior read, k-bounded merge, staged write,
+    * per-bucket rename-aside swap, cleanup. Caller must have run entry
+    * repair; `dirty` = incoming's bucket ids (non-empty). */
+  private def mergeIntoBuckets(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      live: org.apache.hadoop.fs.Path, stage: org.apache.hadoop.fs.Path,
+      old: org.apache.hadoop.fs.Path, incoming: DataFrame,
+      dirty: Array[Long], groupCol: String, k: Int, buckets: Int): Unit = {
+    val priorPaths = dirty
+      .map(bk => new org.apache.hadoop.fs.Path(live, s"b=$bk"))
+      .filter(fs.exists).map(_.toString).toIndexedSeq
+    val merged =
+      (if (priorPaths.isEmpty) incoming.drop("b")
+       else kmvMerge(
+         spark.read.parquet(priorPaths: _*)
+           .select(col(groupCol), col("mins"))
+           .unionByName(incoming.drop("b")),
+         groupCol, k))
+        .withColumn("b", kmvBucket(col(groupCol), buckets))
+    fs.delete(stage, true)
+    merged.repartition(dirty.length, col("b"))
+      .write.partitionBy("b").mode("overwrite").parquet(stage.toString)
+    fs.mkdirs(live)
+    fs.mkdirs(old)
+    dirty.foreach { bk =>
+      val lv = new org.apache.hadoop.fs.Path(live, s"b=$bk")
+      val st = new org.apache.hadoop.fs.Path(stage, s"b=$bk")
+      val od = new org.apache.hadoop.fs.Path(old, s"b=$bk")
+      if (fs.exists(st)) { // every dirty bucket got >= 1 merged group
+        fs.delete(od, true)
+        if (fs.exists(lv)) { fs.rename(lv, od); () }
+        fs.rename(st, lv)
+        fs.delete(od, true)
+        ()
+      }
+    }
+    fs.delete(stage, true)
+    fs.delete(old, true)
+    ()
+  }
+
+  /** Rescue pre-r14 FLAT-protocol leftovers (r14 advice: the bucketed
+    * fold silently ignored them). The r13 monitor wrote the whole
+    * state to `stateDir__new` and swapped via `stateDir__old`; a kill
+    * could leave either dir holding flat parquet. A committed `__new`
+    * (its `_SUCCESS` present) is a complete historical merge and a
+    * flat `__old` is a pre-swap snapshot — BOTH are folded in by
+    * moving their data files to the live root, where
+    * [[migrateFlatLive]] merges them into buckets (KMV union-merge of
+    * any historical states is exact and idempotent, so merging a
+    * stale snapshot alongside newer bucket state can only re-add
+    * hashes that were already seen — never replace newer state, which
+    * is why the old repair's adopt-as-live move would be WRONG here:
+    * bucket dirs may hold post-r14 folds). An uncommitted `__new` is
+    * mid-write garbage, reachable only while live still serves —
+    * dropped, same as the r13 entry repair's delete. */
+  private[graft] def rescueFlatLegacy(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val newDir = new org.apache.hadoop.fs.Path(stateDir + "__new")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+    def rootDataFiles(p: org.apache.hadoop.fs.Path) =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val fromNew =
+      if (fs.exists(new org.apache.hadoop.fs.Path(newDir, "_SUCCESS")))
+        rootDataFiles(newDir)
+      else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val fromOld = rootDataFiles(old) // b= dirs stay for repairKmvState
+    if (fromNew.nonEmpty || fromOld.nonEmpty) fs.mkdirs(live)
+    (fromNew.map(("new", _)) ++ fromOld.map(("old", _))).zipWithIndex
+      .foreach { case ((tag, f), i) =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(live,
+          s"legacy_${tag}_${i}_${f.getPath.getName}"))
+      }
+    fs.delete(newDir, true) // emptied or uncommitted
+    ()
+  }
+
+  /** One-time bucketing of pre-r14 FLAT monitor state found at the
+    * live root (including files [[rescueFlatLegacy]] moved there):
+    * merge the flat rows into their buckets via the same staged
+    * dirty-bucket swap a fold uses, then drop the flat files. A crash
+    * anywhere re-runs the migration as a no-op merge (the flat files
+    * survive until after the swap commits); afterwards
+    * `spark.read.parquet(stateDir)` sees ONLY the bucketed layout —
+    * never the mixed tree the r14 advice flagged. */
+  private[graft] def migrateFlatLive(spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, stateDir: String,
+      groupCol: String, k: Int, buckets: Int): Unit = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    if (!fs.exists(live)) return
+    val flat = fs.listStatus(live).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (flat.isEmpty) return
+    val stage = new org.apache.hadoop.fs.Path(stateDir + "__stage")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+    val flatState = spark.read
+      .parquet(flat.map(_.getPath.toString).toIndexedSeq: _*)
+      .select(col(groupCol), col("mins"))
+      .withColumn("b", kmvBucket(col(groupCol), buckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dirty = flatState.select(col("b")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      if (dirty.nonEmpty)
+        mergeIntoBuckets(spark, fs, live, stage, old, flatState, dirty,
+          groupCol, k, buckets)
+      flat.foreach(f => fs.delete(f.getPath, false))
+      // the flat era's root commit marker, if one survived
+      fs.delete(new org.apache.hadoop.fs.Path(live, "_SUCCESS"), false)
+      ()
+    } finally { flatState.unpersist(); () }
   }
 
   /** Entry repair for an interrupted [[foldKmvBatch]] swap. The swap

@@ -244,6 +244,86 @@ class NgramIndexSpec extends SparkSpec {
     assert(d4n > 0)
   }
 
+  test("id-type guard: a batch whose doc_id narrows the stored id type is refused; widening is accepted") {
+    // int-id index, long-id batch: the silent non-ANSI cast would wrap
+    // ids past Int range into corrupted postings — must throw instead
+    val dir = freshDir()
+    NgramIndex.build(docs, dir, n = 3, dfMax = 8)
+    val longBatch = Seq((3_000_000_000L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val eA = intercept[IllegalArgumentException] {
+      NgramIndex.append(spark, dir, longBatch)
+    }
+    assert(eA.getMessage.contains("not losslessly castable"))
+    val eP = intercept[IllegalArgumentException] {
+      NgramIndex.probeContainment(spark, dir, longBatch, 0.5, dfCap = 4)
+    }
+    assert(eP.getMessage.contains("not losslessly castable"))
+
+    // long-id index, int-id batch: lossless widening — works, and the
+    // probe output matches the from-scratch incremental form
+    val dirL = freshDir()
+    val corpusL = docs.filter($"doc_id" <= 5)
+      .select($"doc_id".cast("long").as("doc_id"), $"text")
+    NgramIndex.build(corpusL, dirL, n = 3, dfMax = 8)
+    val intBatch = Seq((8, "kappa lambda mu nu xi omicron pi rho"))
+      .toDF("doc_id", "text")
+    val got = NgramIndex.probeContainment(spark, dirL, intBatch, 0.5, dfCap = 4)
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSet
+    val want = TextDedup.containmentPairsIncremental(
+        corpusL.withColumn("is_new", lit(false)).unionByName(
+          intBatch.select($"doc_id".cast("long").as("doc_id"), $"text")
+            .withColumn("is_new", lit(true))),
+        $"is_new", n = 3, threshold = 0.5, dfCap = 4)
+      .as[(Long, Long, Long, Double, Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    NgramIndex.append(spark, dirL, intBatch) // must not throw
+    assert(NgramIndex.pairsContainment(spark, dirL, 0.5, dfCap = 4)
+      .count() >= got.size)
+  }
+
+  test("build atomicity: a stage that died between parquet and meta is dropped, live survives; a dir with postings but no meta anywhere is cleanly detected; v1 root _meta is still readable") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/tmp").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // (1) kill between the stage's parquet commit and its meta write:
+    // parquet _SUCCESS present, _graft_meta absent → NOT committed;
+    // entry repair drops the stage and live keeps serving
+    val d1 = freshDir()
+    NgramIndex.build(docs, d1, n = 3, dfMax = 8)
+    val before = spark.read.parquet(s"$d1/postings")
+      .as[(Long, Long, Seq[Int])].collect().toSet
+    val stage = new Path(s"$d1/postings__stage")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$d1/postings"),
+      fs, stage, false, spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(stage, "_graft_meta"), false) // simulate the kill
+    assert(fs.exists(new Path(stage, "_SUCCESS")),
+      "fixture: parquet looks committed")
+    val n1 = NgramIndex.pairsJaccard(spark, d1, 0.1, dfCap = 4).count()
+    assert(n1 > 0 && !fs.exists(stage))
+    assert(spark.read.parquet(s"$d1/postings")
+      .as[(Long, Long, Seq[Int])].collect().toSet === before)
+
+    // (2) postings with no meta anywhere (the pre-r15 half-built
+    // state): detected loudly, not served with garbage parameters
+    val d2 = freshDir()
+    NgramIndex.build(docs, d2, n = 3, dfMax = 8)
+    fs.delete(new Path(s"$d2/postings/_graft_meta"), false)
+    val e = intercept[IllegalStateException] {
+      NgramIndex.meta(spark, d2)
+    }
+    assert(e.getMessage.contains("incomplete"))
+
+    // (3) a v1-era dir (meta at the root, none in postings/) still
+    // reads via the legacy fallback
+    val d3 = freshDir()
+    NgramIndex.build(docs, d3, n = 3, dfMax = 8)
+    fs.rename(new Path(s"$d3/postings/_graft_meta"), new Path(s"$d3/_meta"))
+    assert(NgramIndex.meta(spark, d3) === NgramIndex.Meta(3, 8))
+    assert(NgramIndex.pairsJaccard(spark, d3, 0.1, dfCap = 4).count() > 0)
+  }
+
   test("ensure: builds once per corpus fingerprint; separate tags coexist") {
     val sfDir = java.nio.file.Files.createTempDirectory("g_ngsf").toString
     docs.coalesce(1).write.parquet(s"$sfDir/documents.parquet")

@@ -139,6 +139,74 @@ class SketchesSpec extends SparkSpec {
     assert(live === direct)
   }
 
+  test("legacy flat monitor state (pre-bucketing layout) is migrated into buckets at fold entry, never dropped — including a committed __new and a flat __old") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("g_kmvl").toString
+    val stateDir = root + "/state"
+    val fs = new Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // the r13 flat layout: whole state as root parquet files
+    val flatRows = (1 to 30).flatMap(g => (1 to 4).map(i => (s"g$g", s"v$g-$i")))
+    Sketches.kmvState(flatRows.toDF("g", "v"), "g", "v", k = 8)
+      .coalesce(1).write.parquet(stateDir)
+    // an interrupted flat fold's COMMITTED __new (contains the flat
+    // state merged with extra groups — a superset snapshot)
+    val newRows = flatRows ++ (31 to 35).flatMap(g =>
+      (1 to 3).map(i => (s"g$g", s"v$g-$i")))
+    Sketches.kmvState(newRows.toDF("g", "v"), "g", "v", k = 8)
+      .coalesce(1).write.parquet(stateDir + "__new")
+    // and a flat __old pre-swap snapshot (a subset)
+    Sketches.kmvState(flatRows.take(40).toDF("g", "v"), "g", "v", k = 8)
+      .coalesce(1).write.parquet(stateDir + "__old")
+    // one fold with fresh groups triggers rescue + migration + merge
+    val batch = (36 to 38).flatMap(g => (1 to 3).map(i => (s"g$g", s"v$g-$i")))
+    Sketches.foldKmvBatch(batch.toDF("g", "v"), stateDir, "g", "v",
+      k = 8, buckets = 8)
+    // layout is now bucketed-only: no root data files, no legacy dirs
+    val rootFiles = fs.listStatus(new Path(stateDir)).filter(_.isFile)
+      .map(_.getPath.getName).filterNot(_.startsWith("."))
+    assert(rootFiles.isEmpty, s"flat files survived: ${rootFiles.toSeq}")
+    assert(!fs.exists(new Path(stateDir + "__new")))
+    assert(!fs.exists(new Path(stateDir + "__old")))
+    assert(!fs.exists(new Path(stateDir + "__stage")))
+    // and the state equals the direct sketch of EVERYTHING any legacy
+    // artifact ever held plus the batch — nothing was dropped
+    val live = Sketches.finalizeKmv(spark.read.parquet(stateDir), "g", 8)
+      .select($"g", $"n_mins", $"h_k", $"distinct_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val direct = Sketches.kmvDistinct((newRows ++ batch).toDF("g", "v"),
+        "g", "v", 8)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(live === direct)
+    // an UNCOMMITTED __new (mid-write garbage) is dropped, state intact
+    fs.mkdirs(new Path(stateDir + "__new"))
+    val out = fs.create(new Path(stateDir + "__new/part-junk.parquet"), true)
+    out.write("garbage".getBytes("UTF-8")); out.close()
+    Sketches.foldKmvBatch(Seq(("g1", "vX")).toDF("g", "v"), stateDir,
+      "g", "v", k = 8, buckets = 8)
+    assert(!fs.exists(new Path(stateDir + "__new")))
+    val live2 = Sketches.finalizeKmv(spark.read.parquet(stateDir), "g", 8)
+      .select($"g", $"n_mins", $"h_k", $"distinct_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val direct2 = Sketches.kmvDistinct(
+        (newRows ++ batch :+ (("g1", "vX"))).toDF("g", "v"), "g", "v", 8)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(live2 === direct2)
+  }
+
+  test("internal column collisions are refused: groupCol 'b' or 'mins'") {
+    val dir = java.nio.file.Files.createTempDirectory("g_kmvc").toString
+    val eB = intercept[IllegalArgumentException] {
+      Sketches.foldKmvBatch(Seq(("x", "v")).toDF("b", "v"),
+        dir + "/s1", "b", "v", k = 8)
+    }
+    assert(eB.getMessage.contains("collides"))
+    val eM = intercept[IllegalArgumentException] {
+      Sketches.kmvState(Seq(("x", "v")).toDF("mins", "v"), "mins", "v", 8)
+    }
+    assert(eM.getMessage.contains("collides"))
+  }
+
   test("repairKmvState: an __old-only bucket is restored, never deleted (defensive restore)") {
     val root = java.nio.file.Files.createTempDirectory("g_kmvr").toString
     val stateDir = root + "/state"
