@@ -215,6 +215,47 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     },
 
+    // Hybrid retrieval (r15, ml/HybridRetrieval): RRF fusion of the
+    // two STORED retrieval indexes — LexIndex BM25 top-5 and IvfIndex
+    // cosine top-3 (nprobe=2), the q102/q112 serving paths — into one
+    // calibration-free ranking. Both legs are k-bounded index probes;
+    // the fusion is a tiny full-outer join + window. The oracle
+    // recomputes both legs from raw data (BM25 chain + the IVF
+    // assignment CTEs) and fuses with the same integer-rank
+    // arithmetic — exact cross-engine because each RRF term is one
+    // IEEE division of exact integers and the 2-term sum is a single
+    // commutative addition.
+    "q129_hybrid_rrf" -> { (s, dir) =>
+      val lexIdx = graft.ml.LexIndex.ensure(s, dir,
+        t(s, dir, "documents").select(col("doc_id"), col("text")))
+      val lex = graft.ml.LexIndex
+        .probeIndexed(s, lexIdx, col("doc_id") < 10, k = 5)
+        .select(col("query_id"), col("doc_id").as("cand_id"), col("rnk"))
+      val vec = graft.ml.IvfIndex
+        .probe(s, ensureQ112Index(s, dir),
+          t(s, dir, "embeddings").filter(col("vec_id") < 10),
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("cand_id"), col("rank").as("rnk"))
+      graft.ml.HybridRetrieval.rrfFuse(lex, vec, kRrf = 60, topK = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // Blocked fuzzy join (r15, ml/FuzzyJoin): edit-distance record
+    // linkage over document "titles" (first 14 tokens), blocked on the
+    // first 2 tokens with a hot-block cap and the |Δlen| ≤ maxDist
+    // lower-bound prefilter. Emits ALL surviving candidates with their
+    // distance (182 rows at sf0.01, 25 matched — 24 exact dups plus
+    // one genuinely fuzzy pair), so the gate pins levenshtein parity
+    // across every candidate pair, not just the accepted tail.
+    "q130_fuzzy_join" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 14)).as("title"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+      graft.ml.FuzzyJoin.blockedCandidates(docs, "doc_id", "title",
+          col("blk"), maxDist = 8, blockCap = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // SemDeDup-style semantic dedup (r11): k-means cells over the
     // embeddings (the q54 deterministic first-k init), within-cell
     // cosine pairs >= 0.45 (the q35/q53 threshold for this corpus,
@@ -1555,6 +1596,105 @@ object PipelineQueries {
         |  GROUP BY b.query_id)
         |SELECT query_id, hits, round(CAST(hits AS DOUBLE) / n_exact, 4) AS recall
         |FROM hits ORDER BY query_id""".stripMargin),
+
+    // q129: both legs recomputed from raw data — the BM25 chain is the
+    // q102 oracle text (query docs < 10, k=5), the vector leg is the
+    // IVF assignment CTEs (renamed to avoid colliding with the fused
+    // ranking's names; identical arithmetic to ivfCtePrefix, k=3,
+    // nprobe=2) — then RRF-fused with the same integer-rank math as
+    // HybridRetrieval.rrfFuse. Leg ranks emit 0 when a leg missed the
+    // candidate (nullable rank columns would compare as NaN-laden
+    // floats; exact longs are the stronger gate).
+    "q129_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf WHERE doc_id < 10),
+         |contrib AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS c
+         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+         |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+         |lscored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, cand_id, lrnk FROM (
+         |    SELECT query_id, doc_id AS cand_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS lrnk
+         |    FROM lscored) WHERE lrnk <= 5),
+         |$embCte,
+         |cent AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS c
+         |  FROM e ORDER BY vec_id LIMIT 8),
+         |ad AS (
+         |  SELECT e.vec_id, cent.cell_id,
+         |    list_dot_product(
+         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i]),
+         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cent.c[i])) AS d2
+         |  FROM e CROSS JOIN cent),
+         |assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn FROM ad)
+         |  WHERE rn = 1),
+         |qcells AS (
+         |  SELECT vec_id AS query_id, cell_id FROM (
+         |    SELECT vec_id, cell_id, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cell_id ASC) AS rn
+         |    FROM ad WHERE vec_id < 10)
+         |  WHERE rn <= 2),
+         |vscored AS (
+         |  SELECT q.query_id, c.vec_id AS cand_id,
+         |    list_dot_product(qe.v, c.v) / (qe.nrm * c.nrm) AS cos
+         |  FROM qcells q
+         |  JOIN e qe ON qe.vec_id = q.query_id
+         |  JOIN assigned a ON a.cell_id = q.cell_id
+         |  JOIN e c ON c.vec_id = a.vec_id AND c.vec_id != q.query_id),
+         |vec AS (
+         |  SELECT query_id, cand_id, vrnk FROM (
+         |    SELECT query_id, cand_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY round(cos, 6) DESC, cand_id) AS vrnk
+         |    FROM vscored) WHERE vrnk <= 3),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.cand_id, v.cand_id) AS cand_id,
+         |    coalesce(l.lrnk, 0) AS lex_rnk, coalesce(v.vrnk, 0) AS vec_rnk
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id),
+         |rrfed AS (
+         |  SELECT query_id, cand_id, lex_rnk, vec_rnk,
+         |    (CASE WHEN lex_rnk > 0 THEN 1.0 / (60 + lex_rnk) ELSE 0.0 END) +
+         |    (CASE WHEN vec_rnk > 0 THEN 1.0 / (60 + vec_rnk) ELSE 0.0 END) AS rrf
+         |  FROM fused),
+         |franked AS (
+         |  SELECT query_id, cand_id, lex_rnk, vec_rnk, rrf, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS rnk
+         |  FROM rrfed)
+         |SELECT query_id, rnk, cand_id, lex_rnk, vec_rnk,
+         |  CAST(round(rrf * 1000000, 0) AS BIGINT) / 1000000.0 AS rrf_score
+         |FROM franked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // q130: same blocking, cap, length prefilter and distance as
+    // FuzzyJoin.blockedCandidates — every candidate pair's levenshtein
+    // is pinned cross-engine (DuckDB and Spark both implement the
+    // classic full edit-distance DP).
+    "q130_fuzzy_join" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:14], ' ') AS title,
+        |    array_to_string(string_split(text, ' ')[1:2], ' ') AS blk
+        |  FROM documents),
+        |ok AS (SELECT blk FROM t GROUP BY blk HAVING count(*) <= 64),
+        |tk AS (SELECT t.* FROM t JOIN ok USING (blk))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist,
+        |  levenshtein(a.title, b.title) <= 8 AS is_match
+        |FROM tk a JOIN tk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE abs(length(a.title) - length(b.title)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q115: hashed-bigram importance weights; md5 bucketing is the q61
     // cross-engine hash, counts are exact integers (add-1 smoothing),

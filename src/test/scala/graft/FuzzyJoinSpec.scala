@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.FuzzyJoin
+
+/** Blocked fuzzy join: distances must equal an independent
+  * edit-distance implementation, the length prefilter must be a true
+  * lower bound (it can never drop a real match), and the hot-block
+  * cap must drop oversized blocks wholesale (q130 gates the same
+  * pipeline against DuckDB's levenshtein at data scale). */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: the classic O(nm) DP, written fresh here
+    * so the spec does not trust the engine function it checks. */
+  private def editDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val cur = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    d(a.length)
+  }
+
+  private val vocab = Array("alpha", "beta", "gamma", "delta", "epsln")
+  private def randStr(r: scala.util.Random) =
+    Seq.fill(2 + r.nextInt(4))(vocab(r.nextInt(vocab.length))).mkString(" ")
+
+  test("differential: candidate pairs and distances equal the brute-force blocked reference") {
+    val r = new scala.util.Random(41)
+    val rows = (0L until 60L).map(id => (id, randStr(r)))
+    val df = rows.toDF("id", "s")
+    val maxDist = 6
+    val got = FuzzyJoin.blockedCandidates(df, "id", "s",
+        substring(col("s"), 1, 3), maxDist, blockCap = 1000)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.take(3) == sb.take(3)
+      if math.abs(sa.length - sb.length) <= maxDist
+    } yield (ia, ib, editDist(sa, sb).toLong,
+        editDist(sa, sb) <= maxDist)).toSet
+    assert(got === want && got.nonEmpty, s"${got.size} vs ${want.size}")
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "fixture must exercise both match and reject")
+  }
+
+  test("length prefilter is a true lower bound: no pair it prunes could have matched") {
+    val r = new scala.util.Random(5)
+    val rows = (0L until 80L).map(id => (id, randStr(r)))
+    val maxDist = 3
+    // every same-block pair the operator did NOT emit was pruned by
+    // the length bound — its true distance must exceed maxDist
+    val emitted = FuzzyJoin.blockedCandidates(rows.toDF("id", "s"), "id", "s",
+        substring(col("s"), 1, 2), maxDist, blockCap = 1000)
+      .as[(Long, Long, Long, Boolean)].collect().map(t => (t._1, t._2)).toSet
+    val pruned = for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.take(2) == sb.take(2)
+      if !emitted.contains((ia, ib))
+    } yield (ia, ib, sa, sb)
+    assert(pruned.nonEmpty, "fixture must exercise the prefilter")
+    pruned.foreach { case (ia, ib, sa, sb) =>
+      assert(math.abs(sa.length - sb.length) > maxDist,
+        s"($ia,$ib) pruned but lengths within bound")
+      assert(editDist(sa, sb) > maxDist,
+        s"($ia,$ib) pruned a TRUE match: '$sa' vs '$sb'")
+    }
+  }
+
+  test("hot-block cap drops oversized blocks wholesale; small blocks are unaffected; matches() is the filtered view") {
+    val hot = (0L until 10L).map(i => (i, s"HOT common text $i"))
+    val cold = Seq((100L, "COLD shared words here"),
+      (101L, "COLD shared words hero"), (102L, "COLD other thing entirely"))
+    val df = (hot ++ cold).toDF("id", "s")
+    val out = FuzzyJoin.blockedCandidates(df, "id", "s",
+        substring(col("s"), 1, 4), maxDist = 4, blockCap = 5)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(!out.exists(_._1 < 100L), "hot block (10 > cap 5) must be dropped")
+    assert(out.map(t => (t._1, t._2)).toSet ===
+      Set((100L, 101L), (100L, 102L), (101L, 102L)))
+    val m = FuzzyJoin.matches(df, "id", "s",
+        substring(col("s"), 1, 4), maxDist = 4, blockCap = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(m === out.filter(_._4).map(t => (t._1, t._2, t._3)).toSet)
+    assert(m.contains((100L, 101L, 1L)), "the 1-edit pair must match")
+    // raising the cap readmits the hot block
+    val all = FuzzyJoin.blockedCandidates(df, "id", "s",
+        substring(col("s"), 1, 4), maxDist = 4, blockCap = 100).count()
+    assert(all === (45 + 3).toLong)
+  }
+
+  test("NULL ids, strings, or block keys don't participate") {
+    val df = Seq((Some(1L), Some("aa bb")), (Some(2L), Some("aa bc")),
+        (None, Some("aa bd")), (Some(4L), None))
+      .toDF("id", "s")
+    val out = FuzzyJoin.blockedCandidates(df, "id", "s",
+        substring(col("s"), 1, 2), maxDist = 2, blockCap = 10)
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1L, true)))
+  }
+}
