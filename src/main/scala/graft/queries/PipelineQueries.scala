@@ -256,6 +256,27 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Fuzzy-match clusters (r15): the q130 match edges fed through the
+    // q51 connected-components machinery — the composition a linkage
+    // pipeline actually runs (pairs are evidence; the ENTITY is the
+    // component). 23 clusters at sf0.01 incl. one size-3 transitive
+    // group the pairwise view can't express.
+    "q131_fuzzy_clusters" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 14)).as("title"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+      val edges = graft.ml.FuzzyJoin.matches(docs, "doc_id", "title",
+          col("blk"), maxDist = 8, blockCap = 64)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.ml.DedupClusters.assign(docs.select(col("doc_id")), edges)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          concat_ws(",", array_sort(collect_list(col("doc_id"))))
+            .as("members"))
+        .filter(col("size") > 1)
+        .orderBy(col("cluster_id"))
+    },
+
     // SemDeDup-style semantic dedup (r11): k-means cells over the
     // embeddings (the q54 deterministic first-k init), within-cell
     // cosine pairs >= 0.45 (the q35/q53 threshold for this corpus,
@@ -539,6 +560,21 @@ object PipelineQueries {
         .select(concat(lit("src:"), col("source")).as("grp"),
           col("n_sample"), col("p50"), col("p90"))
       byLang.unionByName(bySource).orderBy(col("grp"))
+    },
+
+    // Weighted systematic resampling (r15, ml/WeightedSample): m=400
+    // slots ∝ n_chars WITH replication — the selection step an
+    // importance-resampling mix (DSIR) consumes. Integer-only slot
+    // math (exact long DIV end to end; the exponential-keys scheme
+    // would ride engine-divergent pow/ln), distributed prefix sum
+    // under the hood. Σ n_copies = 400 exactly; replication exercised
+    // at both gate scales (max n_copies = 2, 354 picked rows at
+    // sf0.01).
+    "q132_weighted_sample" -> { (s, dir) =>
+      graft.ml.WeightedSample.systematic(
+          t(s, dir, "documents").filter(col("n_chars") > 0),
+          "doc_id", "n_chars", m = 400)
+        .orderBy(col("doc_id"))
     },
 
     // Salted two-stage aggregation over a pathologically hot key
@@ -1695,6 +1731,51 @@ object PipelineQueries {
         |FROM tk a JOIN tk b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE abs(length(a.title) - length(b.title)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q131: the q130 match edges through the q51 recursive-CTE
+    // component labeling (min-id cluster labels, same as
+    // DedupClusters.assign's contract).
+    "q131_fuzzy_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(text, ' ')[1:14], ' ') AS title,
+        |    array_to_string(string_split(text, ' ')[1:2], ' ') AS blk
+        |  FROM documents),
+        |ok AS (SELECT blk FROM t GROUP BY blk HAVING count(*) <= 64),
+        |tk AS (SELECT t.* FROM t JOIN ok USING (blk)),
+        |m AS (
+        |  SELECT a.doc_id AS s0, b.doc_id AS d0
+        |  FROM tk a JOIN tk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE abs(length(a.title) - length(b.title)) <= 8
+        |    AND levenshtein(a.title, b.title) <= 8),
+        |edges AS (SELECT s0 AS s, d0 AS d FROM m UNION SELECT d0, s0 FROM m),
+        |reach(doc_id, label) AS (
+        |  SELECT DISTINCT s, s FROM edges
+        |  UNION
+        |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+        |labels AS (
+        |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+        |SELECT cluster_id, count(*) AS size,
+        | array_to_string(list_sort(list(doc_id)), ',') AS members
+        |FROM labels GROUP BY cluster_id HAVING count(*) > 1
+        |ORDER BY cluster_id""".stripMargin,
+
+    // q132: the same integer slot arithmetic — cum·m and the floor
+    // divisions all in BIGINT (DuckDB's sum() returns HUGEINT, cast
+    // back down before the division so both engines divide the same
+    // 64-bit integers).
+    "q132_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt
+        |  FROM documents WHERE n_chars > 0),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS t FROM w),
+        |c AS (SELECT doc_id, wt,
+        |  CAST(sum(wt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM w)
+        |SELECT doc_id, wt,
+        |  (cum * 400) // t - ((cum - wt) * 400) // t AS n_copies
+        |FROM c CROSS JOIN tot
+        |WHERE (cum * 400) // t - ((cum - wt) * 400) // t > 0
+        |ORDER BY doc_id""".stripMargin,
 
     // q115: hashed-bigram importance weights; md5 bucketing is the q61
     // cross-engine hash, counts are exact integers (add-1 smoothing),
