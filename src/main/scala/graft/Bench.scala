@@ -29,13 +29,17 @@ object Bench {
     * df agg per call — 1.84 s / 3.7× at sf1 purely from the
     * re-derivation q106 amortized away in r8). A headline that
     * re-tokenizes the whole corpus per query misstates the engine the
-    * same way an all-pairs join does. All six still run under
-    * SPARK_GRAFT_BASELINES=1 or an explicit name filter, and still
-    * parity-verify every round. */
+    * same way an all-pairs join does. r15 adds q133, the
+    * prefix-filtered third plan for q31's semantics: a from-scratch
+    * form like q31 itself (its value is the threshold-adaptive
+    * candidate cut at HIGH thresholds — AbBench territory — not the
+    * t=0.3 headline, whose shipping path stays the stored-index
+    * q125). All seven still run under SPARK_GRAFT_BASELINES=1 or an
+    * explicit name filter, and still parity-verify every round. */
   val baselineQueries: Set[String] =
     Set("q35_embedding_neardup", "q36_ann_brute", "q83_bm25_search",
       "q31_ngram_jaccard", "q101_containment_incremental",
-      "q82_tfidf_keywords")
+      "q82_tfidf_keywords", "q133_ngram_jaccard_prefix")
 
   /** (1-min, 5-min, 15-min loadavg, runnable count) from /proc/loadavg;
     * zeros if unreadable (non-Linux). */

@@ -51,6 +51,22 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // q31's exact output via PREFIX FILTERING (r15,
+    // TextDedup.jaccardPairsPrefixFilter — the AllPairs/PPJoin
+    // candidate principle): same oracle text as q31/q125 (the one-
+    // oracle-gates-all-plans discipline), third plan for the same
+    // semantics. Candidates come from each doc's rarest-first prefix
+    // instead of all rare shingles — threshold-adaptive volume (10×
+    // fewer candidate slots at t=0.8 on sf0.1), the high-threshold
+    // near-dup screen's plan.
+    "q133_ngram_jaccard_prefix" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+      TextDedup.jaccardPairsPrefixFilter(docs, n = 3, threshold = 0.3,
+          dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // q31 from the STORED n-gram postings index (r14 — the q83→q102
     // precedent applied to the dedup-pairs family): ensure() builds
     // the index once per corpus snapshot (one tokenize+xxhash64 pass);
@@ -1188,6 +1204,9 @@ object PipelineQueries {
     // discipline: a semantics edit cannot reach one and leave the
     // other gating stale behavior).
     "q125_ngram_jaccard_indexed" -> ngramJaccardOracle,
+
+    // Third plan, same semantics, same oracle (prefix-filtered form).
+    "q133_ngram_jaccard_prefix" -> ngramJaccardOracle,
 
     // Mirrors TextDedup.minhashSignatures: ONE md5 per shingle, two
     // 32-bit halves, slot j = (h1*A_j + h2*B_j + j) mod 2^31-1 with the

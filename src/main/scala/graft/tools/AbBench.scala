@@ -1577,6 +1577,90 @@ object AbBench {
       sh.unpersist(false); r
     }
 
+    // q133 (r15): prefix-filtered vs postings Jaccard, SAME inputs as
+    // the shipped q31/q133 queries (raw single-file table, int ids —
+    // the *_cur partitioning rule). The claim under test: the prefix
+    // filter's candidate cut pays off at HIGH thresholds and not at
+    // the t=0.3 gate point.
+    def q31Docs = graft.Tables.t(spark, sfDir, "documents")
+      .withColumn("doc_id", col("doc_id").cast("int"))
+    def q133Cur(): Long =
+      graft.SparkEntry.queries("q133_ngram_jaccard_prefix")(spark, sfDir).count()
+    def q133Prefix08(): Long =
+      graft.ml.TextDedup.jaccardPairsPrefixFilter(q31Docs, n = 3,
+        threshold = 0.8, dfCap = 50).count()
+    def q133Postings08(): Long =
+      graft.ml.TextDedup.jaccardPairsPostings(q31Docs, n = 3,
+        threshold = 0.8, dfCap = 50).count()
+    // hash-order variant: ANY global total order is a correct prefix
+    // order — plain array_sort over shingle hashes skips the struct
+    // build/sort entirely, trading selectivity (random-order prefix,
+    // not rarest-first) for a much cheaper set materialization
+    def q133HashOrder08(): Long = {
+      val t0 = 0.8
+      val sh = graft.ml.TextDedup.shingleKeyTable(q31Docs, 3)
+      val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val sets = sh
+        .join(dfs.filter(col("df") <= 50).select(col("shingle")),
+          Seq("shingle"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(col("shingle"))).as("set"),
+          count(lit(1)).as("n_sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prefLen = (size(col("set")) -
+        ceil(lit(t0) * size(col("set"))).cast("int") + 1)
+      val pre = sets.select(col("doc_id"),
+        explode(slice(col("set"), lit(1), prefLen)).as("shingle"))
+      val cands = pre.as("a")
+        .join(pre.as("b"), col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val r = cands
+        .join(sets.select(col("doc_id").as("doc_a"), col("set").as("sa"),
+          col("n_sh").as("n_a")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"), col("set").as("sb"),
+          col("n_sh").as("n_b")), Seq("doc_b"))
+        .withColumn("shared", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jaccard",
+          round(col("shared") / (col("n_a") + col("n_b") - col("shared")), 4))
+        .filter(col("jaccard") >= t0).count()
+      sets.unpersist(false); r
+    }
+    // stage isolates for the sf1 inversion: where does prefix's time go?
+    def q133SetsOnly(): Long = {
+      val sh = graft.ml.TextDedup.shingleKeyTable(q31Docs, 3)
+      val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      sh.join(dfs.filter(col("df") <= 50), Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(transform(
+            array_sort(collect_list(struct(col("df"), col("shingle")))),
+            s => s.getField("shingle")).as("set"),
+          count(lit(1)).as("n_sh"))
+        .count()
+    }
+    def q133CandsOnly(): Long = {
+      val sh = graft.ml.TextDedup.shingleKeyTable(q31Docs, 3)
+      val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val sets = sh.join(dfs.filter(col("df") <= 50), Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(transform(
+            array_sort(collect_list(struct(col("df"), col("shingle")))),
+            s => s.getField("shingle")).as("set"),
+          count(lit(1)).as("n_sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prefLen = (size(col("set")) -
+        ceil(lit(0.8) * size(col("set"))).cast("int") + 1)
+      val pre = sets.select(col("doc_id"),
+        explode(slice(col("set"), lit(1), prefLen)).as("shingle"))
+      val r = pre.as("a")
+        .join(pre.as("b"), col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().count()
+      sets.unpersist(false); r
+    }
+
     val (q116Full, q116ProbeOnly, q116ExactOnly) = q116Variants(spark, sfDir)
     val (q74Cur, q74NoRepart, q74MapScan, q74Md5Only, q74QualOnly,
       q74TtrOnly, q74RegexOnly, q74RegexNoRepart, q74StopOnly,
@@ -1738,7 +1822,13 @@ object AbBench {
       "q74_aggstop" -> (() => q74AggStop()),
       "q116_full" -> (() => q116Full()),
       "q116_probe_only" -> (() => q116ProbeOnly()),
-      "q116_exact_only" -> (() => q116ExactOnly()))
+      "q116_exact_only" -> (() => q116ExactOnly()),
+      "q133_cur" -> (() => q133Cur()),
+      "q133_prefix08" -> (() => q133Prefix08()),
+      "q133_postings08" -> (() => q133Postings08()),
+      "q133_sets_only" -> (() => q133SetsOnly()),
+      "q133_cands_only" -> (() => q133CandsOnly()),
+      "q133_hashorder08" -> (() => q133HashOrder08()))
   }
 
   /** q74 decomposition (r12): isolate repartition / qualityScore /

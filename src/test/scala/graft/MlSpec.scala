@@ -247,6 +247,44 @@ class MlSpec extends SparkSpec {
       .sortBy(p => (p._1, p._2)))
   }
 
+  test("prefix-filtered jaccard equals the postings form at every threshold — the filter may only cut CANDIDATES, never results") {
+    // a corpus with graded similarity so different thresholds admit
+    // different pair sets: exact dup, one-token edit, half overlap,
+    // disjoint, plus shared boilerplate to give shingles varied df
+    val df = docs(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "the quick brown fox jumps over the lazy cat today",
+      4L -> "the quick brown fox sleeps under a warm sun today",
+      5L -> "completely different content about query engines here",
+      6L -> "the quick brown fox jumps over the lazy dog yesterday")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    var admitted = Set.empty[Int]
+    for (t <- Seq(0.2, 0.5, 0.8, 1.0)) {
+      val want = norm(TextDedup.jaccardPairsPostings(df, n = 3,
+        threshold = t, dfCap = 50))
+      val got = norm(TextDedup.jaccardPairsPrefixFilter(df, n = 3,
+        threshold = t, dfCap = 50))
+      assert(got === want, s"threshold $t")
+      admitted += want.size
+    }
+    assert(admitted.size >= 2,
+      s"fixture must differentiate thresholds, sizes seen: $admitted")
+    // at t=1.0 only the exact-dup pair survives — the tightest prefix
+    // (one element per set) must still find it
+    val exact = norm(TextDedup.jaccardPairsPrefixFilter(df, n = 3,
+      threshold = 1.0, dfCap = 50))
+    assert(exact === Seq((1L, 2L, 1.0)))
+    // dfCap semantics must match too: a tight cap changes the
+    // rare-shingle subspace on BOTH paths identically
+    val wantCap = norm(TextDedup.jaccardPairsPostings(df, n = 3,
+      threshold = 0.3, dfCap = 2))
+    val gotCap = norm(TextDedup.jaccardPairsPrefixFilter(df, n = 3,
+      threshold = 0.3, dfCap = 2))
+    assert(gotCap === wantCap)
+  }
+
   test("containment catches short-doc-inside-long-doc that jaccard under-scores") {
     // doc 1 is a contiguous prefix of doc 2: every one of doc 1's
     // 4-grams appears in doc 2, so containment = 1.0 while jaccard is
