@@ -221,6 +221,27 @@ object Sketches {
     } finally { batchState.unpersist(); () }
   }
 
+  /** Read the monitor's live per-group estimates, healing the stored
+    * layout first — entry repair plus the pre-bucketing migration, so
+    * a READ-ONLY deployment (dashboards that never fold a batch) sees
+    * the same self-healing the fold path gets; without this, a legacy
+    * flat dir mixed with bucket dirs is unreadable by a plain
+    * `spark.read.parquet(stateDir)`. */
+  def readKmvState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, groupCol: String, k: Int,
+      buckets: Int = 16): DataFrame = {
+    requireMonitorCols(groupCol)
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val stage = new org.apache.hadoop.fs.Path(stateDir + "__stage")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    rescueFlatLegacy(fs, stateDir)
+    repairKmvState(fs, live, stage, old)
+    migrateFlatLive(spark, fs, stateDir, groupCol, k, buckets)
+    finalizeKmv(spark.read.parquet(stateDir)
+      .select(col(groupCol), col("mins")), groupCol, k)
+  }
+
   /** The fold's write half, shared with [[migrateFlatLive]]: merge
     * `incoming` (groupCol, mins, b) into the live buckets it touches —
     * partition-pruned prior read, k-bounded merge, staged write,

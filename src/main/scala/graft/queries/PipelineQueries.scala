@@ -240,7 +240,10 @@ object PipelineQueries {
     // assignment CTEs) and fuses with the same integer-rank
     // arithmetic — exact cross-engine because each RRF term is one
     // IEEE division of exact integers and the 2-term sum is a single
-    // commutative addition.
+    // commutative addition. Cost pin (AbBench interleaved r15, sf0.1
+    // min-of-5): q129_cur 0.61 s ≈ q102_cur 0.33 + q112_cur 0.34 with
+    // partial stage overlap — the fusion itself adds nothing; any
+    // future q129 speedup must come from the legs' own pinned paths.
     "q129_hybrid_rrf" -> { (s, dir) =>
       val lexIdx = graft.ml.LexIndex.ensure(s, dir,
         t(s, dir, "documents").select(col("doc_id"), col("text")))
@@ -591,6 +594,31 @@ object PipelineQueries {
           t(s, dir, "documents").filter(col("n_chars") > 0),
           "doc_id", "n_chars", m = 400)
         .orderBy(col("doc_id"))
+    },
+
+    // Resampled training-shard manifest (r15): the q132 systematic
+    // resample REPLICATED into shard assignments — a doc worth 2
+    // slots appears twice, each replica sharded independently by the
+    // (doc_id, copy) composite key so duplicates spread across shards
+    // (training-mix construction's actual output shape). The picked
+    // set is ≤ m rows, so the docs join broadcasts it; integer-only
+    // emission throughout.
+    "q134_resampled_manifest" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("n_chars") > 0)
+      val picked = graft.ml.WeightedSample.systematic(docs, "doc_id",
+        "n_chars", m = 400)
+      picked
+        .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .withColumn("shard", graft.ml.ShardExport.shardId(
+          concat_ws("#", col("doc_id"), col("copy")), 16))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(size(graft.ml.QualityClassifier.toksCol(col("text")))
+            .cast("long")).as("n_toks"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy(col("shard"))
     },
 
     // Salted two-stage aggregation over a pathologically hot key
@@ -1795,6 +1823,39 @@ object PipelineQueries {
         |FROM c CROSS JOIN tot
         |WHERE (cum * 400) // t - ((cum - wt) * 400) // t > 0
         |ORDER BY doc_id""".stripMargin,
+
+    // q134: q132's slot arithmetic, replicas exploded via
+    // generate_series, sharded by the (doc_id, copy) composite md5 —
+    // the q118 shard/tokenizer contract.
+    "q134_resampled_manifest" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt, text
+        |  FROM documents WHERE n_chars > 0),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS t FROM w),
+        |c AS (SELECT doc_id, wt, text,
+        |  CAST(sum(wt) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM w),
+        |picked AS (
+        |  SELECT doc_id, text,
+        |    (cum * 400) // t - ((cum - wt) * 400) // t AS nc
+        |  FROM c CROSS JOIN tot
+        |  WHERE (cum * 400) // t - ((cum - wt) * 400) // t > 0),
+        |rep AS (
+        |  SELECT doc_id, text, unnest(generate_series(1, nc)) AS copy
+        |  FROM picked),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(CAST('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR)
+        |    ), 1, 8) AS BIGINT) % 16 AS INT) AS shard,
+        |    CAST(len(list_filter(string_split(lower(text), ' '),
+        |      t -> length(t) > 0)) AS BIGINT) AS tk,
+        |    CAST(length(text) AS BIGINT) AS ch
+        |  FROM rep)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(tk) AS BIGINT) AS n_toks,
+        |  CAST(sum(ch) AS BIGINT) AS n_chars
+        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     // q115: hashed-bigram importance weights; md5 bucketing is the q61
     // cross-engine hash, counts are exact integers (add-1 smoothing),

@@ -1586,6 +1586,8 @@ object AbBench {
       .withColumn("doc_id", col("doc_id").cast("int"))
     def q133Cur(): Long =
       graft.SparkEntry.queries("q133_ngram_jaccard_prefix")(spark, sfDir).count()
+    def q129Cur(): Long =
+      graft.SparkEntry.queries("q129_hybrid_rrf")(spark, sfDir).count()
     def q133Prefix08(): Long =
       graft.ml.TextDedup.jaccardPairsPrefixFilter(q31Docs, n = 3,
         threshold = 0.8, dfCap = 50).count()
@@ -1824,6 +1826,7 @@ object AbBench {
       "q116_probe_only" -> (() => q116ProbeOnly()),
       "q116_exact_only" -> (() => q116ExactOnly()),
       "q133_cur" -> (() => q133Cur()),
+      "q129_cur" -> (() => q129Cur()),
       "q133_prefix08" -> (() => q133Prefix08()),
       "q133_postings08" -> (() => q133Postings08()),
       "q133_sets_only" -> (() => q133SetsOnly()),

@@ -194,6 +194,26 @@ class SketchesSpec extends SparkSpec {
     assert(live2 === direct2)
   }
 
+  test("readKmvState heals a legacy flat dir on a READ-only path (no fold ever runs)") {
+    import org.apache.hadoop.fs.Path
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("g_kmvro").toString + "/state"
+    val fs = new Path(stateDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val rows = (1 to 25).flatMap(g => (1 to 4).map(i => (s"g$g", s"v$g-$i")))
+    Sketches.kmvState(rows.toDF("g", "v"), "g", "v", k = 8)
+      .coalesce(1).write.parquet(stateDir)
+    val got = Sketches.readKmvState(spark, stateDir, "g", k = 8)
+      .select($"g", $"n_mins", $"h_k", $"distinct_est")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val want = Sketches.kmvDistinct(rows.toDF("g", "v"), "g", "v", 8)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got === want)
+    // and the dir is bucketed-only afterwards
+    assert(fs.listStatus(new Path(stateDir)).filter(_.isFile)
+      .forall(_.getPath.getName.startsWith(".")), "flat files survived")
+  }
+
   test("internal column collisions are refused: groupCol 'b' or 'mins'") {
     val dir = java.nio.file.Files.createTempDirectory("g_kmvc").toString
     val eB = intercept[IllegalArgumentException] {
