@@ -136,4 +136,41 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.head.getDouble(4) === 1.0)
     assert(r.head.getDouble(5) === 4.0)
   }
+
+  test("RRF fusion: an empty leg degrades to the other leg's ranking; two empty legs yield empty") {
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "cand_id", "rnk")
+    val emptyLeg = Seq.empty[(Long, Long, Long)].toDF("query_id", "cand_id", "rnk")
+    val out = graft.ml.HybridRetrieval.rrfFuse(lex, emptyLeg, 60, 5)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(out.map(r => (r._2, r._3, r._5)) === Seq((1L, 10L, 0L), (2L, 11L, 0L)),
+      s"lex-only fusion must preserve lex order with vec_rnk 0: ${out.toSeq}")
+    assert(graft.ml.HybridRetrieval.rrfFuse(emptyLeg, emptyLeg, 60, 5)
+      .count() === 0)
+  }
+
+  test("fuzzy join: empty-string values still join within their block; an empty frame yields no pairs") {
+    // dist(\"\", s) = |s| — the degenerate DP row must survive the pipeline
+    val df = Seq((1L, "k", ""), (2L, "k", "abc"), (3L, "k", ""))
+      .toDF("id", "blk", "s")
+    val got = graft.ml.FuzzyJoin.blockedCandidates(df, "id", "s",
+        col("blk"), maxDist = 3, blockCap = 10)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got === Seq((1L, 2L, 3L, true), (1L, 3L, 0L, true),
+      (2L, 3L, 3L, true)))
+    val none = graft.ml.FuzzyJoin.blockedCandidates(
+      Seq.empty[(Long, String, String)].toDF("id", "blk", "s"),
+      "id", "s", col("blk"), maxDist = 3, blockCap = 10)
+    assert(none.count() === 0)
+  }
+
+  test("systematic resample: m far above the row count picks every positive-weight row with copies summing to m") {
+    val rows = Seq((1L, 3L), (2L, 1L), (3L, 6L))
+    val got = graft.ml.WeightedSample.systematic(rows.toDF("doc_id", "w"),
+        "doc_id", "w", m = 1000)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L), "every row must be picked")
+    assert(got.map(_._3).sum === 1000L)
+    // copies track the weight proportions: 3/10, 1/10, 6/10 of 1000
+    assert(got.map(_._3) === Seq(300L, 100L, 600L))
+  }
 }
