@@ -542,7 +542,30 @@ object CorpusPipeline {
       ivfMaintain: Option[IvfMaintainCadence] = None,
       sigIndex: Option[SigMaintenance] = None,
       kmvTelemetry: Option[KmvTelemetry] = None,
-      ngramIndex: Option[NgramMaintenance] = None)
+      ngramIndex: Option[NgramMaintenance] = None,
+      fuzzyIndex: Option[FuzzyMaintenance] = None)
+
+  /** Stored fuzzy-title attachment for [[ingestAndMaintain]] (r15):
+    * the RECORD-LINKAGE screen leg — near-identical identifiers
+    * (titles, URLs) whose bodies are otherwise novel pass every
+    * content screen (minhash/containment measure token sets of the
+    * WHOLE text; a re-crawled page with a fresh boilerplate body but
+    * the same title is a different document to them), while
+    * edit-distance over the identifier is exactly that signal.
+    * `key` maps batch rows to `(doc_id, blk, s)` — doc_id MUST be
+    * the row's doc_id, blk the blocking key, s the string to verify
+    * (e.g. the first-tokens title, [[graft.ml.FuzzyJoin]]'s q130
+    * shape). Probe-before-admit against the stored bucketed table
+    * ([[FuzzyJoin.FuzzyIndex.probe]] — co-located block join, length
+    * lower bound, hot-block cap over the combined population; replay
+    * echoes self-pair and are excluded), the loop's standard drop
+    * policy; append-after is id-idempotent
+    * ([[FuzzyJoin.FuzzyIndex.append]]), so the at-least-once replay
+    * contract carries over; the table joins the bucketed compaction
+    * cadence. */
+  final case class FuzzyMaintenance(table: String,
+      key: DataFrame => DataFrame, maxDist: Int = 8,
+      blockCap: Int = 1000)
 
   /** Stored n-gram postings attachment for [[ingestAndMaintain]]
     * (r14): the CONTAINMENT screen leg — a short doc substantially
@@ -671,7 +694,11 @@ object CorpusPipeline {
     * (optional [[graft.analytics.DataQuality]] `admission` rule gate
     * → quality gate → [[BandIndex.probe]] near-dup screen → optional
     * [[SigIndex.probe]] signature screen (r14 — the multimodal dedup
-    * leg, [[SigMaintenance]]) → decontamination),
+    * leg, [[SigMaintenance]]) → optional
+    * [[NgramIndex.probeContainment]] containment screen
+    * ([[NgramMaintenance]]) → optional
+    * [[FuzzyJoin.FuzzyIndex.probe]] fuzzy-identifier screen (r15 —
+    * record linkage, [[FuzzyMaintenance]]) → decontamination),
     * handed to `onBatch` (where the caller lands it in the corpus
     * store), and then the ACCEPTED documents are FOLDED BACK into
     * every attached index — [[BandIndex.append]], optionally
@@ -818,11 +845,26 @@ object CorpusPipeline {
               d2.join(dupDropIds(cPairs, d2.select(col("doc_id"))),
                 Seq("doc_id"), "left_anti"), t0)
         }
+        // fuzzy-identifier screen against the stored title table —
+        // the near-dup class (same title, novel body) every content
+        // screen structurally passes (see FuzzyMaintenance)
+        val (d4, nD4) = maint.fuzzyIndex match {
+          case None => (d3, nD3)
+          case Some(fz) =>
+            t0 = System.nanoTime()
+            val keyed = fz.key(d3)
+            val fPairs = FuzzyJoin.FuzzyIndex.probe(spark, fz.table,
+                keyed, "doc_id", "s", col("blk"), fz.maxDist, fz.blockCap)
+              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+            staged("fuzzyTitleScreen", nD3,
+              d3.join(dupDropIds(fPairs, d3.select(col("doc_id"))),
+                Seq("doc_id"), "left_anti"), t0)
+        }
         t0 = System.nanoTime()
-        val flagged = Decontaminate.screenBatch(d3, evalIndex, evalN)
+        val flagged = Decontaminate.screenBatch(d4, evalIndex, evalN)
           .select(col("doc_id"))
-        val (accepted, nA) = staged("decontaminateScreen", nD3,
-          d3.join(flagged, Seq("doc_id"), "left_anti"), t0)
+        val (accepted, nA) = staged("decontaminateScreen", nD4,
+          d4.join(flagged, Seq("doc_id"), "left_anti"), t0)
         val out = chunkTo.fold(accepted) { case (sz, stride) =>
           t0 = System.nanoTime()
           staged(s"chunk($sz/$stride)", nA,
@@ -861,11 +903,14 @@ object CorpusPipeline {
               "id", "sig", sc.bands))
           maint.ngramIndex.foreach(ng =>
             NgramIndex.append(spark, ng.dir, docs))
+          maint.fuzzyIndex.foreach(fz =>
+            FuzzyJoin.FuzzyIndex.append(spark, fz.table, fz.key(accepted),
+              "doc_id", "s", col("blk")))
           BandIndex.append(spark, maint.bandTable, docs,
             maint.n, maint.k, maint.bands)
           val bucketed = Seq(maint.bandTable,
             BandIndex.keysTable(maint.bandTable)) ++ maint.ivfTable ++
-            maint.sigIndex.map(_.table)
+            maint.sigIndex.map(_.table) ++ maint.fuzzyIndex.map(_.table)
           val compacted = bucketed.filter(t =>
             graft.store.Bucketing.filesPerBucket(spark, t) >=
               maint.compactAtFilesPerBucket)

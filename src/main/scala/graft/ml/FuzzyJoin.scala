@@ -71,4 +71,96 @@ object FuzzyJoin {
       blockKey: Column, maxDist: Int, blockCap: Int = 1000): DataFrame =
     blockedCandidates(df, idCol, strCol, blockKey, maxDist, blockCap)
       .filter(col("is_match")).drop("is_match")
+
+  /** Stored form of the blocked fuzzy join — the incremental leg the
+    * ingest loop probes so record linkage stops re-deriving the
+    * corpus side per batch (the SigIndex one-table discipline): a
+    * bucketed catalog table `(id, blk, s)` bucketed by the block key,
+    * so a batch probe equi-joins co-located buckets. Append is
+    * id-idempotent (anti-join on stored ids — a replayed batch
+    * no-ops), which keeps the loop's at-least-once contract: the
+    * band index stays the sole replay-drop authority. */
+  object FuzzyIndex {
+
+    /** Create/overwrite the table from a corpus frame. `rows` must
+      * carry (idCol, strCol) and `blockKey` evaluates over it. */
+    def write(rows: DataFrame, table: String, idCol: String,
+        strCol: String, blockKey: Column, buckets: Int = 4): Unit = {
+      prepared(rows, idCol, strCol, blockKey)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("compression", "zstd")
+        .bucketBy(buckets, "blk")
+        .sortBy("blk")
+        .saveAsTable(table)
+    }
+
+    /** Fold a batch in, skipping ids already present (replay no-op). */
+    def append(spark: org.apache.spark.sql.SparkSession, table: String,
+        rows: DataFrame, idCol: String, strCol: String,
+        blockKey: Column): Unit = {
+      if (rows.isEmpty) return
+      val buckets = spark.sessionState.catalog
+        .getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.map(_.numBuckets)
+        .getOrElse(throw new IllegalStateException(
+          s"$table is not a bucketed fuzzy index table"))
+      val fresh = prepared(rows, idCol, strCol, blockKey)
+        .join(spark.table(table).select(col("id")).distinct(),
+          Seq("id"), "left_anti")
+      if (fresh.isEmpty) return // pure replay
+      fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
+        .option("compression", "zstd")
+        .bucketBy(buckets, "blk")
+        .sortBy("blk")
+        .saveAsTable(table)
+    }
+
+    /** Fuzzy matches for a NEW batch against the stored corpus PLUS
+      * within-batch pairs (a batch carrying its own near-dups screens
+      * completely): `(id_a, id_b, dist)` with id_a < id_b,
+      * dist ≤ maxDist. Replay echoes (a batch id already stored)
+      * self-pair and are excluded by the id inequality; the
+      * corpus-copy-vs-other-batch-doc duplicate of an in-batch pair
+      * collapses in the distinct. Hot blocks are capped over the
+      * COMBINED (stored ∪ batch) population — the same wholesale
+      * refusal as [[blockedCandidates]], sized on what the join would
+      * actually expand. */
+    def probe(spark: org.apache.spark.sql.SparkSession, table: String,
+        batch: DataFrame, idCol: String, strCol: String,
+        blockKey: Column, maxDist: Int, blockCap: Int = 1000): DataFrame = {
+      require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+      require(blockCap >= 1, s"blockCap must be >= 1, got $blockCap")
+      val b = prepared(batch, idCol, strCol, blockKey)
+      val all = spark.table(table).unionByName(b)
+      val keep = all.join(
+        all.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= blockCap).select(col("blk")),
+        Seq("blk"), "left_semi")
+      keep.as("c")
+        .join(b.as("p"), col("c.blk") === col("p.blk") &&
+          col("c.id") =!= col("p.id"))
+        .filter(abs(length(col("c.s")) - length(col("p.s"))) <= maxDist)
+        .select(
+          least(col("c.id"), col("p.id")).as("id_a"),
+          greatest(col("c.id"), col("p.id")).as("id_b"),
+          when(col("c.id") < col("p.id"), col("c.s"))
+            .otherwise(col("p.s")).as("s_a"),
+          when(col("c.id") < col("p.id"), col("p.s"))
+            .otherwise(col("c.s")).as("s_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+        .filter(col("dist") <= maxDist)
+        .distinct()
+    }
+
+    private def prepared(rows: DataFrame, idCol: String, strCol: String,
+        blockKey: Column): DataFrame =
+      rows.select(blockKey.cast("string").as("blk"),
+          col(idCol).cast("long").as("id"),
+          col(strCol).cast("string").as("s"))
+        .filter(col("blk").isNotNull && col("id").isNotNull &&
+          col("s").isNotNull)
+        .select(col("id"), col("blk"), col("s"))
+  }
 }

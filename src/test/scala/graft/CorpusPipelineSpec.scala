@@ -721,6 +721,83 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestAndMaintain fuzzy leg: cross-batch near-identical TITLE on an otherwise-novel body (invisible to the content screens) caught FROM the stored title table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ml.FuzzyJoin
+    val corpusDocs = Seq((10L,
+      "daily market report covers grain futures with steady prices across exchanges this quarter"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    // title = first 6 tokens, block = first 2 (the q130 shape)
+    val keyFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => d.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("s"))
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_fz_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      graft.store.Bucketing.dropWithDir(spark, "g_fz_titles")
+      FuzzyJoin.FuzzyIndex.write(keyFn(corpusDocs), "g_fz_titles",
+        "doc_id", "s", col("blk"))
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val accepted = scala.collection.mutable.Map[Long, Set[Long]]()
+      val stages = scala.collection.mutable.Map[Long, Vector[CorpusPipeline.StageStat]]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_fz_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          compactAtFilesPerBucket = 1000.0,
+          fuzzyIndex = Some(CorpusPipeline.FuzzyMaintenance("g_fz_titles",
+            keyFn, maxDist = 8))),
+        evalIdx, evalN = 3) { (batchId, acc, st) =>
+        accepted.synchronized {
+          accepted(batchId) = acc.select($"doc_id").as[Long].collect().toSet
+          stages(batchId) = st
+          ()
+        }
+      }
+      try {
+        // batch 0: 400 novel; 401 = the CORPUS title modulo one word
+        // (futures→options) on a body sharing nothing past word 6 —
+        // whole-text Jaccard far under 0.3, so the minhash screen
+        // passes it; only the seeded title table catches it
+        input.addData(
+          400L -> "quiet mountain villages welcome autumn hikers with warm bread and woolen blankets",
+          401L -> "daily market report covers grain options while analysts debate the winter harvest outlook")
+        q.processAllAvailable()
+        // batch 1: 410 ≈ 400's title (hikers→walkers) on a novel body
+        // — caught FROM the title table one append later; 411 novel
+        input.addData(
+          410L -> "quiet mountain villages welcome autumn walkers through misty orchards beyond the stone bridge",
+          411L -> "copper kettles whistle softly on the old stove while rain taps the tin roof")
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(accepted(0L) === Set(400L), s"batch 0: ${accepted(0L)}")
+      assert(accepted(1L) === Set(411L), s"batch 1: ${accepted(1L)}")
+      // attribution: the minhash screen passed both batch-1 docs, the
+      // fuzzy screen made the drop
+      val st1 = stages(1L)
+      val near = st1.find(_.stage == "nearDedupScreen").get
+      val fz = st1.find(_.stage == "fuzzyTitleScreen").get
+      assert(near.docsIn === 2 && near.docsOut === 2,
+        s"minhash screen should pass both: $near")
+      assert(fz.docsIn === 2 && fz.docsOut === 1,
+        s"fuzzy screen should drop 410: $fz")
+      // the title table grew by exactly the accepted docs
+      val ids = spark.table("g_fz_titles")
+        .select($"id").distinct().as[Long].collect().toSet
+      assert(ids === Set(10L, 400L, 411L), ids.toString)
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_fz_band", "g_fz_band_keys", "g_fz_titles")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ingestAndMaintain KMV telemetry: per-batch distinct-vocabulary deltas; saturated batch reads zero, drift batch reads its new-token count") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = Seq(

@@ -95,6 +95,41 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(all === (45 + 3).toLong)
   }
 
+  test("FuzzyIndex: stored probe equals the ad-hoc form over corpus ∪ batch (batch-touching pairs); append is id-idempotent; replay echoes excluded") {
+    val corpus = Seq((1L, "k1", "alpha beta gamma"), (2L, "k2", "delta epsilon zeta"))
+      .toDF("id", "blk", "s")
+    val batch = Seq(
+      (10L, "k1", "alpha beta gamub"), // 2 edits from doc 1
+      (11L, "k1", "alpha beta gamub"), // in-batch exact dup of 10
+      (12L, "k3", "totally new block"))
+      .toDF("id", "blk", "s")
+    graft.store.Bucketing.dropWithDir(spark, "g_fuzzy_t1")
+    FuzzyJoin.FuzzyIndex.write(corpus, "g_fuzzy_t1", "id", "s", col("blk"))
+    val got = FuzzyJoin.FuzzyIndex.probe(spark, "g_fuzzy_t1", batch,
+        "id", "s", col("blk"), maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    // corpus×batch matches AND the in-batch pair; nothing for k3
+    assert(got === Set((1L, 10L, 2L), (1L, 11L, 2L), (10L, 11L, 0L)))
+    // append folds the batch in; a replayed append is a no-op
+    FuzzyJoin.FuzzyIndex.append(spark, "g_fuzzy_t1", batch, "id", "s", col("blk"))
+    val n1 = spark.table("g_fuzzy_t1").count()
+    FuzzyJoin.FuzzyIndex.append(spark, "g_fuzzy_t1", batch, "id", "s", col("blk"))
+    assert(spark.table("g_fuzzy_t1").count() === n1 && n1 === 5L)
+    // replay echo: re-probing the SAME batch self-pairs are excluded;
+    // surviving pairs are only the genuine distinct-id matches
+    val echo = FuzzyJoin.FuzzyIndex.probe(spark, "g_fuzzy_t1", batch,
+        "id", "s", col("blk"), maxDist = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!echo.exists(p => p._1 == p._2))
+    assert(echo === Set((1L, 10L, 2L), (1L, 11L, 2L), (10L, 11L, 0L)))
+    // hot-block cap counts the COMBINED population: k1 holds 2 stored
+    // + 2 batch rows = 4 > cap 3 → the block is refused wholesale
+    val capped = FuzzyJoin.FuzzyIndex.probe(spark, "g_fuzzy_t1",
+        Seq((20L, "k1", "alpha beta gamma")).toDF("id", "blk", "s"),
+        "id", "s", col("blk"), maxDist = 4, blockCap = 3)
+    assert(capped.count() === 0)
+  }
+
   test("NULL ids, strings, or block keys don't participate") {
     val df = Seq((Some(1L), Some("aa bb")), (Some(2L), Some("aa bc")),
         (None, Some("aa bd")), (Some(4L), None))
