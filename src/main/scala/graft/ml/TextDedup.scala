@@ -713,6 +713,73 @@ object TextDedup {
     verifyJaccard(candidates, keySetsFromDigests(withDig), threshold)
   }
 
+  /** Measured recall of the MinHash-LSH screen against the exact
+    * Jaccard truth, at caller-chosen slot-agreement operating points —
+    * the dedup-family analog of [[IvfIndex.recallProbe]] (q116): the
+    * screen's quality half, answering "how many true near-dup pairs
+    * does the banding + minAgree prefilter lose?" before anyone
+    * tightens minAgree for speed. One row per operating point:
+    * (min_agree, n_exact, n_found, recall).
+    *
+    * Cost contract: the exact side is the postings Jaccard at
+    * `exactDfCap` (effectively uncapped on gate corpora — max shingle
+    * df is 25 at sf0.1); like q116's exact pass this is a
+    * monitoring-CADENCE job to run on a bounded sample at 100 TB,
+    * never the serving path. One LSH run at the LOOSEST point carries
+    * its slot-agreement per pair (agreement is a function of the two
+    * signatures, so tighter points are derived by filtering — the
+    * candidate/verify work is never repeated per point). */
+  def lshRecallProbe(docs: DataFrame, n: Int, k: Int, bands: Int,
+      threshold: Double, agreePoints: Seq[Int],
+      exactDfCap: Int = 1000000): DataFrame = {
+    require(agreePoints.nonEmpty, "need at least one operating point")
+    require(bands * (k / bands) == k, "k must divide into bands evenly")
+    val exact = jaccardPairsPostings(docs, n, threshold, exactDfCap)
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+    val withDig = shingleDigests(shingleSets(docs, n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val loosest = agreePoints.min
+    val sig = minhashSignaturesFromDigests(withDig, k)
+    val bk = bandKeyTable(sig, k, bands)
+    val ds2 = col("ds2")
+    // the minhashLshPairsFromDigests expansion with agree KEPT on the
+    // pair (same-pair buckets carry the same agree, so distinct
+    // collapses them)
+    val candAgree = bk
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(array_sort(col("ds")).as("ds2"))
+      .select(explode_outer(flatten(transform(ds2, (a, i) =>
+        transform(slice(ds2, i + lit(2), size(ds2)), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            sigAgreement(a.getField("sig"), b.getField("sig"))
+              .as("agree")))))).as("p"))
+      .filter(col("p.agree") >= lit(loosest))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.agree").as("agree"))
+      .distinct()
+    val found = verifyJaccard(candAgree.select(col("doc_a"), col("doc_b")),
+        keySetsFromDigests(withDig), threshold)
+      .join(candAgree, Seq("doc_a", "doc_b"))
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"), col("agree"))
+    agreePoints.sorted.map { ap =>
+      exact
+        .join(found.filter(col("agree") >= ap)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("f")),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("f")), lit(0L)).as("n_found"))
+        .select(lit(ap).as("min_agree"), col("n_exact"), col("n_found"),
+          // q71 integer-target emission
+          (round(col("n_found").cast("double") / col("n_exact") * 10000, 0)
+            .cast("long") / lit(10000.0)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Incremental MinHash+LSH near-dup detection: pairs between a NEW
     * batch and the EXISTING corpus (plus within the new batch), never
     * corpus × corpus — the shape a continuously-ingesting pipeline

@@ -95,6 +95,19 @@ object PipelineQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // LSH-screen recall monitor (r15 — the q116 ANN-recall analog for
+    // the dedup family): recall of the minhash screen vs the exact
+    // Jaccard truth at two slot-agreement operating points — the
+    // shipped minAgree=5 (recall 1.0 on this corpus) and a
+    // deliberately strict 11 (recall < 1 at BOTH gate scales: 23/25
+    // at sf0.01, 25/28 at sf0.001 — the miss-counting path is live).
+    // One LSH run carries agreement per pair; tighter points filter.
+    "q135_lsh_recall" -> { (s, dir) =>
+      TextDedup.lshRecallProbe(t(s, dir, "documents"), n = 3, k = 12,
+          bands = 4, threshold = 0.3, agreePoints = Seq(5, 11))
+        .orderBy(col("min_agree"))
+    },
+
     // 32-bit SimHash signature per document (bit-string form).
     "q33_simhash" -> { (s, dir) =>
       TextDedup.simhashSignatures(t(s, dir, "documents"))
@@ -1102,6 +1115,74 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q135: the q31 exact chain (df-uncapped) and the q32 LSH chain
+    * (agreement exposed on the candidate) joined into per-operating-
+    * point recall rows — each chain is the SAME SQL its own gate
+    * already hash-matches. */
+  private def lshRecallOracle: String = {
+    import TextDedup.{permA, permB, minhashP}
+    val mhs = (0 until 12).map(j =>
+      s"min((h1 * ${permA(j)} + h2 * ${permB(j)} + $j) % $minhashP) AS mh$j")
+      .mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val ks = (0 until 3).map(r => s"CAST(mh${b * 3 + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $ks AS key FROM sigs"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until 12)
+      .map(j => s"(CASE WHEN sx.mh$j = sy.mh$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $shingleCte,
+       |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000000),
+       |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+       |sizes0 AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+       |epairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |  FROM rsh a JOIN rsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT doc_a, doc_b FROM epairs
+       |  JOIN sizes0 sa ON doc_a = sa.doc_id JOIN sizes0 sb ON doc_b = sb.doc_id
+       |  WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3),
+       |hv AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+       |  CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2 FROM sh),
+       |sigs AS (SELECT doc_id, $mhs FROM hv GROUP BY doc_id),
+       |kh AS (SELECT DISTINCT doc_id,
+       |  (h1 % 2147483648) * 4294967296 + h2 AS k FROM hv),
+       |bands AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, $agree AS agree
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+       |   AND x.doc_id < y.doc_id
+       |  JOIN sigs sx ON sx.doc_id = x.doc_id
+       |  JOIN sigs sy ON sy.doc_id = y.doc_id
+       |  WHERE $agree >= 5),
+       |ksizes AS (SELECT doc_id, count(*) AS n_sh FROM kh GROUP BY doc_id),
+       |vshared AS (
+       |  SELECT c.doc_a, c.doc_b, c.agree, count(*) AS shared
+       |  FROM cand c JOIN kh a ON a.doc_id = c.doc_a
+       |   JOIN kh b ON b.doc_id = c.doc_b AND b.k = a.k
+       |  GROUP BY 1, 2, 3),
+       |found AS (
+       |  SELECT v.doc_a, v.doc_b, v.agree
+       |  FROM vshared v JOIN ksizes sa ON v.doc_a = sa.doc_id
+       |   JOIN ksizes sb ON v.doc_b = sb.doc_id
+       |  WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3),
+       |pts(min_agree) AS (VALUES (5), (11)),
+       |summary AS (
+       |  SELECT p.min_agree,
+       |    CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(sum(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+       |  FROM pts p CROSS JOIN exact e
+       |  LEFT JOIN found f ON f.doc_a = e.doc_a AND f.doc_b = e.doc_b
+       |   AND f.agree >= p.min_agree
+       |  GROUP BY p.min_agree)
+       |SELECT min_agree, n_exact, n_found,
+       |  CAST(round(n_found * 1.0 / n_exact * 10000, 0) AS BIGINT) / 10000.0 AS recall
+       |FROM summary ORDER BY min_agree""".stripMargin
+  }
+
   /** q119/q120 shared signature build: 64-bucket md5 token histogram
     * as the "pixel grid", then [[graft.ml.Multimodal.aHashBitsCol]]'s
     * exact-integer bit rule (bit = count*64 >= n_tokens — no float
@@ -1806,6 +1887,8 @@ object PipelineQueries {
         | array_to_string(list_sort(list(doc_id)), ',') AS members
         |FROM labels GROUP BY cluster_id HAVING count(*) > 1
         |ORDER BY cluster_id""".stripMargin,
+
+    "q135_lsh_recall" -> lshRecallOracle,
 
     // q132: the same integer slot arithmetic — cum·m and the floor
     // divisions all in BIGINT (DuckDB's sum() returns HUGEINT, cast
