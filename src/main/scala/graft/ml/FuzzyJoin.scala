@@ -132,7 +132,14 @@ object FuzzyJoin {
       require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
       require(blockCap >= 1, s"blockCap must be >= 1, got $blockCap")
       val b = prepared(batch, idCol, strCol, blockKey)
-      val all = spark.table(table).unionByName(b)
+      // only batch-TOUCHED blocks can pair, so both the cap census and
+      // the join side restrict to them up front — the stored scan
+      // still streams once, but the agg and the probe join carry
+      // batch-bounded rows, not the whole corpus's block population
+      val bBlks = b.select(col("blk")).distinct()
+      val all = spark.table(table)
+        .join(bBlks, Seq("blk"), "left_semi")
+        .unionByName(b)
       val keep = all.join(
         all.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
           .filter(col("bn") <= blockCap).select(col("blk")),
