@@ -48,10 +48,16 @@ object HybridRetrieval {
       topK: Int = 10): DataFrame = {
     require(kRrf >= 1, s"RRF constant must be >= 1, got $kRrf")
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    // ranks must be 1-based: 0 is the fused output's "leg absent"
+    // convention, so a 0-based leg would silently drop its BEST
+    // candidate per query — fail loudly at the first offending row
     def leg(df: DataFrame, as: String) =
       df.select(col("query_id").cast("long").as("query_id"),
         col("cand_id").cast("long").as("cand_id"),
-        col("rnk").cast("long").as(as))
+        when(col("rnk").cast("long") >= 1, col("rnk").cast("long"))
+          .otherwise(raise_error(concat(
+            lit(s"rrfFuse: leg rank must be 1-based, got "),
+            col("rnk").cast("string")))).as(as))
     def term(rnk: String) =
       when(col(rnk) > 0, lit(1.0) / (lit(kRrf.toLong) + col(rnk)))
         .otherwise(lit(0.0))

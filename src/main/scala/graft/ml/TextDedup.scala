@@ -766,7 +766,7 @@ object TextDedup {
       .join(candAgree, Seq("doc_a", "doc_b"))
       .select(col("doc_a").cast("long").as("doc_a"),
         col("doc_b").cast("long").as("doc_b"), col("agree"))
-    agreePoints.sorted.map { ap =>
+    agreePoints.distinct.sorted.map { ap =>
       exact
         .join(found.filter(col("agree") >= ap)
           .select(col("doc_a"), col("doc_b"), lit(1L).as("f")),

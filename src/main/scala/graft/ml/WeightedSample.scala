@@ -46,6 +46,17 @@ object WeightedSample {
   def systematic(df: DataFrame, idCol: String, weightCol: String,
       m: Long): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
+    // integral weights are the exactness contract — a double weight
+    // would silently truncate in the long cast and the slot math
+    // would stop matching any oracle (the NgramIndex id-guard rule)
+    locally {
+      import org.apache.spark.sql.types._
+      val wt = df.schema(weightCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(wt),
+        s"weightCol '$weightCol' must be an integral type for exact slot " +
+          s"arithmetic, got $wt — pre-scale fractional weights to integer " +
+          "units (the q71 cents contract) before resampling")
+    }
     val spark = df.sparkSession
     val p = spark.sparkContext.defaultParallelism
     val base = df

@@ -58,6 +58,16 @@ class HybridRetrievalSpec extends SparkSpec {
       assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq))
   }
 
+  test("a 0-based leg rank is refused loudly, never silently treated as absent") {
+    val lex = legDf(Seq((0L, 10L, 0L))) // rank 0 = a 0-based caller bug
+    val vec = legDf(Seq((0L, 11L, 1L)))
+    val e = intercept[Exception] {
+      HybridRetrieval.rrfFuse(lex, vec, 60, 5).collect()
+    }
+    assert(e.getMessage.contains("1-based"),
+      s"expected the 1-based guard, got: ${e.getMessage}")
+  }
+
   test("fusion is invariant under leg row order and partitioning") {
     val r = new scala.util.Random(3)
     val lex = (0L until 5L).flatMap(q =>

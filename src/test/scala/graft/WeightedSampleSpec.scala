@@ -47,6 +47,14 @@ class WeightedSampleSpec extends SparkSpec {
     assert(got.map(_._3).sum === 52L)
   }
 
+  test("fractional weight types are refused (silent truncation would break the exactness contract)") {
+    val e = intercept[IllegalArgumentException] {
+      WeightedSample.systematic(
+        Seq((1L, 2.5)).toDF("doc_id", "w"), "doc_id", "w", m = 2)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("NULL ids/weights are excluded; all-zero weights are refused") {
     val rows = Seq((Some(1L), Some(5L)), (None, Some(9L)), (Some(3L), None))
     val got = WeightedSample.systematic(rows.toDF("doc_id", "w"),
