@@ -94,7 +94,20 @@ object FuzzyJoin {
         .saveAsTable(table)
     }
 
-    /** Fold a batch in, skipping ids already present (replay no-op). */
+    /** Fold a batch in, skipping ids already present (replay no-op).
+      *
+      * The replay check is BLOCK-RESTRICTED (r16): the stored id set
+      * is scanned only within batch-touched blocks (semi-join on blk)
+      * before the distinct + anti-join, so an append never pays a
+      * corpus-wide distinct shuffle — the probe-side restriction
+      * ([[probe]]) applied to the write path, per the BandIndex
+      * no-per-batch-ledger discipline. Sound because `blockKey` is a
+      * deterministic function of the row: a REPLAYED row computes the
+      * same blk its stored copy holds, so its stored id is always
+      * inside the batch-touched block set. (A same-id row whose
+      * CONTENT changed enough to move its block key is not a replay
+      * and is outside the idempotence contract — as everywhere in the
+      * ingest loop, the band index is the sole replay-drop authority.) */
     def append(spark: org.apache.spark.sql.SparkSession, table: String,
         rows: DataFrame, idCol: String, strCol: String,
         blockKey: Column): Unit = {
@@ -105,9 +118,9 @@ object FuzzyJoin {
         .bucketSpec.map(_.numBuckets)
         .getOrElse(throw new IllegalStateException(
           s"$table is not a bucketed fuzzy index table"))
-      val fresh = prepared(rows, idCol, strCol, blockKey)
-        .join(spark.table(table).select(col("id")).distinct(),
-          Seq("id"), "left_anti")
+      val b = prepared(rows, idCol, strCol, blockKey)
+      val fresh = b.join(storedIdsInBatchBlocks(spark, table, b),
+        Seq("id"), "left_anti")
       if (fresh.isEmpty) return // pure replay
       fresh.write.mode(org.apache.spark.sql.SaveMode.Append)
         .option("compression", "zstd")
@@ -140,8 +153,14 @@ object FuzzyJoin {
       val all = spark.table(table)
         .join(bBlks, Seq("blk"), "left_semi")
         .unionByName(b)
+      // census over DISTINCT (blk, id): a replayed batch doc appears
+      // twice in `all` (stored copy + batch copy) and must count once,
+      // or a block near the cap spuriously exceeds it on replay and
+      // the screen emits fewer pairs than the original run (r15
+      // advice) — replay determinism is the drop policy's contract
       val keep = all.join(
-        all.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        all.select(col("blk"), col("id")).distinct()
+          .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
           .filter(col("bn") <= blockCap).select(col("blk")),
         Seq("blk"), "left_semi")
       keep.as("c")
@@ -160,6 +179,19 @@ object FuzzyJoin {
         .filter(col("dist") <= maxDist)
         .distinct()
     }
+
+    /** Stored ids restricted to the batch's block keys — the replay-
+      * check probe side. The semi-join's build is the batch's tiny
+      * distinct blk set (broadcast), so the stored scan filters
+      * map-side and the distinct shuffles only the surviving
+      * (batch-touched) slice, never the corpus. Package-visible so
+      * FuzzyJoinSpec can pin the plan shape. */
+    private[graft] def storedIdsInBatchBlocks(
+        spark: org.apache.spark.sql.SparkSession, table: String,
+        b: DataFrame): DataFrame =
+      spark.table(table)
+        .join(b.select(col("blk")).distinct(), Seq("blk"), "left_semi")
+        .select(col("id")).distinct()
 
     private def prepared(rows: DataFrame, idCol: String, strCol: String,
         blockKey: Column): DataFrame =

@@ -67,10 +67,22 @@ object WeightedSample {
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bounded collect: one row per partition
-      val totals = ranged.groupBy(col("__pid"))
-        .agg(sum(col("wt")).as("t"))
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      // bounded collect: one row per partition. count vs countDistinct
+      // rides the same pass: equal ids range-partition together, so
+      // per-partition distinct counts sum to the global distinct count
+      // — a duplicate id anywhere makes the sums disagree. Duplicate
+      // ids would give tied rows the same cum (RANGE frame), their
+      // slot intervals would overlap and Σ n_copies would silently
+      // drift from m, so the operator refuses them loudly.
+      val totals0 = ranged.groupBy(col("__pid"))
+        .agg(sum(col("wt")).as("t"), count(lit(1)).as("c"),
+          countDistinct(col("id")).as("cd"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      require(totals0.map(_._3).sum == totals0.map(_._4).sum,
+        s"idCol '$idCol' contains duplicate values — systematic " +
+          "resampling needs unique ids (tied rows would share a cum and " +
+          "their slot intervals would overlap)")
+      val totals = totals0.map(t => (t._1, t._2)).sortBy(_._1)
       val total = totals.map(_._2).sum
       require(total > 0, "systematic resampling needs a positive total weight")
       val offsets = totals.map(_._1)
@@ -82,6 +94,20 @@ object WeightedSample {
           col("__pid")),
         lit(0L))
       val w = Window.partitionBy(col("__pid")).orderBy(col("id"))
+      // slot rule ⌊cum·m/W⌋ − ⌊(cum−w)·m/W⌋. cum·m can reach total·m:
+      // when that fits a long, plain long DIV (codegen'd); when it
+      // would WRAP (non-ANSI long overflow is silent garbage — the
+      // r15-advised hazard at total ~1e14 chars × m > ~9e4), the
+      // product runs in DECIMAL(38,0) — total·m < 8.5e37 always fits
+      // 38 digits, scale 0 so the value is exact, and IntegralDivide
+      // on decimals returns the same exact long the long path would.
+      val slotRule =
+        if (m <= Long.MaxValue / total)
+          expr(s"(cum * ${m}L) DIV ${total}L" +
+            s" - ((cum - wt) * ${m}L) DIV ${total}L")
+        else
+          expr(s"(CAST(cum AS DECIMAL(38,0)) * ${m}L) DIV ${total}L" +
+            s" - (CAST(cum - wt AS DECIMAL(38,0)) * ${m}L) DIV ${total}L")
       // eagerly materialized (localCheckpoint) BEFORE the unpersist:
       // the result is lazily derived from `ranged`, and letting it
       // recompute after unpersist could re-draw range boundaries that
@@ -89,10 +115,7 @@ object WeightedSample {
       // only the picked rows (≤ m), not the corpus.
       ranged
         .withColumn("cum", offCol + sum(col("wt")).over(w))
-        // ⌊cum·m/W⌋ − ⌊(cum−w)·m/W⌋ slots land inside this row's
-        // interval; DIV keeps it in exact longs end to end
-        .withColumn("n_copies",
-          expr(s"(cum * $m) DIV $total - ((cum - wt) * $m) DIV $total"))
+        .withColumn("n_copies", slotRule)
         .filter(col("n_copies") > 0)
         .select(col("id").as(idCol), col("wt"), col("n_copies"))
         .localCheckpoint()

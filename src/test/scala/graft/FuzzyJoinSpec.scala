@@ -130,6 +130,48 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(capped.count() === 0)
   }
 
+  test("FuzzyIndex: replay probe census counts a replayed doc ONCE — a block exactly at the cap still screens on replay (r15 advice)") {
+    // block kb holds exactly blockCap=3 docs once 30/31 are appended;
+    // a replay of the same batch must still emit the SAME pairs — the
+    // pre-r16 census counted replayed ids twice (stored + batch copy),
+    // read 5 > cap and refused the block, silently weakening the
+    // replay-deterministic drop contract.
+    val corpus = Seq((30L, "kb", "aa bb cc"), (31L, "kb", "aa bb cd"),
+      (32L, "kb", "aa bb ce")).toDF("id", "blk", "s")
+    graft.store.Bucketing.dropWithDir(spark, "g_fuzzy_t2")
+    FuzzyJoin.FuzzyIndex.write(corpus, "g_fuzzy_t2", "id", "s", col("blk"))
+    val replay = corpus.filter(col("id") >= 31L) // 31,32 replayed
+    val got = FuzzyJoin.FuzzyIndex.probe(spark, "g_fuzzy_t2", replay,
+        "id", "s", col("blk"), maxDist = 2, blockCap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // all batch-touching pairs of the 3-doc block survive at cap 3
+    assert(got === Set((30L, 31L, 1L), (30L, 32L, 1L), (31L, 32L, 1L)))
+  }
+
+  test("FuzzyIndex: append's replay check is block-restricted — stored scan is semi-joined on batch blocks before the id distinct (r16)") {
+    val corpus = Seq((1L, "k1", "alpha beta"), (2L, "k2", "gamma delta"))
+      .toDF("id", "blk", "s")
+    graft.store.Bucketing.dropWithDir(spark, "g_fuzzy_t3")
+    FuzzyJoin.FuzzyIndex.write(corpus, "g_fuzzy_t3", "id", "s", col("blk"))
+    val batch = Seq((1L, "k1", "alpha beta"), (9L, "k1", "alpha betb"))
+      .toDF("id", "blk", "s")
+    // plan pin: the replay-check frame restricts the stored scan with
+    // a LeftSemi on blk — the corpus-wide distinct of the pre-r16 form
+    // had no semi join in its plan at all
+    val probeSide = FuzzyJoin.FuzzyIndex.storedIdsInBatchBlocks(
+      spark, "g_fuzzy_t3", batch)
+    assert(probeSide.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+      "append's stored-id scan must be block-restricted")
+    // functional: replayed id 1 skipped, fresh id 9 lands, and a
+    // second identical append is a pure no-op
+    FuzzyJoin.FuzzyIndex.append(spark, "g_fuzzy_t3", batch, "id", "s", col("blk"))
+    assert(spark.table("g_fuzzy_t3").count() === 3L)
+    FuzzyJoin.FuzzyIndex.append(spark, "g_fuzzy_t3", batch, "id", "s", col("blk"))
+    assert(spark.table("g_fuzzy_t3").count() === 3L)
+    assert(spark.table("g_fuzzy_t3").select("id").as[Long].collect().toSet
+      === Set(1L, 2L, 9L))
+  }
+
   test("NULL ids, strings, or block keys don't participate") {
     val df = Seq((Some(1L), Some("aa bb")), (Some(2L), Some("aa bc")),
         (None, Some("aa bd")), (Some(4L), None))

@@ -55,6 +55,36 @@ class WeightedSampleSpec extends SparkSpec {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("duplicate ids are refused loudly — tied cum rows would overlap slot intervals and break Σ n_copies = m (r15 advice)") {
+    val e = intercept[IllegalArgumentException] {
+      WeightedSample.systematic(
+        Seq((1L, 5L), (2L, 5L), (1L, 5L)).toDF("doc_id", "w"),
+        "doc_id", "w", m = 4)
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("cum·m past Long.MaxValue takes the exact DECIMAL(38,0) slot rule — no silent long wrap (r15 advice)") {
+    // total ≈ 3.6e18, m = 1000 → cum·m ≈ 3.6e21 wraps a long; the
+    // decimal path must match BigInt reference arithmetic exactly
+    val rows = Seq((1L, 1200000000000000000L), (2L, 1200000000000000003L),
+      (3L, 1199999999999999999L), (4L, 7L))
+    val m = 1000L
+    val total = BigInt(rows.map(_._2).sum)
+    var cum = BigInt(0)
+    val ref = rows.sortBy(_._1).flatMap { case (id, wt) =>
+      val before = cum * m / total
+      cum += wt
+      val nc = cum * m / total - before
+      if (nc > 0) Some((id, wt, nc.toLong)) else None
+    }
+    val got = WeightedSample.systematic(rows.toDF("doc_id", "w"),
+        "doc_id", "w", m)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === ref)
+    assert(got.map(_._3).sum === m)
+  }
+
   test("NULL ids/weights are excluded; all-zero weights are refused") {
     val rows = Seq((Some(1L), Some(5L)), (None, Some(9L)), (Some(3L), None))
     val got = WeightedSample.systematic(rows.toDF("doc_id", "w"),
