@@ -43,10 +43,23 @@ object FuzzyJoin {
       blockKey: Column, maxDist: Int, blockCap: Int = 1000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(blockCap >= 1, s"blockCap must be >= 1, got $blockCap")
+    // Repartition on the block key BEFORE the census/join chain: a
+    // single-file input otherwise carries ONE partition through the
+    // broadcast joins and the O(|s|²) levenshtein verify runs on one
+    // core (r16 AbBench: the q131 edge pipeline measured 1.82 s
+    // single-partition vs 0.37-0.39 s repartitioned at sf0.1, persist
+    // vs none a wash — exchange reuse already shares the shuffle
+    // across the census and both join sides within one action, so no
+    // persist: pinning a corpus-scale frame per call is the r14
+    // stored-scan-persist trap). The blk partitioning also co-locates
+    // the census, the semi-join, and the self-join — one exchange
+    // serves all three.
     val base = df.select(blockKey.cast("string").as("blk"),
         col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"))
       .filter(col("blk").isNotNull && col("id").isNotNull &&
         col("s").isNotNull)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("blk"))
     // hot-block drop: a block past the cap contributes cap²-unbounded
     // candidate volume — the operator refuses it wholesale, exactly
     // like a df-capped posting list (q31/q97 discipline)

@@ -297,9 +297,15 @@ object PipelineQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 14)).as("title"),
         concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+      // localCheckpoint: assign's bounded probe is an executeTake that
+      // scales 1→4→16→32 partitions, re-running the levenshtein verify
+      // stage each attempt on an un-materialized edge frame; one
+      // parallel materialization removes that (r16 AbBench interleaved
+      // sf0.1 min: 0.64 s vs 0.78 un-checkpointed vs 1.97 pre-fix)
       val edges = graft.ml.FuzzyJoin.matches(docs, "doc_id", "title",
           col("blk"), maxDist = 8, blockCap = 64)
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .localCheckpoint()
       graft.ml.DedupClusters.assign(docs.select(col("doc_id")), edges)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("size"),

@@ -1663,6 +1663,148 @@ object AbBench {
       sets.unpersist(false); r
     }
 
+    // q131 decomposition (r16 — the VERDICT r15 #1 mandate): the
+    // fuzzy-clusters entry costs 5.4× its own q130 subpipeline; these
+    // isolates attribute prep / census / block join / verify / collect
+    // and A/B the repartition+persist rewrite of blockedCandidates.
+    def fuzzyDocs = graft.Tables.t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 14)).as("title"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+    def fuzzyBase = fuzzyDocs
+      .select(col("blk").cast("string").as("blk"),
+        col("doc_id").cast("long").as("id"), col("title").cast("string").as("s"))
+      .filter(col("blk").isNotNull && col("id").isNotNull && col("s").isNotNull)
+    def q130Cur(): Long = {
+      val r = graft.SparkEntry.queries("q130_fuzzy_join")(spark, sfDir).count()
+      spark.catalog.clearCache(); r
+    }
+    def q131Cur(): Long = {
+      val r = graft.SparkEntry
+        .queries("q131_fuzzy_clusters")(spark, sfDir).count()
+      spark.catalog.clearCache(); r
+    }
+    def q131PrepOnly(): Long = fuzzyBase.count()
+    def q131CensusOnly(): Long = fuzzyBase
+      .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= 64).count()
+    // candidates up to the length prefilter, WITHOUT the levenshtein
+    def q131CandsOnly(): Long = {
+      val base = fuzzyBase
+      val keep = base.join(
+        base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= 64).select(col("blk")),
+        Seq("blk"), "left_semi")
+      val a = keep.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+      val b = keep.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .filter(abs(length(col("s_a")) - length(col("s_b"))) <= 8).count()
+    }
+    // full verified edge list (matches), consumed by count
+    def q131EdgesOnly(): Long = graft.ml.FuzzyJoin.matches(fuzzyDocs,
+      "doc_id", "title", col("blk"), maxDist = 8, blockCap = 64).count()
+    // the DedupClusters.assign probe path: limit(bound+1).collect()
+    def q131EdgesCollect(): Long = graft.ml.FuzzyJoin.matches(fuzzyDocs,
+        "doc_id", "title", col("blk"), maxDist = 8, blockCap = 64)
+      .select(col("id_a"), col("id_b"))
+      .limit((1 << 20) + 1).collect().length.toLong
+    // fixed edge pipeline only (repartition, no persist): exchange
+    // reuse should cover the census + both join sides in one action
+    def q131EdgesFixNoPersist(): Long = {
+      val base = fuzzyBase
+        .repartition(spark.sparkContext.defaultParallelism, col("blk"))
+      val keep = base.join(
+        base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= 64).select(col("blk")),
+        Seq("blk"), "left_semi")
+      val a = keep.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+      val b = keep.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(abs(length(col("s_a")) - length(col("s_b"))) <= 8)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 8).count()
+    }
+    // fixed edge pipeline with the persist (2+-consumers rule)
+    def q131EdgesFixPersist(): Long = {
+      val base = fuzzyBase
+        .repartition(spark.sparkContext.defaultParallelism, col("blk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keep = base.join(
+        base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= 64).select(col("blk")),
+        Seq("blk"), "left_semi")
+      val a = keep.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+      val b = keep.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+      val r = a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(abs(length(col("s_a")) - length(col("s_b"))) <= 8)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 8).count()
+      base.unpersist(false); r
+    }
+    // candidate rewrite: repartition the single-file prep across
+    // cores, persist the multi-consumer base — then run the identical
+    // census/semi/self-join/verify chain and the same cluster tail
+    def q131FixA(): Long = {
+      val base = fuzzyBase
+        .repartition(spark.sparkContext.defaultParallelism, col("blk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keep = base.join(
+        base.select(col("blk"), col("id")).distinct()
+          .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= 64).select(col("blk")),
+        Seq("blk"), "left_semi")
+      val a = keep.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+      val b = keep.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+      val edges = a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(abs(length(col("s_a")) - length(col("s_b"))) <= 8)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val r = graft.ml.DedupClusters.assign(
+          fuzzyDocs.select(col("doc_id")), edges)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          concat_ws(",", array_sort(collect_list(col("doc_id")))).as("members"))
+        .filter(col("size") > 1).count()
+      base.unpersist(false)
+      spark.catalog.clearCache(); r
+    }
+
+    // fixA + localCheckpoint(edges) before assign: one parallel
+    // materialization instead of executeTake re-running the verify
+    // stage on 1/4/16/32 partitions during the cluster-probe collect
+    def q131FixC(): Long = {
+      val base = fuzzyBase
+        .repartition(spark.sparkContext.defaultParallelism, col("blk"))
+      val keep = base.join(
+        base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= 64).select(col("blk")),
+        Seq("blk"), "left_semi")
+      val a = keep.select(col("blk"), col("id").as("id_a"), col("s").as("s_a"))
+      val b = keep.select(col("blk"), col("id").as("id_b"), col("s").as("s_b"))
+      val edges = a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(abs(length(col("s_a")) - length(col("s_b"))) <= 8)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .localCheckpoint()
+      val r = graft.ml.DedupClusters.assign(
+          fuzzyDocs.select(col("doc_id")), edges)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          concat_ws(",", array_sort(collect_list(col("doc_id")))).as("members"))
+        .filter(col("size") > 1).count()
+      spark.catalog.clearCache(); r
+    }
+
     val (q116Full, q116ProbeOnly, q116ExactOnly) = q116Variants(spark, sfDir)
     val (q74Cur, q74NoRepart, q74MapScan, q74Md5Only, q74QualOnly,
       q74TtrOnly, q74RegexOnly, q74RegexNoRepart, q74StopOnly,
@@ -1831,7 +1973,18 @@ object AbBench {
       "q133_postings08" -> (() => q133Postings08()),
       "q133_sets_only" -> (() => q133SetsOnly()),
       "q133_cands_only" -> (() => q133CandsOnly()),
-      "q133_hashorder08" -> (() => q133HashOrder08()))
+      "q133_hashorder08" -> (() => q133HashOrder08()),
+      "q130_cur" -> (() => q130Cur()),
+      "q131_cur" -> (() => q131Cur()),
+      "q131_prep_only" -> (() => q131PrepOnly()),
+      "q131_census_only" -> (() => q131CensusOnly()),
+      "q131_cands_only" -> (() => q131CandsOnly()),
+      "q131_edges_only" -> (() => q131EdgesOnly()),
+      "q131_edges_collect" -> (() => q131EdgesCollect()),
+      "q131_edges_fixnp" -> (() => q131EdgesFixNoPersist()),
+      "q131_edges_fixp" -> (() => q131EdgesFixPersist()),
+      "q131_fixa" -> (() => q131FixA()),
+      "q131_fixc" -> (() => q131FixC()))
   }
 
   /** q74 decomposition (r12): isolate repartition / qualityScore /
