@@ -34,12 +34,17 @@ object Bench {
     * form like q31 itself (its value is the threshold-adaptive
     * candidate cut at HIGH thresholds — AbBench territory — not the
     * t=0.3 headline, whose shipping path stays the stored-index
-    * q125). All seven still run under SPARK_GRAFT_BASELINES=1 or an
-    * explicit name filter, and still parity-verify every round. */
+    * q125). r16 adds q135, the corpus-wide LSH recall monitor: its
+    * shipping path is the sample-bounded q136 (exact side
+    * sample×corpus via the flagged-postings incremental expansion);
+    * the exhaustive form stays as the small-scale truth gate. All
+    * eight still run under SPARK_GRAFT_BASELINES=1 or an explicit
+    * name filter, and still parity-verify every round. */
   val baselineQueries: Set[String] =
     Set("q35_embedding_neardup", "q36_ann_brute", "q83_bm25_search",
       "q31_ngram_jaccard", "q101_containment_incremental",
-      "q82_tfidf_keywords", "q133_ngram_jaccard_prefix")
+      "q82_tfidf_keywords", "q133_ngram_jaccard_prefix",
+      "q135_lsh_recall")
 
   /** (1-min, 5-min, 15-min loadavg, runnable count) from /proc/loadavg;
     * zeros if unreadable (non-Linux). */

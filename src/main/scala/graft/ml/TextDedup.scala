@@ -437,6 +437,32 @@ object TextDedup {
     * ([[postingsPairCounts]]); long doc_ids keep the struct form. */
   def containmentPairsIncrementalFromPostings(postings: DataFrame,
       threshold: Double): DataFrame = {
+    val (pairs, sizes) = incrementalPairCounts(postings)
+    finalizeContainment(pairs, sizes, threshold)
+  }
+
+  /** Incremental (batch-touching) Jaccard pairs from a prebuilt
+    * [[containmentPostings]] frame — the sample×corpus exact-truth
+    * side of the sampled recall monitor ([[lshRecallProbeSampled]]),
+    * and the Jaccard twin of
+    * [[containmentPairsIncrementalFromPostings]]: the SAME
+    * [[incrementalPairCounts]] expansion (corpus-only pairs dropped
+    * inside the posting-list lambda, before any shuffle), finalized
+    * with the Jaccard rule instead of containment. */
+  def jaccardPairsIncrementalFromPostings(postings: DataFrame,
+      threshold: Double): DataFrame = {
+    val (pairs, sizes) = incrementalPairCounts(postings)
+    finalizeJaccard(pairs, sizes, threshold)
+  }
+
+  /** The shared incremental pair machinery: (pairs(doc_a, doc_b,
+    * shared), sizes(doc_id, n_sh)) from a flagged postings frame,
+    * keeping only pairs with at least one `is_new` member. Factored
+    * (r16) so the containment and Jaccard incremental forms cannot
+    * diverge — the [[pairCountsFromCapped]] discipline applied to the
+    * batch-touching variant. */
+  private[ml] def incrementalPairCounts(postings: DataFrame)
+      : (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, ShortType, StructType}
     val docIdType = postings.schema("docs").dataType match {
       case ArrayType(st: StructType, _) => Some(st("doc_id").dataType)
@@ -485,7 +511,7 @@ object TextDedup {
           .select(col("p.doc_a"), col("p.doc_b"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("shared"))
-    finalizeContainment(pairs, sizes, threshold)
+    (pairs, sizes)
   }
 
   /** Attach both docs' rare-shingle set sizes to (doc_a, doc_b, shared)
@@ -766,6 +792,14 @@ object TextDedup {
       .join(candAgree, Seq("doc_a", "doc_b"))
       .select(col("doc_a").cast("long").as("doc_a"),
         col("doc_b").cast("long").as("doc_b"), col("agree"))
+    recallByPoint(exact, found, agreePoints)
+  }
+
+  /** One recall row per operating point from an exact-truth pair set
+    * and an agree-carrying found set — the shared tail of both recall
+    * probes (q71 integer-target emission on the ratio). */
+  private def recallByPoint(exact: DataFrame, found: DataFrame,
+      agreePoints: Seq[Int]): DataFrame =
     agreePoints.distinct.sorted.map { ap =>
       exact
         .join(found.filter(col("agree") >= ap)
@@ -774,10 +808,74 @@ object TextDedup {
         .agg(count(lit(1)).as("n_exact"),
           coalesce(sum(col("f")), lit(0L)).as("n_found"))
         .select(lit(ap).as("min_agree"), col("n_exact"), col("n_found"),
-          // q71 integer-target emission
           (round(col("n_found").cast("double") / col("n_exact") * 10000, 0)
             .cast("long") / lit(10000.0)).as("recall"))
     }.reduce(_ unionByName _)
+
+  /** Sample-bounded recall of the MinHash-LSH screen — the form that
+    * actually runs at monitoring cadence on a large corpus, closing
+    * the r15 gap where [[lshRecallProbe]]'s exact side was the one
+    * shipped corpus²-ish job: recall is measured over the pair
+    * population TOUCHING a caller-chosen document sample, so the
+    * exact-truth side is sample×corpus (the q116 ANN-recall
+    * contract), built with the SAME flagged-postings expansion the
+    * incremental dedup paths use ([[incrementalPairCounts]] — corpus-
+    * only pairs are dropped inside the posting-list lambda, before
+    * any shuffle). The LSH side stays O(docs·bands) (linear) and its
+    * candidate expansion short-circuits corpus-only buckets exactly
+    * like [[minhashLshPairsIncremental]].
+    *
+    * `isSample` must be a deterministic predicate over `docs` columns
+    * (a hash-bucket split, an id residue) so the monitor is
+    * reproducible run-over-run. Unbiasedness: pair (a,b) is observed
+    * iff a or b lands in the sample; both recall numerator and
+    * denominator restrict to the same observed population, so the
+    * estimate is exact ON that population and converges to corpus
+    * recall as the sample grows (standard capture sampling). Output
+    * schema matches [[lshRecallProbe]]: (min_agree, n_exact, n_found,
+    * recall). */
+  def lshRecallProbeSampled(docs: DataFrame, isSample: Column, n: Int,
+      k: Int, bands: Int, threshold: Double, agreePoints: Seq[Int],
+      exactDfCap: Int = 1000000): DataFrame = {
+    require(agreePoints.nonEmpty, "need at least one operating point")
+    require(bands * (k / bands) == k, "k must divide into bands evenly")
+    // exact truth over sample-touching pairs: flagged postings +
+    // incremental expansion + jaccard finalize
+    val postings = containmentPostings(docs, isSample, n, exactDfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = jaccardPairsIncrementalFromPostings(postings, threshold)
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+    val withDig = shingleDigests(shingleSets(docs, n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val loosest = agreePoints.min
+    val sig = minhashSignaturesFromDigests(withDig, k)
+    val bk = bandKeyTable(sig, k, bands)
+      .join(docs.select(col("doc_id"), isSample.as("is_new")), Seq("doc_id"))
+    val ds2 = col("ds2")
+    val candAgree = bk
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"), col("is_new"))).as("ds"))
+      .filter(size(col("ds")) >= 2 &&
+        exists(col("ds"), d => d.getField("is_new")))
+      .select(array_sort(col("ds")).as("ds2"))
+      .select(explode_outer(flatten(transform(ds2, (a, i) =>
+        transform(slice(ds2, i + lit(2), size(ds2)), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            (a.getField("is_new") || b.getField("is_new")).as("touches_new"),
+            sigAgreement(a.getField("sig"), b.getField("sig"))
+              .as("agree")))))).as("p"))
+      .filter(col("p.touches_new") && col("p.agree") >= lit(loosest))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.agree").as("agree"))
+      .distinct()
+    val found = verifyJaccard(candAgree.select(col("doc_a"), col("doc_b")),
+        keySetsFromDigests(withDig), threshold)
+      .join(candAgree, Seq("doc_a", "doc_b"))
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"), col("agree"))
+    recallByPoint(exact, found, agreePoints)
   }
 
   /** Incremental MinHash+LSH near-dup detection: pairs between a NEW

@@ -108,6 +108,23 @@ object PipelineQueries {
         .orderBy(col("min_agree"))
     },
 
+    // Sample-bounded LSH recall (r16 — closes VERDICT r15 #2): the
+    // same two operating points, but recall measured over pairs
+    // touching the doc_id % 3 sample, so the exact-truth side is
+    // sample×corpus (flagged-postings incremental expansion), never
+    // corpus². The mod-3 residue is the gate-scale choice keeping the
+    // miss path live at BOTH scales (12/13 at sf0.01, 17/19 at
+    // sf0.001, point 11 — probed non-vacuous driver-side before
+    // shipping); production cadence uses a smaller hash-bucket
+    // fraction. q135 stays as the small-scale exhaustive gate,
+    // demoted to a bench baseline.
+    "q136_lsh_recall_sampled" -> { (s, dir) =>
+      TextDedup.lshRecallProbeSampled(t(s, dir, "documents"),
+          col("doc_id") % 3 === 0, n = 3, k = 12,
+          bands = 4, threshold = 0.3, agreePoints = Seq(5, 11))
+        .orderBy(col("min_agree"))
+    },
+
     // 32-bit SimHash signature per document (bit-string form).
     "q33_simhash" -> { (s, dir) =>
       TextDedup.simhashSignatures(t(s, dir, "documents"))
@@ -1121,11 +1138,15 @@ object PipelineQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** q135: the q31 exact chain (df-uncapped) and the q32 LSH chain
-    * (agreement exposed on the candidate) joined into per-operating-
-    * point recall rows — each chain is the SAME SQL its own gate
-    * already hash-matches. */
-  private def lshRecallOracle: String = {
+  /** q135/q136: the q31 exact chain (df-uncapped) and the q32 LSH
+    * chain (agreement exposed on the candidate) joined into
+    * per-operating-point recall rows — each chain is the SAME SQL its
+    * own gate already hash-matches. `sampleMod > 0` restricts BOTH
+    * sides to pairs touching the doc_id % sampleMod == 0 sample
+    * (q136's sampled contract); 0 = corpus-wide (q135). */
+  private def lshRecallOracle: String = lshRecallOracleWith(0)
+
+  private def lshRecallOracleWith(sampleMod: Int): String = {
     import TextDedup.{permA, permB, minhashP}
     val mhs = (0 until 12).map(j =>
       s"min((h1 * ${permA(j)} + h2 * ${permB(j)} + $j) % $minhashP) AS mh$j")
@@ -1138,6 +1159,10 @@ object PipelineQueries {
     val agree = (0 until 12)
       .map(j => s"(CASE WHEN sx.mh$j = sy.mh$j THEN 1 ELSE 0 END)")
       .mkString(" + ")
+    val exactSample = if (sampleMod > 0)
+      s"\n    AND (doc_a % $sampleMod = 0 OR doc_b % $sampleMod = 0)" else ""
+    val candSample = if (sampleMod > 0)
+      s"\n    AND (x.doc_id % $sampleMod = 0 OR y.doc_id % $sampleMod = 0)" else ""
     s"""WITH $shingleCte,
        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000000),
        |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
@@ -1149,7 +1174,7 @@ object PipelineQueries {
        |exact AS (
        |  SELECT doc_a, doc_b FROM epairs
        |  JOIN sizes0 sa ON doc_a = sa.doc_id JOIN sizes0 sb ON doc_b = sb.doc_id
-       |  WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3),
+       |  WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.3$exactSample),
        |hv AS (SELECT doc_id,
        |  CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
        |  CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2 FROM sh),
@@ -1163,7 +1188,7 @@ object PipelineQueries {
        |   AND x.doc_id < y.doc_id
        |  JOIN sigs sx ON sx.doc_id = x.doc_id
        |  JOIN sigs sy ON sy.doc_id = y.doc_id
-       |  WHERE $agree >= 5),
+       |  WHERE $agree >= 5$candSample),
        |ksizes AS (SELECT doc_id, count(*) AS n_sh FROM kh GROUP BY doc_id),
        |vshared AS (
        |  SELECT c.doc_a, c.doc_b, c.agree, count(*) AS shared
@@ -1895,6 +1920,8 @@ object PipelineQueries {
         |ORDER BY cluster_id""".stripMargin,
 
     "q135_lsh_recall" -> lshRecallOracle,
+
+    "q136_lsh_recall_sampled" -> lshRecallOracleWith(3),
 
     // q132: the same integer slot arithmetic — cum·m and the floor
     // divisions all in BIGINT (DuckDB's sum() returns HUGEINT, cast

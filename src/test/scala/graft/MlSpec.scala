@@ -349,6 +349,44 @@ class MlSpec extends SparkSpec {
     assert(inc.forall(p => p._1 > 35 || p._2 > 35))
   }
 
+  test("incremental jaccard equals the full postings variant restricted to new-touching pairs (shared expansion with containment)") {
+    val rng = new scala.util.Random(29)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val df = (1L to 50L).map(i =>
+      (i, Vector.fill(5 + rng.nextInt(10))(vocab(rng.nextInt(6))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val isNew = col("doc_id") > 35
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val full = TextDedup.jaccardPairsPostings(df, n = 3, threshold = 0.2)
+      .filter(col("doc_a") > 35 || col("doc_b") > 35)
+      .collect().map(key).toSet
+    val postings = TextDedup.containmentPostings(df, isNew, n = 3, dfCap = 50)
+    val inc = TextDedup.jaccardPairsIncrementalFromPostings(postings,
+        threshold = 0.2)
+      .collect().map(key).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    assert(inc.forall(p => p._1 > 35 || p._2 > 35))
+  }
+
+  test("sampled LSH recall probe: an all-docs sample reproduces the corpus-wide probe exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"min_agree")
+        .as[(Int, Long, Long, Double)].collect().toSeq
+    val full = rows(TextDedup.lshRecallProbe(corpus, n = 3, k = 12,
+      bands = 4, threshold = 0.3, agreePoints = Seq(5, 11)))
+    val sampledAll = rows(TextDedup.lshRecallProbeSampled(corpus,
+      isSample = lit(true), n = 3, k = 12, bands = 4, threshold = 0.3,
+      agreePoints = Seq(5, 11)))
+    assert(sampledAll === full)
+    // a restrictive sample can only shrink the observed population
+    val sampled = rows(TextDedup.lshRecallProbeSampled(corpus,
+      isSample = $"doc_id" % 2 === 0, n = 3, k = 12, bands = 4,
+      threshold = 0.3, agreePoints = Seq(5, 11)))
+    assert(sampled.zip(full).forall { case (s, f) => s._2 <= f._2 })
+  }
+
   test("dedup clusters: long chain (diameter > 4) converges to one component") {
     // Regression for the fixed-round-count bug: a 13-node chain has
     // diameter 12; pointer doubling must still collapse it to a single
