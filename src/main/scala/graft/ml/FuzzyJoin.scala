@@ -85,6 +85,86 @@ object FuzzyJoin {
     blockedCandidates(df, idCol, strCol, blockKey, maxDist, blockCap)
       .filter(col("is_match")).drop("is_match")
 
+  /** Blocking-recall monitor for the fuzzy screen (the q135/q116
+    * pattern applied to record linkage): recall of the
+    * block-then-verify pipeline against the BRUTE-FORCE edit-distance
+    * truth on a bounded document sample, at caller-chosen blockCap
+    * operating points. FuzzyJoinSpec proves within-block soundness;
+    * what blocking can silently lose is (a) true pairs whose block
+    * keys differ and (b) true pairs inside a hot block the cap
+    * refuses wholesale — both are invisible to the screen itself, so
+    * a monitor must measure them against a blocking-free truth.
+    *
+    * Cost contract (the q116/q136 sample×corpus shape): the exact
+    * side is |sample| × corpus — a broadcast of the sample against
+    * one corpus scan with the length lower bound applied inside the
+    * join condition, never corpus². One blocked run at max(blockCaps)
+    * carries each pair's block population `bn`, so tighter operating
+    * points are derived by filtering (the q135 one-LSH-run
+    * discipline) — the join/verify work is never repeated per point.
+    * Output: (block_cap, n_exact, n_found, recall), recall under the
+    * q71 integer-target emission. Both sides are eagerly
+    * materialized (localCheckpoint, bounded by the match volume) so
+    * per-point aggregation does not re-run the verify stages. */
+  def blockingRecallProbe(df: DataFrame, idCol: String, strCol: String,
+      blockKey: Column, maxDist: Int, isSample: Column,
+      blockCaps: Seq[Int]): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockCaps.nonEmpty, "need at least one blockCap point")
+    require(blockCaps.forall(_ >= 1), s"blockCaps must be >= 1, got $blockCaps")
+    val spark = df.sparkSession
+    val base = df.select(blockKey.cast("string").as("blk"),
+        col(idCol).cast("long").as("id"), col(strCol).cast("string").as("s"),
+        isSample.as("is_smp"))
+      .filter(col("blk").isNotNull && col("id").isNotNull &&
+        col("s").isNotNull)
+      .repartition(spark.sparkContext.defaultParallelism, col("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // exact truth: sample × corpus brute force (no blocking), the
+      // length lower bound inside the join condition so the O(|s|²)
+      // verify only runs on length-plausible pairs
+      val q = base.filter(col("is_smp"))
+        .select(col("id").as("qid"), col("s").as("qs"))
+      val exact = broadcast(q)
+        .join(base.select(col("id"), col("s")),
+          col("qid") =!= col("id") &&
+            abs(length(col("qs")) - length(col("s"))) <= maxDist)
+        .filter(levenshtein(col("qs"), col("s")) <= maxDist)
+        .select(least(col("qid"), col("id")).as("id_a"),
+          greatest(col("qid"), col("id")).as("id_b"))
+        .distinct()
+        .localCheckpoint()
+      // one blocked run at the loosest cap, each pair tagged with its
+      // block population — tighter caps filter on bn
+      val maxCap = blockCaps.max
+      val census = base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      val keep = base.join(census.filter(col("bn") <= maxCap), Seq("blk"))
+      val a = keep.select(col("blk"), col("bn"),
+        col("id").as("id_a"), col("s").as("s_a"), col("is_smp").as("smp_a"))
+      val b = keep.select(col("blk"),
+        col("id").as("id_b"), col("s").as("s_b"), col("is_smp").as("smp_b"))
+      val found = a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("smp_a") || col("smp_b"))
+        .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+        .filter(levenshtein(col("s_a"), col("s_b")) <= maxDist)
+        .select(col("id_a"), col("id_b"), col("bn"))
+        .localCheckpoint()
+      blockCaps.distinct.sorted.map { cap =>
+        exact.join(
+            found.filter(col("bn") <= cap)
+              .select(col("id_a"), col("id_b"), lit(1L).as("f")),
+            Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            coalesce(sum(col("f")), lit(0L)).as("n_found"))
+          .select(lit(cap).as("block_cap"), col("n_exact"), col("n_found"),
+            (round(col("n_found").cast("double") / col("n_exact") * 10000, 0)
+              .cast("long") / lit(10000.0)).as("recall"))
+      }.reduce(_ unionByName _)
+    } finally { base.unpersist(); () }
+  }
+
   /** Stored form of the blocked fuzzy join — the incremental leg the
     * ingest loop probes so record linkage stops re-deriving the
     * corpus side per batch (the SigIndex one-table discipline): a

@@ -332,6 +332,26 @@ object PipelineQueries {
         .orderBy(col("cluster_id"))
     },
 
+    // Fuzzy blocking recall monitor (r16 — VERDICT r15 #6): recall of
+    // the q130 block-then-verify screen vs the brute-force
+    // edit-distance truth on the doc_id % 5 sample, at two blockCap
+    // operating points — the shipped cap 64 (recall 1.0 on this
+    // corpus: every true pair shares its first-2-token block, probed
+    // through first-5-token keys driver-side) and a deliberately hot
+    // cap 3 where the wholesale block refusal's recall cost is LIVE
+    // at both gate scales (8/14 at sf0.01, 5/14 at sf0.001) — the cap
+    // is the drop policy production actually tunes, so its cost is
+    // what the monitor must price.
+    "q137_fuzzy_block_recall" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 14)).as("title"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+      graft.ml.FuzzyJoin.blockingRecallProbe(docs, "doc_id", "title",
+          col("blk"), maxDist = 8, isSample = col("doc_id") % 5 === 0,
+          blockCaps = Seq(3, 64))
+        .orderBy(col("block_cap"))
+    },
+
     // SemDeDup-style semantic dedup (r11): k-means cells over the
     // embeddings (the q54 deterministic first-k init), within-cell
     // cosine pairs >= 0.45 (the q35/q53 threshold for this corpus,
@@ -1922,6 +1942,41 @@ object PipelineQueries {
     "q135_lsh_recall" -> lshRecallOracle,
 
     "q136_lsh_recall_sampled" -> lshRecallOracleWith(3),
+
+    // q137: brute-force sample×corpus edit-distance truth vs the q130
+    // blocked screen, per blockCap point (found pairs carry their
+    // block population bn; points filter on it)
+    "q137_fuzzy_block_recall" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 14), ' ') AS s,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS blk
+        |  FROM documents),
+        |exact AS (
+        |  SELECT DISTINCT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+        |  FROM docs a JOIN docs b ON a.id <> b.id
+        |  WHERE a.id % 5 = 0 AND abs(length(a.s) - length(b.s)) <= 8
+        |    AND levenshtein(a.s, b.s) <= 8),
+        |sizes AS (SELECT blk, count(*) AS bn FROM docs GROUP BY blk),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, z.bn
+        |  FROM docs a JOIN docs b ON a.blk = b.blk AND a.id < b.id
+        |  JOIN sizes z ON z.blk = a.blk
+        |  WHERE (a.id % 5 = 0 OR b.id % 5 = 0)
+        |    AND abs(length(a.s) - length(b.s)) <= 8
+        |    AND levenshtein(a.s, b.s) <= 8),
+        |pts(block_cap) AS (VALUES (3), (64)),
+        |summary AS (
+        |  SELECT p.block_cap,
+        |    CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(sum(CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+        |  FROM pts p CROSS JOIN exact e
+        |  LEFT JOIN cand f ON f.id_a = e.id_a AND f.id_b = e.id_b
+        |   AND f.bn <= p.block_cap
+        |  GROUP BY p.block_cap)
+        |SELECT block_cap, n_exact, n_found,
+        |  CAST(round(n_found * 1.0 / n_exact * 10000, 0) AS BIGINT) / 10000.0 AS recall
+        |FROM summary ORDER BY block_cap""".stripMargin,
 
     // q132: the same integer slot arithmetic — cum·m and the floor
     // divisions all in BIGINT (DuckDB's sum() returns HUGEINT, cast

@@ -172,6 +172,28 @@ class FuzzyJoinSpec extends SparkSpec {
       === Set(1L, 2L, 9L))
   }
 
+  test("blockingRecallProbe: counts cross-block losses AND hot-block-cap losses against the brute-force truth (r16)") {
+    // sample = even ids. True pairs (levenshtein <= 2 on s):
+    //   (2,3):  same block b1 — found at any cap >= 2
+    //   (4,5):  DIFFERENT blocks (b2/b3) — a structural blocking miss
+    //   (6,7),(6,8),(7,8): block b4 of size 3 — found at cap >= 3,
+    //     refused wholesale at cap 2
+    // (1,9) shares block b0 but dist > 2: never a true pair.
+    val df = Seq(
+      (1L, "b0", "aaaaaa"), (9L, "b0", "zzzzzz"),
+      (2L, "b1", "hello"), (3L, "b1", "hallo"),
+      (4L, "b2", "world"), (5L, "b3", "worlb"),
+      (6L, "b4", "kitten"), (7L, "b4", "kittes"), (8L, "b4", "kitter"))
+      .toDF("id", "blk", "s")
+    val out = FuzzyJoin.blockingRecallProbe(df, "id", "s", col("blk"),
+        maxDist = 2, isSample = col("id") % 2 === 0, blockCaps = Seq(2, 3))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // brute truth touching sample: (2,3),(4,5),(6,7),(6,8),(7,8) = 5
+    assert(out === Seq(
+      (2, 5L, 1L, 0.2),   // cap 2: b4 refused (3 > 2), (4,5) cross-block
+      (3, 5L, 4L, 0.8)))  // cap 3: only the cross-block (4,5) missing
+  }
+
   test("NULL ids, strings, or block keys don't participate") {
     val df = Seq((Some(1L), Some("aa bb")), (Some(2L), Some("aa bc")),
         (None, Some("aa bd")), (Some(4L), None))
