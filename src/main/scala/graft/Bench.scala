@@ -46,6 +46,108 @@ object Bench {
       "q82_tfidf_keywords", "q133_ngram_jaccard_prefix",
       "q135_lsh_recall")
 
+  /** Composed per-batch ingest-loop latency (r16 — the VERDICT r15 #5
+    * gate): one REAL [[graft.ml.CorpusPipeline.ingestAndMaintain]]
+    * run with every stored-index leg attached — the band, sig, ngram
+    * and fuzzy PROBE screens plus the lex/ivf/band/sig/ngram/fuzzy
+    * appends and compaction checks in the maintenance slot — over a
+    * deliberately SMALL seeded corpus, so the number measures the
+    * composed per-batch FLOORS (job latency, probe fixed work,
+    * dir-listing taxes the frame caches don't cover), not data
+    * volume. Three 8-doc micro-batches: batch 0 is the untimed warmup
+    * (the IngestProbe parser/JIT discipline), the metric is the min
+    * over batches 1-2 of screen-stage secs + maintenance-slot secs —
+    * the loop's own StageStat clocks, so what's timed is exactly what
+    * ships. Healthy band on this machine: see CLAUDE.md. -1 = not
+    * measured (filtered run) or failed (the metric must never kill
+    * the bench). */
+  private def benchIngestScreen(spark: SparkSession, sfDir: String): Double =
+    try {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.ml._
+      val docsAll = Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docsAll.filter(col("doc_id") < 100)
+      val embs = Tables.t(spark, sfDir, "embeddings")
+      val keyFn: DataFrame => DataFrame = d => d.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("s"))
+      val sigFn: DataFrame => DataFrame = d =>
+        TextDedup.simhashSignatures(d)
+          .select(col("doc_id").as("id"), col("simhash").as("sig"))
+      val embedFn: DataFrame => DataFrame = d =>
+        embs.join(d.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      val lexDir = java.nio.file.Files.createTempDirectory("g_bench_lex").toString
+      val ngDir = java.nio.file.Files.createTempDirectory("g_bench_ng").toString
+      Seq("g_bench_band", "g_bench_band_keys", "g_bench_ivf",
+        "g_bench_ivf_centroids", "g_bench_ivf_stats", "g_bench_sig",
+        "g_bench_fuzzy").foreach(t => graft.store.Bucketing.dropWithDir(spark, t))
+      BandIndex.write(corpus, "g_bench_band", n = 3, k = 12, bands = 4,
+        buckets = 4)
+      LexIndex.build(corpus, lexDir)
+      IvfIndex.write(embedFn(corpus), "g_bench_ivf", cells = 8, iters = 0,
+        buckets = 4)
+      SigIndex.write(sigFn(corpus), "id", "sig", "g_bench_sig", bands = 8,
+        buckets = 4)
+      NgramIndex.build(corpus, ngDir, n = 4, dfMax = 64)
+      FuzzyJoin.FuzzyIndex.write(keyFn(corpus), "g_bench_fuzzy", "doc_id",
+        "s", col("blk"))
+      val evalIdx = Decontaminate.indexEval(
+        docsAll.filter(col("doc_id") === 0L), n = 3, expectedGrams = 1000)
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[(Long, String)]
+      val screenSecs = scala.collection.mutable.Map[Long, Double]()
+      val maintSecs = scala.collection.mutable.Map[Long, Double]()
+      val stageDetail = scala.collection.mutable.Map[Long, String]()
+      val batches = docsAll.filter(col("doc_id") >= 100 && col("doc_id") < 124)
+        .as[(Long, String)].collect().sortBy(_._1)
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.0,
+        CorpusPipeline.IndexMaintenance("g_bench_band", n = 3, k = 12,
+          bands = 4, threshold = 0.3,
+          lexIndexDir = Some(lexDir), ivfTable = Some("g_bench_ivf"),
+          embed = embedFn, compactAtFilesPerBucket = 1000.0,
+          sigIndex = Some(CorpusPipeline.SigMaintenance("g_bench_sig",
+            sigFn, maxDist = 2, bands = 8)),
+          ngramIndex = Some(CorpusPipeline.NgramMaintenance(ngDir,
+            threshold = 0.6, dfCap = 50)),
+          fuzzyIndex = Some(CorpusPipeline.FuzzyMaintenance("g_bench_fuzzy",
+            keyFn, maxDist = 8))),
+        evalIdx, evalN = 3,
+        onMaintain = (bid, st) =>
+          maintSecs.synchronized { maintSecs(bid) = st.secs; () }) {
+        (bid, _, stats) => screenSecs.synchronized {
+          screenSecs(bid) = stats.map(_.secs).sum
+          stageDetail(bid) = stats
+            .map(s => s"${s.stage}=${s.secs}").mkString(" ")
+          ()
+        }
+      }
+      try {
+        for (b <- 0 until 3) {
+          input.addData(batches.slice(b * 8, b * 8 + 8): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      evalIdx.grams.unpersist()
+      val per = (1L to 2L).flatMap(b =>
+        screenSecs.get(b).map(_ + maintSecs.getOrElse(b, 0.0)))
+      // stage attribution to STDERR (stdout is the driver's parse
+      // surface): which screen/maintenance term carries the floor
+      (1L to 2L).foreach(b => System.err.println(
+        s"[ingest-screen] batch $b: ${stageDetail.getOrElse(b, "?")} " +
+          s"maintain=${maintSecs.getOrElse(b, -1.0)}"))
+      if (per.isEmpty) -1.0 else math.rint(per.min * 1e4) / 1e4
+    } catch { case e: Throwable =>
+      // loud on stderr (stdout stays the driver's parse surface): a
+      // silent -1 reads as "not measured" when it means "broken"
+      System.err.println(s"[ingest-screen] failed: ${e.getMessage}")
+      -1.0
+    }
+
   /** (1-min, 5-min, 15-min loadavg, runnable count) from /proc/loadavg;
     * zeros if unreadable (non-Linux). */
   private def loadavg(): (Double, Double, Double, Int) =
@@ -193,6 +295,15 @@ object Bench {
     val ingest =
       if (nameFilter.isEmpty) math.min(benchIngest(spark), benchIngest(spark))
       else -1.0
+    // composed ingest-loop per-batch latency (screen + maintenance),
+    // AFTER the query loop so its index builds never pollute query
+    // timings; -1 on filtered runs. SPARK_GRAFT_SCREEN=1 forces it on
+    // a filtered run (pair with a no-match filter for a standalone
+    // attribution read off the stderr stage lines).
+    val ingestScreen =
+      if (nameFilter.isEmpty || sys.env.get("SPARK_GRAFT_SCREEN").contains("1"))
+        benchIngestScreen(spark, sfDir)
+      else -1.0
     val loadEnd = loadavg()
     // Totals ("metric"/"value") lead the line and the queries map
     // trails it, so a capture that truncates the line's TAIL still
@@ -209,6 +320,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingestStart, ingest)},""" +
+        s""""ingest_screen_sec":${r4(ingestScreen)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
         skippedJson + duckPairing(duck, results, ratioValid) + pairMode +
         pairingStaleness(duck, results) + queryRatios(duck, results) +
@@ -226,11 +338,16 @@ object Bench {
     // from tools/duckbench.py covers the same sf dir, the paired
     // DuckDB total + ratio; bench.json remains the durable full
     // per-query record.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
-    catch { case _: Throwable => }
+    // full (unfiltered) runs only: bench.json is COMMITTED per round
+    // since r16 (the benchdelta round-over-round source), so a
+    // filtered iteration run must not clobber the durable full record
+    if (nameFilter.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
+      catch { case _: Throwable => }
     val compact =
       s"""{"metric":"total","value":${r4(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""ingest_1k_files_sec":${r4(ingest)}${contendedJson(ingestStart, ingest)},""" +
+        s""""ingest_screen_sec":${r4(ingestScreen)},""" +
         s""""loadavg_start":${fmtLoad(loadStart)},"loadavg_end":${fmtLoad(loadEnd)}""" +
         duckPairing(duck, results, ratioValid) + pairMode +
         pairingStaleness(duck, results) +

@@ -245,7 +245,18 @@ object NgramIndex {
     * batch — exactly like the ad-hoc form's df over corpus∪batch) and
     * expands only batch-touching pairs. Output identical to
     * [[TextDedup.containmentPairsIncremental]] over corpus∪batch —
-    * q126 gates it against q101's oracle. */
+    * q126 gates it against q101's oracle.
+    *
+    * Stage envelope (r16 AbBench interleaved, sf0.1 min-of-5, the
+    * gate's 92%-batch fixture split): batch tokenize+lists 0.41 s,
+    * + merged re-cap census 0.09, + flag projection 0.03, + pair
+    * expansion/finalize 0.32, + ordering 0.06 = 0.91 total. This is
+    * the floor: the two dominant terms are the batch's OWN tokenize
+    * (scales with the batch, not the corpus — the fixture's 92%
+    * batch makes it look corpus-sized) and the batch-touching pair
+    * expansion (the operator's actual output work); the r15-suspected
+    * re-cap census is 10%. No plan change wins here without changing
+    * what the operator computes. */
   def probeContainment(spark: SparkSession, dir: String, batch: DataFrame,
       threshold: Double, dfCap: Int): DataFrame = {
     val m = meta(spark, dir)

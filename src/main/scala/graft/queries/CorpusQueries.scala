@@ -96,8 +96,13 @@ object CorpusQueries {
   // cluster. Only multi-member clusters emitted.
   private val q51 = "q51_dedup_clusters" -> { (s: SparkSession, dir: String) =>
     val docs = t(s, dir, "documents")
+    // localCheckpoint before assign: the cluster probe's executeTake
+    // scale-up otherwise re-runs the LSH verify stage per attempt
+    // (the q131 finding applied here — r16 AbBench interleaved sf0.1
+    // min 0.89 s checkpointed vs 1.23 not)
     val pairs = graft.ml.TextDedup.minhashLshPairs(docs, n = 3, k = 12,
       bands = 4, threshold = 0.3, minAgree = 5)
+      .localCheckpoint()
     graft.ml.DedupClusters.assign(docs.select(col("doc_id")), pairs)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("size"),

@@ -1232,4 +1232,96 @@ class CorpusPipelineSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("ingestAndMaintain with EVERY leg attached: the per-batch screen is exactly quality + 4 stored-index probes + decontaminate (r16 — the composition Bench's ingest_screen_sec times)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("vec_id"), lit("x").as("label"),
+        array((1 to 4).map(i =>
+          (pmod(hash(col("doc_id") * i), lit(97)) + 1).cast("float")): _*)
+          .as("embedding"))
+    def sigFn(df: org.apache.spark.sql.DataFrame) =
+      graft.ml.TextDedup.simhashSignatures(df)
+        .select(col("doc_id").as("id"), col("simhash").as("sig"))
+    val keyFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => d.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("s"))
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    val lexDir = java.nio.file.Files.createTempDirectory("g_all_lex").toString
+    val ngDir = java.nio.file.Files.createTempDirectory("g_all_ng").toString
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    try {
+      Seq("g_all_band", "g_all_band_keys", "g_all_ivf", "g_all_sig",
+        "g_all_fuzzy")
+        .foreach(t => graft.store.Bucketing.dropWithDir(spark, t))
+      graft.ml.BandIndex.write(corpusDocs, "g_all_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      graft.ml.LexIndex.build(corpusDocs, lexDir)
+      graft.ml.IvfIndex.write(embed(corpusDocs), "g_all_ivf",
+        cells = 2, iters = 0, buckets = 4)
+      graft.ml.SigIndex.write(sigFn(corpusDocs), "id", "sig", "g_all_sig",
+        bands = 8, buckets = 4)
+      graft.ml.NgramIndex.build(corpusDocs, ngDir, n = 4, dfMax = 64)
+      graft.ml.FuzzyJoin.FuzzyIndex.write(keyFn(corpusDocs), "g_all_fuzzy",
+        "doc_id", "s", col("blk"))
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val accepted = scala.collection.mutable.Map[Long, Set[Long]]()
+      val stages = scala.collection.mutable.Map[Long, Vector[CorpusPipeline.StageStat]]()
+      val maintained = scala.collection.mutable.Map[Long, CorpusPipeline.StageStat]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_all_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          lexIndexDir = Some(lexDir), ivfTable = Some("g_all_ivf"),
+          embed = embed, compactAtFilesPerBucket = 1000.0,
+          sigIndex = Some(CorpusPipeline.SigMaintenance("g_all_sig",
+            sigFn, maxDist = 2, bands = 8)),
+          ngramIndex = Some(CorpusPipeline.NgramMaintenance(ngDir,
+            threshold = 0.6, dfCap = 50)),
+          fuzzyIndex = Some(CorpusPipeline.FuzzyMaintenance("g_all_fuzzy",
+            keyFn, maxDist = 8))),
+        evalIdx, evalN = 3,
+        onMaintain = (id, st) => maintained.synchronized {
+          maintained(id) = st; () }) { (batchId, acc, st) =>
+        accepted.synchronized {
+          accepted(batchId) = acc.select($"doc_id").as[Long].collect().toSet
+          stages(batchId) = st
+          ()
+        }
+      }
+      try {
+        input.addData(
+          500L -> "seven silver falcons circle the ancient observatory tower at dusk tonight",
+          501L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(accepted(0L) === Set(500L, 501L))
+      // THE contract Bench's ingest_screen_sec metric times: with all
+      // six legs attached, every batch runs exactly these stages in
+      // this order — four stored-index PROBES (band, sig, ngram,
+      // fuzzy) bracketed by the quality gate and the decontamination
+      // screen; lex/ivf touch the batch only in the maintenance slot
+      assert(stages(0L).map(_.stage) === Vector(
+        "quality>=0.5", "nearDedupScreen", "sigDedupScreen",
+        "containmentScreen", "fuzzyTitleScreen", "decontaminateScreen"),
+        stages(0L).map(_.stage).toString)
+      assert(maintained.contains(0L), "maintenance slot must run")
+      // every stage carries a real (non-negative) clock — the metric
+      // sums these, so a stage that stopped timing would silently
+      // shrink the Bench artifact
+      assert(stages(0L).forall(_.secs >= 0.0))
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_all_band", "g_all_band_keys", "g_all_ivf",
+        "g_all_ivf_centroids", "g_all_ivf_stats", "g_all_sig", "g_all_fuzzy")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
