@@ -825,6 +825,14 @@ object TextDedup {
     * candidate expansion short-circuits corpus-only buckets exactly
     * like [[minhashLshPairsIncremental]].
     *
+    * Cost envelope (r16 AbBench interleaved, sf0.1 min-of-5): the
+    * exact side alone is 1.23 s of the 2.57 total — dominated by the
+    * UNCAPPED postings expansion, not tokenization (sharing the LSH
+    * side's digest pass measured a wash, 2.43 vs 2.57 with a worse
+    * median — experiment recorded in AbBench). Monitoring-cadence
+    * cost by contract; tighten `exactDfCap`/shrink the sample before
+    * tightening the screen itself.
+    *
     * `isSample` must be a deterministic predicate over `docs` columns
     * (a hash-bucket split, an id residue) so the monitor is
     * reproducible run-over-run. Unbiasedness: pair (a,b) is observed

@@ -1876,6 +1876,26 @@ object AbBench {
       spark.catalog.clearCache(); r
     }
 
+    // q136 decomposition (r16): the sampled recall monitor runs TWO
+    // tokenize passes — the exact side re-keys the corpus via
+    // shingleKeyTable (xxhash64) while the LSH side already md5-
+    // digested every shingle. q136_fromdig builds the flagged
+    // postings from the SHARED digest frame's 63-bit keys instead.
+    def q136Cur(): Long = entry("q136_lsh_recall_sampled")
+    def q136ExactOnly(): Long = {
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+      val r = graft.ml.TextDedup.jaccardPairsIncrementalFromPostings(
+        graft.ml.TextDedup.containmentPostings(docs,
+          col("doc_id") % 3 === 0, 3, 1000000), 0.3).count()
+      spark.catalog.clearCache(); r
+    }
+    // q136_fromdig (r16, DELETED variant — the loser's record): building
+    // the exact side's flagged postings from the SHARED md5 digest
+    // frame (one tokenize pass instead of two) measured 2.43 vs 2.57 s
+    // min interleaved — within noise, med WORSE. The exact side's cost
+    // is the uncapped postings expansion + struct collect_list
+    // shuffles, not tokenize; the shared-machinery shipped form stays.
+
     val (q116Full, q116ProbeOnly, q116ExactOnly) = q116Variants(spark, sfDir)
     val (q74Cur, q74NoRepart, q74MapScan, q74Md5Only, q74QualOnly,
       q74TtrOnly, q74RegexOnly, q74RegexNoRepart, q74StopOnly,
@@ -2062,6 +2082,9 @@ object AbBench {
       "q66_cur" -> (() => entry("q66_promo_share")),
       "q67_cur" -> (() => entry("q67_cust_order_distribution")),
       "q70_cur" -> (() => entry("q70_local_supplier_volume")),
+      "q136_cur" -> (() => q136Cur()),
+      "q136_exact_only" -> (() => q136ExactOnly()),
+      "q137_cur" -> (() => entry("q137_fuzzy_block_recall")),
       "q126_batchlists" -> (() => q126Stage(1)),
       "q126_merge" -> (() => q126Stage(2)),
       "q126_proj" -> (() => q126Stage(3)),
