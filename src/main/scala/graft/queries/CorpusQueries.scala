@@ -35,6 +35,24 @@ object CorpusQueries {
     // residency, reclaimed when the result frame is GC'd.
     // At 100 TB the lm broadcast becomes a shuffle join on tok — tf is
     // already the small side's natural partitioning input.
+    // Reference-LM bigram surprisal (r16, ml/NgramLm — the CCNet
+    // quality-filter primitive q48 only approximates: train a Stupid
+    // Backoff bigram LM on the doc_id < 250 REFERENCE slice, score
+    // the rest; transitions the reference never saw take the add-1-
+    // smoothed unigram backoff, so the backoff path — the part q48
+    // structurally lacks — is live at every gate scale (n_backoff > 0
+    // on most scored docs). At sf0.1 the reference is 5% of the
+    // corpus: the LM tables are reference-bounded and broadcast while
+    // small, which is the recipe's actual 100 TB shape (curated
+    // reference ≪ scored crawl).
+    "q138_bigram_backoff" -> { (s, dir) =>
+      graft.ml.NgramLm.bigramSurprisal(
+          t(s, dir, "documents")
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          isRef = col("doc_id") < 250)
+        .orderBy(col("doc_id"))
+    },
+
     "q48_unigram_surprisal" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -435,6 +453,48 @@ object CorpusQueries {
       q106, q107)
 
   val oracles: Map[String, String] = Map(
+    // q138: the identical Stupid Backoff arithmetic — every score is
+    // one IEEE division of exact reference counts (or the alpha·add-1
+    // unigram), ln per row, round(mean, 4) — the q48 emission
+    // precedent
+    "q138_bigram_backoff" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    doc_id < 250 AS is_ref FROM documents),
+        |bgf AS (
+        |  SELECT doc_id, is_ref, b['prev'] AS prev, b['cur'] AS cur FROM (
+        |    SELECT doc_id, is_ref,
+        |      unnest(list_transform(generate_series(2, len(toks)),
+        |        i -> struct_pack(prev := toks[i-1], cur := toks[i]))) AS b
+        |    FROM docs WHERE len(toks) >= 2)),
+        |refbg AS (
+        |  SELECT prev, cur, count(*) AS c_bg FROM bgf WHERE is_ref
+        |  GROUP BY prev, cur),
+        |refuni AS (
+        |  SELECT tok, count(*) AS c_uni FROM (
+        |    SELECT unnest(toks) AS tok FROM docs WHERE is_ref)
+        |  GROUP BY tok),
+        |stats AS (
+        |  SELECT CAST(sum(c_uni) AS BIGINT) AS n_total,
+        |    CAST(count(*) AS BIGINT) AS v FROM refuni),
+        |sc AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN r.c_bg IS NOT NULL
+        |      THEN CAST(r.c_bg AS DOUBLE) / pu.c_uni
+        |      ELSE 0.4 * CAST(COALESCE(cu.c_uni, 0) + 1 AS DOUBLE)
+        |        / (st.n_total + st.v + 1) END AS sv,
+        |    CASE WHEN r.c_bg IS NULL THEN 1 ELSE 0 END AS backoff
+        |  FROM bgf s
+        |  LEFT JOIN refbg r ON r.prev = s.prev AND r.cur = s.cur
+        |  LEFT JOIN refuni pu ON pu.tok = s.prev
+        |  LEFT JOIN refuni cu ON cu.tok = s.cur
+        |  CROSS JOIN stats st
+        |  WHERE NOT s.is_ref)
+        |SELECT doc_id, round(sum(-ln(sv)) / count(*), 4) AS surprisal,
+        |  CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(backoff) AS BIGINT) AS n_backoff
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q48_unigram_surprisal" ->
       """WITH tf AS (
         |  SELECT doc_id, tok, count(*) AS tf FROM (
