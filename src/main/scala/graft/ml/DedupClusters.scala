@@ -182,4 +182,40 @@ object DedupClusters {
         (col("doc_id") === col("label")).as("keep"))
     Assignment(out, round, converged)
   }
+
+  /** Leakage-safe (cluster-aware) split assignment: every member of a
+    * near-dup cluster lands in the SAME train/val/test split, or
+    * held-out eval documents leak into training through their
+    * near-copies — the standard contamination hazard a per-document
+    * hash split (q61) cannot prevent by construction. The split is
+    * drawn at CLUSTER granularity with the q61 deterministic-md5
+    * contract: bucket = first 8 md5 hex digits of the cluster id's
+    * decimal string, mod 10000; split thresholds are integer
+    * permyriad cut points (no float boundaries — the q71 discipline),
+    * so the assignment is reproducible across runs AND engines.
+    *
+    * `labels` is [[assign]]'s output (doc_id, cluster_id, keep);
+    * singletons carry their own id as cluster_id, so they draw
+    * independently exactly like a plain q61 split — only true
+    * near-dup groups move together. Map-only over the labels frame:
+    * the cluster graph work was already paid by assign.
+    *
+    * `splits`: (name, permyriad) in order; must sum to 10000. */
+  def leakageSafeSplit(labels: DataFrame,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    require(splits.map(_._2).sum == 10000,
+      s"split permyriads must sum to 10000, got ${splits.map(_._2).sum}")
+    val bucket = (conv(substring(md5(col("cluster_id").cast("string")), 1, 8),
+      16, 10).cast("long") % 10000).as("bucket")
+    val cuts = splits.scanLeft(0)(_ + _._2).tail
+    val assignExpr = splits.zip(cuts).init.reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), hi)) =>
+        when(col("bucket") < hi, lit(name)).otherwise(acc)
+      }
+    labels
+      .select(col("doc_id"), col("cluster_id"), bucket)
+      .withColumn("split", assignExpr)
+  }
 }

@@ -129,6 +129,24 @@ object CorpusQueries {
       .orderBy(col("cluster_id"))
   }
 
+  // Leakage-safe split (r16, DedupClusters.leakageSafeSplit): the
+  // q61 deterministic hash split drawn at CLUSTER granularity so
+  // near-dup cluster members can never straddle train/test — the
+  // standard eval-contamination hazard a per-document split cannot
+  // prevent by construction. Composes the q51 cluster machinery
+  // (edges localCheckpointed per the executeTake rule) with
+  // integer-permyriad cut points.
+  private val q139 = "q139_cluster_split" -> { (s: SparkSession, dir: String) =>
+    val docs = t(s, dir, "documents")
+    val pairs = graft.ml.TextDedup.minhashLshPairs(docs, n = 3, k = 12,
+      bands = 4, threshold = 0.3, minAgree = 5)
+      .localCheckpoint()
+    val labels = graft.ml.DedupClusters.assign(docs.select(col("doc_id")), pairs)
+    graft.ml.DedupClusters.leakageSafeSplit(labels,
+        Seq(("train", 8000), ("validation", 1000), ("test", 1000)))
+      .orderBy(col("doc_id"))
+  }
+
   // Canonical document selection — the policy step a production dedup
   // pipeline runs AFTER clustering: within each near-dup cluster keep
   // the highest-quality member (ties: lowest doc_id), drop the rest.
@@ -450,7 +468,7 @@ object CorpusQueries {
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
     Map(q50, q51, q77, q82, q83, q84, q85, q88, q89, q102, q103, q104, q105,
-      q106, q107)
+      q106, q107, q139)
 
   val oracles: Map[String, String] = Map(
     // q138: the identical Stupid Backoff arithmetic — every score is
@@ -538,6 +556,36 @@ object CorpusQueries {
          | array_to_string(list_sort(list(doc_id)), ',') AS members
          |FROM labels GROUP BY cluster_id HAVING count(*) > 1
          |ORDER BY cluster_id""".stripMargin
+    },
+
+    // q139: q51's component labels (singletons = own id) + the q61
+    // md5-bucket arithmetic at cluster granularity, integer permyriad
+    // cut points
+    "q139_cluster_split" -> {
+      val pairSql = PipelineQueries.oracles("q32_minhash_lsh")
+      s"""WITH RECURSIVE pairs AS ($pairSql),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(doc_id, label) AS (
+         |  SELECT DISTINCT s, s FROM edges
+         |  UNION
+         |  SELECT e.s, r.label FROM edges e JOIN reach r ON e.d = r.doc_id),
+         |labels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         |alldocs AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+         |b AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+         |      AS BIGINT) % 10000 AS bucket
+         |  FROM alldocs)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 8000 THEN 'train'
+         |       WHEN bucket < 9000 THEN 'validation'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
     },
 
     // q51's component labels + the shared quality score, keeper =

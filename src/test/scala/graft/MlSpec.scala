@@ -387,6 +387,36 @@ class MlSpec extends SparkSpec {
     assert(sampled.zip(full).forall { case (s, f) => s._2 <= f._2 })
   }
 
+  test("leakage-safe split: cluster members always share a split; bucket arithmetic equals JVM md5; weights validated") {
+    import graft.ml.DedupClusters
+    val pairs = TextDedup.minhashLshPairs(corpus, n = 3, k = 12, bands = 4,
+      threshold = 0.3)
+    val labels = DedupClusters.assign(corpus.select($"doc_id"), pairs)
+    val out = DedupClusters.leakageSafeSplit(labels,
+        Seq(("train", 8000), ("validation", 1000), ("test", 1000)))
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.length === corpus.count())
+    // THE property: same cluster => same split (doc-granular q61
+    // could straddle; cluster-granular cannot)
+    assert(out.groupBy(_._2).values.forall(g => g.map(_._4).distinct.size == 1))
+    // clusters exist in this fixture (1,2,4 near-dups) — the property
+    // is exercised on a real multi-member group
+    assert(out.groupBy(_._2).values.exists(_.size > 1))
+    // bucket differential vs an independent JVM md5
+    def jvmBucket(c: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 10000
+    }
+    assert(out.forall(r => r._3 === jvmBucket(r._2)))
+    // thresholds: integer permyriads summing to 10000, enforced
+    val e = intercept[IllegalArgumentException] {
+      DedupClusters.leakageSafeSplit(labels, Seq(("train", 9000), ("test", 900)))
+    }
+    assert(e.getMessage.contains("10000"))
+  }
+
   test("dedup clusters: long chain (diameter > 4) converges to one component") {
     // Regression for the fixed-round-count bug: a 13-node chain has
     // diameter 12; pointer doubling must still collapse it to a single
