@@ -118,7 +118,16 @@ object Bench {
             keyFn, maxDist = 8))),
         evalIdx, evalN = 3,
         onMaintain = (bid, st) =>
-          maintSecs.synchronized { maintSecs(bid) = st.secs; () }) {
+          maintSecs.synchronized {
+            // first slot stat per batch is the index-maintain one; its
+            // NAME carries the per-leg append clocks (r16)
+            if (!maintSecs.contains(bid)) {
+              maintSecs(bid) = st.secs
+              stageDetail(bid) = stageDetail.getOrElse(bid, "") +
+                s" | ${st.stage}"
+            }
+            ()
+          }) {
         (bid, _, stats) => screenSecs.synchronized {
           screenSecs(bid) = stats.map(_.secs).sum
           stageDetail(bid) = stats

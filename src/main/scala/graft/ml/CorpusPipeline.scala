@@ -894,30 +894,46 @@ object CorpusPipeline {
           // is band-anti-join idempotent, so the replay completes
           // the half-landed append with no duplicate rows; see the
           // BandIndex.append crash contract + BandIndex.recover.)
+          // per-leg clocks ride the maintenance stat's name (r16):
+          // the composed slot is the dominant per-batch cost term
+          // (Bench ingest_screen_sec measured it at ~5.4 s of the
+          // ~9 s toy-corpus batch), so which APPEND carries the floor
+          // must be readable from the stat, not re-instrumented
+          val legSecs = Vector.newBuilder[(String, Double)]
+          def timedLeg[A](name: String)(body: => A): A = {
+            val s0 = System.nanoTime()
+            val r = body
+            legSecs += name -> (math.rint((System.nanoTime() - s0) / 1e5) / 1e4)
+            r
+          }
           maint.lexIndexDir.foreach(dir =>
-            LexIndex.appendBatch(spark, dir, docs))
+            timedLeg("lex")(LexIndex.appendBatch(spark, dir, docs)))
           maint.ivfTable.foreach(t =>
-            IvfIndex.append(spark, t, maint.embed(accepted)))
+            timedLeg("ivf")(IvfIndex.append(spark, t, maint.embed(accepted))))
           maint.sigIndex.foreach(sc =>
-            SigIndex.append(spark, sc.table, sc.sig(accepted),
-              "id", "sig", sc.bands))
+            timedLeg("sig")(SigIndex.append(spark, sc.table, sc.sig(accepted),
+              "id", "sig", sc.bands)))
           maint.ngramIndex.foreach(ng =>
-            NgramIndex.append(spark, ng.dir, docs))
+            timedLeg("ngram")(NgramIndex.append(spark, ng.dir, docs)))
           maint.fuzzyIndex.foreach(fz =>
-            FuzzyJoin.FuzzyIndex.append(spark, fz.table, fz.key(accepted),
-              "doc_id", "s", col("blk")))
-          BandIndex.append(spark, maint.bandTable, docs,
-            maint.n, maint.k, maint.bands)
+            timedLeg("fuzzy")(FuzzyJoin.FuzzyIndex.append(spark, fz.table,
+              fz.key(accepted), "doc_id", "s", col("blk"))))
+          timedLeg("band")(BandIndex.append(spark, maint.bandTable, docs,
+            maint.n, maint.k, maint.bands))
           val bucketed = Seq(maint.bandTable,
             BandIndex.keysTable(maint.bandTable)) ++ maint.ivfTable ++
             maint.sigIndex.map(_.table) ++ maint.fuzzyIndex.map(_.table)
-          val compacted = bucketed.filter(t =>
-            graft.store.Bucketing.filesPerBucket(spark, t) >=
-              maint.compactAtFilesPerBucket)
-          compacted.foreach(t =>
-            graft.store.Bucketing.compactBucketed(spark, t))
+          val compacted = timedLeg("compact") {
+            val due = bucketed.filter(t =>
+              graft.store.Bucketing.filesPerBucket(spark, t) >=
+                maint.compactAtFilesPerBucket)
+            due.foreach(t => graft.store.Bucketing.compactBucketed(spark, t))
+            due
+          }
+          val legDetail = legSecs.result()
+            .map { case (n, sec) => s"$n=$sec" }.mkString(" ")
           onMaintain(batchId, StageStat(
-            s"indexMaintain(compacted=${compacted.size})", nA, nA,
+            s"indexMaintain(compacted=${compacted.size} $legDetail)", nA, nA,
             math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
           // cardinality telemetry: fold the accepted batch into each
           // stored KMV monitor and report the distinct-estimate

@@ -1317,6 +1317,12 @@ class CorpusPipelineSpec extends SparkSpec {
       // sums these, so a stage that stopped timing would silently
       // shrink the Bench artifact
       assert(stages(0L).forall(_.secs >= 0.0))
+      // the maintenance stat names every leg's own clock (r16): with
+      // all six legs attached, lex/ivf/sig/ngram/fuzzy/band/compact
+      // must each appear — the attribution Bench's stderr line reads
+      val mstage = maintained(0L).stage
+      Seq("lex=", "ivf=", "sig=", "ngram=", "fuzzy=", "band=", "compact=")
+        .foreach(leg => assert(mstage.contains(leg), s"$leg missing: $mstage"))
     } finally {
       evalIdx.grams.unpersist()
       Seq("g_all_band", "g_all_band_keys", "g_all_ivf",
