@@ -2085,6 +2085,8 @@ object AbBench {
       "q136_cur" -> (() => q136Cur()),
       "q136_exact_only" -> (() => q136ExactOnly()),
       "q137_cur" -> (() => entry("q137_fuzzy_block_recall")),
+      "q138_cur" -> (() => entry("q138_bigram_backoff")),
+      "q139_cur" -> (() => entry("q139_cluster_split")),
       "q126_batchlists" -> (() => q126Stage(1)),
       "q126_merge" -> (() => q126Stage(2)),
       "q126_proj" -> (() => q126Stage(3)),
