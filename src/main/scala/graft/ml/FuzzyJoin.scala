@@ -78,8 +78,51 @@ object FuzzyJoin {
       .withColumn("is_match", col("dist") <= maxDist)
   }
 
+  /** 36-bucket character-count signature (a-z + 0-9) — the per-row
+    * precompute for [[countFilterPasses]]. 36 codegen'd translate
+    * scans per row (table lookups, the CLAUDE.md fast path), paid
+    * once per DOC; the per-PAIR bound check is then 36 integer ops
+    * against levenshtein's O(|s|²) DP. Digits matter: identifier-like
+    * corpora (versioned titles, SKUs — and the ScaleGen fixtures)
+    * often differ ONLY in digit runs, and a letters-only histogram
+    * prunes nothing there (measured: the 30× exact side read ~50 s
+    * letters-only vs 2.9 s with digits included). */
+  private[graft] def letterCounts(s: Column): Column =
+    array((('a' to 'z') ++ ('0' to '9')).map(c =>
+      (length(s) - length(translate(s, c.toString, ""))).cast("int")): _*)
+
+  /** The count-filter lower bound (Jokinen & Ukkonen 1991, the
+    * classic approximate-string-matching prefilter): one edit
+    * operation changes the letter-count multiset by at most 2 (a
+    * substitution decrements one letter and increments another), so
+    * ed(a,b) ≥ Σ_c |cnt_a(c) − cnt_b(c)| / 2 — counting over ANY
+    * character subset keeps the bound sound (edits touching
+    * out-of-subset chars only loosen it). A pair can pass and still
+    * verify past maxDist (it is a lower bound, not a distance), so
+    * the filter is OUTPUT-NEUTRAL wherever a dist ≤ maxDist filter
+    * already follows. Applied ONLY on [[blockingRecallProbe]]'s
+    * brute-force exact side, where candidate volume is
+    * |sample|·corpus and the filter is worth 17× at 30× scale
+    * (48.4 → 2.9 s); on the BLOCKED paths (matches/probe) the cap
+    * already bounds candidates and the precompute + bound check
+    * measured a net LOSS (q131 1.10 vs 0.65 s interleaved), so they
+    * deliberately don't use it — the q133 both-ways-envelope
+    * discipline. Never applied to [[blockedCandidates]]' audit view,
+    * whose contract is to emit every length-surviving candidate WITH
+    * its distance (q130). */
+  private[graft] def countFilterPasses(va: Column, vb: Column,
+      maxDist: Int): Column =
+    aggregate(zip_with(va, vb, (x, y) => abs(x - y)), lit(0),
+      (acc, x) => acc + x) <= lit(2 * maxDist)
+
   /** The accepted pairs only: (id_a, id_b, dist), dist ≤ maxDist —
-    * the edge list a clustering pass ([[DedupClusters]]) consumes. */
+    * the edge list a clustering pass ([[DedupClusters]]) consumes.
+    * Deliberately NOT count-filtered (r16, measured): on the blocked
+    * path the cap already bounds candidates to ~cap/doc and the
+    * letter-count precompute + per-pair bound check LOSES interleaved
+    * (q131 1.10 vs 0.65 s min at sf0.1) — the filter only pays on the
+    * brute-force truth side where candidate volume is |sample|·corpus
+    * ([[blockingRecallProbe]], 48.4 → 2.9 s at 30×). */
   def matches(df: DataFrame, idCol: String, strCol: String,
       blockKey: Column, maxDist: Int, blockCap: Int = 1000): DataFrame =
     blockedCandidates(df, idCol, strCol, blockKey, maxDist, blockCap)
@@ -118,18 +161,23 @@ object FuzzyJoin {
         isSample.as("is_smp"))
       .filter(col("blk").isNotNull && col("id").isNotNull &&
         col("s").isNotNull)
+      .withColumn("cv", letterCounts(col("s")))
       .repartition(spark.sparkContext.defaultParallelism, col("blk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // exact truth: sample × corpus brute force (no blocking), the
-      // length lower bound inside the join condition so the O(|s|²)
-      // verify only runs on length-plausible pairs
+      // length lower bound inside the join condition + the
+      // count-filter bound ([[countFilterPasses]] — sound, so the
+      // truth set is unchanged) so the O(|s|²) verify only runs on
+      // count-plausible pairs: this is the term that is LINEAR in the
+      // corpus, and the prefilter is what keeps its constant small
       val q = base.filter(col("is_smp"))
-        .select(col("id").as("qid"), col("s").as("qs"))
+        .select(col("id").as("qid"), col("s").as("qs"), col("cv").as("qcv"))
       val exact = broadcast(q)
-        .join(base.select(col("id"), col("s")),
+        .join(base.select(col("id"), col("s"), col("cv")),
           col("qid") =!= col("id") &&
             abs(length(col("qs")) - length(col("s"))) <= maxDist)
+        .filter(countFilterPasses(col("qcv"), col("cv"), maxDist))
         .filter(levenshtein(col("qs"), col("s")) <= maxDist)
         .select(least(col("qid"), col("id")).as("id_a"),
           greatest(col("qid"), col("id")).as("id_b"))
@@ -140,14 +188,21 @@ object FuzzyJoin {
       val maxCap = blockCaps.max
       val census = base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
       val keep = base.join(census.filter(col("bn") <= maxCap), Seq("blk"))
-      val a = keep.select(col("blk"), col("bn"),
-        col("id").as("id_a"), col("s").as("s_a"), col("is_smp").as("smp_a"))
-      val b = keep.select(col("blk"),
-        col("id").as("id_b"), col("s").as("s_b"), col("is_smp").as("smp_b"))
+      // the count filter applies HERE too (unlike the shipped blocked
+      // screens): the monitor runs at the LOOSEST cap of its operating
+      // points, so hot blocks near maxCap contribute cap²-scale pair
+      // volume — at 30× the two filtered sides together measured
+      // 2.9 s where exact-side-only read 50.8 (the found side was the
+      // dominant lev consumer on a hot-block corpus)
+      val a = keep.select(col("blk"), col("bn"), col("id").as("id_a"),
+        col("s").as("s_a"), col("cv").as("cv_a"), col("is_smp").as("smp_a"))
+      val b = keep.select(col("blk"), col("id").as("id_b"),
+        col("s").as("s_b"), col("cv").as("cv_b"), col("is_smp").as("smp_b"))
       val found = a.join(b, Seq("blk"))
         .filter(col("id_a") < col("id_b"))
         .filter(col("smp_a") || col("smp_b"))
         .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
+        .filter(countFilterPasses(col("cv_a"), col("cv_b"), maxDist))
         .filter(levenshtein(col("s_a"), col("s_b")) <= maxDist)
         .select(col("id_a"), col("id_b"), col("bn"))
         .localCheckpoint()
@@ -256,6 +311,8 @@ object FuzzyJoin {
           .groupBy(col("blk")).agg(count(lit(1)).as("bn"))
           .filter(col("bn") <= blockCap).select(col("blk")),
         Seq("blk"), "left_semi")
+      // no count filter here either — the blocked probe's candidate
+      // volume is cap-bounded (see the [[matches]] measured note)
       keep.as("c")
         .join(b.as("p"), col("c.blk") === col("p.blk") &&
           col("c.id") =!= col("p.id"))

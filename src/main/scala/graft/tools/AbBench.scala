@@ -1776,6 +1776,24 @@ object AbBench {
       spark.catalog.clearCache(); r
     }
 
+    // count-filter A/B (r16): q131 via matches WITHOUT the
+    // Jokinen-Ukkonen prefilter (the pre-filter-era form) vs the
+    // shipped filtered path (q131_cur)
+    def q131NoCf(): Long = {
+      val edges = graft.ml.FuzzyJoin.blockedCandidates(fuzzyDocs,
+          "doc_id", "title", col("blk"), maxDist = 8, blockCap = 64)
+        .filter(col("is_match"))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .localCheckpoint()
+      val r = graft.ml.DedupClusters.assign(
+          fuzzyDocs.select(col("doc_id")), edges)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("size"),
+          concat_ws(",", array_sort(collect_list(col("doc_id")))).as("members"))
+        .filter(col("size") > 1).count()
+      spark.catalog.clearCache(); r
+    }
+
     // fixA + localCheckpoint(edges) before assign: one parallel
     // materialization instead of executeTake re-running the verify
     // stage on 1/4/16/32 partitions during the cluster-probe collect
@@ -1881,6 +1899,46 @@ object AbBench {
     // shingleKeyTable (xxhash64) while the LSH side already md5-
     // digested every shingle. q136_fromdig builds the flagged
     // postings from the SHARED digest frame's 63-bit keys instead.
+    // q137 side isolates (r16): where does the 30× cost live —
+    // the sample×corpus exact side or the loosest-cap found side?
+    def q137Side(exact: Boolean): Long = {
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 14)).as("title"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+      val base = docs.select(col("blk").cast("string").as("blk"),
+          col("doc_id").cast("long").as("id"), col("title").cast("string").as("s"),
+          (col("doc_id") < 100).as("is_smp"))
+        .filter(col("blk").isNotNull && col("id").isNotNull && col("s").isNotNull)
+        .withColumn("cv", graft.ml.FuzzyJoin.letterCounts(col("s")))
+        .repartition(spark.sparkContext.defaultParallelism, col("blk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val r = if (exact) {
+        val q = base.filter(col("is_smp"))
+          .select(col("id").as("qid"), col("s").as("qs"), col("cv").as("qcv"))
+        broadcast(q)
+          .join(base.select(col("id"), col("s"), col("cv")),
+            col("qid") =!= col("id") &&
+              abs(length(col("qs")) - length(col("s"))) <= 8)
+          .filter(graft.ml.FuzzyJoin.countFilterPasses(col("qcv"), col("cv"), 8))
+          .filter(levenshtein(col("qs"), col("s")) <= 8).count()
+      } else {
+        val census = base.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+        val keep = base.join(census.filter(col("bn") <= 64), Seq("blk"))
+        val a = keep.select(col("blk"), col("bn"), col("id").as("id_a"),
+          col("s").as("s_a"), col("cv").as("cv_a"), col("is_smp").as("smp_a"))
+        val b = keep.select(col("blk"), col("id").as("id_b"),
+          col("s").as("s_b"), col("cv").as("cv_b"), col("is_smp").as("smp_b"))
+        a.join(b, Seq("blk"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(col("smp_a") || col("smp_b"))
+          .filter(abs(length(col("s_a")) - length(col("s_b"))) <= 8)
+          .filter(graft.ml.FuzzyJoin.countFilterPasses(col("cv_a"), col("cv_b"), 8))
+          .filter(levenshtein(col("s_a"), col("s_b")) <= 8).count()
+      }
+      base.unpersist(); spark.catalog.clearCache(); r
+    }
+
     def q136Cur(): Long = entry("q136_lsh_recall_sampled")
     def q136ExactOnly(): Long = {
       val docs = graft.Tables.t(spark, sfDir, "documents")
@@ -2076,6 +2134,7 @@ object AbBench {
       "q131_edges_fixp" -> (() => q131EdgesFixPersist()),
       "q131_fixa" -> (() => q131FixA()),
       "q131_fixc" -> (() => q131FixC()),
+      "q131_nocf" -> (() => q131NoCf()),
       "q51_cur" -> (() => entry("q51_dedup_clusters")),
       "q51_ckpt" -> (() => q51Ckpt()),
       "q65_cur" -> (() => entry("q65_shipping_priority")),
@@ -2083,6 +2142,8 @@ object AbBench {
       "q67_cur" -> (() => entry("q67_cust_order_distribution")),
       "q70_cur" -> (() => entry("q70_local_supplier_volume")),
       "q136_cur" -> (() => q136Cur()),
+      "q137_exact_side" -> (() => q137Side(true)),
+      "q137_found_side" -> (() => q137Side(false)),
       "q136_exact_only" -> (() => q136ExactOnly()),
       "q137_cur" -> (() => entry("q137_fuzzy_block_recall")),
       "q138_cur" -> (() => entry("q138_bigram_backoff")),

@@ -194,6 +194,53 @@ class FuzzyJoinSpec extends SparkSpec {
       (3, 5L, 4L, 0.8)))  // cap 3: only the cross-block (4,5) missing
   }
 
+  test("count filter is a true lower bound: matches/probe output is IDENTICAL to the unfiltered threshold semantics (r16)") {
+    // theorem check on adversarial inputs: strings built by applying
+    // exactly d random edits — every such pair MUST pass the filter
+    // at maxDist >= d (ed <= d implies sum|delta counts| <= 2d)
+    val rng = new scala.util.Random(53)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    def applyEdits(s: String, d: Int): String = {
+      var cur = s
+      (1 to d).foreach { _ =>
+        val op = rng.nextInt(3)
+        val i = if (cur.isEmpty) 0 else rng.nextInt(cur.length)
+        cur = op match {
+          case 0 if cur.nonEmpty => cur.updated(i, ('a' + rng.nextInt(26)).toChar)
+          case 1 => cur.patch(i, ('a' + rng.nextInt(26)).toChar.toString, 0)
+          case _ if cur.nonEmpty => cur.patch(i, "", 1)
+          case _ => cur
+        }
+      }
+      cur
+    }
+    def counts(s: String) = ('a' to 'z').map(c => s.count(_ == c))
+    (1 to 300).foreach { _ =>
+      val a = randStr(5 + rng.nextInt(30))
+      val d = rng.nextInt(6)
+      val b = applyEdits(a, d)
+      val sumAbs = counts(a).zip(counts(b)).map(p => (p._1 - p._2).abs).sum
+      val ed = editDist(a, b) // <= d by construction
+      assert(sumAbs <= 2 * ed,
+        s"count bound violated: a=$a b=$b ed=$ed sumAbs=$sumAbs")
+    }
+    // end-to-end: matches (count-filtered) equals blockedCandidates'
+    // threshold view (unfiltered) on a random blocked corpus
+    val df = (1L to 120L).map { i =>
+      val blk = s"b${i % 6}"
+      (i, blk, randStr(8 + rng.nextInt(10)))
+    }.toDF("id", "blk", "s")
+    val viaCandidates = FuzzyJoin.blockedCandidates(df, "id", "s",
+        col("blk"), maxDist = 3, blockCap = 64)
+      .filter(col("is_match"))
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaMatches = FuzzyJoin.matches(df, "id", "s",
+        col("blk"), maxDist = 3, blockCap = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaMatches === viaCandidates)
+  }
+
   test("NULL ids, strings, or block keys don't participate") {
     val df = Seq((Some(1L), Some("aa bb")), (Some(2L), Some("aa bc")),
         (None, Some("aa bd")), (Some(4L), None))
