@@ -310,6 +310,37 @@ object NgramIndex {
     TextDedup.containmentPairsIncrementalFromPostings(merged, threshold)
   }
 
+  /** Per-doc marginal novelty of a batch against the stored gram
+    * vocabulary — the ingest-time data-valuation signal ("is this
+    * batch adding anything?") q96's first-occurrence novelty computes
+    * corpus-wide: novelty = |batch grams unseen in the index| /
+    * |batch grams|, (doc_id, n_grams, n_novel, novelty) with the q71
+    * integer-target emission. Served FROM the index: the batch
+    * tokenizes itself, presence is one left join against the stored
+    * gram keys — every gram has a df row even when hot (empty docs
+    * list), so presence needs no list materialization and the join
+    * payload is 8-byte keys. Complements the loop's KMV vocabulary
+    * telemetry (aggregate delta) with a PER-DOCUMENT score a
+    * curation policy can threshold.
+    *
+    * Replay caveat (the loop's standard ordering): score BEFORE the
+    * batch is appended — a replayed already-appended doc finds its
+    * own grams stored and reads novelty 0. */
+  def probeNovelty(spark: SparkSession, dir: String,
+      batch: DataFrame): DataFrame = {
+    val m = meta(spark, dir)
+    val stored = postingsFrame(spark, dir)
+      .select(col("shingle"), lit(1).as("seen"))
+    TextDedup.shingleKeyTable(batch, m.n)
+      .join(stored, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (round(col("n_novel").cast("double") / col("n_grams") * 10000, 0)
+          .cast("long") / lit(10000.0)).as("novelty"))
+  }
+
   private def cappedLists(spark: SparkSession, dir: String,
       dfCap: Int): DataFrame = {
     val m = meta(spark, dir)

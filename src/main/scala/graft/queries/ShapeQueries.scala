@@ -603,6 +603,23 @@ object ShapeQueries {
           docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text")),
           threshold = 0.6, dfCap = 50)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Batch novelty from the STORED gram vocabulary (r16): per-doc
+    // marginal-contribution score for the q126 fixture batch — the
+    // ingest-time complement of q96's corpus-wide first-occurrence
+    // novelty, and the per-document counterpart of the loop's KMV
+    // vocabulary telemetry. One batch tokenize + one presence join
+    // against stored 8-byte gram keys; same session index as q126.
+    "q140_batch_novelty" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+      val idx = graft.ml.NgramIndex.ensure(s, dir,
+        docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text")),
+        n = 4, dfMax = 64, tag = "pre400")
+      graft.ml.NgramIndex.probeNovelty(s, idx,
+          docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"))
     })
 
   private def e4sum(expr: String): String =
@@ -829,6 +846,21 @@ object ShapeQueries {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q97_containment_pairs" -> containmentOracle(""),
+
+    // q140: batch grams (distinct per doc, the sh CTE's semantics)
+    // left-joined against the DISTINCT pre-400 corpus vocabulary
+    "q140_batch_novelty" ->
+      s"""WITH ${PipelineQueries.ngramCte(4)},
+         |corpus AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 400),
+         |batch AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 400)
+         |SELECT b.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(round(sum(CASE WHEN c.shingle IS NULL THEN 1 ELSE 0 END)
+         |    * 1.0 / count(*) * 10000, 0) AS BIGINT) / 10000.0 AS novelty
+         |FROM batch b LEFT JOIN corpus c ON b.shingle = c.shingle
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 
     // The full q97 computation restricted to new-touching pairs: the
     // incremental path's early pruning must lose nothing vs this.

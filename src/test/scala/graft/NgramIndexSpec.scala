@@ -339,4 +339,34 @@ class NgramIndexSpec extends SparkSpec {
     assert(d2 !== d1)
     assert(NgramIndex.meta(spark, d2) === NgramIndex.Meta(4, 8))
   }
+
+  test("probeNovelty: per-doc novelty equals a driver-side reference over the stored vocabulary; 0.0 for a pure replay, 1.0 for all-new content") {
+    val dir = freshDir()
+    NgramIndex.build(docs.select($"doc_id", $"text"), dir, n = 3, dfMax = 64)
+    // driver-side reference: the corpus's distinct 3-gram vocabulary
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ").toSeq
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val vocab = docs.collect()
+      .flatMap(r => grams(r.getString(1))).toSet
+    val batch = Seq(
+      (100, "alpha beta gamma delta epsilon zeta"), // = doc 1's text? mixed
+      (101, "totally unseen words arranged in a fresh novel order today"),
+      (102, docs.filter($"doc_id" === 5).head().getString(1))) // replay text
+      .toDF("doc_id", "text")
+    val got = NgramIndex.probeNovelty(spark, dir, batch)
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val want = batch.collect().map { r =>
+      val g = grams(r.getString(1))
+      val novel = g.count(x => !vocab.contains(x)).toLong
+      r.getInt(0) -> (g.size.toLong, novel,
+        math.rint(novel.toDouble / g.size * 10000) / 10000.0)
+    }.toMap
+    assert(got === want)
+    assert(got(101)._3 === 1.0, "all-new content must score 1.0")
+    assert(got(102)._3 === 0.0, "replayed corpus text must score 0.0")
+  }
 }
