@@ -1,0 +1,120 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-source quality calibration: percentile-rank a per-document
+  * metric WITHIN each source so that selection thresholds mean the
+  * same thing for every source — the FineWeb/DCLM-style "keep the top
+  * q% of each source" rule that a raw global threshold gets wrong
+  * when sources have different metric scales.
+  *
+  * Reference behavior frame: blq-cli's per-group ranking surface
+  * (top-N-by-group over stored events, /root/reference/src/blq/
+  * query.py) — generalized from top-N to an exact percentile with a
+  * fractional keep rule.
+  *
+  * Scale shape — the W1 lesson applied to per-group ranks: a
+  * `Window.partitionBy(source)` collapses its exchange to |sources|
+  * partitions (CLAUDE.md), so a corpus-scale calibration pass would
+  * rank each source on ONE core. This operator instead runs the
+  * [[WeightedSample]] distributed-prefix discipline: range-repartition
+  * on the full order key (source, metric, id), collect per-(partition,
+  * source) COUNTS (bounded: partitions × sources rows), compute each
+  * (partition, source)'s rank offset driver-side, and finish with a
+  * window partitioned by (range-partition id, source) — every
+  * partition ranks its own slice in parallel, offsets stitch the
+  * global per-source order back together. The repartitioned frame
+  * feeds two consumers (counts + final scan) and is persisted for the
+  * pass; the result is localCheckpoint()ed BEFORE the unpersist so a
+  * later recompute cannot re-draw range boundaries that no longer
+  * match the collected offsets (the WeightedSample.systematic rule).
+  *
+  * Exactness contract: pct = (rank−1)/(n_src−1) — SQL percent_rank
+  * over a TOTAL order (metric, then id as tiebreak), so rank =
+  * row_number deterministically; the division is one IEEE op on exact
+  * integers (identical in both engines) and the keep rule is pure
+  * integer arithmetic: keep ⟺ (rank−1)·fracDen ≤ (n_src−1)·fracNum —
+  * never a float compare (the q95 half-point lesson). Single-row
+  * sources define pct = 0 (the SQL percent_rank convention) and are
+  * always kept. */
+object Calibrate {
+
+  /** Per-`grpCol` percentile of integral `metricCol` (ties broken by
+    * integral `idCol`), keeping rows in the bottom fracNum/fracDen of
+    * each group when `ascending` (low metric = kept) — pass the
+    * top-fraction by flipping `ascending=false`. Output: (idCol,
+    * grpCol, metric, pct) for KEPT rows, pct integer-scaled to 4 dp.
+    *
+    * Both metric and id must be integral (the WeightedSample
+    * exactness contract): the rank math and keep rule stay in exact
+    * long arithmetic end-to-end. */
+  def keepByPercentile(df: DataFrame, grpCol: String, metricCol: String,
+      idCol: String, fracNum: Long, fracDen: Long,
+      ascending: Boolean = true): DataFrame = {
+    require(fracDen >= 1 && fracNum >= 0 && fracNum <= fracDen,
+      s"keep fraction must be 0 <= $fracNum/$fracDen <= 1")
+    locally {
+      import org.apache.spark.sql.types._
+      val integral: Set[DataType] =
+        Set(ByteType, ShortType, IntegerType, LongType)
+      Seq(metricCol, idCol).foreach { c =>
+        require(integral.contains(df.schema(c).dataType),
+          s"'$c' must be an integral type for exact rank arithmetic, " +
+            s"got ${df.schema(c).dataType}")
+      }
+    }
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val mCol = if (ascending) col(metricCol).cast("long")
+      else -col(metricCol).cast("long")
+    val base = df.select(col(grpCol).cast("string").as("g"),
+        mCol.as("m"), col(idCol).cast("long").as("id"),
+        col(metricCol).cast("long").as("metric"))
+      .filter(col("id").isNotNull && col("m").isNotNull)
+    val ranged = base.repartitionByRange(p, col("g"), col("m"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded collect: ≤ partitions × |groups| rows
+      val counts = ranged.groupBy(col("__pid"), col("g"))
+        .agg(count(lit(1)).as("c"), countDistinct(col("id")).as("cd"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      require(counts.map(_._3).sum == counts.map(_._4).sum,
+        s"idCol '$idCol' contains duplicate values — percentile ranking " +
+          "needs unique ids for a total order")
+      val nBySrc = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      // rank offset for (pid, g) = rows of g in any EARLIER partition;
+      // range partitioning on (g, m, id) keeps each g's rows in
+      // partition-id order, so the prefix is well-defined
+      val offsets = counts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        val ordered = rows.sortBy(_._1)
+        ordered.zip(ordered.scanLeft(0L)(_ + _._3).dropRight(1))
+          .map { case ((pid, _, _, _), off) => (pid, g, off) }
+      }
+      val offMap = map(offsets.flatMap { case (pid, g, off) =>
+        Seq(concat_ws("\u0001", lit(pid), lit(g)), lit(off))
+      }: _*)
+      val nMap = map(nBySrc.toSeq.flatMap { case (g, n) =>
+        Seq(lit(g), lit(n))
+      }: _*)
+      val w = Window.partitionBy(col("__pid"), col("g"))
+        .orderBy(col("m"), col("id"))
+      val ranked = ranged
+        .withColumn("rnk",
+          coalesce(element_at(offMap,
+            concat_ws("\u0001", col("__pid"), col("g"))), lit(0L)) +
+            row_number().over(w))
+        .withColumn("n_src", element_at(nMap, col("g")))
+      ranked
+        .filter((col("rnk") - 1) * fracDen <= (col("n_src") - 1) * fracNum)
+        .select(col("id").as(idCol), col("g").as(grpCol), col("metric"),
+          (round(when(col("n_src") > 1,
+              (col("rnk") - 1).cast("double") / (col("n_src") - 1))
+            .otherwise(lit(0.0)) * 10000, 0).cast("long") / lit(10000.0))
+            .as("pct"))
+        .localCheckpoint()
+    } finally { ranged.unpersist(); () }
+  }
+}

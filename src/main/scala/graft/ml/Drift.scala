@@ -1,0 +1,77 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring: Jensen-Shannon divergence between a
+  * reference slice and a current slice of a corpus, over any set of
+  * categorical dimensions, in ONE scan.
+  *
+  * Reference behavior frame: blq-cli's run-diff / summary surface
+  * (cross-run distribution comparison over stored events,
+  * /root/reference/src/blq/query.py run_diff) — generalized from
+  * count deltas to a proper bounded divergence, the number an ingest
+  * pipeline alerts on when a crawl's source/language/length mix
+  * shifts under it.
+  *
+  * Why JS and not KL: KL is infinite the moment the current batch
+  * contains a category the reference lacks — exactly the event a
+  * drift monitor most needs to report as a FINITE, comparable score.
+  * JS(P,Q) = ½KL(P‖M) + ½KL(Q‖M) with M = ½(P+Q) is symmetric,
+  * bounded by ln 2, and zero iff the mixes agree.
+  *
+  * Scale shape: each input row explodes to one (dim, value) pair per
+  * dimension — a map-only widening by |dims| (bounded, typically ≤ 5)
+  * — then ONE aggregation by (dim, value, side) whose output
+  * cardinality is the sum of the dimensions' category counts, bounded
+  * and tiny by construction (sources, languages, byte-size buckets —
+  * never free text). Everything after the first agg is arithmetic on
+  * that bounded frame: per-dim totals ride a second tiny agg, never a
+  * window over the corpus. At 100 TB this is one corpus scan + two
+  * kilobyte-scale shuffles.
+  *
+  * Float contract: probabilities are exact-integer ratios
+  * (count/total); the ln terms follow the repo's established
+  * transcendental-emission precedent (q82/q85 — libm ln agrees across
+  * engines to well below the 1e-4 emission grid) and the final score
+  * is emitted integer-scaled (`round(js*1e4, 0)` → long → /1e4, the
+  * q127/q128 contract) so the gate never samples a round-half point.
+  */
+object Drift {
+
+  /** Per-dimension JS divergence between the `isCur` slice and the
+    * rest. `dims` maps dimension name → categorical expression (must
+    * be deterministic and bounded-cardinality). Output: (dim, n_ref,
+    * n_cur, js) ordered by dim, js integer-scaled to 4 dp. */
+  def jsDivergence(df: DataFrame, isCur: Column,
+      dims: Seq[(String, Column)]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val pairs = array(dims.map { case (name, expr) =>
+      struct(lit(name).as("dim"), expr.cast("string").as("val"))
+    }: _*)
+    val counts = df
+      .select(explode(pairs).as("p"), isCur.cast("boolean").as("cur"))
+      .groupBy(col("p.dim").as("dim"), col("p.val").as("val"))
+      .agg(sum(when(col("cur"), 0L).otherwise(1L)).as("ref_n"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("cur_n"))
+    // per-dim slice totals: a second agg over the bounded counts frame
+    val totals = counts.groupBy(col("dim"))
+      .agg(sum(col("ref_n")).as("ref_t"), sum(col("cur_n")).as("cur_t"))
+    // an empty slice degenerates to the zero distribution (js = ln 2
+    // against any non-empty other side) rather than NaN-poisoning m
+    val p = when(col("ref_t") > 0,
+      col("ref_n").cast("double") / col("ref_t")).otherwise(lit(0.0))
+    val q = when(col("cur_t") > 0,
+      col("cur_n").cast("double") / col("cur_t")).otherwise(lit(0.0))
+    val m = (p + q) / 2
+    // zero-count categories contribute 0 to their own side's KL term
+    val term =
+      when(col("ref_n") > 0, p * log(p / m) / 2).otherwise(lit(0.0)) +
+        when(col("cur_n") > 0, q * log(q / m) / 2).otherwise(lit(0.0))
+    counts.join(totals, Seq("dim"))
+      .groupBy(col("dim"))
+      .agg(first(col("ref_t")).as("n_ref"), first(col("cur_t")).as("n_cur"),
+        (round(sum(term) * 10000, 0).cast("long") / lit(10000.0)).as("js"))
+      .orderBy(col("dim"))
+  }
+}

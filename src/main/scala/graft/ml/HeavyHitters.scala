@@ -1,0 +1,164 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Encoder, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Frequent-item (heavy-hitter) detection with bounded state — the
+  * Misra-Gries summary, run as the candidate-generation pass of a
+  * two-pass exact heavy-hitter query.
+  *
+  * Reference behavior frame: blq-cli's value-counts / summary surface
+  * (frequency reporting over stored events,
+  * /root/reference/src/blq/query.py) — generalized to a sketch whose
+  * state is bounded at k counters per task, for value domains whose
+  * full-cardinality groupBy is the thing a 100 TB monitor cannot
+  * afford every cadence tick.
+  *
+  * Why two passes instead of trusting the sketch's counts: MG counts
+  * are UNDER-estimates (every eviction forfeits mass), so they can
+  * never hash-match an exact oracle. The published guarantee (Misra &
+  * Gries 1982; mergeability per Agarwal et al., "Mergeable Summaries",
+  * PODS 2012) is about MEMBERSHIP: any value with true count
+  * > N/(k+1) is guaranteed to survive in a capacity-k summary, and
+  * merging per-partition summaries (sum counters, then subtract the
+  * (k+1)-th largest count and drop non-positives) preserves that
+  * bound over the combined stream. So pass 1 produces a ≤ k candidate
+  * set that PROVABLY contains every value above the threshold, and
+  * pass 2 counts exactly — but only over the candidate set, a
+  * broadcast-filtered map-side scan + a k-bounded aggregation, never
+  * the full key-set shuffle. The result is bit-exact (completeness
+  * from the bound, exactness from the recount) while the expensive
+  * domain-wide aggregation never runs.
+  *
+  * Scale shape: [[MisraGries]] is a typed Aggregator, so it partial-
+  * aggregates — each map task reduces its slice to ≤ k counters
+  * before the (single-row) shuffle, the same cost model as
+  * [[Sketches]]' KMV MinK. Pass 2's filter is `isin(candidates)` —
+  * a broadcast hash set at the scan, pushed into the parquet reader
+  * where the format allows.
+  */
+object HeavyHitters {
+
+  /** One-pass bounded-state sketch: (n_total, counters) with
+    * |counters| ≤ k. Counter values are lower bounds on true counts;
+    * membership covers every value with true count > n/(k+1). */
+  def sketch(df: DataFrame, valueCol: String, k: Int): (Long, Map[String, Long]) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("string")).as[String]
+    val rows = ds.select(MisraGries.mg(k)).collect()
+    if (rows.isEmpty) (0L, Map.empty) else rows.head
+  }
+
+  /** Exact heavy hitters: every `valueCol` value whose count satisfies
+    * `cnt * fracDen > N` (i.e. frequency strictly above 1/fracDen of
+    * the stream), computed without a full-cardinality shuffle.
+    * Completeness requires the sketch guarantee to cover the
+    * threshold: N/fracDen ≥ N/(k+1), i.e. `fracDen ≤ k + 1` —
+    * enforced loudly. Output: (valueCol, cnt), exact counts. */
+  def heavyHitters(df: DataFrame, valueCol: String, k: Int,
+      fracDen: Long): DataFrame = {
+    require(fracDen >= 1, s"fracDen must be >= 1, got $fracDen")
+    require(fracDen <= k + 1,
+      s"completeness needs fracDen <= k+1 (threshold N/$fracDen must be " +
+        s">= the sketch bound N/${k + 1}); got k=$k")
+    val (n, counters) = sketch(df, valueCol, k)
+    val cands = counters.keys.toSeq
+    if (cands.isEmpty)
+      df.sparkSession.emptyDataFrame
+        .withColumn(valueCol, lit(null).cast("string"))
+        .withColumn("cnt", lit(null).cast("long"))
+        .limit(0)
+    else
+      df.filter(col(valueCol).isNotNull)
+        .filter(col(valueCol).cast("string").isin(cands: _*))
+        .groupBy(col(valueCol).cast("string").as(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * fracDen > n)
+  }
+
+  /** Monitoring form: the sketch's own (value, est) rows, est ≤ true ≤
+    * est + N/(k+1). No second pass — for cadence ticks where a lower
+    * bound with a known error band is enough. */
+  def approxTopK(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (n, counters) = sketch(df, valueCol, k)
+    val err = n / (k + 1)
+    counters.toSeq.sortBy { case (v, c) => (-c, v) }
+      .map { case (v, c) => (v, c, err) }
+      .toDF(valueCol, "est", "max_err")
+  }
+}
+
+/** Mergeable Misra-Gries summary. Buffer = (n, counters): n counts
+  * every reduced row (the stream length), counters hold ≤ k entries.
+  *
+  * reduce: increment if present; insert if below capacity; otherwise
+  * the classic simultaneous decrement (every counter −1, zeros drop)
+  * — each decrement event destroys k+1 units of mass (k counters + the
+  * incoming item), so total forfeited mass ≤ n/(k+1), which is both
+  * the count-error band and the membership bound.
+  *
+  * merge: sum counters pointwise, then if over capacity subtract the
+  * (k+1)-th largest count from all and drop non-positives — the
+  * Agarwal et al. merge rule; the subtracted value is destroyed from
+  * ≥ k+1 entries at once, so the combined error stays ≤ (n₁+n₂)/(k+1).
+  */
+final class MisraGries(k: Int)
+    extends Aggregator[String, (Long, Map[String, Long]), (Long, Map[String, Long])] {
+  require(k > 0, "k must be positive")
+
+  override def zero: (Long, Map[String, Long]) = (0L, Map.empty)
+
+  override def reduce(buf: (Long, Map[String, Long]),
+      v: String): (Long, Map[String, Long]) = {
+    val (n, m) = buf
+    m.get(v) match {
+      case Some(c) => (n + 1, m.updated(v, c + 1))
+      case None if m.size < k => (n + 1, m.updated(v, 1L))
+      case None =>
+        (n + 1, m.flatMap { case (key, c) =>
+          if (c > 1) Some(key -> (c - 1)) else None
+        })
+    }
+  }
+
+  override def merge(b1: (Long, Map[String, Long]),
+      b2: (Long, Map[String, Long])): (Long, Map[String, Long]) = {
+    val summed =
+      if (b1._2.size >= b2._2.size)
+        b2._2.foldLeft(b1._2) { case (acc, (key, c)) =>
+          acc.updated(key, acc.getOrElse(key, 0L) + c)
+        }
+      else
+        b1._2.foldLeft(b2._2) { case (acc, (key, c)) =>
+          acc.updated(key, acc.getOrElse(key, 0L) + c)
+        }
+    val pruned =
+      if (summed.size <= k) summed
+      else {
+        // subtract the (k+1)-th largest count; ties broken by the sort
+        // are irrelevant — only the VALUE subtracted matters
+        val cut = summed.valuesIterator.toArray.sorted(Ordering[Long].reverse)(k)
+        summed.flatMap { case (key, c) =>
+          if (c > cut) Some(key -> (c - cut)) else None
+        }
+      }
+    (b1._1 + b2._1, pruned)
+  }
+
+  override def finish(r: (Long, Map[String, Long])): (Long, Map[String, Long]) = r
+
+  override def bufferEncoder: Encoder[(Long, Map[String, Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Map[String, Long])]()
+  override def outputEncoder: Encoder[(Long, Map[String, Long])] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Map[String, Long])]()
+}
+
+object MisraGries {
+  def mg(k: Int): TypedColumn[String, (Long, Map[String, Long])] =
+    new MisraGries(k).toColumn
+}

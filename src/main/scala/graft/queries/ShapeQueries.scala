@@ -620,6 +620,60 @@ object ShapeQueries {
       graft.ml.NgramIndex.probeNovelty(s, idx,
           docs.filter(col("doc_id") >= 400).select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"))
+    },
+
+    // Distribution-drift monitor (r16): JS divergence of an ingest
+    // slice's source/lang/length mix against the rest of the corpus,
+    // in one scan (ml/Drift). The %7 slice cuts ACROSS the generator's
+    // source cycle — a %5 slice is perfectly correlated with source
+    // (probed: js = ln 2 exactly) and would gate nothing but
+    // disjointness.
+    "q141_dist_drift" -> { (s, dir) =>
+      graft.ml.Drift.jsDivergence(t(s, dir, "documents"),
+        col("doc_id") % 7 === 0,
+        Seq("source" -> col("source"), "lang" -> col("lang"),
+          "len_bucket" -> least(expr("n_chars DIV 500"), lit(10L))))
+    },
+
+    // Corpus-snapshot churn (r16): added/removed/changed/unchanged per
+    // source between two simulated snapshot versions of the documents
+    // table (v1 drops %7 ids and reverses %5 texts; v2 drops %11 ids)
+    // — the run-diff surface generalized to content versioning
+    // (analytics/SnapshotDiff).
+    "q142_snapshot_churn" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0, reverse(col("text")))
+            .otherwise(col("text")).as("text"))
+      val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.analytics.SnapshotDiff.churn(v1, v2, "doc_id", Seq("text"), "source")
+        .orderBy(col("source"), col("status"))
+    },
+
+    // Exact heavy hitters via a bounded-state sketch (r16): tokens
+    // above 1/30 frequency found by a k=29 Misra-Gries candidate pass
+    // (k < the 31-token vocabulary, so eviction genuinely runs) + an
+    // exact recount of the ≤ k candidates — the full-cardinality
+    // groupBy never happens (ml/HeavyHitters).
+    "q143_heavy_hitters" -> { (s, dir) =>
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      graft.ml.HeavyHitters.heavyHitters(toks, "tok", k = 29, fracDen = 30)
+        .orderBy(col("tok"))
+    },
+
+    // Cross-source percentile calibration (r16): keep the top 2/5 of
+    // each source by n_chars, pct = exact per-source percent_rank —
+    // computed with the distributed two-pass rank (ml/Calibrate), not
+    // a |sources|-partition window; the oracle's window form proves
+    // the stitched ranks exactly equal SQL percent_rank.
+    "q144_source_calibration" -> { (s, dir) =>
+      graft.ml.Calibrate.keepByPercentile(t(s, dir, "documents"),
+          grpCol = "source", metricCol = "n_chars", idCol = "doc_id",
+          fracNum = 2, fracDen = 5, ascending = false)
+        .orderBy(col("doc_id"))
     })
 
   private def e4sum(expr: String): String =
@@ -872,7 +926,81 @@ object ShapeQueries {
 
     // indexed plan, same generator — the q31/q125 shared-oracle rule
     "q126_containment_indexed" ->
-      containmentOracle("  AND (doc_a >= 400 OR doc_b >= 400)\n"))
+      containmentOracle("  AND (doc_a >= 400 OR doc_b >= 400)\n"),
+
+    // Probabilities are exact-integer ratios; ln follows the q82/q85
+    // transcendental-emission precedent; the score emits through the
+    // integer-scaled round contract. sum() over ~30 double terms:
+    // cross-engine sum-order drift is ~1e-18 against a 1e-4 grid.
+    "q141_dist_drift" ->
+      """WITH d AS (SELECT doc_id % 7 = 0 AS cur, source, lang,
+        |  least(n_chars // 500, 10) AS lb FROM documents),
+        |pairs AS (
+        |  SELECT 'source' AS dim, source AS val, cur FROM d
+        |  UNION ALL SELECT 'lang', lang, cur FROM d
+        |  UNION ALL SELECT 'len_bucket', lb::VARCHAR, cur FROM d),
+        |counts AS (SELECT dim, val,
+        |  CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS ref_n,
+        |  CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+        |  FROM pairs GROUP BY 1, 2),
+        |tot AS (SELECT dim, CAST(sum(ref_n) AS BIGINT) AS ref_t,
+        |  CAST(sum(cur_n) AS BIGINT) AS cur_t FROM counts GROUP BY 1)
+        |SELECT dim, any_value(ref_t) AS n_ref, any_value(cur_t) AS n_cur,
+        |  CAST(round(sum(
+        |    CASE WHEN ref_n > 0 THEN (ref_n/CAST(ref_t AS DOUBLE)) *
+        |      ln((ref_n/CAST(ref_t AS DOUBLE)) /
+        |        ((ref_n/CAST(ref_t AS DOUBLE) + cur_n/CAST(cur_t AS DOUBLE))/2)) / 2
+        |      ELSE 0 END +
+        |    CASE WHEN cur_n > 0 THEN (cur_n/CAST(cur_t AS DOUBLE)) *
+        |      ln((cur_n/CAST(cur_t AS DOUBLE)) /
+        |        ((ref_n/CAST(ref_t AS DOUBLE) + cur_n/CAST(cur_t AS DOUBLE))/2)) / 2
+        |      ELSE 0 END
+        |  ) * 10000, 0) AS BIGINT) / 10000.0 AS js
+        |FROM counts JOIN tot USING (dim) GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // Status from direct text equality — equivalent to the engine's
+    // md5-digest compare (the digest is injective up to md5 collision)
+    // without re-deriving the length-prefixed digest bytes in SQL.
+    "q142_snapshot_churn" ->
+      """WITH v1 AS (SELECT doc_id, source,
+        |  CASE WHEN doc_id % 5 = 0 THEN reverse(text) ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 11 <> 0),
+        |d AS (SELECT coalesce(v2.source, v1.source) AS source,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.text = v2.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, status, count(*) AS n_docs FROM d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The oracle computes the full-cardinality groupBy the engine's
+    // sketch+recount plan avoids; identical output proves the
+    // Misra-Gries candidate set lost no value above the threshold
+    // (the published N/(k+1) membership bound, fracDen=30 <= k+1).
+    "q143_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS nt FROM toks)
+        |SELECT tok, count(*) AS cnt FROM toks, n
+        |GROUP BY tok, nt HAVING count(*) * 30 > nt ORDER BY tok""".stripMargin,
+
+    // percent_rank over a TOTAL order (n_chars DESC, doc_id) = the
+    // engine's stitched distributed rank; keep rule in exact integer
+    // arithmetic on both sides (never a float compare — q95).
+    "q144_source_calibration" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS rnk,
+        |  count(*) OVER (PARTITION BY source) AS n_src
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars AS metric,
+        |  CAST(round(CASE WHEN n_src > 1
+        |      THEN CAST(rnk - 1 AS DOUBLE) / (n_src - 1) ELSE 0 END
+        |    * 10000, 0) AS BIGINT) / 10000.0 AS pct
+        |FROM r WHERE (rnk - 1) * 5 <= (n_src - 1) * 2
+        |ORDER BY doc_id""".stripMargin)
 
   /** Shared q97/q101 oracle body; `restriction` is an extra WHERE
     * conjunct line applied AFTER the full computation. */

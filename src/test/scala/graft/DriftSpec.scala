@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Drift
+
+/** JS-divergence drift monitor: the one-scan multi-dimension plan must
+  * equal a driver-side reference computation, honor the JS bounds
+  * (0 ≤ js ≤ ln 2), and survive degenerate slices (q141 gates the
+  * same numbers against DuckDB). */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def referenceJs(rows: Seq[(String, Boolean)]): Double = {
+    val ref = rows.filterNot(_._2).groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val cur = rows.filter(_._2).groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val (rt, ct) = (ref.values.sum, cur.values.sum)
+    (ref.keySet ++ cur.keySet).toSeq.map { v =>
+      val p = if (rt > 0) ref.getOrElse(v, 0.0) / rt else 0.0
+      val q = if (ct > 0) cur.getOrElse(v, 0.0) / ct else 0.0
+      val m = (p + q) / 2
+      (if (p > 0) p * math.log(p / m) / 2 else 0.0) +
+        (if (q > 0) q * math.log(q / m) / 2 else 0.0)
+    }.sum
+  }
+
+  private def e4(x: Double): Double = math.round(x * 10000).toDouble / 10000.0
+
+  test("differential vs the driver-side reference, two dims in one pass") {
+    val r = new scala.util.Random(5)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, s"s${r.nextInt(6)}", s"l${r.nextInt(3)}", i % 4 == 0)
+    }
+    val df = rows.toDF("id", "src", "lang", "cur").repartition(7)
+    val got = Drift.jsDivergence(df, col("cur"),
+        Seq("src" -> col("src"), "lang" -> col("lang")))
+      .as[(String, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    val nCur = rows.count(_._4).toLong
+    for ((dim, pick) <- Seq(
+        "src" -> ((t: (Long, String, String, Boolean)) => t._2),
+        "lang" -> ((t: (Long, String, String, Boolean)) => t._3))) {
+      val want = e4(referenceJs(rows.map(t => (pick(t), t._4))))
+      val (_, nr, nc, js) = got(dim)
+      assert(nr === rows.size - nCur && nc === nCur, dim)
+      assert(js === want, dim)
+    }
+  }
+
+  test("bounds: identical mixes give 0; disjoint categories give ln 2") {
+    // cur = first half: each category lands 50 times on each side —
+    // identical mixes (i % 2 would CORRELATE with i % 4 and be
+    // disjoint, the q141 %5-slice lesson)
+    val same = (0 until 400).map(i => (s"c${i % 4}", i < 200))
+      .toDF("v", "cur")
+    val sameJs = Drift.jsDivergence(same, col("cur"), Seq("v" -> col("v")))
+      .select(col("js")).as[Double].head()
+    assert(sameJs === 0.0)
+    val disjoint = (0 until 400)
+      .map(i => (if (i % 2 == 0) "a" else "b", i % 2 == 0))
+      .toDF("v", "cur")
+    val dJs = Drift.jsDivergence(disjoint, col("cur"), Seq("v" -> col("v")))
+      .select(col("js")).as[Double].head()
+    assert(dJs === e4(math.log(2)))
+  }
+
+  test("an empty slice degrades finitely instead of NaN-poisoning") {
+    val df = (0 until 10).map(i => (s"c$i", false)).toDF("v", "cur")
+    val js = Drift.jsDivergence(df, col("cur"), Seq("v" -> col("v")))
+      .select(col("js")).as[Double].head()
+    assert(!js.isNaN && js >= 0.0)
+  }
+}
