@@ -2148,6 +2148,10 @@ object AbBench {
       "q137_cur" -> (() => entry("q137_fuzzy_block_recall")),
       "q138_cur" -> (() => entry("q138_bigram_backoff")),
       "q139_cur" -> (() => entry("q139_cluster_split")),
+      "q141_cur" -> (() => entry("q141_dist_drift")),
+      "q142_cur" -> (() => entry("q142_snapshot_churn")),
+      "q143_cur" -> (() => entry("q143_heavy_hitters")),
+      "q144_cur" -> (() => entry("q144_source_calibration")),
       "q126_batchlists" -> (() => q126Stage(1)),
       "q126_merge" -> (() => q126Stage(2)),
       "q126_proj" -> (() => q126Stage(3)),
