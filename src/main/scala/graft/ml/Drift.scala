@@ -74,4 +74,48 @@ object Drift {
         (round(sum(term) * 10000, 0).cast("long") / lit(10000.0)).as("js"))
       .orderBy(col("dim"))
   }
+
+  /** Embedding-space drift: per label, the cosine between the current
+    * slice's centroid and the reference slice's centroid — the vector
+    * companion of [[jsDivergence]] (a crawl whose source/lang mix
+    * looks stable can still drift semantically; the centroid cosine
+    * catches that with one bounded number per label).
+    *
+    * Exactness follows the q85 centroid recipe to the letter:
+    * centroids are 6-dp-rounded per-position averages (the rounding
+    * exists so summation ORDER — engine, partitioning, driver —
+    * cannot reach a gate), assembled pos-sorted, and the dot/norm
+    * folds are sequential left-to-right on both engines
+    * ([[graft.plans.VectorOps]] / DuckDB list_dot_product); the score
+    * emits integer-scaled (the q127/q128 contract).
+    *
+    * Scale shape: one scan widened by posexplode (rows × dims — the
+    * same widening every centroid pass in the repo pays), one
+    * (label, pos)-keyed agg whose output is bounded by
+    * |labels| × dims, then arithmetic on that bounded frame. Output:
+    * (label, n_ref, n_cur, cos). */
+  def embeddingDrift(embs: DataFrame, isCur: Column): DataFrame = {
+    val sideCent = embs
+      .select(col("label"), isCur.cast("boolean").as("cur"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(when(col("cur"), col("x"))), 6).as("cc"),
+        round(avg(when(!col("cur"), col("x"))), 6).as("rc"),
+        sum(when(col("cur"), 1L).otherwise(0L)).as("nc"),
+        sum(when(!col("cur"), 1L).otherwise(0L)).as("nr"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cc"), col("rc"))))
+          .as("pc"),
+        first(col("nc")).as("n_cur"), first(col("nr")).as("n_ref"))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        transform(col("pc"), e => e.getField("rc")).as("ref_c"),
+        transform(col("pc"), e => e.getField("cc")).as("cur_c"))
+    sideCent
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        (round(Similarity.dot(col("ref_c"), col("cur_c")) /
+            (Similarity.l2Norm(col("ref_c")) * Similarity.l2Norm(col("cur_c")))
+          * 10000, 0).cast("long") / lit(10000.0)).as("cos"))
+      .orderBy(col("label"))
+  }
 }

@@ -79,6 +79,114 @@ object HeavyHitters {
         .filter(col("cnt") * fracDen > n)
   }
 
+  // ---------------------------------------------------------------
+  // Continuously-maintained state (the kmvMonitor companion): a
+  // stored MG summary folded per ingest batch. One crucial protocol
+  // difference: KMV's distinct/sort/take-k merge absorbs an
+  // at-least-once replay for free, but MG merge is NOT idempotent —
+  // re-merging the same batch double-counts it. The state therefore
+  // carries a last-folded batch id and the fold REFUSES stale ids;
+  // under a streaming checkpoint's monotonically increasing batchId
+  // a replayed batch is skipped exactly.
+  // ---------------------------------------------------------------
+
+  /** Read the stored monitor state: (n, counters, lastBatchId).
+    * Missing state reads as empty with lastBatchId = -1. */
+  def readHhState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): (Long, Map[String, Long], Long) = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairHhState(fs, stateDir)
+    if (!fs.exists(live)) (0L, Map.empty, -1L)
+    else {
+      // bounded collect: ≤ k counter rows + one meta row
+      val rows = spark.read.parquet(stateDir)
+        .select(col("v"), col("c"), col("n"), col("last_batch")).collect()
+      if (rows.isEmpty) (0L, Map.empty, -1L)
+      else {
+        val n = rows.head.getLong(2)
+        val lastBatch = rows.head.getLong(3)
+        val counters = rows.filter(!_.isNullAt(0))
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (n, counters, lastBatch)
+      }
+    }
+  }
+
+  /** Fold one batch's sketch into the stored state. Returns true when
+    * the batch was folded, false when `batchId` was a replay
+    * (≤ the stored last id — the MG non-idempotence guard). Swap is
+    * the kmvMonitor rename-aside protocol (stage → live-aside →
+    * promote → drop), crash-repaired on entry via the _SUCCESS
+    * marker; foreachBatch bodies run serially, so single-writer. */
+  def foldHhBatch(batch: DataFrame, stateDir: String, valueCol: String,
+      k: Int, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val (n0, c0, last) = readHhState(spark, stateDir)
+    if (batchId <= last) false
+    else {
+      val mg = new MisraGries(k)
+      val merged = mg.merge((n0, c0), sketch(batch, valueCol, k))
+      import spark.implicits._
+      val rows =
+        if (merged._2.isEmpty) Seq((Option.empty[String], 0L))
+        else merged._2.toSeq.map { case (v, c) => (Option(v), c) }
+      val df = rows.toDF("v", "c")
+        .withColumn("n", lit(merged._1))
+        .withColumn("last_batch", lit(batchId))
+        .coalesce(1)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(stateDir)
+      val stage = new org.apache.hadoop.fs.Path(stateDir + "__stage")
+      val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+      val fs = live.getFileSystem(hconf)
+      df.write.mode("overwrite").parquet(stage.toString)
+      if (fs.exists(live)) { fs.rename(live, old); () }
+      fs.rename(stage, live)
+      fs.delete(old, true)
+      true
+    }
+  }
+
+  /** Entry repair for a fold killed mid-swap: every state dir is left
+    * serving either its old or its fully-written new contents. */
+  private def repairHhState(fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(stateDir)
+    val stage = new org.apache.hadoop.fs.Path(stateDir + "__stage")
+    val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
+    if (fs.exists(live)) {
+      // fold completed or never got to the swap: drop remnants
+      fs.delete(stage, true)
+      fs.delete(old, true)
+    } else if (fs.exists(stage) &&
+        fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
+      // killed between live-aside and promote: the stage is complete
+      fs.rename(stage, live)
+      fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      // killed with an incomplete stage: restore the old state
+      fs.delete(stage, true)
+      fs.rename(old, live)
+    }
+    ()
+  }
+
+  /** Streaming monitor: fold each micro-batch into the stored summary
+    * — the "top domains/tokens this corpus has ever seen" dashboard
+    * number, maintained at batch-sketch cost. Read any time with
+    * [[readHhState]]; exact counts for the current candidates come
+    * from one [[heavyHitters]]-style recount when needed. */
+  def hhMonitor(stream: DataFrame, stateDir: String, valueCol: String,
+      k: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldHhBatch(batch, stateDir, valueCol, k, batchId)
+        ()
+      }
+      .start()
+
   /** Monitoring form: the sketch's own (value, est) rows, est ≤ true ≤
     * est + N/(k+1). No second pass — for cadence ticks where a lower
     * bound with a known error band is enough. */

@@ -674,6 +674,15 @@ object ShapeQueries {
           grpCol = "source", metricCol = "n_chars", idCol = "doc_id",
           fracNum = 2, fracDen = 5, ascending = false)
         .orderBy(col("doc_id"))
+    },
+
+    // Embedding-space drift (r16): per-label centroid cosine between
+    // an ingest slice and the rest — the vector companion of q141's
+    // categorical drift, on the q85 exactness recipe (6-dp centroids,
+    // sequential folds, integer-scaled emission).
+    "q145_embedding_drift" -> { (s, dir) =>
+      graft.ml.Drift.embeddingDrift(t(s, dir, "embeddings"),
+        col("vec_id") % 7 === 0)
     })
 
   private def e4sum(expr: String): String =
@@ -1000,7 +1009,32 @@ object ShapeQueries {
         |      THEN CAST(rnk - 1 AS DOUBLE) / (n_src - 1) ELSE 0 END
         |    * 10000, 0) AS BIGINT) / 10000.0 AS pct
         |FROM r WHERE (rnk - 1) * 5 <= (n_src - 1) * 2
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors q85's exactness recipe: identical 6-dp-rounded per-side
+    // centroids, identical sequential-fold dot products, score through
+    // the integer-scaled round contract.
+    "q145_embedding_drift" ->
+      """WITH pos AS (SELECT label, vec_id % 7 = 0 AS cur,
+        |  unnest(generate_series(1, len(embedding))) AS pos, embedding
+        |  FROM embeddings),
+        |px AS (SELECT label, cur, pos, CAST(embedding[pos] AS DOUBLE) AS x
+        |  FROM pos),
+        |cent AS (SELECT label, pos,
+        |  round(avg(CASE WHEN cur THEN x END), 6) AS cc,
+        |  round(avg(CASE WHEN NOT cur THEN x END), 6) AS rc,
+        |  CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |  CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS nr
+        |  FROM px GROUP BY 1, 2),
+        |agg AS (SELECT label, any_value(nc) AS n_cur, any_value(nr) AS n_ref,
+        |  list(rc ORDER BY pos) AS ref_c, list(cc ORDER BY pos) AS cur_c
+        |  FROM cent GROUP BY label)
+        |SELECT label, n_ref, n_cur,
+        |  CAST(round(list_dot_product(ref_c, cur_c) /
+        |    (sqrt(list_dot_product(ref_c, ref_c)) *
+        |     sqrt(list_dot_product(cur_c, cur_c))) * 10000, 0) AS BIGINT)
+        |    / 10000.0 AS cos
+        |FROM agg ORDER BY label""".stripMargin)
 
   /** Shared q97/q101 oracle body; `restriction` is an extra WHERE
     * conjunct line applied AFTER the full computation. */

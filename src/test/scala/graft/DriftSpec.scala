@@ -62,6 +62,37 @@ class DriftSpec extends SparkSpec {
     assert(dJs === e4(math.log(2)))
   }
 
+  test("embeddingDrift: identical per-label mixes give cos = 1; a shifted slice drops below; reference check") {
+    val r = new scala.util.Random(23)
+    def vec(shift: Double) = Seq.fill(8)((r.nextDouble() + shift).toFloat)
+    // label 0: cur slice drawn from the same distribution; label 1:
+    // cur slice shifted — its centroid must disagree more
+    val rows = (0 until 400).map { i =>
+      val lbl = i % 2
+      val cur = i % 4 < 2
+      (i.toLong, lbl, vec(if (lbl == 1 && cur) 3.0 else 0.0), cur)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding", "cur").repartition(5)
+    val got = graft.ml.Drift.embeddingDrift(df, col("cur"))
+      .as[(Int, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(got(0)._4 > got(1)._4, "shifted slice must show more drift")
+    assert(got(0)._2 === 100L && got(0)._3 === 100L)
+    // driver-side reference with the same 6-dp centroid contract
+    def ref(lbl: Int): Double = {
+      def cent(cur: Boolean) = {
+        val vs = rows.filter(t => t._2 == lbl && t._4 == cur).map(_._3)
+        (0 until 8).map(p => math.rint(
+          vs.map(_(p).toDouble).sum / vs.size * 1e6) / 1e6)
+      }
+      val (a, b) = (cent(false), cent(true))
+      def dot(x: Seq[Double], y: Seq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (u, v)) => s + u * v }
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.round(c * 10000).toDouble / 10000.0
+    }
+    assert(got(0)._4 === ref(0) && got(1)._4 === ref(1))
+  }
+
   test("an empty slice degrades finitely instead of NaN-poisoning") {
     val df = (0 until 10).map(i => (s"c$i", false)).toDF("v", "cur")
     val js = Drift.jsDivergence(df, col("cur"), Seq("v" -> col("v")))

@@ -78,6 +78,42 @@ class HeavyHittersSpec extends SparkSpec {
     assert(m.contains("a") && m.contains("d"))
   }
 
+  test("stored monitor: folded batches honor the guarantee over the concatenated stream; replays are refused; crash repair restores") {
+    val dir = java.nio.file.Files.createTempDirectory("hh_state").toString + "/state"
+    val batches = Seq(
+      zipfStream(3000, 50, seed = 1),
+      zipfStream(3000, 50, seed = 2),
+      zipfStream(3000, 50, seed = 3))
+    val k = 24
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(HeavyHitters.foldHhBatch(b.toDF("v").repartition(3), dir, "v", k, i.toLong))
+    }
+    val (n, counters, last) = HeavyHitters.readHhState(spark, dir)
+    val all = batches.flatten
+    assert(n === all.size.toLong && last === 2L)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n / (k + 1)
+    val mustHave = exact.filter(_._2 > bound).keySet
+    assert(mustHave.subsetOf(counters.keySet), s"lost ${mustHave -- counters.keySet}")
+    counters.foreach { case (v, est) =>
+      assert(est <= exact.getOrElse(v, 0L) && exact.getOrElse(v, 0L) - est <= bound, v)
+    }
+    // replay of an already-folded batch id is a no-op
+    assert(!HeavyHitters.foldHhBatch(batches.head.toDF("v"), dir, "v", k, 1L))
+    assert(HeavyHitters.readHhState(spark, dir) === ((n, counters, last)))
+    // crash between live-aside and promote: live gone, complete stage
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__stage"))
+    assert(HeavyHitters.readHhState(spark, dir) === ((n, counters, last)))
+    // crash with an incomplete stage: old aside is restored
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir + "__stage"))
+    assert(HeavyHitters.readHhState(spark, dir) === ((n, counters, last)))
+  }
+
   test("approxTopK reports the error band; nulls and empties are safe") {
     val df = Seq(Some("x"), Some("x"), Some("y"), None)
       .toDF("v")
