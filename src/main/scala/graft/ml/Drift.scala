@@ -54,6 +54,57 @@ object Drift {
       .groupBy(col("p.dim").as("dim"), col("p.val").as("val"))
       .agg(sum(when(col("cur"), 0L).otherwise(1L)).as("ref_n"),
         sum(when(col("cur"), 1L).otherwise(0L)).as("cur_n"))
+    jsFromCounts(counts)
+  }
+
+  /** Persist a corpus's categorical mix as the drift REFERENCE — the
+    * deployable monitoring shape: the corpus is scanned ONCE when the
+    * reference is (re)built, and every subsequent ingest batch
+    * compares against the stored bounded table, never the corpus.
+    * Layout: (dim, val, cnt) — one row per category per dimension,
+    * bounded by construction. */
+  def writeReference(df: DataFrame, dims: Seq[(String, Column)],
+      refDir: String): Unit = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val pairs = array(dims.map { case (name, expr) =>
+      struct(lit(name).as("dim"), expr.cast("string").as("val"))
+    }: _*)
+    df.select(explode(pairs).as("p"))
+      .groupBy(col("p.dim").as("dim"), col("p.val").as("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(refDir)
+  }
+
+  /** JS divergence of a batch against a stored reference mix — the
+    * per-batch cost is the batch's own scan plus a kilobyte-scale
+    * join against the stored counts. Same dims, same output schema
+    * and arithmetic as [[jsDivergence]] (differential-tested: probing
+    * a batch against a reference built from the rest of the corpus
+    * equals the one-frame form exactly). */
+  def probeReference(spark: org.apache.spark.sql.SparkSession,
+      refDir: String, batch: DataFrame,
+      dims: Seq[(String, Column)]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    val pairs = array(dims.map { case (name, expr) =>
+      struct(lit(name).as("dim"), expr.cast("string").as("val"))
+    }: _*)
+    val curCounts = batch.select(explode(pairs).as("p"))
+      .groupBy(col("p.dim").as("dim"), col("p.val").as("val"))
+      .agg(count(lit(1)).as("cur_n"))
+    val refCounts = spark.read.parquet(refDir)
+      .select(col("dim"), col("val"), col("cnt").as("ref_n"))
+    val counts = refCounts.join(curCounts, Seq("dim", "val"), "full_outer")
+      .select(col("dim"), col("val"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    jsFromCounts(counts)
+  }
+
+  /** Shared JS arithmetic over a (dim, val, ref_n, cur_n) counts frame
+    * — factored so the one-frame and stored-reference forms cannot
+    * diverge (the incrementalPairCounts discipline). */
+  private def jsFromCounts(counts: DataFrame): DataFrame = {
     // per-dim slice totals: a second agg over the bounded counts frame
     val totals = counts.groupBy(col("dim"))
       .agg(sum(col("ref_n")).as("ref_t"), sum(col("cur_n")).as("cur_t"))

@@ -93,6 +93,28 @@ class DriftSpec extends SparkSpec {
     assert(got(0)._4 === ref(0) && got(1)._4 === ref(1))
   }
 
+  test("stored reference probe equals the one-frame form exactly; unseen categories register") {
+    val r = new scala.util.Random(31)
+    val rows = (0 until 1500).map { i =>
+      (i.toLong, s"s${r.nextInt(5)}", i % 3 == 0)
+    }
+    val df = rows.toDF("id", "src", "cur")
+    val dims = Seq("src" -> col("src"))
+    val refDir = java.nio.file.Files.createTempDirectory("drift_ref").toString + "/ref"
+    graft.ml.Drift.writeReference(df.filter(!col("cur")), dims, refDir)
+    val fromStore = graft.ml.Drift.probeReference(spark, refDir,
+        df.filter(col("cur")), dims)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val oneFrame = graft.ml.Drift.jsDivergence(df, col("cur"), dims)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(fromStore === oneFrame)
+    // a batch category the reference never saw still lands finitely
+    val novel = Seq((1L, "BRAND_NEW", true)).toDF("id", "src", "cur")
+    val js = graft.ml.Drift.probeReference(spark, refDir, novel, dims)
+      .select(col("js")).as[Double].head()
+    assert(js === math.round(math.log(2) * 10000).toDouble / 10000.0)
+  }
+
   test("an empty slice degrades finitely instead of NaN-poisoning") {
     val df = (0 until 10).map(i => (s"c$i", false)).toDF("v", "cur")
     val js = Drift.jsDivergence(df, col("cur"), Seq("v" -> col("v")))
