@@ -41,6 +41,17 @@ import org.apache.spark.sql.functions._
   * always kept. */
 object Calibrate {
 
+  /** Stats cutover for the plan pick (the Tables.attachSide
+    * precedent): below this UNPROJECTED input size the plain
+    * per-group window wins — the |groups|-partition collapse is
+    * harmless on data this small and the distributed form's extra
+    * jobs (range-partitioner sample, counts collect, checkpoint) are
+    * pure floor. Measured at sf0.1 (q144 interleaved min-of-5):
+    * window 0.30 s vs distributed 0.80 s — 2.6×; the distributed form
+    * is the only viable shape at corpus scale, where the window's
+    * per-source single-core sort is the thing being avoided. */
+  val WindowPlanMaxBytes: Long = 256L << 20
+
   /** Per-`grpCol` percentile of integral `metricCol` (ties broken by
     * integral `idCol`), keeping rows in the bottom fracNum/fracDen of
     * each group when `ascending` (low metric = kept) — pass the
@@ -49,12 +60,20 @@ object Calibrate {
     *
     * Both metric and id must be integral (the WeightedSample
     * exactness contract): the rank math and keep rule stay in exact
-    * long arithmetic end-to-end. */
+    * long arithmetic end-to-end.
+    *
+    * `plan`: "auto" picks window vs distributed from the input's
+    * optimizer size estimate ([[WindowPlanMaxBytes]]); "window" and
+    * "distributed" force a shape (AbBench isolates / tests). Both
+    * shapes emit identical values — CalibrateSpec differentials and
+    * the q144 oracle gate both. */
   def keepByPercentile(df: DataFrame, grpCol: String, metricCol: String,
       idCol: String, fracNum: Long, fracDen: Long,
-      ascending: Boolean = true): DataFrame = {
+      ascending: Boolean = true, plan: String = "auto"): DataFrame = {
     require(fracDen >= 1 && fracNum >= 0 && fracNum <= fracDen,
       s"keep fraction must be 0 <= $fracNum/$fracDen <= 1")
+    require(Seq("auto", "window", "distributed").contains(plan),
+      s"unknown plan '$plan'")
     locally {
       import org.apache.spark.sql.types._
       val integral: Set[DataType] =
@@ -73,6 +92,25 @@ object Calibrate {
         mCol.as("m"), col(idCol).cast("long").as("id"),
         col(metricCol).cast("long").as("metric"))
       .filter(col("id").isNotNull && col("m").isNotNull)
+    val useWindow = plan == "window" || (plan == "auto" &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        BigInt(WindowPlanMaxBytes))
+    if (useWindow) {
+      // small-input shape: one shuffle on g, everything else local.
+      // The duplicate-id contract stays loud — one tiny agg job on
+      // data already under the cutover.
+      val dup = base.agg(count(lit(1)).as("c"),
+        countDistinct(col("id")).as("cd")).head()
+      require(dup.getLong(0) == dup.getLong(1),
+        s"idCol '$idCol' contains duplicate values — percentile ranking " +
+          "needs unique ids for a total order")
+      val w = Window.partitionBy(col("g")).orderBy(col("m"), col("id"))
+      return finishKeep(base
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .withColumn("n_src",
+            count(lit(1)).over(Window.partitionBy(col("g")))),
+        idCol, grpCol, fracNum, fracDen)
+    }
     val ranged = base.repartitionByRange(p, col("g"), col("m"), col("id"))
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -107,14 +145,21 @@ object Calibrate {
             concat_ws("\u0001", col("__pid"), col("g"))), lit(0L)) +
             row_number().over(w))
         .withColumn("n_src", element_at(nMap, col("g")))
-      ranked
-        .filter((col("rnk") - 1) * fracDen <= (col("n_src") - 1) * fracNum)
-        .select(col("id").as(idCol), col("g").as(grpCol), col("metric"),
-          (round(when(col("n_src") > 1,
-              (col("rnk") - 1).cast("double") / (col("n_src") - 1))
-            .otherwise(lit(0.0)) * 10000, 0).cast("long") / lit(10000.0))
-            .as("pct"))
+      finishKeep(ranked, idCol, grpCol, fracNum, fracDen)
         .localCheckpoint()
     } finally { ranged.unpersist(); () }
   }
+
+  /** Shared keep rule + emission — factored so the window and
+    * distributed shapes cannot diverge. Expects (g, id, metric, rnk,
+    * n_src). */
+  private def finishKeep(ranked: DataFrame, idCol: String, grpCol: String,
+      fracNum: Long, fracDen: Long): DataFrame =
+    ranked
+      .filter((col("rnk") - 1) * fracDen <= (col("n_src") - 1) * fracNum)
+      .select(col("id").as(idCol), col("g").as(grpCol), col("metric"),
+        (round(when(col("n_src") > 1,
+            (col("rnk") - 1).cast("double") / (col("n_src") - 1))
+          .otherwise(lit(0.0)) * 10000, 0).cast("long") / lit(10000.0))
+          .as("pct"))
 }

@@ -2152,6 +2152,14 @@ object AbBench {
       "q142_cur" -> (() => entry("q142_snapshot_churn")),
       "q143_cur" -> (() => entry("q143_heavy_hitters")),
       "q144_cur" -> (() => entry("q144_source_calibration")),
+      "q144_win" -> (() => graft.ml.Calibrate.keepByPercentile(
+        graft.Tables.t(spark, sfDir, "documents"), "source", "n_chars",
+        "doc_id", 2, 5, ascending = false, plan = "window")
+        .orderBy(col("doc_id")).count()),
+      "q144_dist" -> (() => graft.ml.Calibrate.keepByPercentile(
+        graft.Tables.t(spark, sfDir, "documents"), "source", "n_chars",
+        "doc_id", 2, 5, ascending = false, plan = "distributed")
+        .orderBy(col("doc_id")).count()),
       "q126_batchlists" -> (() => q126Stage(1)),
       "q126_merge" -> (() => q126Stage(2)),
       "q126_proj" -> (() => q126Stage(3)),

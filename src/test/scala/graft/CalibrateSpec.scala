@@ -31,12 +31,15 @@ class CalibrateSpec extends SparkSpec {
     val rows = (0L until 500L).map { id =>
       (id, s"s${r.nextInt(5)}", r.nextInt(200).toLong)
     }
-    for (asc <- Seq(true, false); parts <- Seq(1, 9)) {
+    for (asc <- Seq(true, false); parts <- Seq(1, 9);
+        plan <- Seq("window", "distributed")) {
       val got = Calibrate.keepByPercentile(
           rows.toDF("id", "g", "m").repartition(parts),
-          "g", "m", "id", fracNum = 2, fracDen = 5, ascending = asc)
+          "g", "m", "id", fracNum = 2, fracDen = 5, ascending = asc,
+          plan = plan)
         .as[(Long, String, Long, Double)].collect().sortBy(_._1).toSeq
-      assert(got === reference(rows, 2, 5, asc), s"asc=$asc parts=$parts")
+      assert(got === reference(rows, 2, 5, asc),
+        s"asc=$asc parts=$parts plan=$plan")
     }
   }
 
@@ -63,11 +66,13 @@ class CalibrateSpec extends SparkSpec {
       Calibrate.keepByPercentile(
         Seq((1L, "a", 0.5)).toDF("id", "g", "m"), "g", "m", "id", 1, 2)
     }
-    intercept[IllegalArgumentException] {
-      Calibrate.keepByPercentile(
-        Seq((1L, "a", 1L), (1L, "a", 1L)).toDF("id", "g", "m"),
-        "g", "m", "id", 1, 2)
-    }
+    // duplicate ids refuse on BOTH plan shapes
+    for (plan <- Seq("window", "distributed"))
+      intercept[IllegalArgumentException] {
+        Calibrate.keepByPercentile(
+          Seq((1L, "a", 1L), (1L, "a", 1L)).toDF("id", "g", "m"),
+          "g", "m", "id", 1, 2, plan = plan)
+      }
     intercept[IllegalArgumentException] {
       Calibrate.keepByPercentile(
         Seq((1L, "a", 1L)).toDF("id", "g", "m"), "g", "m", "id", 3, 2)
