@@ -37,14 +37,17 @@ object Bench {
     * q125). r16 adds q135, the corpus-wide LSH recall monitor: its
     * shipping path is the sample-bounded q136 (exact side
     * sample×corpus via the flagged-postings incremental expansion);
-    * the exhaustive form stays as the small-scale truth gate. All
-    * eight still run under SPARK_GRAFT_BASELINES=1 or an explicit
+    * the exhaustive form stays as the small-scale truth gate. r16
+    * also demotes q97, the from-scratch full-corpus containment —
+    * its shipping path is the stored-index q146 (pairsContainment
+    * over the stored lists, zero text processing; same oracle). All
+    * nine still run under SPARK_GRAFT_BASELINES=1 or an explicit
     * name filter, and still parity-verify every round. */
   val baselineQueries: Set[String] =
     Set("q35_embedding_neardup", "q36_ann_brute", "q83_bm25_search",
       "q31_ngram_jaccard", "q101_containment_incremental",
       "q82_tfidf_keywords", "q133_ngram_jaccard_prefix",
-      "q135_lsh_recall")
+      "q135_lsh_recall", "q97_containment_pairs")
 
   /** Composed per-batch ingest-loop latency (r16 — the VERDICT r15 #5
     * gate): one REAL [[graft.ml.CorpusPipeline.ingestAndMaintain]]

@@ -676,6 +676,25 @@ object ShapeQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Full-corpus containment pairs served from the STORED n-gram
+    // index (r16, the q125 companion for q97's semantics): filter the
+    // stored lists at the probe's dfCap, shared pair machinery, zero
+    // text processing. Same oracle as q97 — identical output proves
+    // the stored lists equal the from-scratch postings; q97 itself is
+    // demoted to a bench baseline (the q31/q125 rule). Interleaved at
+    // sf0.1 (min-of-5, index build amortized by the warmup exactly as
+    // a deployment amortizes it): 0.66 s vs q97's 2.79.
+    "q146_containment_indexed_full" -> { (s, dir) =>
+      val idx = graft.ml.NgramIndex.ensure(s, dir,
+        t(s, dir, "documents")
+          .withColumn("doc_id", col("doc_id").cast("int"))
+          .select(col("doc_id"), col("text")),
+        n = 4, dfMax = 64, tag = "full4")
+      graft.ml.NgramIndex.pairsContainment(s, idx, threshold = 0.6,
+          dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Embedding-space drift (r16): per-label centroid cosine between
     // an ingest slice and the rest — the vector companion of q141's
     // categorical drift, on the q85 exactness recipe (6-dp centroids,
@@ -909,6 +928,9 @@ object ShapeQueries {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q97_containment_pairs" -> containmentOracle(""),
+
+    // indexed full-corpus plan, same generator (the q31/q125 rule)
+    "q146_containment_indexed_full" -> containmentOracle(""),
 
     // q140: batch grams (distinct per doc, the sh CTE's semantics)
     // left-joined against the DISTINCT pre-400 corpus vocabulary

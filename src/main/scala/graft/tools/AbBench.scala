@@ -2148,6 +2148,8 @@ object AbBench {
       "q137_cur" -> (() => entry("q137_fuzzy_block_recall")),
       "q138_cur" -> (() => entry("q138_bigram_backoff")),
       "q139_cur" -> (() => entry("q139_cluster_split")),
+      "q146_cur" -> (() => entry("q146_containment_indexed_full")),
+      "q97_cur" -> (() => entry("q97_containment_pairs")),
       "q141_cur" -> (() => entry("q141_dist_drift")),
       "q142_cur" -> (() => entry("q142_snapshot_churn")),
       "q143_cur" -> (() => entry("q143_heavy_hitters")),
