@@ -103,11 +103,18 @@ object Drift {
 
   /** Shared JS arithmetic over a (dim, val, ref_n, cur_n) counts frame
     * — factored so the one-frame and stored-reference forms cannot
-    * diverge (the incrementalPairCounts discipline). */
+    * diverge (the incrementalPairCounts discipline). Totals ride a
+    * WINDOW over the counts frame, not a join back to it: counts
+    * derives from the corpus scan, and a self-join would recompute
+    * that scan for the totals branch (the PlanAuditSpec q141 pin —
+    * two FileScans); the window's |dims|-partition exchange is
+    * harmless because its input is the already-bounded counts
+    * aggregate, never the corpus. */
   private def jsFromCounts(counts: DataFrame): DataFrame = {
-    // per-dim slice totals: a second agg over the bounded counts frame
-    val totals = counts.groupBy(col("dim"))
-      .agg(sum(col("ref_n")).as("ref_t"), sum(col("cur_n")).as("cur_t"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("dim"))
+    val totals = counts
+      .withColumn("ref_t", sum(col("ref_n")).over(wd))
+      .withColumn("cur_t", sum(col("cur_n")).over(wd))
     // an empty slice degenerates to the zero distribution (js = ln 2
     // against any non-empty other side) rather than NaN-poisoning m
     val p = when(col("ref_t") > 0,
@@ -119,7 +126,7 @@ object Drift {
     val term =
       when(col("ref_n") > 0, p * log(p / m) / 2).otherwise(lit(0.0)) +
         when(col("cur_n") > 0, q * log(q / m) / 2).otherwise(lit(0.0))
-    counts.join(totals, Seq("dim"))
+    totals
       .groupBy(col("dim"))
       .agg(first(col("ref_t")).as("n_ref"), first(col("cur_t")).as("n_cur"),
         (round(sum(term) * 10000, 0).cast("long") / lit(10000.0)).as("js"))

@@ -345,6 +345,37 @@ class PlanAuditSpec extends SparkSpec {
       joinLines.mkString("\n"))
   }
 
+  test("q141 drift: ONE scan of documents feeds every dimension") {
+    // the multi-dim JS divergence is a single explode pass — a second
+    // FileScan would mean someone split the dims into separate scans
+    val p = plans("q141_dist_drift")
+    assert(p.sliding(8).count(_ == "FileScan") == 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q142 snapshot churn: digest compare rides a FULL OUTER equi-join") {
+    val p = plans("q142_snapshot_churn")
+    assert(p.contains("FullOuter"), p.take(3000))
+  }
+
+  test("q144 calibration: the stats cutover picks the window shape at test scale") {
+    // the distributed shape ends in a localCheckpoint (ExistingRDD
+    // scan); at sf0.001 the auto pick must be the window plan — a
+    // regression here means the cutover stopped reading stats
+    val p = plans("q144_source_calibration")
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("ExistingRDD"), p.take(3000))
+  }
+
+  test("q146 indexed containment: zero text processing — stored lists only") {
+    // the whole point of serving q97's semantics from the index: no
+    // tokenizer in the plan (a split() here means a re-tokenize crept
+    // back in), and the only scans are the postings store
+    val p = plans("q146_containment_indexed_full")
+    assert(!p.contains("split("), p.take(3000))
+    assert(!p.contains("documents.parquet"), p.take(3000))
+  }
+
   test("q78 mixture: corpus never shuffles — rates broadcast back onto docs") {
     val df = SparkEntry.queries("q78_lang_mixture")(spark, sf)
     df.collect()
