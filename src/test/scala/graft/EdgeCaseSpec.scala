@@ -173,4 +173,27 @@ class EdgeCaseSpec extends SparkSpec {
     // copies track the weight proportions: 3/10, 1/10, 6/10 of 1000
     assert(got.map(_._3) === Seq(300L, 100L, 600L))
   }
+
+  test("r16 monitors/curation on empty and single-row inputs: total, never throws") {
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("id", "src", "text")
+    // drift: empty frame → zero dim rows; single row → one finite row
+    assert(graft.ml.Drift.jsDivergence(emptyDocs, col("id") % 2 === 0,
+      Seq("src" -> col("src"))).count() === 0)
+    val oneDoc = Seq((1L, "a", "t")).toDF("id", "src", "text")
+    val oneJs = graft.ml.Drift.jsDivergence(oneDoc, col("id") % 2 === 0,
+      Seq("src" -> col("src"))).select(col("js")).as[Double].head()
+    assert(!oneJs.isNaN)
+    // snapshot diff: both sides empty → empty
+    assert(graft.analytics.SnapshotDiff.diff(emptyDocs, emptyDocs, "id",
+      Seq("text")).count() === 0)
+    // calibration: empty input → empty on BOTH plan shapes
+    val emptyCal = Seq.empty[(Long, String, Long)].toDF("id", "g", "m")
+    for (plan <- Seq("window", "distributed"))
+      assert(graft.ml.Calibrate.keepByPercentile(emptyCal, "g", "m", "id",
+        1, 2, plan = plan).count() === 0, plan)
+    // heavy hitters: empty stream → empty sketch and empty recount
+    val (n0, c0) = graft.ml.HeavyHitters.sketch(
+      Seq.empty[String].toDF("v"), "v", 8)
+    assert(n0 === 0L && c0.isEmpty)
+  }
 }
