@@ -82,8 +82,12 @@ object NgramIndex {
       // a v1-era root _meta would shadow nothing (postings/_graft_meta
       // wins) but could describe a DIFFERENT n/dfMax — drop it
       val legacyMeta = new org.apache.hadoop.fs.Path(s"$dir/_meta")
-      legacyMeta.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(legacyMeta, false)
+      val hfs = legacyMeta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      hfs.delete(legacyMeta, false)
+      // a rebuild starts clean: tombstones describe the PREVIOUS
+      // corpus's ids and must not leak into the fresh index
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/$TombstoneDir"), true)
+      tombstoneCache.remove(dir)
       ()
     } finally { sh.unpersist(); () }
   }
@@ -144,6 +148,16 @@ object NgramIndex {
     val idType = stored.schema("docs").dataType
       .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     requireIdCompatible(batch, idType, dir)
+    // resurrection of a deleted id must be explicit (compact, then
+    // append) — a silent merge would store grams the pair filter
+    // contradicts
+    tombstoneFrame(spark, dir).foreach { tbs =>
+      val clash = batch.select(col("doc_id").cast(idType).as("doc_id"))
+        .join(tbs, Seq("doc_id"), "left_semi").limit(1).collect()
+      require(clash.isEmpty,
+        s"batch contains tombstoned doc_id ${clash.headOption.map(_.get(0))} " +
+          s"— run compactTombstones($dir) first if the re-add is intended")
+    }
     val emptyIds = array()
       .cast(org.apache.spark.sql.types.ArrayType(idType))
     val batchLists = TextDedup.shingleKeyTable(batch, m.n)
@@ -226,7 +240,8 @@ object NgramIndex {
       dfCap: Int): DataFrame = {
     val (pairs, sizes) = TextDedup.pairCountsFromCapped(
       cappedLists(spark, dir, dfCap))
-    TextDedup.finalizeJaccard(pairs, sizes, threshold)
+    excludeTombstoned(spark, dir,
+      TextDedup.finalizeJaccard(pairs, sizes, threshold))
   }
 
   /** Full-corpus containment pairs from the stored postings — q97's
@@ -235,7 +250,8 @@ object NgramIndex {
       threshold: Double, dfCap: Int): DataFrame = {
     val (pairs, sizes) = TextDedup.pairCountsFromCapped(
       cappedLists(spark, dir, dfCap))
-    TextDedup.finalizeContainment(pairs, sizes, threshold)
+    excludeTombstoned(spark, dir,
+      TextDedup.finalizeContainment(pairs, sizes, threshold))
   }
 
   /** Incremental containment probe: `batch` (the docs that arrived
@@ -307,7 +323,8 @@ object NgramIndex {
     // pipelines (tokenize chains), not to stored-scan merges — and at
     // 100 TB caching a corpus-scale frame per ingest batch is memory
     // pressure the re-scan never costs.
-    TextDedup.containmentPairsIncrementalFromPostings(merged, threshold)
+    excludeTombstoned(spark, dir,
+      TextDedup.containmentPairsIncrementalFromPostings(merged, threshold))
   }
 
   /** Per-doc marginal novelty of a batch against the stored gram
@@ -351,6 +368,132 @@ object NgramIndex {
       .select(col("shingle"), col("docs"))
   }
 
+  // ---------------------------------------------------------------
+  // Deletion (right-to-be-forgotten). The stored indexes were
+  // append-only; a training corpus that honors takedown/opt-out
+  // requests needs the screens to stop emitting a deleted document
+  // IMMEDIATELY, without an O(corpus) rebuild per request. Protocol:
+  //  - [[addTombstones]] records ids under `$dir/tombstones/`
+  //    (idempotent set semantics — only novel ids are appended);
+  //  - every pair-emitting probe anti-joins its OUTPUT against the
+  //    tombstone set (broadcast, bounded by the deletion backlog), so
+  //    the forget guarantee is absolute from the moment the tombstone
+  //    commits: no deleted id ever appears in a result;
+  //  - df caps keep using the STORED df until [[compactTombstones]]
+  //    physically rewrites the lists — deliberately CONSERVATIVE: a
+  //    gram whose remaining df fell under the cap is still excluded
+  //    (fewer pairs, never a leak). Post-compact, rare-gram df is
+  //    exact again; a gram that was hot at build (df > dfMax, list
+  //    not stored) can only recover its list at a full rebuild —
+  //    documented, and the safe direction.
+  //  - [[append]] refuses a batch containing a tombstoned id
+  //    (resurrection must be an explicit compact-then-append, not a
+  //    silent merge that the pair filter would contradict).
+  // q147 gates the probe path against a from-scratch oracle on the
+  // remaining docs; NgramIndexSpec covers compact equality, replay
+  // idempotence and the hot-gram conservatism.
+  // ---------------------------------------------------------------
+
+  /** Record document ids as deleted. Idempotent: already-tombstoned
+    * ids are skipped, so an at-least-once deletion feed never grows
+    * the set. */
+  def addTombstones(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val m = meta(spark, dir) // validates the index exists
+    require(m != null, s"no index at $dir")
+    val stored = postingsFrame(spark, dir)
+    val idType = stored.schema("docs").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    require(losslessIdCast(ids.schema(ids.columns.head).dataType, idType),
+      s"tombstone id type ${ids.schema(ids.columns.head).dataType} is not " +
+        s"losslessly castable to the index's stored id type $idType")
+    val cast = ids.select(col(ids.columns.head).cast(idType).as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    val novel = tombstoneFrame(spark, dir) match {
+      case Some(existing) => cast.join(existing, Seq("doc_id"), "left_anti")
+      case None => cast
+    }
+    if (!novel.isEmpty) {
+      novel.coalesce(1).write.mode("append")
+        .parquet(s"$dir/$TombstoneDir")
+      tombstoneCache.remove(dir)
+      ()
+    }
+  }
+
+  /** The live tombstone set, or None when nothing was ever deleted —
+    * the common case stays zero-cost. Cached per session like the
+    * postings frame. */
+  private def tombstoneFrame(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val cached = tombstoneCache.get(dir)
+    if (cached != null && (cached._2 eq spark)) cached._1
+    else {
+      val path = new org.apache.hadoop.fs.Path(s"$dir/$TombstoneDir")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = if (fs.exists(path))
+        Some(spark.read.parquet(path.toString).select(col("doc_id")).distinct())
+      else None
+      tombstoneCache.put(dir, (v, spark))
+      v
+    }
+  }
+
+  /** Drop tombstoned ids from a pair-emitting probe's output — the
+    * immediate forget guarantee. Broadcast anti-joins: the tombstone
+    * backlog is bounded by compaction cadence, never corpus-sized. */
+  private def excludeTombstoned(spark: SparkSession, dir: String,
+      out: DataFrame): DataFrame =
+    tombstoneFrame(spark, dir) match {
+      case None => out
+      case Some(tbs) =>
+        val t = broadcast(tbs.select(col("doc_id").as("__tbs_id")))
+        out.join(t, col("doc_a") === col("__tbs_id"), "left_anti")
+          .join(t, col("doc_b") === col("__tbs_id"), "left_anti")
+    }
+
+  /** Physically apply the tombstones: rare lists shrink (grams whose
+    * every doc was deleted disappear), rare df is recomputed exact,
+    * hot rows pass through unchanged (their lists were never stored —
+    * the documented rebuild-only recovery). One staged pass over the
+    * index, crash-safe via the build/append swap; clearing the
+    * tombstone set AFTER the swap is idempotent under replay (re-
+    * applying absent ids is a no-op). */
+  def compactTombstones(spark: SparkSession, dir: String): Unit = {
+    repairSwap(spark, dir)
+    val m = meta(spark, dir)
+    tombstoneFrame(spark, dir) match {
+      case None => ()
+      case Some(tbs) =>
+        val stored = postingsFrame(spark, dir)
+        val idType = stored.schema("docs").dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val t = broadcast(tbs.select(col("doc_id").cast(idType).as("__tbs_id")))
+        val rare = stored.filter(col("df") <= m.dfMax)
+          .select(col("shingle"), explode(col("docs")).as("d"))
+          .join(t, col("d") === col("__tbs_id"), "left_anti")
+          .groupBy(col("shingle"))
+          .agg(array_sort(collect_list(col("d"))).as("docs"))
+          .select(col("shingle"), size(col("docs")).cast("long").as("df"),
+            col("docs"))
+        val hot = stored.filter(col("df") > m.dfMax)
+        val stage = s"$dir/postings__stage"
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+        rare.unionByName(hot).write.mode("overwrite")
+          .option("compression", "zstd").parquet(stage)
+        writeMetaInto(spark, stage, m.n, m.dfMax)
+        swapStageLive(spark, dir)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$TombstoneDir"), true)
+        tombstoneCache.remove(dir)
+        ()
+    }
+  }
+
+  private val TombstoneDir = "tombstones"
+  private val tombstoneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[DataFrame], SparkSession)]()
+
   /** Resolved-postings frame cache (the LexIndex.postingsFrame
     * precedent, r10): `spark.read.parquet` pays driver-side listing +
     * footer reads per call — a fixed tax on every probe of an
@@ -376,6 +519,7 @@ object NgramIndex {
   private def invalidate(dir: String): Unit = {
     postingsCache.remove(dir)
     metaCache.remove(dir)
+    tombstoneCache.remove(dir)
     ()
   }
 

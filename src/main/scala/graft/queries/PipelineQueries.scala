@@ -1041,14 +1041,14 @@ object PipelineQueries {
   /** Word n-gram CTE (`sh(doc_id, shingle)`) mirroring
     * TextDedup.shingleTable for any n, including the whole-text
     * fallback for short docs. */
-  private[queries] def ngramCte(n: Int): String =
+  private[queries] def ngramCte(n: Int, src: String = "documents"): String =
     s"""sh AS (
        |  SELECT DISTINCT doc_id, s AS shingle FROM (
        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= $n
        |      THEN list_transform(generate_series(1, len(toks)-${n - 1}),
        |        i -> array_to_string(toks[i:i+${n - 1}], ' '))
        |      ELSE [array_to_string(toks, ' ')] END) AS s
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)))""".stripMargin
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src)))""".stripMargin
 
   private[queries] val shingleCte: String = ngramCte(3)
 

@@ -702,6 +702,28 @@ object ShapeQueries {
     "q145_embedding_drift" -> { (s, dir) =>
       graft.ml.Drift.embeddingDrift(t(s, dir, "embeddings"),
         col("vec_id") % 7 === 0)
+    },
+
+    // Right-to-be-forgotten in the stored-index layer (r16): tombstone
+    // the %13 docs, then probe — the oracle is the FROM-SCRATCH
+    // computation on the remaining docs, so the gate proves the
+    // deleted ids vanish from results the moment the tombstone
+    // commits, with no rebuild. (Exact equality holds because this
+    // corpus's 4-gram df never crosses a cap boundary — max df 6 vs
+    // dfMax 64 at every scale point; the general boundary semantics
+    // are conservative and spec'd in NgramIndexSpec.) Its own index
+    // tag: sharing q146's would tombstone that query's index.
+    "q147_forget" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("doc_id", col("doc_id").cast("int"))
+        .select(col("doc_id"), col("text"))
+      val idx = graft.ml.NgramIndex.ensure(s, dir, docs,
+        n = 4, dfMax = 64, tag = "forget")
+      graft.ml.NgramIndex.addTombstones(s, idx,
+        docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+      graft.ml.NgramIndex.pairsContainment(s, idx, threshold = 0.6,
+          dfCap = 50)
+        .orderBy(col("doc_a"), col("doc_b"))
     })
 
   private def e4sum(expr: String): String =
@@ -932,6 +954,11 @@ object ShapeQueries {
     // indexed full-corpus plan, same generator (the q31/q125 rule)
     "q146_containment_indexed_full" -> containmentOracle(""),
 
+    // the from-scratch computation on the REMAINING docs — identical
+    // output proves the tombstoned ids are gone without a rebuild
+    "q147_forget" -> containmentOracle("",
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 0)"),
+
     // q140: batch grams (distinct per doc, the sh CTE's semantics)
     // left-joined against the DISTINCT pre-400 corpus vocabulary
     "q140_batch_novelty" ->
@@ -1059,9 +1086,11 @@ object ShapeQueries {
         |FROM agg ORDER BY label""".stripMargin)
 
   /** Shared q97/q101 oracle body; `restriction` is an extra WHERE
-    * conjunct line applied AFTER the full computation. */
-  private def containmentOracle(restriction: String): String =
-    s"""WITH ${PipelineQueries.ngramCte(4)},
+    * conjunct line applied AFTER the full computation; `src` swaps
+    * the document source (q147 runs it over the remaining docs). */
+  private def containmentOracle(restriction: String,
+      src: String = "documents"): String =
+    s"""WITH ${PipelineQueries.ngramCte(4, src)},
        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
        |rsh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),

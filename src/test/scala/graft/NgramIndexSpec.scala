@@ -369,4 +369,85 @@ class NgramIndexSpec extends SparkSpec {
     assert(got(101)._3 === 1.0, "all-new content must score 1.0")
     assert(got(102)._3 === 0.0, "replayed corpus text must score 0.0")
   }
+
+  test("tombstones: forget is immediate on every probe; compact equals a from-scratch build on the remaining docs; deletion feed is idempotent") {
+    val dir = freshDir()
+    NgramIndex.build(docs, dir, n = 3, dfMax = 8)
+    // delete doc 2 (the near-dup of 1) and doc 4 (contained in 3)
+    NgramIndex.addTombstones(spark, dir, Seq(2, 4).toDF("doc_id"))
+    val remaining = docs.filter(!$"doc_id".isin(2, 4))
+    def pairsOf(d: String) =
+      NgramIndex.pairsJaccard(spark, d, 0.1, 4)
+        .as[(Int, Int, Double)].collect().toSet
+    def contOf(d: String) =
+      NgramIndex.pairsContainment(spark, d, 0.5, 4)
+        .as[(Int, Int, Long, Double, Long, Long)].collect().toSet
+    // immediate forget: no deleted id in any probe output, and (this
+    // fixture has no cap-boundary grams) exact from-scratch equality
+    val wantJ = TextDedup.jaccardPairsPostings(remaining, 3, 0.1, 4)
+      .as[(Int, Int, Double)].collect().toSet
+    assert(pairsOf(dir) === wantJ)
+    val wantC = TextDedup.containmentPairsPostings(remaining, 3, 0.5, 4)
+      .as[(Int, Int, Long, Double, Long, Long)].collect().toSet
+    assert(contOf(dir) === wantC)
+    // the probe path too: batch pairs never mention a deleted id
+    val batch = Seq((8, "alpha beta gamma delta epsilon zeta eta iota"))
+      .toDF("doc_id", "text") // near-dup of deleted 2 AND of live 1
+    val probed = NgramIndex.probeContainment(spark, dir, batch, 0.5, 8)
+      .select($"doc_a", $"doc_b").as[(Int, Int)].collect()
+    assert(probed.nonEmpty, "the live near-dup must still pair")
+    assert(!probed.exists(p => Set(p._1, p._2).intersect(Set(2, 4)).nonEmpty))
+    // idempotent feed: re-adding the same ids appends nothing new
+    NgramIndex.addTombstones(spark, dir, Seq(2, 4, 2).toDF("doc_id"))
+    assert(pairsOf(dir) === wantJ)
+    // compact: physical rewrite equals a fresh build on the remaining
+    // docs; tombstone set cleared; results unchanged
+    NgramIndex.compactTombstones(spark, dir)
+    val fresh = freshDir()
+    NgramIndex.build(remaining, fresh, n = 3, dfMax = 8)
+    assert(pairsOf(dir) === pairsOf(fresh) && contOf(dir) === contOf(fresh))
+    assert(!new java.io.File(s"$dir/tombstones").exists,
+      "compact must clear the tombstone set")
+    // resurrection is explicit: post-compact the id appends cleanly...
+    NgramIndex.append(spark, dir,
+      Seq((2, "alpha beta gamma delta epsilon zeta eta iota")).toDF("doc_id", "text"))
+    assert(pairsOf(dir).exists(p => p._1 == 1 && p._2 == 2),
+      "re-added doc must pair again after compact")
+  }
+
+  test("tombstones: resurrection before compact is refused; a rebuild starts clean; hot-gram conservatism is the safe direction") {
+    val dir = freshDir()
+    NgramIndex.build(docs, dir, n = 3, dfMax = 8)
+    NgramIndex.addTombstones(spark, dir, Seq(1).toDF("doc_id"))
+    intercept[IllegalArgumentException] {
+      NgramIndex.append(spark, dir,
+        Seq((1, "alpha beta gamma")).toDF("doc_id", "text"))
+    }
+    // rebuild of a NEW corpus clears the stale tombstone set
+    NgramIndex.build(docs, dir, n = 3, dfMax = 8)
+    assert(NgramIndex.pairsJaccard(spark, dir, 0.1, 4)
+      .as[(Int, Int, Double)].collect()
+      .exists(p => p._1 == 1 || p._2 == 1),
+      "doc 1 must participate again after a rebuild")
+    // hot-gram conservatism: a gram hot at build (df > dfMax) stays
+    // excluded even when deletions would bring its df under the cap —
+    // fewer pairs than from-scratch (never a leak), recovered at
+    // rebuild. Corpus: 4 docs sharing one gram, dfMax 3 → hot.
+    val hotDocs = Seq(
+      (1, "shared gram here padding aa"), (2, "shared gram here padding bb"),
+      (3, "shared gram here padding cc"), (4, "shared gram here padding dd"))
+      .toDF("doc_id", "text")
+    val hd = freshDir()
+    NgramIndex.build(hotDocs, hd, n = 3, dfMax = 3)
+    NgramIndex.addTombstones(spark, hd, Seq(3, 4).toDF("doc_id"))
+    // remaining df for "shared gram here" is 2 <= cap, but the list
+    // was never stored: conservative = no pairs pre-rebuild
+    assert(NgramIndex.pairsJaccard(spark, hd, 0.1, 3).count() === 0L)
+    NgramIndex.compactTombstones(spark, hd)
+    assert(NgramIndex.pairsJaccard(spark, hd, 0.1, 3).count() === 0L,
+      "compact cannot recover a list that was never stored")
+    NgramIndex.build(hotDocs.filter(!$"doc_id".isin(3, 4)), hd, n = 3, dfMax = 3)
+    assert(NgramIndex.pairsJaccard(spark, hd, 0.1, 3).count() > 0L,
+      "a rebuild recovers the now-rare gram")
+  }
 }
