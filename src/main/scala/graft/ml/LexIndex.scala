@@ -80,6 +80,11 @@ object LexIndex {
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$indexDir/postings")
     stats.write.mode("overwrite").parquet(s"$indexDir/stats")
+    // a rebuild starts clean: stale tombstones describe the previous
+    // corpus's ids
+    val tbs = new org.apache.hadoop.fs.Path(s"$indexDir/$TombstoneDir")
+    tbs.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(tbs, true)
     invalidate(indexDir)
   }
 
@@ -119,6 +124,18 @@ object LexIndex {
     // ingestAndMaintain crash-recovery path) is a no-op instead of a
     // duplicate-postings merge with double-counted stats. The id agg
     // rides the postings scan the merge below pays anyway.
+    // resurrection of a deleted id must be explicit (compact first) —
+    // checked on the RAW batch: a tombstoned doc still has stored
+    // postings rows, so the id-idempotence anti-join below would
+    // otherwise swallow it SILENTLY (caller believes it was re-added,
+    // the probe filter keeps it invisible)
+    tombstoneFrame(spark, indexDir).foreach { tbs =>
+      val clash = newDocs.select(col("doc_id").cast("long").as("doc_id"))
+        .join(tbs, Seq("doc_id"), "left_semi").limit(1).collect()
+      require(clash.isEmpty,
+        s"batch contains tombstoned doc_id ${clash.headOption.map(_.get(0))} " +
+          s"— run compactTombstones($indexDir) first if the re-add is intended")
+    }
     val d = newDocs.select(col("doc_id"), col("text"))
       .join(old0.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
     // batch stats next (tiny job): empty batch -> no-op, no swap
@@ -171,19 +188,22 @@ object LexIndex {
   /** Index location for a corpus dir: content-addressed under the JVM
     * temp dir so every (machine, corpus path) pair gets a stable spot
     * that survives across processes. */
-  def indexDirFor(sfDir: String): String = {
+  def indexDirFor(sfDir: String, tag: String = ""): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft_lexindex/$h"
+    val suffix = if (tag.isEmpty) "" else s"_$tag"
+    s"${System.getProperty("java.io.tmpdir")}/graft_lexindex/$h$suffix"
   }
 
   /** Ensure an up-to-date index exists for `sfDir`'s documents table;
     * build (or rebuild on corpus drift) only when the stored
     * fingerprint mismatches. Returns the index dir. Amortization in
-    * one line: every probe after the first pays only the probe. */
+    * one line: every probe after the first pays only the probe.
+    * `tag` names an independent copy (a query that MUTATES its index
+    * — q148's tombstones — must never share the default dir). */
   def ensure(spark: SparkSession, sfDir: String,
-      docs: => DataFrame): String = {
-    val dir = indexDirFor(sfDir)
+      docs: => DataFrame, tag: String = ""): String = {
+    val dir = indexDirFor(sfDir, tag)
     val fp = fingerprint(spark, sfDir)
     val fpPath = java.nio.file.Paths.get(dir, "_fingerprint")
     val current =
@@ -204,7 +224,7 @@ object LexIndex {
     * scan — no re-tokenization, no distinct shuffle. */
   def queryTermsFromIndex(spark: SparkSession, indexDir: String,
       docPred: org.apache.spark.sql.Column): DataFrame =
-    postingsFrame(spark, indexDir)
+    livePostings(spark, indexDir)
       .filter(docPred)
       .select(col("doc_id").as("query_id"), col("term"))
 
@@ -220,7 +240,120 @@ object LexIndex {
   private def invalidate(indexDir: String): Unit = {
     statsCache.remove(indexDir)
     postingsCache.remove(indexDir)
+    tombstoneCache.remove(indexDir)
     queryCache.keySet.removeIf(_.startsWith(indexDir + "::"))
+    ()
+  }
+
+  // ---------------------------------------------------------------
+  // Deletion (right-to-be-forgotten) — the NgramIndex tombstone
+  // protocol applied to RETRIEVAL, where the leak is most visible: a
+  // deleted document must stop being retrievable the moment the
+  // tombstone commits. Probes drop tombstoned postings rows BEFORE
+  // ranking (a deleted doc neither appears in results nor consumes a
+  // top-k slot, and a deleted query doc yields no query terms); BM25
+  // stats (df, avgdl, n_docs) deliberately stay at their stored
+  // values until [[compactTombstones]] — the Lucene deleted-docs
+  // semantics: scores of live docs use slightly stale collection
+  // stats, membership is exact immediately. Compaction rewrites the
+  // postings without the deleted rows, recomputes df in the same
+  // layout pass a build uses and recomputes stats from the remaining
+  // postings — post-compact the index equals a from-scratch build on
+  // the remaining docs (LexIndexSpec differential). q148 gates the
+  // immediate-forget semantics against a from-scratch oracle with
+  // full-corpus stats and live-docs-only results.
+  // ---------------------------------------------------------------
+
+  private val TombstoneDir = "tombstones"
+  private val tombstoneCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Option[DataFrame], SparkSession)]()
+
+  /** Record document ids as deleted. Idempotent set semantics. */
+  def addTombstones(spark: SparkSession, indexDir: String,
+      ids: DataFrame): Unit = {
+    val cast = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    val novel = tombstoneFrame(spark, indexDir) match {
+      case Some(existing) => cast.join(existing, Seq("doc_id"), "left_anti")
+      case None => cast
+    }
+    if (!novel.isEmpty) {
+      novel.coalesce(1).write.mode("append")
+        .parquet(s"$indexDir/$TombstoneDir")
+      // the cached (index, predicate) query sets may contain deleted
+      // query docs — drop them along with the tombstone cache
+      tombstoneCache.remove(indexDir)
+      queryCache.keySet.removeIf(_.startsWith(indexDir + "::"))
+      ()
+    }
+  }
+
+  private def tombstoneFrame(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val cached = tombstoneCache.get(indexDir)
+    if (cached != null && (cached._2 eq spark)) cached._1
+    else {
+      val path = new org.apache.hadoop.fs.Path(s"$indexDir/$TombstoneDir")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v = if (fs.exists(path))
+        Some(spark.read.parquet(path.toString).select(col("doc_id")).distinct())
+      else None
+      tombstoneCache.put(indexDir, (v, spark))
+      v
+    }
+  }
+
+  /** The postings visible to probes: stored rows minus tombstoned
+    * docs (broadcast anti-join; zero-cost when nothing was ever
+    * deleted). */
+  private def livePostings(spark: SparkSession, indexDir: String): DataFrame = {
+    val post = postingsFrame(spark, indexDir)
+    tombstoneFrame(spark, indexDir) match {
+      case None => post
+      case Some(tbs) =>
+        post.join(broadcast(tbs.select(col("doc_id").as("__tbs_id"))),
+          col("doc_id") === col("__tbs_id"), "left_anti")
+    }
+  }
+
+  /** Physically drop tombstoned postings: one re-layout pass (df
+    * recomputed exactly, like a build), stats recomputed from the
+    * remaining rows, tombstones cleared after the swap (idempotent
+    * under replay — re-dropping absent ids is a no-op). */
+  def compactTombstones(spark: SparkSession, indexDir: String,
+      partitions: Int = 8): Unit = {
+    if (tombstoneFrame(spark, indexDir).isEmpty) return
+    val live = livePostings(spark, indexDir)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val relaid = layoutPostings(live, partitions)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveP = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/postings_tmp")
+    val aside = new org.apache.hadoop.fs.Path(s"$indexDir/.postings_old")
+    relaid.write.mode("overwrite").option("compression", "zstd")
+      .parquet(tmp.toString)
+    // stats from the remaining docs: dl is constant per doc, so the
+    // (doc, dl) distinct is the exact from-scratch recomputation
+    val st = spark.read.parquet(tmp.toString)
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    val (nDocs, sumDl) =
+      (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
+    fs.delete(aside, true)
+    if (!fs.rename(liveP, aside))
+      throw new java.io.IOException(s"compact rename-aside failed for $liveP")
+    if (!fs.rename(tmp, liveP)) {
+      fs.rename(aside, liveP)
+      throw new java.io.IOException(s"compact rename-in failed for $liveP")
+    }
+    fs.delete(aside, true)
+    import spark.implicits._
+    Seq((if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs, nDocs, sumDl))
+      .toDF("avgdl", "n_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/$TombstoneDir"), true)
+    invalidate(indexDir)
   }
 
   /** BM25 probe with an index-resident query set named by a doc
@@ -236,8 +369,9 @@ object LexIndex {
       // df rides the collect: Σ df over the (query, term) set is the
       // EXACT matched-postings row count of the probe join, known
       // before any job runs — the probe-shape decision (see
-      // probeLocal) is free and precise on this path.
-      postingsFrame(spark, indexDir)
+      // probeLocal) is free and precise on this path. livePostings:
+      // a deleted doc stops being usable as a QUERY too.
+      livePostings(spark, indexDir)
         .filter(docPred)
         .select(col("doc_id").cast("long"), col("term").cast("string"),
           col("df").cast("long"))
@@ -332,7 +466,7 @@ object LexIndex {
     val (_, nDocs) = corpusStats(spark, indexDir)
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(round(col("score"), 6).desc, col("term"))
-    postingsFrame(spark, indexDir)
+    livePostings(spark, indexDir)
       .withColumn("score",
         col("tf") * log(lit(nDocs.toDouble) / col("df")))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -382,7 +516,7 @@ object LexIndex {
       matchedEst: Long): DataFrame = {
     import spark.implicits._
     val (avgdl, nDocs) = corpusStats(spark, indexDir)
-    val post0 = postingsFrame(spark, indexDir)
+    val post0 = livePostings(spark, indexDir)
     val qdf = qlocal.toDF("query_id", "term")
     val vocab = qlocal.map(_._2).distinct
     val post =

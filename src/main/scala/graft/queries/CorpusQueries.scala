@@ -386,6 +386,25 @@ object CorpusQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  // Right-to-be-forgotten on the RETRIEVAL path (r16, the q147
+  // companion): tombstone the %13 docs on a dedicated index copy, then
+  // probe — deleted docs must vanish from results (and from the query
+  // set: doc 0 is deleted, so queries are 1-4) the moment the
+  // tombstone commits, while BM25 stats stay at their stored values
+  // until compaction (the Lucene deleted-docs semantics). The oracle
+  // computes exactly that contract from scratch: full-corpus df/avgdl/
+  // n_docs, live-docs-only results, re-ranked.
+  private val q148 = "q148_forget_retrieval" -> { (s: SparkSession, dir: String) =>
+    val idx = graft.ml.LexIndex.ensure(s, dir,
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      tag = "forget")
+    graft.ml.LexIndex.addTombstones(s, idx,
+      t(s, dir, "documents").filter(col("doc_id") % 13 === 0)
+        .select(col("doc_id")))
+    graft.ml.LexIndex.probeIndexed(s, idx, col("doc_id") < 5, k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // The index BUILDER's own gate (r7): the stored postings must equal
   // a from-scratch tf/dl/df computation row-for-row — this is what
   // lets q102 trust the index. Emits the full postings table (11.7k
@@ -468,7 +487,7 @@ object CorpusQueries {
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] =
     Map(q50, q51, q77, q82, q83, q84, q85, q88, q89, q102, q103, q104, q105,
-      q106, q107, q139)
+      q106, q107, q139, q148)
 
   val oracles: Map[String, String] = Map(
     // q138: the identical Stupid Backoff arithmetic — every score is
@@ -657,6 +676,34 @@ object CorpusQueries {
         |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS c
         |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
         |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, rnk, doc_id, round(score, 4) AS score FROM ranked
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // q102's chain with the immediate-forget contract: df/avgdl/n_docs
+    // over the FULL corpus (stats stay stored until compaction), tf
+    // rows for deleted docs excluded from contrib (results AND query
+    // set), ranks recomputed over the live docs.
+    "q148_forget_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, term FROM tf
+        |  WHERE doc_id < 5 AND doc_id % 13 <> 0),
+        |contrib AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS c
+        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  WHERE tf.doc_id % 13 <> 0),
         |scored AS (SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2),
         |ranked AS (
         |  SELECT query_id, doc_id, score, row_number() OVER (

@@ -199,4 +199,56 @@ class LexIndexSpec extends SparkSpec {
       assert(finalPlan.contains("WindowGroupLimit"), finalPlan.take(3000))
     } finally LexIndex.TwoShuffleAbove = saved
   }
+
+  test("tombstones: deleted docs vanish from every probe immediately (stale stats by contract); compact equals a from-scratch build; resurrection refused; rebuild clears") {
+    val dir = Files.createTempDirectory("lexidx_tbs").toString
+    val docs = corpus().toDF("doc_id", "text")
+    LexIndex.build(docs, dir)
+    def probeAll(d: String) = LexIndex.probeText(spark, d,
+        Seq((100L, "the cat mat"), (101L, "dog log")), k = 10)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(t => (t._1, t._2))
+    val before = probeAll(dir)
+    assert(before.exists(_._3 == 5L), "doc 5 retrievable pre-deletion")
+    LexIndex.addTombstones(spark, dir, Seq(5L, 2L).toDF("doc_id"))
+    val after = probeAll(dir)
+    // immediate forget: 5 and 2 gone from results AND no rank gaps
+    assert(!after.exists(r => r._3 == 5L || r._3 == 2L))
+    after.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted === (1L to rs.size).toSeq, "ranks re-pack") }
+    // live docs keep their PRE-deletion scores (stats stale until
+    // compact — the Lucene deleted-docs contract)
+    val beforeLive = before.filter(r => r._3 != 5L && r._3 != 2L)
+      .map(r => (r._1, r._3, r._4)).toSet
+    assert(after.map(r => (r._1, r._3, r._4)).toSet === beforeLive)
+    // a deleted doc stops being usable as a query
+    assert(LexIndex.probeIndexed(spark, dir, col("doc_id") === 5L, k = 3)
+      .count() === 0L)
+    // tfidf keywords: no deleted doc rows
+    assert(LexIndex.tfidfTopK(spark, dir, 2)
+      .filter(col("doc_id").isin(5L, 2L)).count() === 0L)
+    // resurrection refused pre-compact
+    intercept[IllegalArgumentException] {
+      LexIndex.appendBatch(spark, dir,
+        Seq((5L, "new text")).toDF("doc_id", "text"))
+    }
+    // compact == from-scratch build on the remaining docs: postings,
+    // stats AND probe output (scores now use remaining-corpus stats)
+    LexIndex.compactTombstones(spark, dir)
+    val fresh = Files.createTempDirectory("lexidx_fresh").toString
+    LexIndex.build(docs.filter(!col("doc_id").isin(5L, 2L)), fresh)
+    def postingsSet(d: String) = spark.read.parquet(s"$d/postings")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("df"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(postingsSet(dir) === postingsSet(fresh))
+    assert(spark.read.parquet(s"$dir/stats").head().toSeq ===
+      spark.read.parquet(s"$fresh/stats").head().toSeq)
+    assert(probeAll(dir) === probeAll(fresh))
+    // post-compact the id re-appends cleanly
+    LexIndex.appendBatch(spark, dir, Seq((5L, "the cat is back")).toDF("doc_id", "text"))
+    assert(probeAll(dir).exists(_._3 == 5L))
+    // a full rebuild clears any tombstones
+    LexIndex.addTombstones(spark, dir, Seq(0L).toDF("doc_id"))
+    LexIndex.build(docs, dir)
+    assert(probeAll(dir).exists(_._3 == 0L))
+  }
 }
