@@ -96,6 +96,9 @@ object IvfIndex {
       buckets: Int, quantized: Boolean = false): Unit = {
     val spark = embs.sparkSession
     recover(spark, table)
+    // a fresh build starts clean: stale tombstones describe the
+    // previous corpus's ids
+    graft.store.Bucketing.dropWithDir(spark, tombstoneTable(table))
     val p = Similarity.prepared(embs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try buildAndSwap(spark, p, table, cells, iters, buckets, quantized)
@@ -190,6 +193,82 @@ object IvfIndex {
     * swap protocol as [[write]]: the old index serves until the new
     * one is complete. `cells` defaults to the current centroid count;
     * bucket count and payload mode carry over from the live table. */
+  // ---------------------------------------------------------------
+  // Deletion (right-to-be-forgotten) — the NgramIndex/LexIndex
+  // tombstone protocol on the VECTOR index: a deleted document's
+  // embedding must stop appearing as anyone's neighbor the moment
+  // the tombstone commits. Probes anti-join the stored payload
+  // against the tombstone table BEFORE ranking (deleted vectors
+  // neither appear nor consume top-k slots; the recall monitor's
+  // exact side excludes them identically, so recall stays a fair
+  // comparison); centroids and drift stats stay as-trained until a
+  // rewrite. [[compactTombstones]] rewrites the payload only
+  // (assignments don't depend on other vectors, so cell geometry is
+  // untouched); [[rebuild]] retrains from the LIVE payload and
+  // clears the tombstones — rebuild-as-compaction. q149 gates the
+  // immediate-forget probe against the from-scratch oracle with
+  // full-corpus centroids and live-only candidates.
+  // ---------------------------------------------------------------
+
+  private def tombstoneTable(table: String): String = table + "_tombstones"
+
+  /** Record vector ids as deleted. Idempotent set semantics. */
+  def addTombstones(spark: SparkSession, table: String,
+      ids: DataFrame): Unit = {
+    val cast = ids.select(col(ids.columns.head).cast("long").as("vec_id"))
+      .filter(col("vec_id").isNotNull).distinct()
+    val tt = tombstoneTable(table)
+    val novel =
+      if (spark.catalog.tableExists(tt))
+        cast.join(spark.table(tt), Seq("vec_id"), "left_anti")
+      else cast
+    if (!novel.isEmpty) {
+      novel.coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(tt)
+      ()
+    }
+  }
+
+  /** The payload visible to probes: stored rows minus tombstoned
+    * vectors (broadcast anti-join; zero-cost when nothing was ever
+    * deleted). */
+  private def liveStored(spark: SparkSession, table: String): DataFrame = {
+    val stored = spark.table(table)
+    val tt = tombstoneTable(table)
+    if (!spark.catalog.tableExists(tt)) stored
+    else stored.join(
+      broadcast(spark.table(tt).select(col("vec_id").as("__tbs_id"))),
+      col("vec_id") === col("__tbs_id"), "left_anti")
+  }
+
+  /** Physically drop tombstoned payload rows. Cell assignments are a
+    * pure function of the vector and the (unchanged) centroids, so
+    * only the payload table rewrites; a crash mid-swap is repaired by
+    * [[recover]]'s rollback (a lone `__new` side table is dropped).
+    * Clearing the tombstones after the swap is replay-idempotent. */
+  def compactTombstones(spark: SparkSession, table: String): Unit = {
+    val tt = tombstoneTable(table)
+    if (!spark.catalog.tableExists(tt)) return
+    recover(spark, table)
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"$table is not a bucketed IVF index table"))
+    graft.store.Bucketing.dropWithDir(spark, newName(table))
+    liveStored(spark, table).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .bucketBy(buckets, "cell_id").sortBy("cell_id")
+      .saveAsTable(newName(table))
+    graft.store.Bucketing.dropWithDir(spark, oldName(table))
+    spark.sql(s"ALTER TABLE $table RENAME TO ${oldName(table)}")
+    spark.sql(s"ALTER TABLE ${newName(table)} RENAME TO $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${oldName(table)}")
+    graft.store.Bucketing.dropWithDir(spark, tt)
+    invalidateCentroids(table)
+  }
+
   def rebuild(spark: SparkSession, table: String, cells: Int = -1,
       iters: Int = 2): Unit = {
     recover(spark, table)
@@ -202,16 +281,21 @@ object IvfIndex {
     val quantized = stored.schema.fieldNames.contains("q")
     val k = if (cells > 0) cells
       else spark.table(centroidsTable(table)).count().toInt
+    // rebuild-as-compaction: retrain from the LIVE payload and clear
+    // the tombstones once the new build is live
+    val storedLive = liveStored(spark, table)
     val v =
       if (quantized) Quantize.decodeCol(col("q"), col("scale"))
       else col("v")
     // already-prepared shape (vec_id, v, nrm): nrm recomputed for the
     // decoded payload, exact for float (stored nrm IS dot(v,v)^0.5)
-    val p = stored.select(col("vec_id"), v.as("v"))
+    val p = storedLive.select(col("vec_id"), v.as("v"))
       .withColumn("nrm", sqrt(graft.plans.VectorOps.dotCol(col("v"), col("v"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try buildAndSwap(spark, p, table, k, iters, buckets, quantized)
-    finally { p.unpersist(); () }
+    try {
+      buildAndSwap(spark, p, table, k, iters, buckets, quantized)
+      graft.store.Bucketing.dropWithDir(spark, tombstoneTable(table))
+    } finally { p.unpersist(); () }
   }
 
   /** The operational rebuild entry point: measure drift, rebuild only
@@ -341,6 +425,16 @@ object IvfIndex {
       .getOrElse(throw new IllegalStateException(
         s"$table is not a bucketed IVF index table"))
     val quantized = spark.table(table).schema.fieldNames.contains("q")
+    locally {
+      val tt = tombstoneTable(table)
+      if (spark.catalog.tableExists(tt)) {
+        val clash = newEmbs.select(col("vec_id").cast("long").as("vec_id"))
+          .join(spark.table(tt), Seq("vec_id"), "left_semi").limit(1).collect()
+        require(clash.isEmpty,
+          s"batch contains tombstoned vec_id ${clash.headOption.map(_.get(0))}" +
+            s" — run compactTombstones($table) first if the re-add is intended")
+      }
+    }
     val fresh = newEmbs.join(
       spark.table(table).select(col("vec_id")), Seq("vec_id"), "left_anti")
     if (fresh.isEmpty) return
@@ -386,7 +480,7 @@ object IvfIndex {
       .select(col("cell_id"), col("vec_id").as("new_id"),
         col("v").as("bv"), col("nrm").as("bn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stored = spark.table(table)
+    val stored = liveStored(spark, table)
     val cands =
       if (stored.schema.fieldNames.contains("q"))
         stored.select(col("cell_id"), col("vec_id").as("cand_id"),
@@ -422,7 +516,7 @@ object IvfIndex {
         s => s.getField("cell_id"))))
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell_id"))
-    val stored = spark.table(table)
+    val stored = liveStored(spark, table)
     val quantized = stored.schema.fieldNames.contains("q")
     val cands =
       if (quantized)
@@ -465,7 +559,9 @@ object IvfIndex {
       k: Int, nprobe: Int): DataFrame = {
     val approx = probe(spark, table, queries, k, nprobe)
       .select(col("query_id"), col("cand_id"))
-    val stored = spark.table(table)
+    // the exact side excludes deleted vectors too — recall compares
+    // the probe against the truth over the LIVE payload
+    val stored = liveStored(spark, table)
     val cands =
       if (stored.schema.fieldNames.contains("q"))
         stored.select(col("vec_id").as("cand_id"),

@@ -250,6 +250,32 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // Right-to-be-forgotten on the ANN path (r16, the q147/q148
+    // companion): tombstone the %13 vectors on a dedicated index
+    // copy, then probe — deleted vectors must stop appearing as
+    // anyone's neighbor immediately, while centroids stay as-trained
+    // (the immediate-forget contract; compaction/rebuild is the
+    // physical cleanup). Query 0 is itself deleted but remains a
+    // legal QUERY: probes take caller-provided embeddings — only the
+    // candidate side filters.
+    "q149_forget_ann" -> { (s, dir) =>
+      val table = "g_q149_ivf_" + Integer.toHexString(dir.hashCode)
+      if (!s.catalog.tableExists(table)) {
+        for (t0 <- Seq(table, graft.ml.IvfIndex.centroidsTable(table),
+            graft.ml.IvfIndex.statsTable(table)))
+          graft.store.Bucketing.dropWithDir(s, t0)
+        graft.ml.IvfIndex.write(t(s, dir, "embeddings"), table,
+          cells = 8, iters = 0, buckets = 4)
+      }
+      graft.ml.IvfIndex.addTombstones(s, table,
+        t(s, dir, "embeddings").filter(col("vec_id") % 13 === 0)
+          .select(col("vec_id")))
+      graft.ml.IvfIndex.probe(s, table,
+          t(s, dir, "embeddings").filter(col("vec_id") < 10), k = 3, nprobe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // ANN recall monitoring (r11): recall@3 of the STORED IVF probe vs
     // the exact brute-force answer over the same payload — the quality
     // half of the rebuild decision (driftStats is the geometry half).
@@ -1313,7 +1339,10 @@ object PipelineQueries {
     * brute-force recall comparison. A shared prefix constant instead
     * of string surgery on a finished query keeps the two finals from
     * silently diverging when the CTEs change. */
-  private lazy val ivfCtePrefix: String =
+  /** The IVF CTE chain, parameterized on an extra candidate-side
+    * predicate (q149 excludes tombstoned vectors; everything else
+    * uses the unfiltered form via [[ivfCtePrefix]]). */
+  private def ivfCte(candFilter: String): String =
     s"""WITH $embCte,
        |cent AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell_id, v AS c
@@ -1341,11 +1370,13 @@ object PipelineQueries {
        |  FROM qcells q
        |  JOIN e qe ON qe.vec_id = q.query_id
        |  JOIN assigned a ON a.cell_id = q.cell_id
-       |  JOIN e c ON c.vec_id = a.vec_id AND c.vec_id != q.query_id),
+       |  JOIN e c ON c.vec_id = a.vec_id AND c.vec_id != q.query_id$candFilter),
        |ranked AS (
        |  SELECT query_id, cand_id, cos, row_number() OVER (
        |    PARTITION BY query_id ORDER BY round(cos, 6) DESC, cand_id) AS rnk
        |  FROM scored)""".stripMargin
+
+  private lazy val ivfCtePrefix: String = ivfCte("")
 
   private lazy val ivfTopkOracleSql: String =
     ivfCtePrefix +
@@ -2150,6 +2181,13 @@ object PipelineQueries {
     // reproduce the from-scratch IVF scores — the q83→q102 precedent
     // applied to the vector index.
     "q112_ivf_indexed" -> ivfTopkOracleSql,
+
+    // same chain, candidate side minus the deleted vectors; centroids
+    // and assignments stay full-corpus (the immediate-forget contract)
+    "q149_forget_ann" -> (ivfCte(" AND c.vec_id % 13 <> 0") +
+      """
+        |SELECT query_id, cand_id, round(cos, 4) AS cos, rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin),
 
     "q38_lang_id" -> {
       val scores = TextAnalysis.langProfiles

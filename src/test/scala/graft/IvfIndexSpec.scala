@@ -379,4 +379,68 @@ class IvfIndexSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("tombstones: deleted vectors vanish from probe/neardup/recall immediately; compact is value-identical; rebuild clears; resurrection refused") {
+    val embs = seededEmbs(200, 16)
+    val tbl = "g_ivf_tbs"
+    try {
+      IvfIndex.write(embs, tbl, cells = 8, iters = 1, buckets = 4)
+      val queries = embs.filter(col("vec_id") < 5)
+      val before = IvfIndex.probe(spark, tbl, queries, k = 50, nprobe = 3)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      val victims = before.map(_._2).distinct.take(3)
+      IvfIndex.addTombstones(spark, tbl, victims.toDF("vec_id"))
+      val after = IvfIndex.probe(spark, tbl, queries, k = 50, nprobe = 3)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(!after.exists(r => victims.contains(r._2)), "neighbors forgotten")
+      // survivors keep identical cosines (deletion pulls NEW tail
+      // candidates into the top-k, so before-live ⊆ after, not =)
+      val beforeLive = before.filterNot(r => victims.contains(r._2))
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(beforeLive.subsetOf(after.map(r => (r._1, r._2, r._3)).toSet))
+      after.groupBy(_._1).foreach { case (_, rs) =>
+        assert(rs.map(_._4).sorted === (1 to rs.size).toSeq) }
+      // near-dup screen: a batch near-dup of a deleted vector is silent
+      val batch = Seq((900L, "p",
+        embs.filter(col("vec_id") === victims.head)
+          .select(col("embedding")).as[Array[Float]].head()
+          .map(x => x + 0.001f)))
+        .toDF("vec_id", "label", "embedding")
+      val nd = IvfIndex.probeNearDup(spark, tbl, batch, threshold = 0.9,
+        nprobe = 3).as[(Long, Long, Double)].collect()
+      assert(!nd.exists(p => victims.contains(p._1) || victims.contains(p._2)))
+      // recall monitor: both sides live — an exhaustive probe is 1.0
+      val rec = IvfIndex.recallProbe(spark, tbl, queries, k = 250, nprobe = 8)
+        .select(col("recall")).as[Double].collect()
+      assert(rec.forall(_ === 1.0), rec.mkString(","))
+      // resurrection refused pre-compact
+      intercept[IllegalArgumentException] {
+        IvfIndex.append(spark, tbl, batch
+          .withColumn("vec_id", lit(victims.head)))
+      }
+      // compact: payload-only rewrite, value-identical to the
+      // pre-compact filtered view; tombstone table gone
+      IvfIndex.compactTombstones(spark, tbl)
+      assert(!spark.catalog.tableExists(tbl + "_tombstones"))
+      val compacted = IvfIndex.probe(spark, tbl, queries, k = 50, nprobe = 3)
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      assert(compacted.toSet === after.toSet)
+      // post-compact the id re-appends cleanly
+      IvfIndex.append(spark, tbl,
+        batch.withColumn("vec_id", lit(victims.head)))
+      assert(IvfIndex.probe(spark, tbl, queries, k = 250, nprobe = 8)
+        .filter(col("cand_id") === victims.head).count() > 0L)
+      // rebuild retrains on the LIVE payload and clears tombstones
+      IvfIndex.addTombstones(spark, tbl, Seq(victims(1)).toDF("vec_id"))
+      IvfIndex.rebuild(spark, tbl, iters = 1)
+      assert(!spark.catalog.tableExists(tbl + "_tombstones"))
+      assert(IvfIndex.probe(spark, tbl, queries, k = 250, nprobe = 8)
+        .filter(col("cand_id") === victims(1)).count() === 0L,
+        "rebuild trains and serves without the deleted vector")
+    } finally {
+      Seq(tbl, tbl + "_centroids", tbl + "_stats", tbl + "_tombstones")
+        .flatMap(t => Seq(t, t + "__new", t + "__old"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
