@@ -133,6 +133,9 @@ object BandIndex {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(
         s"$table is not a bucketed band index table"))
+    // resurrection guard FIRST, on the raw batch — the idempotence
+    // anti-join below would swallow a tombstoned re-add silently
+    Tombstones.requireNoResurrection(spark, table, batch, "doc_id")
     // idempotence gate: docs with band rows are fully appended
     val d = batch.join(spark.table(table).select(col("doc_id")),
       Seq("doc_id"), "left_anti")
@@ -213,7 +216,9 @@ object BandIndex {
     * that arrived after the index was written). */
   def probeCandidates(spark: SparkSession, table: String,
       batchBands: DataFrame): DataFrame = {
-    val corpus = spark.table(table)
+    // tombstoned docs never pair (the shared immediate-forget
+    // protocol — see Tombstones); within-batch pairs are untouched
+    val corpus = Tombstones.live(spark, table, spark.table(table), "doc_id")
       .select(col("band"), col("key"), col("doc_id").as("corpus_doc"))
     val cross = corpus
       .join(batchBands.select(col("band"), col("key"),
@@ -258,5 +263,23 @@ object BandIndex {
     val sets = spark.table(keysTable(table))
       .unionByName(TextDedup.keySetsFromDigests(batchDig))
     TextDedup.verifyJaccard(candidates, sets, threshold)
+  }
+  /** Record document ids as deleted (the shared [[Tombstones]]
+    * protocol): candidates stop pairing against them immediately;
+    * [[compactTombstones]] rewrites both tables without them. */
+  def addTombstones(spark: SparkSession, table: String,
+      ids: DataFrame): Unit =
+    Tombstones.add(spark, table, ids)
+
+  /** Physically drop tombstoned rows from the band AND key-set
+    * tables, then clear the set. Clearing last keeps a crash replay
+    * idempotent (re-dropping absent ids is a no-op). */
+  def compactTombstones(spark: SparkSession, table: String): Unit = {
+    if (!Tombstones.exists(spark, table)) return
+    Tombstones.compactBucketedTable(spark, table, table,
+      "doc_id", Seq("band", "key"))
+    Tombstones.compactBucketedTable(spark, table, keysTable(table),
+      "doc_id", Seq("doc_id"))
+    Tombstones.clear(spark, table)
   }
 }

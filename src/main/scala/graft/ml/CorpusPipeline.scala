@@ -545,6 +545,44 @@ object CorpusPipeline {
       ngramIndex: Option[NgramMaintenance] = None,
       fuzzyIndex: Option[FuzzyMaintenance] = None)
 
+  /** Serve a takedown/opt-out request across EVERY stored index the
+    * loop maintains (r16 — the right-to-be-forgotten composition):
+    * one call tombstones the deleted doc ids in each configured leg —
+    * band, lexical, vector, signature, n-gram, fuzzy — so no screen,
+    * probe, or retrieval result mentions them from this moment on,
+    * at broadcast-anti-join cost per probe and ZERO index rewrites.
+    * The physical cleanup is [[compactForgotten]], run at maintenance
+    * cadence like the bucketed-table compaction it resembles. The ids
+    * frame is the deletion feed; each index's add is idempotent, so
+    * an at-least-once feed never grows the sets. (The doc STORE's own
+    * rewrite — dropping the rows — is the caller's partition rewrite,
+    * the reference's prune semantics; this handles the derived state
+    * the reference never had.) */
+  def forget(spark: org.apache.spark.sql.SparkSession, maint: IndexMaintenance,
+      ids: DataFrame): Unit = {
+    BandIndex.addTombstones(spark, maint.bandTable, ids)
+    maint.lexIndexDir.foreach(d => LexIndex.addTombstones(spark, d, ids))
+    maint.ivfTable.foreach(t => IvfIndex.addTombstones(spark, t, ids))
+    maint.sigIndex.foreach(s => SigIndex.addTombstones(spark, s.table, ids))
+    maint.ngramIndex.foreach(n => NgramIndex.addTombstones(spark, n.dir, ids))
+    maint.fuzzyIndex.foreach(f =>
+      FuzzyJoin.FuzzyIndex.addTombstones(spark, f.table, ids))
+  }
+
+  /** Physically drop all tombstoned rows from every configured index
+    * — each leg's own staged compaction, each clearing its set only
+    * after its rewrite committed (replay-idempotent leg by leg). */
+  def compactForgotten(spark: org.apache.spark.sql.SparkSession,
+      maint: IndexMaintenance): Unit = {
+    BandIndex.compactTombstones(spark, maint.bandTable)
+    maint.lexIndexDir.foreach(d => LexIndex.compactTombstones(spark, d))
+    maint.ivfTable.foreach(t => IvfIndex.compactTombstones(spark, t))
+    maint.sigIndex.foreach(s => SigIndex.compactTombstones(spark, s.table))
+    maint.ngramIndex.foreach(n => NgramIndex.compactTombstones(spark, n.dir))
+    maint.fuzzyIndex.foreach(f =>
+      FuzzyJoin.FuzzyIndex.compactTombstones(spark, f.table))
+  }
+
   /** Stored fuzzy-title attachment for [[ingestAndMaintain]] (r15):
     * the RECORD-LINKAGE screen leg — near-identical identifiers
     * (titles, URLs) whose bodies are otherwise novel pass every

@@ -266,6 +266,11 @@ object FuzzyJoin {
         .bucketSpec.map(_.numBuckets)
         .getOrElse(throw new IllegalStateException(
           s"$table is not a bucketed fuzzy index table"))
+      // resurrection guard FIRST, on the raw prepared batch (the
+      // shared Tombstones rule: the replay anti-join below would
+      // swallow a tombstoned re-add silently)
+      Tombstones.requireNoResurrection(spark, table,
+        rows.select(col(idCol)), idCol)
       val b = prepared(rows, idCol, strCol, blockKey)
       val fresh = b.join(storedIdsInBatchBlocks(spark, table, b),
         Seq("id"), "left_anti")
@@ -298,7 +303,10 @@ object FuzzyJoin {
       // still streams once, but the agg and the probe join carry
       // batch-bounded rows, not the whole corpus's block population
       val bBlks = b.select(col("blk")).distinct()
-      val all = spark.table(table)
+      // tombstoned ids leave the screen immediately — and the cap
+      // census: a block's population is its LIVE population (the
+      // from-scratch-on-remaining semantics)
+      val all = Tombstones.live(spark, table, spark.table(table), "id")
         .join(bBlks, Seq("blk"), "left_semi")
         .unionByName(b)
       // census over DISTINCT (blk, id): a replayed batch doc appears
@@ -328,6 +336,21 @@ object FuzzyJoin {
           levenshtein(col("s_a"), col("s_b")).cast("long").as("dist"))
         .filter(col("dist") <= maxDist)
         .distinct()
+    }
+
+    /** Shared tombstone protocol (see [[Tombstones]]): immediate
+      * forget on the fuzzy screen (census AND pairs read the live
+      * population), physical cleanup at compaction. */
+    def addTombstones(spark: org.apache.spark.sql.SparkSession,
+        table: String, ids: DataFrame): Unit =
+      Tombstones.add(spark, table, ids)
+
+    def compactTombstones(spark: org.apache.spark.sql.SparkSession,
+        table: String): Unit = {
+      if (!Tombstones.exists(spark, table)) return
+      Tombstones.compactBucketedTable(spark, table, table,
+        "id", Seq("blk"))
+      Tombstones.clear(spark, table)
     }
 
     /** Stored ids restricted to the batch's block keys — the replay-

@@ -102,6 +102,8 @@ object SigIndex {
       .bucketSpec.map(_.numBuckets)
       .getOrElse(throw new IllegalStateException(
         s"$table is not a bucketed signature index table"))
+    // resurrection guard FIRST, on the raw batch (the shared rule)
+    Tombstones.requireNoResurrection(spark, table, sigs, idCol)
     val fresh = sigs.select(col(idCol).as(idCol), col(sigCol).as(sigCol))
       .join(spark.table(table).select(col("id").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
@@ -127,7 +129,8 @@ object SigIndex {
     require(bands > maxDist,
       s"pigeonhole exactness needs bands > maxDist, got $bands <= $maxDist")
     val batch = bandRows(sigs, idCol, sigCol, bands)
-    val corpus = spark.table(table)
+    // tombstoned ids never pair (the shared immediate-forget protocol)
+    val corpus = Tombstones.live(spark, table, spark.table(table), "id")
     val cross = corpus.as("c")
       .join(batch.as("b"),
         col("c.band") === col("b.band") && col("c.key") === col("b.key"))
@@ -147,5 +150,17 @@ object SigIndex {
         graft.plans.BitHamming(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+  /** Shared tombstone protocol (see [[Tombstones]]): immediate forget
+    * on the banded screen, physical cleanup at compaction. */
+  def addTombstones(spark: SparkSession, table: String,
+      ids: DataFrame): Unit =
+    Tombstones.add(spark, table, ids)
+
+  def compactTombstones(spark: SparkSession, table: String): Unit = {
+    if (!Tombstones.exists(spark, table)) return
+    Tombstones.compactBucketedTable(spark, table, table,
+      "id", Seq("band", "key"))
+    Tombstones.clear(spark, table)
   }
 }

@@ -1330,4 +1330,102 @@ class CorpusPipelineSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("forget: one call tombstones every configured index — no screen or probe mentions the deleted doc; compactForgotten clears all sets without changing results") {
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("vec_id"), lit("x").as("label"),
+        array((1 to 4).map(i =>
+          (pmod(hash(col("doc_id") * i), lit(97)) + 1).cast("float")): _*)
+          .as("embedding"))
+    def sigFn(df: org.apache.spark.sql.DataFrame) =
+      graft.ml.TextDedup.simhashSignatures(df)
+        .select(col("doc_id").as("id"), col("simhash").as("sig"))
+    val keyFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => d.select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("s"))
+    val victimText =
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"
+    val corpusDocs = Seq(
+      (10L, victimText),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    // the probe batch: 90 is a near-dup of 10 on every signal (same
+    // text modulo the final word)
+    val batch = Seq((90L,
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each morning"))
+      .toDF("doc_id", "text")
+    val lexDir = java.nio.file.Files.createTempDirectory("g_fgt_lex").toString
+    val ngDir = java.nio.file.Files.createTempDirectory("g_fgt_ng").toString
+    val maint = CorpusPipeline.IndexMaintenance("g_fgt_band",
+      n = 3, k = 12, bands = 4, threshold = 0.3,
+      lexIndexDir = Some(lexDir), ivfTable = Some("g_fgt_ivf"),
+      embed = embed,
+      sigIndex = Some(CorpusPipeline.SigMaintenance("g_fgt_sig",
+        sigFn, maxDist = 16, bands = 32)),
+      ngramIndex = Some(CorpusPipeline.NgramMaintenance(ngDir,
+        threshold = 0.6, dfCap = 50)),
+      fuzzyIndex = Some(CorpusPipeline.FuzzyMaintenance("g_fgt_fuzzy",
+        keyFn, maxDist = 8)))
+    def mentions10: Map[String, Boolean] = Map(
+      "band" -> graft.ml.BandIndex.probe(spark, "g_fgt_band", batch,
+        n = 3, k = 12, bands = 4, threshold = 0.3)
+        .filter($"doc_a" === 10L || $"doc_b" === 10L).count().>(0L),
+      "sig" -> graft.ml.SigIndex.probe(spark, "g_fgt_sig", sigFn(batch),
+        "id", "sig", maxDist = 16, bands = 32)
+        .filter($"id_a" === 10L || $"id_b" === 10L).count().>(0L),
+      "ngram" -> graft.ml.NgramIndex.probeContainment(spark, ngDir,
+        batch.withColumn("doc_id", $"doc_id".cast("int")), threshold = 0.6,
+        dfCap = 50)
+        .filter($"doc_a" === 10 || $"doc_b" === 10).count().>(0L),
+      "fuzzy" -> graft.ml.FuzzyJoin.FuzzyIndex.probe(spark, "g_fgt_fuzzy",
+        keyFn(batch), "doc_id", "s", col("blk"), maxDist = 8)
+        .filter($"id_a" === 10L || $"id_b" === 10L).count().>(0L),
+      "lex" -> graft.ml.LexIndex.probeText(spark, lexDir,
+        Seq((900L, victimText)), k = 5)
+        .filter($"doc_id" === 10L).count().>(0L),
+      "ivf" -> graft.ml.IvfIndex.probe(spark, "g_fgt_ivf",
+        embed(batch), k = 2, nprobe = 2)
+        .filter($"cand_id" === 10L).count().>(0L))
+    try {
+      Seq("g_fgt_band", "g_fgt_band_keys", "g_fgt_ivf", "g_fgt_sig",
+        "g_fgt_fuzzy").foreach(t => graft.store.Bucketing.dropWithDir(spark, t))
+      graft.ml.BandIndex.write(corpusDocs, "g_fgt_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      graft.ml.LexIndex.build(corpusDocs, lexDir)
+      graft.ml.IvfIndex.write(embed(corpusDocs), "g_fgt_ivf",
+        cells = 2, iters = 0, buckets = 4)
+      graft.ml.SigIndex.write(sigFn(corpusDocs), "id", "sig", "g_fgt_sig",
+        bands = 32, buckets = 4)
+      graft.ml.NgramIndex.build(corpusDocs, ngDir, n = 4, dfMax = 64)
+      graft.ml.FuzzyJoin.FuzzyIndex.write(keyFn(corpusDocs), "g_fgt_fuzzy",
+        "doc_id", "s", col("blk"))
+      // every probe finds the victim pre-forget — the fixture is live
+      val pre = mentions10
+      assert(pre.values.forall(identity), s"fixture must bite: $pre")
+      CorpusPipeline.forget(spark, maint, Seq(10L).toDF("doc_id"))
+      val post = mentions10
+      assert(post.values.forall(!_), s"forgotten everywhere: $post")
+      // the OTHER doc is unaffected: lex still retrieves 11
+      assert(graft.ml.LexIndex.probeText(spark, lexDir,
+        Seq((901L, "eleven elephants savannah")), k = 5)
+        .filter($"doc_id" === 11L).count() > 0L)
+      // idempotent feed
+      CorpusPipeline.forget(spark, maint, Seq(10L, 10L).toDF("doc_id"))
+      // physical cleanup: every set cleared, results unchanged
+      CorpusPipeline.compactForgotten(spark, maint)
+      Seq("g_fgt_band_tombstones", "g_fgt_ivf_tombstones",
+        "g_fgt_sig_tombstones", "g_fgt_fuzzy_tombstones")
+        .foreach(t => assert(!spark.catalog.tableExists(t), t))
+      assert(!new java.io.File(s"$lexDir/tombstones").exists)
+      assert(!new java.io.File(s"$ngDir/tombstones").exists)
+      val compacted = mentions10
+      assert(compacted.values.forall(!_), s"still forgotten: $compacted")
+    } finally {
+      Seq("g_fgt_band", "g_fgt_band_keys", "g_fgt_ivf",
+        "g_fgt_ivf_centroids", "g_fgt_ivf_stats", "g_fgt_sig", "g_fgt_fuzzy")
+        .flatMap(t => Seq(t, t + "_tombstones", t + "__new", t + "__old"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
