@@ -40,14 +40,22 @@ object Bench {
     * the exhaustive form stays as the small-scale truth gate. r16
     * also demotes q97, the from-scratch full-corpus containment —
     * its shipping path is the stored-index q146 (pairsContainment
-    * over the stored lists, zero text processing; same oracle). All
-    * nine still run under SPARK_GRAFT_BASELINES=1 or an explicit
-    * name filter, and still parity-verify every round. */
+    * over the stored lists, zero text processing; same oracle). r17
+    * demotes q136 itself (VERDICT r16 #3): at 2.7 s it was the
+    * heaviest headline entry, and it is a monitoring-CADENCE tool —
+    * the same argument that demoted q135/q35/q36/q83. Its recall
+    * contract stays gated at two scale points by parity (q136 still
+    * verifies every round) and by TextDedup's specs; the headline's
+    * recall monitors remain the cheap per-batch forms (q116 ANN,
+    * q137 fuzzy blocking). All ten still run under
+    * SPARK_GRAFT_BASELINES=1 or an explicit name filter, and still
+    * parity-verify every round. */
   val baselineQueries: Set[String] =
     Set("q35_embedding_neardup", "q36_ann_brute", "q83_bm25_search",
       "q31_ngram_jaccard", "q101_containment_incremental",
       "q82_tfidf_keywords", "q133_ngram_jaccard_prefix",
-      "q135_lsh_recall", "q97_containment_pairs")
+      "q135_lsh_recall", "q97_containment_pairs",
+      "q136_lsh_recall_sampled")
 
   /** Composed per-batch ingest-loop latency (r16 — the VERDICT r15 #5
     * gate): one REAL [[graft.ml.CorpusPipeline.ingestAndMaintain]]

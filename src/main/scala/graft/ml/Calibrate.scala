@@ -115,13 +115,21 @@ object Calibrate {
       .withColumn("__pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // bounded collect: ≤ partitions × |groups| rows
-      val counts = ranged.groupBy(col("__pid"), col("g"))
-        .agg(count(lit(1)).as("c"), countDistinct(col("id")).as("cd"))
-        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      require(counts.map(_._3).sum == counts.map(_._4).sum,
+      // GLOBAL duplicate-id check (r16 advice): the old per-(pid, g)
+      // countDistinct sum only caught duplicates sharing the full
+      // (g, m, id) range key — a duplicate id under a different metric
+      // or group passed silently while the window plan rejected it.
+      // One tiny agg on the persisted frame keeps both forced shapes
+      // enforcing the same unique-id contract.
+      val dup = ranged.agg(count(lit(1)).as("c"),
+        countDistinct(col("id")).as("cd")).head()
+      require(dup.getLong(0) == dup.getLong(1),
         s"idCol '$idCol' contains duplicate values — percentile ranking " +
           "needs unique ids for a total order")
+      // bounded collect: ≤ partitions × |groups| rows
+      val counts = ranged.groupBy(col("__pid"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
       val nBySrc = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
       // rank offset for (pid, g) = rows of g in any EARLIER partition;
       // range partitioning on (g, m, id) keeps each g's rows in
@@ -129,7 +137,7 @@ object Calibrate {
       val offsets = counts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
         val ordered = rows.sortBy(_._1)
         ordered.zip(ordered.scanLeft(0L)(_ + _._3).dropRight(1))
-          .map { case ((pid, _, _, _), off) => (pid, g, off) }
+          .map { case ((pid, _, _), off) => (pid, g, off) }
       }
       val offMap = map(offsets.flatMap { case (pid, g, off) =>
         Seq(concat_ws("\u0001", lit(pid), lit(g)), lit(off))

@@ -165,7 +165,21 @@ object Drift {
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cc"), col("rc"))))
           .as("pc"),
-        first(col("nc")).as("n_cur"), first(col("nr")).as("n_ref"))
+        min(col("nc")).as("nc_min"), max(col("nc")).as("n_cur"),
+        min(col("nr")).as("nr_min"), max(col("nr")).as("n_ref"))
+      // ragged embedding dims fail LOUDLY (r16 advice): with
+      // variable-length arrays the per-position counts differ across
+      // pos — first(n) would be nondeterministic and high positions
+      // would average over fewer rows, silently skewing centroids.
+      // The agg output is bounded (|labels| rows), so the guard is
+      // one expression on a tiny frame.
+      .select(col("label"), col("pc"),
+        when(col("nc_min") =!= col("n_cur") || col("nr_min") =!= col("n_ref"),
+          raise_error(concat(
+            lit("embeddingDrift: ragged embedding dimensions for label "),
+            col("label"))))
+          .otherwise(col("n_cur")).cast("long").as("n_cur"),
+        col("n_ref"))
       .select(col("label"), col("n_ref"), col("n_cur"),
         transform(col("pc"), e => e.getField("rc")).as("ref_c"),
         transform(col("pc"), e => e.getField("cc")).as("cur_c"))

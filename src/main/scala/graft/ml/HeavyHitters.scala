@@ -141,8 +141,16 @@ object HeavyHitters {
       val old = new org.apache.hadoop.fs.Path(stateDir + "__old")
       val fs = live.getFileSystem(hconf)
       df.write.mode("overwrite").parquet(stage.toString)
-      if (fs.exists(live)) { fs.rename(live, old); () }
-      fs.rename(stage, live)
+      // rename results checked (the LexIndex.compactTombstones
+      // discipline — r16 advice): a failed rename on a non-atomic or
+      // permission-denied FS must not return true with the fold
+      // silently dropped
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(s"hh fold rename-aside failed: $live")
+      if (!fs.rename(stage, live)) {
+        fs.rename(old, live)
+        throw new java.io.IOException(s"hh fold rename-in failed: $live")
+      }
       fs.delete(old, true)
       true
     }
@@ -162,12 +170,14 @@ object HeavyHitters {
     } else if (fs.exists(stage) &&
         fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS"))) {
       // killed between live-aside and promote: the stage is complete
-      fs.rename(stage, live)
+      if (!fs.rename(stage, live))
+        throw new java.io.IOException(s"hh repair promote failed: $stage")
       fs.delete(old, true)
     } else if (fs.exists(old)) {
       // killed with an incomplete stage: restore the old state
       fs.delete(stage, true)
-      fs.rename(old, live)
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"hh repair restore failed: $old")
     }
     ()
   }

@@ -73,12 +73,47 @@ private[ml] object Tombstones {
   def clear(spark: SparkSession, table: String): Unit =
     graft.store.Bucketing.dropWithDir(spark, tableFor(table))
 
+  /** Repair an interrupted [[compactBucketedTable]] swap (r17 — the
+    * r16 advice's crash window): between `RENAME table → __old` and
+    * `RENAME __new → table` a JVM death leaves the live name absent,
+    * and a replay used to die at getTableMetadata instead of
+    * self-repairing (the IvfIndex.recover precedent — its leg got a
+    * recovery entry, the shared helper did not). `saveAsTable` only
+    * commits the `__new` catalog entry after a complete write, so:
+    * live missing + `__new` present ⇒ the compacted copy is whole —
+    * roll FORWARD (promote `__new`); live missing + only `__old` ⇒
+    * the swap died before the aside landed a replacement — roll BACK
+    * (restore `__old`). Live present ⇒ at most stragglers: a leftover
+    * `__old` is the pre-compaction copy of a swap that completed its
+    * promote — drop it ([[compactBucketedTable]] itself clears any
+    * stale `__new` before writing). Called defensively at the start
+    * of every compaction; safe no-op on a clean table. Idempotent:
+    * every branch ends with the live name serving a complete row set
+    * (pre- or post-compaction — the caller's tombstone set is only
+    * cleared after every table rewrote, so a rolled-back table just
+    * re-compacts). */
+  def recoverSwap(spark: SparkSession, table: String): Unit = {
+    val newT = table + "__new"
+    val oldT = table + "__old"
+    def ex(n: String) = spark.catalog.tableExists(n)
+    if (!ex(table)) {
+      if (ex(newT)) spark.sql(s"ALTER TABLE $newT RENAME TO $table")
+      else if (ex(oldT)) spark.sql(s"ALTER TABLE $oldT RENAME TO $table")
+      else throw new IllegalStateException(
+        s"index table $table missing with no __new/__old to recover from")
+    }
+    if (ex(oldT)) spark.sql(s"DROP TABLE IF EXISTS $oldT")
+    ()
+  }
+
   /** Rewrite one bucketed index table without its tombstoned rows —
     * the shared compaction step: write-aside under `__new`, single
     * rename-aside swap, caller clears the set once EVERY table of the
-    * index has been rewritten. */
+    * index has been rewritten. Crash-repaired on entry by
+    * [[recoverSwap]]. */
   def compactBucketedTable(spark: SparkSession, indexTable: String,
       table: String, idCol: String, bucketCols: Seq[String]): Unit = {
+    recoverSwap(spark, table)
     val meta = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets)

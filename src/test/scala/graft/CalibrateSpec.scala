@@ -73,6 +73,17 @@ class CalibrateSpec extends SparkSpec {
           Seq((1L, "a", 1L), (1L, "a", 1L)).toDF("id", "g", "m"),
           "g", "m", "id", 1, 2, plan = plan)
       }
+    // r17 (r16 advice): a duplicate id under a DIFFERENT group/metric
+    // lands in a different range partition — the old per-(partition,
+    // group) check passed it silently while the window plan refused;
+    // both shapes must enforce the same global unique-id contract
+    for (plan <- Seq("window", "distributed"))
+      intercept[IllegalArgumentException] {
+        Calibrate.keepByPercentile(
+          Seq((1L, "a", 1L), (1L, "b", 99L), (2L, "a", 2L))
+            .toDF("id", "g", "m"),
+          "g", "m", "id", 1, 2, plan = plan)
+      }
     intercept[IllegalArgumentException] {
       Calibrate.keepByPercentile(
         Seq((1L, "a", 1L)).toDF("id", "g", "m"), "g", "m", "id", 3, 2)

@@ -93,6 +93,31 @@ class DriftSpec extends SparkSpec {
     assert(got(0)._4 === ref(0) && got(1)._4 === ref(1))
   }
 
+  test("embeddingDrift: ragged embedding dimensions fail loudly (r16 advice)") {
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // label 0 clean (dim 4 both sides); label 1 ragged on the cur
+    // side (one dim-2 row) — high positions would silently average
+    // over fewer rows and first(n) would be nondeterministic
+    val rows = Seq(
+      (1L, 0, Seq(1f, 2f, 3f, 4f), false),
+      (2L, 0, Seq(2f, 1f, 4f, 3f), true),
+      (3L, 1, Seq(1f, 1f, 1f, 1f), false),
+      (4L, 1, Seq(2f, 2f, 2f, 2f), true),
+      (5L, 1, Seq(3f, 3f), true))
+      .toDF("vec_id", "label", "embedding", "cur")
+    val e = intercept[Throwable] {
+      graft.ml.Drift.embeddingDrift(rows, col("cur")).collect()
+    }
+    assert(chain(e).contains("ragged embedding dimensions"), chain(e))
+    // the clean shape still computes
+    val ok = graft.ml.Drift.embeddingDrift(
+      rows.filter(col("vec_id") =!= 5L), col("cur"))
+      .as[(Int, Long, Long, Double)].collect()
+    assert(ok.length === 2 && ok.forall(t => t._2 === 1L && t._3 === 1L))
+  }
+
   test("stored reference probe equals the one-frame form exactly; unseen categories register") {
     val r = new scala.util.Random(31)
     val rows = (0 until 1500).map { i =>

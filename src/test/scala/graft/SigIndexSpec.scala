@@ -110,4 +110,83 @@ class SigIndexSpec extends SparkSpec {
       .as[(Int, String, Long, String)].collect()
     assert(rows.length === 8 && rows.forall(_._2.length === 8))
   }
+
+  // ---- compaction crash-window recovery (r17 — VERDICT r16 #4) ----
+  // compactBucketedTable swaps via two catalog renames; a JVM death
+  // between them leaves the live name absent. Each test constructs
+  // one half-swapped catalog state by hand, then proves a REPLAY of
+  // compactTombstones self-repairs (recoverSwap) and lands the
+  // correct row set: tombstoned id gone, everything else present,
+  // side tables dropped, tombstone set cleared.
+
+  private def sigCorpus(tag: Long) =
+    (1L to 5L).map(i => (i, randSig(i * 31 + tag))).toDF("media_id", "sig")
+
+  /** live rows minus id 3, written bucketed under `table__new` — what
+    * a crashed compaction's completed write-aside looks like. */
+  private def handBuildNew(table: String): Unit =
+    spark.table(table).filter(col("id") =!= 3L)
+      .write.option("compression", "zstd")
+      .bucketBy(4, "band", "key").sortBy("band", "key")
+      .saveAsTable(table + "__new")
+
+  private def assertRecovered(table: String): Unit = {
+    assert(spark.catalog.tableExists(table))
+    assert(!spark.catalog.tableExists(table + "__new"))
+    assert(!spark.catalog.tableExists(table + "__old"))
+    assert(!spark.catalog.tableExists(table + "_tombstones"),
+      "tombstone set must be cleared after a completed compaction")
+    val ids = spark.table(table).select("id").distinct()
+      .as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 4L, 5L), ids.toSeq.toString)
+  }
+
+  test("compaction replay recovers mid-swap crash: live missing, __old + __new present → roll forward") {
+    val t = "g_ts_fwd"
+    try {
+      SigIndex.write(sigCorpus(100), "media_id", "sig", t, bands = 8,
+        buckets = 4)
+      SigIndex.addTombstones(spark, t, Seq(3L).toDF("id"))
+      // crash state: write-aside committed, first rename landed, JVM
+      // died before the promote — live name absent
+      handBuildNew(t)
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
+      assert(!spark.catalog.tableExists(t))
+      SigIndex.compactTombstones(spark, t) // replay self-repairs
+      assertRecovered(t)
+    } finally Seq(t, t + "__new", t + "__old", t + "_tombstones")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
+  test("compaction replay recovers: live missing, only __old present → roll back, then compact") {
+    val t = "g_ts_back"
+    try {
+      SigIndex.write(sigCorpus(200), "media_id", "sig", t, bands = 8,
+        buckets = 4)
+      SigIndex.addTombstones(spark, t, Seq(3L).toDF("id"))
+      // crash state: aside landed but no committed __new survives
+      // (operator cleanup of a half-written aside) — roll back
+      spark.sql(s"ALTER TABLE $t RENAME TO ${t}__old")
+      assert(!spark.catalog.tableExists(t))
+      SigIndex.compactTombstones(spark, t)
+      assertRecovered(t)
+    } finally Seq(t, t + "__new", t + "__old", t + "_tombstones")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
+  test("compaction replay recovers: live present with __old straggler → straggler dropped") {
+    val t = "g_ts_strag"
+    try {
+      SigIndex.write(sigCorpus(300), "media_id", "sig", t, bands = 8,
+        buckets = 4)
+      SigIndex.addTombstones(spark, t, Seq(3L).toDF("id"))
+      // crash state: promote landed, died before the final __old drop
+      spark.table(t).write.option("compression", "zstd")
+        .bucketBy(4, "band", "key").sortBy("band", "key")
+        .saveAsTable(t + "__old")
+      SigIndex.compactTombstones(spark, t)
+      assertRecovered(t)
+    } finally Seq(t, t + "__new", t + "__old", t + "_tombstones")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
 }
