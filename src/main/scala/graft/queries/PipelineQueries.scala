@@ -276,6 +276,84 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // The COMPLETE takedown (r17, closing the forget family): ONE
+    // CorpusPipeline.forgetWithStore call serves the request across
+    // the source-of-truth store (partition-targeted anti-join rewrite,
+    // Maintenance.forgetRows — the reference's row-DELETE semantics,
+    // storage.py:606-618) AND the stored band index (tombstones). The
+    // emission gates both surfaces in one frame: per-source count +
+    // id-sum of the SURVIVING store rows (the %13 docs physically
+    // gone), unioned with the band probe's pairs (batch = the >=400
+    // non-deleted docs; any pair mentioning a deleted doc would add a
+    // row the oracle lacks — hash mismatch). Its own store dir + index
+    // tag (the CLAUDE.md mutating-query rule); replay-idempotent, so
+    // Bench's second run and any later session land the same rows.
+    // Non-vacuity probed driver-side at both gate scales: pairs exist
+    // and the %13 exclusions change the store sums at every source.
+    "q150_forget_everywhere" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_q150/$h"
+      val storeDir = s"$root/store"
+      val table = "g_q150_band_" + Integer.toHexString(dir.hashCode)
+      // fingerprint guard (the NgramIndex.ensure precedent): rebuild
+      // the store copy + band index when the source data regenerates
+      val srcP = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val fs = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(srcP)
+      val fp = s"v1:${st.getLen}:${st.getModificationTime}"
+      val fpPath = java.nio.file.Paths.get(root, "_fingerprint")
+      val current =
+        if (java.nio.file.Files.exists(fpPath))
+          Some(new String(java.nio.file.Files.readAllBytes(fpPath), "UTF-8"))
+        else None
+      // rebuild on a stale fingerprint OR a missing catalog entry:
+      // the tmp store outlives a session whose metastore is fresh
+      // (the fingerprint alone would skip the build while the band
+      // tables' warehouse dirs sit orphaned — LOCATION_ALREADY_EXISTS
+      // on the first tombstone add); dropWithDir clears those dirs
+      if (!current.contains(fp) || !s.catalog.tableExists(table) ||
+          !s.catalog.tableExists(table + "_keys")) {
+        val rootP = new org.apache.hadoop.fs.Path(root)
+        val rfs = rootP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        rfs.delete(rootP, true)
+        docs.select(col("doc_id"), col("text"), col("source"))
+          .write.mode("overwrite").partitionBy("source").parquet(storeDir)
+        Seq(table, table + "_keys", table + "_tombstones")
+          .foreach(t0 => graft.store.Bucketing.dropWithDir(s, t0))
+        // the index holds the PRIOR corpus (docs < 400) — the q73
+        // incremental contract; the >=400 batch probes against it
+        // (a batch already present in the index would echo self-pairs
+        // and double its verify sets)
+        graft.ml.BandIndex.write(
+          docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text")),
+          table, n = 3, k = 12, bands = 4, buckets = 8)
+        java.nio.file.Files.createDirectories(fpPath.getParent)
+        java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
+        ()
+      }
+      val maint = graft.ml.CorpusPipeline.IndexMaintenance(table,
+        n = 3, k = 12, bands = 4, threshold = 0.3)
+      graft.ml.CorpusPipeline.forgetWithStore(s, maint,
+        graft.ml.CorpusPipeline.CorpusStore(storeDir, "source"),
+        docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+      val storeRows = s.read.parquet(storeDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("a"), sum(col("doc_id")).as("b"))
+        .select(concat(lit("store:"), col("source")).as("surface"),
+          col("a"), col("b"))
+      val batch = docs
+        .filter(col("doc_id") >= 400 && col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val pairs = graft.ml.BandIndex.probe(s, table, batch,
+          n = 3, k = 12, bands = 4, threshold = 0.3)
+        .select(lit("band").as("surface"), col("doc_a").as("a"),
+          col("doc_b").as("b"))
+      storeRows.unionByName(pairs)
+        .orderBy(col("surface"), col("a"), col("b"))
+    },
+
     // ANN recall monitoring (r11): recall@3 of the STORED IVF probe vs
     // the exact brute-force answer over the same payload — the quality
     // half of the rebuild decision (driftStats is the geometry half).
@@ -1145,7 +1223,7 @@ object PipelineQueries {
     * checked BIGINT arithmetic cannot overflow — mirroring
     * TextDedup.keySetsFromDigests exactly: a key collision perturbs
     * both engines identically, keeping the compare exact. */
-  private def minhashLshOracle(candExtra: String): String = {
+  private def minhashLshOracle(candExtra: String, minAgree: Int = 5): String = {
     import TextDedup.{permA, permB, minhashP}
     val mhs = (0 until 12).map(j =>
       s"min((h1 * ${permA(j)} + h2 * ${permB(j)} + $j) % $minhashP) AS mh$j")
@@ -1172,7 +1250,7 @@ object PipelineQueries {
        |   AND x.doc_id < y.doc_id
        |  JOIN sigs sx ON sx.doc_id = x.doc_id
        |  JOIN sigs sy ON sy.doc_id = y.doc_id
-       |  WHERE $agree >= 5$candExtra),
+       |  WHERE $agree >= $minAgree$candExtra),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kh GROUP BY doc_id),
        |shared AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS shared
@@ -1413,6 +1491,25 @@ object PipelineQueries {
     // form the incoming batch) — mirrors minhashLshPairsIncremental.
     "q73_incremental_dedup" ->
       minhashLshOracle(" AND (x.doc_id >= 400 OR y.doc_id >= 400)"),
+
+    // store half: per-source survivors of the %13 delete (counts +
+    // id sums — the physical rewrite's content gate; HUGEINT sum cast
+    // back per the q132 lesson). band half: q73's incremental chain
+    // (minAgree=0, the BandIndex.probe differential) with the deleted
+    // docs excluded on BOTH sides — a probe output that still
+    // mentioned one would have no oracle row to hash against.
+    "q150_forget_everywhere" -> {
+      val band = minhashLshOracle(
+        " AND (x.doc_id >= 400 OR y.doc_id >= 400)" +
+          " AND x.doc_id % 13 <> 0 AND y.doc_id % 13 <> 0", minAgree = 0)
+      s"""SELECT surface, a, b FROM (
+         |  SELECT 'store:' || source AS surface, count(*) AS a,
+         |    CAST(sum(doc_id) AS BIGINT) AS b
+         |  FROM documents WHERE doc_id % 13 <> 0 GROUP BY source
+         |  UNION ALL
+         |  SELECT 'band' AS surface, doc_a AS a, doc_b AS b FROM ($band))
+         |ORDER BY surface, a, b""".stripMargin
+    },
 
     "q74_quality_sample" ->
       s"""WITH scored AS (SELECT doc_id, round($qualitySql, 4) AS quality,

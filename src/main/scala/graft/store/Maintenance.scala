@@ -19,6 +19,115 @@ object Maintenance {
     * `targetFiles` files. */
   final case class CompactionTarget(table: String, date: String,
       files: Int, bytes: Long, targetFiles: Int)
+
+  /** Right-to-be-forgotten on a caller-owned Hive-partitioned parquet
+    * store (r17 — VERDICT r16 #6): rewrite ONLY the partitions that
+    * contain a doomed id, each without its matching rows — the
+    * reference's row-DELETE semantics (storage.py:606-618) expressed
+    * as the partition-targeted anti-join rewrite
+    * [[Maintenance!.applyPruneByCount]] established, factored out of
+    * the EventStore so [[graft.ml.CorpusPipeline]]'s document store
+    * (whatever dir `onBatch` lands docs in) gets the same treatment
+    * as the derived indexes' tombstone compaction.
+    *
+    * Scale shape: cost scales with the AFFECTED partitions, never the
+    * store — one bounded semi-join finds them (output ≤ |partitions|
+    * rows), then one anti-join rewrite job per affected dir. The ids
+    * frame rides a broadcast anti-join, not an isin literal. A
+    * partition whose every row is doomed is REMOVED (the dir
+    * disappears, as a DELETE that empties a partition should).
+    *
+    * Crash safety: the `.forget_tmp_`/`.forget_old_` rename protocol
+    * (the prune precedent): rewrite to a dot-prefixed sibling
+    * (invisible to partition discovery), rename-aside, rename-in,
+    * delete-aside — a full copy of every partition exists under its
+    * live or aside name at every intermediate point, and
+    * [[recoverForgetLeftovers]] (run on entry) restores or finishes
+    * an interrupted swap. Replay-idempotent: a re-run with the same
+    * ids finds the already-rewritten partitions contain no matching
+    * rows and touches nothing.
+    *
+    * `partitionCol` values must round-trip through cast-to-string
+    * (string/integral/date layouts — every layout this repo writes);
+    * null partition values are not supported (refused loudly).
+    * Returns the partition dir names rewritten or removed. */
+  def forgetRows(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+      partitionCol: String, ids: DataFrame, idCol: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    recoverForgetLeftovers(spark, baseDir)
+    val idsDf = ids.select(col(ids.columns.head).as(idCol)).distinct()
+    // bounded: ≤ |partitions| rows
+    val affected = spark.read.parquet(baseDir)
+      .join(broadcast(idsDf), Seq(idCol), "left_semi")
+      .select(col(partitionCol).cast("string")).distinct()
+      .collect().map(r =>
+        Option(r.getString(0)).getOrElse(throw new IllegalStateException(
+          s"forgetRows: null $partitionCol partition is not supported")))
+      .toSet
+    if (affected.isEmpty) return Seq.empty
+    val prefix = s"$partitionCol="
+    val dirs = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+      .filter(p => affected.contains(
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(p.getName.stripPrefix(prefix))))
+    val touched = Seq.newBuilder[String]
+    dirs.foreach { dir =>
+      val tmp = new org.apache.hadoop.fs.Path(base, s".forget_tmp_${dir.getName}")
+      val old = new org.apache.hadoop.fs.Path(base, s".forget_old_${dir.getName}")
+      spark.read.parquet(dir.toString)
+        .join(broadcast(idsDf), Seq(idCol), "left_anti")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(tmp.toString)
+      // a fully-doomed partition rewrites to zero rows (Spark still
+      // emits a schema-only part file) — the partition is REMOVED,
+      // not left as an empty husk
+      val emptied = spark.read.parquet(tmp.toString).isEmpty
+      if (!fs.rename(dir, old))
+        throw new java.io.IOException(s"forget rename-aside failed for $dir")
+      if (!emptied && !fs.rename(tmp, dir)) {
+        fs.rename(old, dir)
+        throw new java.io.IOException(s"forget rename failed for $dir")
+      }
+      if (emptied) fs.delete(tmp, true)
+      fs.delete(old, true)
+      touched += dir.getName
+    }
+    spark.catalog.refreshByPath(baseDir)
+    touched.result()
+  }
+
+  /** Recover a [[forgetRows]] interrupted mid-swap — the prune
+    * recovery contract, per partition: aside present without a live
+    * dir → restore it (the rewrite never committed; lossless); aside
+    * present alongside a live dir → the swap committed, drop the
+    * aside; any `.forget_tmp_` → an uncommitted rewrite, drop it.
+    * (A fully-doomed partition removed by a completed swap leaves NO
+    * aside — but its tmp holds zero data rows, so dropping the tmp
+    * and restoring the aside simply retries the removal on replay.) */
+  def recoverForgetLeftovers(spark: org.apache.spark.sql.SparkSession,
+      baseDir: String): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Seq.empty
+    val handled = Seq.newBuilder[String]
+    fs.listStatus(base).toSeq.map(_.getPath).foreach { p =>
+      val name = p.getName
+      if (name.startsWith(".forget_old_")) {
+        val live = new org.apache.hadoop.fs.Path(base,
+          name.stripPrefix(".forget_old_"))
+        if (fs.exists(live)) fs.delete(p, true) else fs.rename(p, live)
+        handled += name
+      } else if (name.startsWith(".forget_tmp_")) {
+        fs.delete(p, true)
+        handled += name
+      }
+    }
+    handled.result()
+  }
 }
 
 final class Maintenance(store: EventStore) {

@@ -2154,6 +2154,13 @@ object AbBench {
       "q142_cur" -> (() => entry("q142_snapshot_churn")),
       "q143_cur" -> (() => entry("q143_heavy_hitters")),
       "q144_cur" -> (() => entry("q144_source_calibration")),
+      // r17: the remaining r16 monitor-family shipped paths (VERDICT
+      // r16 #8 — envelope pins) + the two movers' adjudication reps
+      // (#1: q72_cur above, q73_cur here) + the new composed forget
+      "q73_cur" -> (() => entry("q73_incremental_dedup")),
+      "q140_cur" -> (() => entry("q140_batch_novelty")),
+      "q145_cur" -> (() => entry("q145_embedding_drift")),
+      "q150_cur" -> (() => entry("q150_forget_everywhere")),
       "q144_win" -> (() => graft.ml.Calibrate.keepByPercentile(
         graft.Tables.t(spark, sfDir, "documents"), "source", "n_chars",
         "doc_id", 2, 5, ascending = false, plan = "window")

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.Maintenance
+import graft.ml.CorpusPipeline
+
+/** Right-to-be-forgotten on the source-of-truth store (r17 — VERDICT
+  * r16 #6): Maintenance.forgetRows must rewrite ONLY the affected
+  * partitions of a Hive-partitioned parquet dir (anti-join, rename-
+  * aside swap), remove fully-doomed partitions, replay to a no-op,
+  * and recover every constructed mid-swap crash state; the composed
+  * CorpusPipeline.forgetWithStore must leave a forgotten id visible
+  * NOWHERE — not in the store, not in any index probe — under one
+  * idempotence contract. */
+class ForgetStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkStore(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"g_fstore_$tag").toString
+    (1L to 9L).map(i => (i, s"src${(i % 3) + 1}", s"text of doc $i"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").partitionBy("source").parquet(dir)
+    dir
+  }
+
+  private def storeIds(dir: String): Seq[Long] =
+    spark.read.parquet(dir).select("doc_id").as[Long].collect().sorted.toSeq
+
+  private def partFiles(dir: String, part: String): Set[String] = {
+    val d = new java.io.File(dir, part)
+    if (!d.exists) Set.empty
+    else d.listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+  }
+
+  test("forgetRows rewrites only affected partitions; unaffected dirs untouched; replay is a no-op") {
+    val dir = mkStore("basic")
+    try {
+      // ids 1 (src2) and 4 (src2) and 2 (src3): touches src2+src3 only
+      val untouchedBefore = partFiles(dir, "source=src1")
+      val touched = Maintenance.forgetRows(spark, dir, "source",
+        Seq(1L, 4L, 2L).toDF("doc_id"), "doc_id")
+      assert(touched.toSet === Set("source=src2", "source=src3"), touched)
+      assert(storeIds(dir) === Seq(3L, 5L, 6L, 7L, 8L, 9L))
+      // src1's physical files are byte-identical (never rewritten)
+      assert(partFiles(dir, "source=src1") === untouchedBefore)
+      // replay: nothing left to forget — no partition touched
+      val again = Maintenance.forgetRows(spark, dir, "source",
+        Seq(1L, 4L, 2L).toDF("doc_id"), "doc_id")
+      assert(again.isEmpty)
+      assert(storeIds(dir) === Seq(3L, 5L, 6L, 7L, 8L, 9L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("a fully-doomed partition is removed, not left as a fileless husk") {
+    val dir = mkStore("doom")
+    try {
+      // src1 holds exactly docs 3, 6, 9
+      val touched = Maintenance.forgetRows(spark, dir, "source",
+        Seq(3L, 6L, 9L).toDF("doc_id"), "doc_id")
+      assert(touched === Seq("source=src1"))
+      assert(!new java.io.File(dir, "source=src1").exists)
+      assert(storeIds(dir) === Seq(1L, 2L, 4L, 5L, 7L, 8L))
+      assert(spark.read.parquet(dir).select("source").distinct()
+        .as[String].collect().sorted.toSeq === Seq("src2", "src3"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("crash states recover: aside without live restores; aside with live drops; tmp drops") {
+    val dir = mkStore("crash")
+    try {
+      val base = new java.io.File(dir)
+      // state 1: crash between rename-aside and rename-in — live
+      // missing, full copy under the aside
+      assert(new java.io.File(base, "source=src1")
+        .renameTo(new java.io.File(base, ".forget_old_source=src1")))
+      // state 2: an uncommitted rewrite left behind
+      val tmp = new java.io.File(base, ".forget_tmp_source=src2")
+      assert(tmp.mkdir())
+      // entry recovery runs inside forgetRows; ids here match nothing
+      // so the call is otherwise a no-op
+      val touched = Maintenance.forgetRows(spark, dir, "source",
+        Seq(999L).toDF("doc_id"), "doc_id")
+      assert(touched.isEmpty)
+      assert(new java.io.File(base, "source=src1").exists)
+      assert(!new java.io.File(base, ".forget_old_source=src1").exists)
+      assert(!tmp.exists)
+      assert(storeIds(dir) === (1L to 9L))
+      // state 3: crash between rename-in and delete-aside — aside is
+      // the PRE-rewrite copy, live already serves the rewrite
+      Maintenance.forgetRows(spark, dir, "source",
+        Seq(3L).toDF("doc_id"), "doc_id")
+      val live = new java.io.File(base, "source=src1")
+      val aside = new java.io.File(base, ".forget_old_source=src1")
+      org.apache.commons.io.FileUtils.copyDirectory(live, aside)
+      val handled = Maintenance.recoverForgetLeftovers(spark, dir)
+      assert(handled === Seq(".forget_old_source=src1"))
+      assert(!aside.exists)
+      assert(storeIds(dir) === Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("forgetWithStore: one call — the id appears nowhere (store + band probe); a crash between halves is finished by replay") {
+    val victim =
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"
+    val corpusDocs = Seq((10L, victim),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    // the store holds the same two docs, partitioned
+    val storeDir = java.nio.file.Files.createTempDirectory("g_fstore_c2").toString
+    corpusDocs.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 2).cast("string")))
+      .write.mode("overwrite").partitionBy("source").parquet(storeDir)
+    val batch = Seq((90L,
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each morning"))
+      .toDF("doc_id", "text")
+    val maint = CorpusPipeline.IndexMaintenance("g_fws_band",
+      n = 3, k = 12, bands = 4, threshold = 0.3)
+    val store = CorpusPipeline.CorpusStore(storeDir, "source")
+    def bandMentions10: Boolean =
+      graft.ml.BandIndex.probe(spark, "g_fws_band", batch,
+          n = 3, k = 12, bands = 4, threshold = 0.3)
+        .filter($"doc_a" === 10L || $"doc_b" === 10L).count() > 0L
+    try {
+      Seq("g_fws_band", "g_fws_band_keys")
+        .foreach(t => graft.store.Bucketing.dropWithDir(spark, t))
+      graft.ml.BandIndex.write(corpusDocs, "g_fws_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      assert(bandMentions10, "fixture must bite")
+      // crash between halves: only the index half ran
+      CorpusPipeline.forget(spark, maint, Seq(10L).toDF("doc_id"))
+      assert(!bandMentions10)
+      assert(storeIds(storeDir).contains(10L), "store rewrite still owed")
+      // the REPLAY is the full composed call — it finishes the store
+      val touched = CorpusPipeline.forgetWithStore(spark, maint, store,
+        Seq(10L).toDF("doc_id"))
+      assert(touched === Seq("source=s0"))
+      assert(!bandMentions10)
+      assert(storeIds(storeDir) === Seq(11L))
+      // and a further replay is a complete no-op
+      assert(CorpusPipeline.forgetWithStore(spark, maint, store,
+        Seq(10L).toDF("doc_id")).isEmpty)
+      assert(storeIds(storeDir) === Seq(11L))
+    } finally {
+      Seq("g_fws_band", "g_fws_band_keys")
+        .flatMap(t => Seq(t, t + "_tombstones"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+    }
+  }
+}
