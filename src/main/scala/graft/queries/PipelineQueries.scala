@@ -283,13 +283,18 @@ object PipelineQueries {
     // storage.py:606-618) AND the stored band index (tombstones). The
     // emission gates both surfaces in one frame: per-source count +
     // id-sum of the SURVIVING store rows (the %13 docs physically
-    // gone), unioned with the band probe's pairs (batch = the >=400
+    // gone), unioned with the band probe's pairs (batch = the %11==7
     // non-deleted docs; any pair mentioning a deleted doc would add a
     // row the oracle lacks — hash mismatch). Its own store dir + index
     // tag (the CLAUDE.md mutating-query rule); replay-idempotent, so
     // Bench's second run and any later session land the same rows.
     // Non-vacuity probed driver-side at both gate scales: pairs exist
     // and the %13 exclusions change the store sums at every source.
+    // Cost envelope (AbBench interleaved r17, sf0.1 min-of-5, loadavg
+    // ~4 window): cur 1.66 s = probe_only 1.02 (the stored-index
+    // probe floor class — q112/q125/q126 territory) + forget_only
+    // 0.29 (idempotent tombstone add + store semi-join detection) +
+    // store_agg 0.22 + compose overhead.
     "q150_forget_everywhere" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val h = java.security.MessageDigest.getInstance("MD5")
@@ -302,7 +307,7 @@ object PipelineQueries {
       val srcP = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
       val fs = srcP.getFileSystem(s.sparkContext.hadoopConfiguration)
       val st = fs.getFileStatus(srcP)
-      val fp = s"v1:${st.getLen}:${st.getModificationTime}"
+      val fp = s"v2:${st.getLen}:${st.getModificationTime}"
       val fpPath = java.nio.file.Paths.get(root, "_fingerprint")
       val current =
         if (java.nio.file.Files.exists(fpPath))
@@ -322,12 +327,18 @@ object PipelineQueries {
           .write.mode("overwrite").partitionBy("source").parquet(storeDir)
         Seq(table, table + "_keys", table + "_tombstones")
           .foreach(t0 => graft.store.Bucketing.dropWithDir(s, t0))
-        // the index holds the PRIOR corpus (docs < 400) — the q73
-        // incremental contract; the >=400 batch probes against it
-        // (a batch already present in the index would echo self-pairs
-        // and double its verify sets)
+        // the index holds the PRIOR corpus (the ~91% outside the
+        // %11==7 batch residue — corpus-SCALE, the incremental
+        // ideal: big stored index, small probing batch) — the q73
+        // contract; a batch already present in the index would echo
+        // self-pairs and double its verify sets. %11 is coprime to
+        // the generator cycle (the CLAUDE.md residue rule) and the
+        // batch-touching pair counts were probed non-vacuous
+        // driver-side at both gate scales (3 at sf0.001, 4+ at
+        // sf0.01 before the minAgree=0 widening).
         graft.ml.BandIndex.write(
-          docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text")),
+          docs.filter(col("doc_id") % 11 =!= 7)
+            .select(col("doc_id"), col("text")),
           table, n = 3, k = 12, bands = 4, buckets = 8)
         java.nio.file.Files.createDirectories(fpPath.getParent)
         java.nio.file.Files.write(fpPath, fp.getBytes("UTF-8"))
@@ -344,7 +355,7 @@ object PipelineQueries {
         .select(concat(lit("store:"), col("source")).as("surface"),
           col("a"), col("b"))
       val batch = docs
-        .filter(col("doc_id") >= 400 && col("doc_id") % 13 =!= 0)
+        .filter(col("doc_id") % 11 === 7 && col("doc_id") % 13 =!= 0)
         .select(col("doc_id"), col("text"))
       val pairs = graft.ml.BandIndex.probe(s, table, batch,
           n = 3, k = 12, bands = 4, threshold = 0.3)
@@ -1500,7 +1511,7 @@ object PipelineQueries {
     // mentioned one would have no oracle row to hash against.
     "q150_forget_everywhere" -> {
       val band = minhashLshOracle(
-        " AND (x.doc_id >= 400 OR y.doc_id >= 400)" +
+        " AND (x.doc_id % 11 = 7 OR y.doc_id % 11 = 7)" +
           " AND x.doc_id % 13 <> 0 AND y.doc_id % 13 <> 0", minAgree = 0)
       s"""SELECT surface, a, b FROM (
          |  SELECT 'store:' || source AS surface, count(*) AS a,

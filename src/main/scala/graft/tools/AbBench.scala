@@ -2161,6 +2161,37 @@ object AbBench {
       "q140_cur" -> (() => entry("q140_batch_novelty")),
       "q145_cur" -> (() => entry("q145_embedding_drift")),
       "q150_cur" -> (() => entry("q150_forget_everywhere")),
+      // q150 stage isolates (all read the SAME dirs/tables the
+      // shipped query leaves behind — run q150_cur first to seed)
+      "q150_forget_only" -> (() => {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val table = "g_q150_band_" + Integer.toHexString(sfDir.hashCode)
+        graft.ml.CorpusPipeline.forgetWithStore(spark,
+          graft.ml.CorpusPipeline.IndexMaintenance(table, n = 3, k = 12,
+            bands = 4, threshold = 0.3),
+          graft.ml.CorpusPipeline.CorpusStore(
+            s"${System.getProperty("java.io.tmpdir")}/graft_q150/$h/store",
+            "source"),
+          graft.Tables.t(spark, sfDir, "documents")
+            .filter(col("doc_id") % 13 === 0).select(col("doc_id"))).size.toLong
+      }),
+      "q150_store_agg" -> (() => {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        spark.read.parquet(
+            s"${System.getProperty("java.io.tmpdir")}/graft_q150/$h/store")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("a"), sum(col("doc_id")).as("b")).count()
+      }),
+      "q150_probe_only" -> (() => {
+        val table = "g_q150_band_" + Integer.toHexString(sfDir.hashCode)
+        graft.ml.BandIndex.probe(spark, table,
+          graft.Tables.t(spark, sfDir, "documents")
+            .filter(col("doc_id") % 11 === 7 && col("doc_id") % 13 =!= 0)
+            .select(col("doc_id"), col("text")),
+          n = 3, k = 12, bands = 4, threshold = 0.3).count()
+      }),
       "q144_win" -> (() => graft.ml.Calibrate.keepByPercentile(
         graft.Tables.t(spark, sfDir, "documents"), "source", "n_chars",
         "doc_id", 2, 5, ascending = false, plan = "window")
