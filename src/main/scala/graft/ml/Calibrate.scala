@@ -42,15 +42,29 @@ import org.apache.spark.sql.functions._
 object Calibrate {
 
   /** Stats cutover for the plan pick (the Tables.attachSide
-    * precedent): below this UNPROJECTED input size the plain
-    * per-group window wins — the |groups|-partition collapse is
-    * harmless on data this small and the distributed form's extra
-    * jobs (range-partitioner sample, counts collect, checkpoint) are
-    * pure floor. Measured at sf0.1 (q144 interleaved min-of-5):
-    * window 0.30 s vs distributed 0.80 s — 2.6×; the distributed form
-    * is the only viable shape at corpus scale, where the window's
-    * per-source single-core sort is the thing being avoided. */
-  val WindowPlanMaxBytes: Long = 256L << 20
+    * precedent): below this estimated input size the plain per-group
+    * window wins — the |groups|-partition collapse is harmless on
+    * data this small and the distributed form's extra jobs
+    * (range-partitioner sample, counts collect, checkpoint) are pure
+    * floor. Measured at sf0.1 (q144 interleaved min-of-5): window
+    * 0.30 s vs distributed 0.80 s — 2.6×; the distributed form is the
+    * only viable shape at corpus scale, where the window's per-source
+    * single-core sort is the thing being avoided.
+    *
+    * Estimate-direction audit (r17 — VERDICT r16 #7): the caller may
+    * pass a PROJECTED frame, whose estimate is compressed-disk-bytes
+    * scaled by schema-default column widths. For a text corpus that
+    * is CONSERVATIVE — measured sf0.1 documents: projected estimate
+    * 311 KB vs ~180 KB actual narrow data (the 20-byte string default
+    * understates the dropped text column, overstating the kept
+    * share), and the margin GROWS with real document length. The
+    * residual trap is a heavily-RLE'd all-numeric store (disk bytes
+    * collapse, so the scaled estimate can undershoot in-memory size
+    * by orders). Hence 64 MB rather than the 256 MB first measured:
+    * inputs whose estimate lands in 64-256 MB pay only the ~0.5 s
+    * distributed floor on data that dwarfs it anyway, and the 4×
+    * derate bounds the worst RLE undershoot's wrong-pick cost. */
+  val WindowPlanMaxBytes: Long = 64L << 20
 
   /** Per-`grpCol` percentile of integral `metricCol` (ties broken by
     * integral `idCol`), keeping rows in the bottom fracNum/fracDen of
