@@ -258,7 +258,16 @@ object Bench {
     // a file-mode artifact is distinguishable from an intentional
     // SPARK_GRAFT_LIVE_PAIR=0 run (r13 advice).
     val (pairMode, ratioValid) =
-      if (duck.isEmpty) ("", true)
+      if (duck.isEmpty) {
+        // no pairing at all (live failed AND the committed file is
+        // for another sf dir): the artifact must still NAME the live
+        // failure — r17's sf1 run lost its "timeout" cause here and
+        // the missing ratio read as unexplained
+        val fallback = livePairAttempt.collect {
+          case Left(reason) => s""","pair_fallback":"$reason"""" }
+          .getOrElse("")
+        (fallback, true)
+      }
       else if (livePaired.isDefined)
         (s""","pair_mode":"live","ratio_valid":true""", true)
       else {
@@ -464,8 +473,11 @@ object Bench {
       pb.redirectErrorStream(true)
       pb.redirectOutput(tmp.resolve("out.txt").toFile)
       val p = pb.start()
+      // 1800 s: the sf0.1 duck side runs in ~1-2 min, but sf1's needs
+      // ~25 min wall (r17 measured — the 600 s cap was why the first
+      // sf1 live pairing fell back to file mode with no ratio)
       val done =
-        try p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        try p.waitFor(1800, java.util.concurrent.TimeUnit.SECONDS)
         catch { case e: InterruptedException =>
           p.destroyForcibly(); throw e }
       if (!done) { p.destroyForcibly(); Left("timeout") }

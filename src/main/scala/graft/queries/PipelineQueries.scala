@@ -1063,6 +1063,14 @@ object PipelineQueries {
     // the corpus×corpus quadratic term never exists. Same
     // minhash/band/minAgree parameters as q32; the oracle is q32's
     // with the at-least-one-new condition mirrored in the cand CTE.
+    // r17 adjudication of the r16 x3.2 move (0.80 -> 2.56 s): the
+    // shipped path (minhashLshPairsIncremental) had NO r16 diff (the
+    // +110 TextDedup lines were new q135/q136 functions); this
+    // round's reads: 1.18 s single-shot full bench, 1.50-1.52
+    // interleaved q73_cur mins in loadavg 2-4 windows — well under
+    // the 2.56 close artifact. Noise-pinned pending the clean-window
+    // close; if a contended:false pairing still reads >1.2 s, the
+    // residual vs the r15 0.80 is the thing to decompose.
     "q73_incremental_dedup" -> { (s, dir) =>
       TextDedup.minhashLshPairsIncremental(t(s, dir, "documents"),
         isNew = col("doc_id") >= 400, n = 3, k = 12, bands = 4,

@@ -611,6 +611,8 @@ object ShapeQueries {
     // novelty, and the per-document counterpart of the loop's KMV
     // vocabulary telemetry. One batch tokenize + one presence join
     // against stored 8-byte gram keys; same session index as q126.
+    // Envelope pin (AbBench q140_cur, r17 interleaved min/med of 5
+    // at sf0.1): 0.49/0.54 s.
     "q140_batch_novelty" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
         .withColumn("doc_id", col("doc_id").cast("int"))
@@ -628,6 +630,7 @@ object ShapeQueries {
     // source cycle — a %5 slice is perfectly correlated with source
     // (probed: js = ln 2 exactly) and would gate nothing but
     // disjointness.
+    // Envelope pin (AbBench q141_cur, r17): 0.24/0.29 s.
     "q141_dist_drift" -> { (s, dir) =>
       graft.ml.Drift.jsDivergence(t(s, dir, "documents"),
         col("doc_id") % 7 === 0,
@@ -640,6 +643,7 @@ object ShapeQueries {
     // table (v1 drops %7 ids and reverses %5 texts; v2 drops %11 ids)
     // — the run-diff surface generalized to content versioning
     // (analytics/SnapshotDiff).
+    // Envelope pin (AbBench q142_cur, r17): 0.48/0.58 s.
     "q142_snapshot_churn" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val v1 = docs.filter(col("doc_id") % 7 =!= 0)
@@ -657,6 +661,7 @@ object ShapeQueries {
     // (k < the 31-token vocabulary, so eviction genuinely runs) + an
     // exact recount of the ≤ k candidates — the full-cardinality
     // groupBy never happens (ml/HeavyHitters).
+    // Envelope pin (AbBench q143_cur, r17): 0.65/0.70 s.
     "q143_heavy_hitters" -> { (s, dir) =>
       val toks = t(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
@@ -669,6 +674,7 @@ object ShapeQueries {
     // computed with the distributed two-pass rank (ml/Calibrate), not
     // a |sources|-partition window; the oracle's window form proves
     // the stitched ranks exactly equal SQL percent_rank.
+    // Envelope pin (AbBench q144_cur, r17): 0.66/0.72 s.
     "q144_source_calibration" -> { (s, dir) =>
       graft.ml.Calibrate.keepByPercentile(t(s, dir, "documents"),
           grpCol = "source", metricCol = "n_chars", idCol = "doc_id",
@@ -699,6 +705,7 @@ object ShapeQueries {
     // an ingest slice and the rest — the vector companion of q141's
     // categorical drift, on the q85 exactness recipe (6-dp centroids,
     // sequential folds, integer-scaled emission).
+    // Envelope pin (AbBench q145_cur, r17): 0.32/0.34 s.
     "q145_embedding_drift" -> { (s, dir) =>
       graft.ml.Drift.embeddingDrift(t(s, dir, "embeddings"),
         col("vec_id") % 7 === 0)
