@@ -543,7 +543,87 @@ object CorpusPipeline {
       sigIndex: Option[SigMaintenance] = None,
       kmvTelemetry: Option[KmvTelemetry] = None,
       ngramIndex: Option[NgramMaintenance] = None,
-      fuzzyIndex: Option[FuzzyMaintenance] = None)
+      fuzzyIndex: Option[FuzzyMaintenance] = None,
+      forgetFeed: Option[ForgetCadence] = None)
+
+  /** Continuous takedown processing for [[ingestAndMaintain]] (r17 —
+    * the forget family's LOOP integration): each maintenance slot
+    * drains the pending slice of a compliance-owned request feed and
+    * serves it with [[forget]]/[[forgetWithStore]] — so a deployment
+    * honors right-to-be-forgotten at batch cadence with no operator
+    * in the loop. `requests` resolves the feed: rows of
+    * (req_id LONG — MONOTONE, the idempotence clock; doc_id LONG).
+    * The processed high-water persists as a band-table property, so
+    * a crash between the forget and the property write replays the
+    * slice into idempotent tombstone adds / an already-clean store —
+    * the at-least-once contract every other leg carries. Requests
+    * drain even on batches the screens empty out. A drained id is
+    * also barred from RE-INGESTION (the loop's opt-out screen — a
+    * re-crawl of taken-down content must not resurrect it, and must
+    * not trip the append resurrection guard either). Physical
+    * cleanup is backlog-gated like every other cadence: when the
+    * band tombstone set reaches `compactAtBacklog`, the slot runs
+    * [[compactForgotten]] (measured trigger, not a blind every-N) —
+    * note compaction CLEARS the sets, re-opening those ids for
+    * explicit re-admission, the documented tombstone lifecycle.
+    *
+    * `stateDir` holds the high-water as a tiny FILE (rename-swapped,
+    * crash-repaired on read) — deliberately NOT a table property:
+    * every bucketed-table rewrite (compactForgotten, the
+    * files-per-bucket compaction cadence, an IVF rebuild) recreates
+    * its table and silently drops properties, and a lost high-water
+    * re-drains old requests — which would re-tombstone ids an
+    * operator had explicitly re-admitted post-compaction (caught by
+    * CorpusPipelineSpec's backlog-gate test). */
+  final case class ForgetCadence(
+      requests: org.apache.spark.sql.SparkSession => DataFrame,
+      stateDir: String,
+      store: Option[CorpusStore] = None,
+      compactAtBacklog: Long = Long.MaxValue)
+
+  /** Read the forget-feed high-water (-1 = nothing processed).
+    * Repairs a swap killed between delete and rename: a complete
+    * `hw_new` counts as the value and is promoted. */
+  private def readForgetHw(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val live = new org.apache.hadoop.fs.Path(dir, "hw")
+    val staged = new org.apache.hadoop.fs.Path(dir, "hw_new")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def read(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    read(live).orElse {
+      val v = read(staged)
+      v.foreach { _ =>
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"forget hw repair failed: $staged")
+      }
+      v
+    }.getOrElse(-1L)
+  }
+
+  /** Persist the high-water: write `hw_new`, drop `hw`, rename in —
+    * at every intermediate point a complete value exists under one of
+    * the two names ([[readForgetHw]] repairs). */
+  private def writeForgetHw(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir, "hw")
+    val staged = new org.apache.hadoop.fs.Path(dir, "hw_new")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(staged, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(live, false)
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(s"forget hw rename failed: $staged")
+    ()
+  }
 
   /** Serve a takedown/opt-out request across EVERY stored index the
     * loop maintains (r16 — the right-to-be-forgotten composition):
@@ -862,9 +942,23 @@ object CorpusPipeline {
             graft.analytics.DataQuality.flagRows(batch, admission)
               .filter(col("quarantine") === 0)
               .drop("violations", "quarantine"), t0)
+        // opt-out screen (r17, with the forget feed): a FORGOTTEN doc
+        // re-arriving (a re-crawl of taken-down content) is invisible
+        // to the band screen (tombstones hide it from every probe) and
+        // would then hit the append's resurrection guard — killing the
+        // query. A takedown also means "do not re-ingest": drop
+        // tombstoned ids here, before any content work. Zero cost when
+        // no tombstone set exists (one catalog lookup, no jobs, no
+        // stage stat); band-table tombstones are the authority, same
+        // as the screen itself.
         t0 = System.nanoTime()
-        val (q, nQ) = staged(s"quality>=$minQuality", nAdm,
-          adm.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
+        val (adm2, nAdm2) =
+          if (!Tombstones.exists(spark, maint.bandTable)) (adm, nAdm)
+          else staged("optOutScreen", nAdm,
+            Tombstones.live(spark, maint.bandTable, adm, "doc_id"), t0)
+        t0 = System.nanoTime()
+        val (q, nQ) = staged(s"quality>=$minQuality", nAdm2,
+          adm2.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
         t0 = System.nanoTime()
         // near-dup screen against the STORED band index — prior
         // accepted batches are already folded in, so cross-batch
@@ -1095,6 +1189,43 @@ object CorpusPipeline {
               onMaintain(batchId, StageStat(s"shardExport(docs=$n)", nA, n,
                 math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
             }
+          }
+        }
+        // takedown-feed drain (r17) — OUTSIDE the nA>0 gate: requests
+        // must process even when the screens empty a batch out. Runs
+        // AFTER the appends so a request for a doc in THIS batch
+        // tombstones the just-appended rows (forget-after-ingest),
+        // never races the append's resurrection guard.
+        maint.forgetFeed.foreach { fc =>
+          t0 = System.nanoTime()
+          val hw = readForgetHw(spark, fc.stateDir)
+          val pending = fc.requests(spark)
+            .select(col("req_id").cast("long").as("req_id"),
+              col("doc_id").cast("long").as("doc_id"))
+            .filter(col("req_id") > hw)
+          // one bounded agg decides emptiness AND the new high-water
+          val head = pending.agg(max(col("req_id")), count(lit(1))).head()
+          if (!head.isNullAt(0)) {
+            val (newHw, nReq) = (head.getLong(0), head.getLong(1))
+            val ids = pending.select(col("doc_id"))
+            val parts = fc.store match {
+              case Some(st) => forgetWithStore(spark, maint, st, ids)
+              case None => forget(spark, maint, ids); Seq.empty
+            }
+            // high-water AFTER the forget: a crash in between replays
+            // the slice into idempotent tombstone adds and an
+            // already-clean store (at-least-once, exactly-once effect)
+            writeForgetHw(spark, fc.stateDir, newHw)
+            val backlog =
+              if (Tombstones.exists(spark, maint.bandTable))
+                spark.table(Tombstones.tableFor(maint.bandTable)).count()
+              else 0L
+            val compacted = backlog >= fc.compactAtBacklog
+            if (compacted) compactForgotten(spark, maint)
+            onMaintain(batchId, StageStat(
+              s"forgetFeed(reqs=$nReq storeParts=${parts.size} " +
+                s"backlog=$backlog compacted=$compacted)", nReq, backlog,
+              math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
           }
         }
       }

@@ -78,21 +78,23 @@ object Maintenance {
     dirs.foreach { dir =>
       val tmp = new org.apache.hadoop.fs.Path(base, s".forget_tmp_${dir.getName}")
       val old = new org.apache.hadoop.fs.Path(base, s".forget_old_${dir.getName}")
-      spark.read.parquet(dir.toString)
+      val remaining = spark.read.parquet(dir.toString)
         .join(broadcast(idsDf), Seq(idCol), "left_anti")
-        .write.mode("overwrite").option("compression", "zstd")
-        .parquet(tmp.toString)
-      // a fully-doomed partition rewrites to zero rows (Spark still
-      // emits a schema-only part file) — the partition is REMOVED,
-      // not left as an empty husk
-      val emptied = spark.read.parquet(tmp.toString).isEmpty
+      // emptiness decided on the PRE-write frame (isEmpty = a take(1)
+      // job): a fully-doomed partition is REMOVED with no tmp at all.
+      // Deliberately NOT a read-back of the written tmp — the tmp is
+      // a dot-dir and Spark's hidden-path filter can silently ignore
+      // its files, which would misread a live partition as empty.
+      val emptied = remaining.isEmpty
+      if (!emptied)
+        remaining.write.mode("overwrite").option("compression", "zstd")
+          .parquet(tmp.toString)
       if (!fs.rename(dir, old))
         throw new java.io.IOException(s"forget rename-aside failed for $dir")
       if (!emptied && !fs.rename(tmp, dir)) {
         fs.rename(old, dir)
         throw new java.io.IOException(s"forget rename failed for $dir")
       }
-      if (emptied) fs.delete(tmp, true)
       fs.delete(old, true)
       touched += dir.getName
     }

@@ -1428,4 +1428,160 @@ class CorpusPipelineSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("forget feed: requests drain at batch cadence through store+index; re-crawls of forgotten docs are opt-out screened; drained requests never re-process") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val victim =
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("g_ff_store").toString + "/corpus"
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("g_ff_feed").toString + "/requests"
+    // the feed starts EMPTY but typed (a compliance process appends)
+    Seq.empty[(Long, Long)].toDF("req_id", "doc_id")
+      .write.parquet(feedDir)
+    def addReq(reqId: Long, docId: Long): Unit =
+      Seq((reqId, docId)).toDF("req_id", "doc_id")
+        .write.mode("append").parquet(feedDir)
+    def storeIds: Seq[Long] = spark.read.parquet(storeDir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def bandMentions10: Boolean =
+      graft.ml.BandIndex.probe(spark, "g_ff_band",
+          Seq((90L, victim.replace("evening", "morning")))
+            .toDF("doc_id", "text"),
+          n = 3, k = 12, bands = 4, threshold = 0.3)
+        .filter($"doc_a" === 10L || $"doc_b" === 10L).count() > 0L
+    try {
+      graft.store.Bucketing.dropWithDir(spark, "g_ff_band")
+      graft.store.Bucketing.dropWithDir(spark, "g_ff_band_keys")
+      graft.ml.BandIndex.write(
+        Seq((1L, "one lonely seed doc about geothermal vents and deep pressure"))
+          .toDF("doc_id", "text"),
+        "g_ff_band", n = 3, k = 12, bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val maintained = scala.collection.mutable.ListBuffer[(Long, String)]()
+      val screens = scala.collection.mutable.ListBuffer[(Long, String)]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.0,
+        CorpusPipeline.IndexMaintenance("g_ff_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          forgetFeed = Some(CorpusPipeline.ForgetCadence(
+            requests = s => s.read.parquet(feedDir),
+            stateDir = feedDir + "_state",
+            store = Some(CorpusPipeline.CorpusStore(storeDir, "source"))))),
+        evalIdx, evalN = 3,
+        onMaintain = (id, st) => maintained.synchronized {
+          maintained += ((id, st.stage)); () }) { (id, acc, stats) =>
+        screens.synchronized {
+          screens ++= stats.map(s => (id, s.stage + s"[${s.docsIn}->${s.docsOut}]"))
+        }
+        acc.select($"doc_id", $"text")
+          .withColumn("source", concat(lit("s"), ($"doc_id" % 2).cast("string")))
+          .write.mode("append").partitionBy("source").parquet(storeDir)
+      }
+      try {
+        // batch 0: both docs accepted, stored, indexed; no requests
+        input.addData(10L -> victim,
+          11L -> "eleven elephants wander dusty savannah trails seeking distant water holes")
+        q.processAllAvailable()
+        assert(storeIds === Seq(10L, 11L))
+        assert(bandMentions10, "fixture must bite")
+        assert(!maintained.exists(_._2.startsWith("forgetFeed")),
+          "empty feed must not emit a drain stat")
+        // request lands; batch 1 (unrelated doc) drains it
+        addReq(1L, 10L)
+        input.addData(12L ->
+          "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil")
+        q.processAllAvailable()
+        assert(storeIds === Seq(11L, 12L), "doc 10 physically gone")
+        assert(!bandMentions10, "doc 10 invisible to the screen")
+        val drains = maintained.toList.filter(_._2.startsWith("forgetFeed"))
+        assert(drains.map(_._1) === List(1L), drains.toString)
+        // batch 2: the forgotten doc RE-ARRIVES (re-crawl) — dropped
+        // by the opt-out screen, no resurrection-guard crash, and the
+        // drained request does NOT re-process
+        input.addData(10L -> victim)
+        q.processAllAvailable()
+        assert(storeIds === Seq(11L, 12L))
+        assert(!bandMentions10)
+        val optOut = screens.toList.filter(_._2.startsWith("optOutScreen"))
+        assert(optOut.exists(e => e._1 === 2L && e._2.contains("[1->0]")),
+          s"re-crawl must be screened out: $screens")
+        assert(maintained.toList.count(_._2.startsWith("forgetFeed")) === 1,
+          "drained request must not re-process")
+      } finally q.stop()
+    } finally {
+      Seq("g_ff_band", "g_ff_band_keys")
+        .flatMap(t => Seq(t, t + "_tombstones"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("forget feed backlog gate: compactAtBacklog triggers compactForgotten, clearing the sets and re-opening explicit re-admission") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val victim =
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("g_fb_store").toString + "/corpus"
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("g_fb_feed").toString + "/requests"
+    Seq.empty[(Long, Long)].toDF("req_id", "doc_id")
+      .write.parquet(feedDir)
+    try {
+      graft.store.Bucketing.dropWithDir(spark, "g_fb_band")
+      graft.store.Bucketing.dropWithDir(spark, "g_fb_band_keys")
+      graft.ml.BandIndex.write(
+        Seq((1L, "one lonely seed doc about geothermal vents and deep pressure"))
+          .toDF("doc_id", "text"),
+        "g_fb_band", n = 3, k = 12, bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val maintained = scala.collection.mutable.ListBuffer[(Long, String)]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.0,
+        CorpusPipeline.IndexMaintenance("g_fb_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          forgetFeed = Some(CorpusPipeline.ForgetCadence(
+            requests = s => s.read.parquet(feedDir),
+            stateDir = feedDir + "_state",
+            store = Some(CorpusPipeline.CorpusStore(storeDir, "source")),
+            compactAtBacklog = 1L))),
+        evalIdx, evalN = 3,
+        onMaintain = (id, st) => maintained.synchronized {
+          maintained += ((id, st.stage)); () }) { (_, acc, _) =>
+        acc.select($"doc_id", $"text")
+          .withColumn("source", concat(lit("s"), ($"doc_id" % 2).cast("string")))
+          .write.mode("append").partitionBy("source").parquet(storeDir)
+      }
+      try {
+        input.addData(10L -> victim)
+        q.processAllAvailable()
+        Seq((1L, 10L)).toDF("req_id", "doc_id")
+          .write.mode("append").parquet(feedDir)
+        input.addData(11L ->
+          "eleven elephants wander dusty savannah trails seeking distant water holes")
+        q.processAllAvailable()
+        // backlog 1 >= 1: compaction fired and CLEARED the sets
+        assert(maintained.exists(e =>
+          e._2.startsWith("forgetFeed") && e._2.contains("compacted=true")),
+          maintained.toString)
+        assert(!spark.catalog.tableExists("g_fb_band_tombstones"))
+        // the documented lifecycle: post-compaction the id is open for
+        // explicit re-admission — a re-crawl is ACCEPTED again
+        input.addData(10L -> victim)
+        q.processAllAvailable()
+        assert(spark.read.parquet(storeDir).select("doc_id").as[Long]
+          .collect().sorted.toSeq === Seq(10L, 11L))
+      } finally q.stop()
+    } finally {
+      Seq("g_fb_band", "g_fb_band_keys")
+        .flatMap(t => Seq(t, t + "_tombstones"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
