@@ -1067,10 +1067,11 @@ object PipelineQueries {
     // shipped path (minhashLshPairsIncremental) had NO r16 diff (the
     // +110 TextDedup lines were new q135/q136 functions); this
     // round's reads: 1.18 s single-shot full bench, 1.50-1.52
-    // interleaved q73_cur mins in loadavg 2-4 windows — well under
-    // the 2.56 close artifact. Noise-pinned pending the clean-window
-    // close; if a contended:false pairing still reads >1.2 s, the
-    // residual vs the r15 0.80 is the thing to decompose.
+    // interleaved q73_cur mins in loadavg 2-4 windows, and 0.73 s in
+    // the r17 close-candidate pairing — the r15 0.80 envelope
+    // restored with no code change. NOISE-PINNED: the r16 2.56 was
+    // steal-tail (today's tail spikes bounce 2-3x between
+    // back-to-back runs on whichever queries catch the wave).
     "q73_incremental_dedup" -> { (s, dir) =>
       TextDedup.minhashLshPairsIncremental(t(s, dir, "documents"),
         isNew = col("doc_id") >= 400, n = 3, k = 12, bands = 4,
