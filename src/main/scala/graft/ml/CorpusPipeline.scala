@@ -1168,13 +1168,17 @@ object CorpusPipeline {
               else None
             if (!exportSeeded) {
               exportSeeded = true
-              // first slot after (re)start: docs in the stored corpus
-              // but not in the live manifest ARE the export debt,
-              // whatever a prior incarnation had accrued. The corpus
-              // already contains this batch (onBatch ran first), so
-              // the seed subsumes this batch's nA.
+              // first slot after (re)start: the store/manifest doc
+              // count DIVERGENCE is the export debt, whatever a prior
+              // incarnation had accrued — absolute, not max(0, ·):
+              // a post-forget corpus SMALLER than the live export is
+              // exactly as stale as an un-exported growth (the old
+              // seed read it as zero and a quiet corpus never purged
+              // its forgotten docs, r17). The corpus already contains
+              // this batch (onBatch ran first), so the seed subsumes
+              // this batch's nA.
               exportDebt = live.fold(0L)(e =>
-                math.max(0L, ec.corpus(spark).count() - e))
+                math.abs(ec.corpus(spark).count() - e))
             } else exportDebt += nA
             val due = live match {
               case None => true // no export yet: infinitely stale
@@ -1216,6 +1220,15 @@ object CorpusPipeline {
             // the slice into idempotent tombstone adds and an
             // already-clean store (at-least-once, exactly-once effect)
             writeForgetHw(spark, fc.stateDir, newHw)
+            // a takedown STALES the shard export too — the live
+            // export keeps serving the forgotten docs until a refresh
+            // reads the post-forget store, and the staleness clock
+            // only counted ADDED docs, so a quiet corpus would never
+            // purge them. Drained requests count into the same debt;
+            // the next slot's staleness check re-exports at the
+            // configured threshold (a compliance-critical deployment
+            // sets staleFraction accordingly).
+            if (maint.exportTo.isDefined) exportDebt += nReq
             val backlog =
               if (Tombstones.exists(spark, maint.bandTable))
                 spark.table(Tombstones.tableFor(maint.bandTable)).count()

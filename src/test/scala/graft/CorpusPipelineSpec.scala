@@ -1520,6 +1520,79 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("forget feed stales the shard export: the next threshold crossing re-exports without the forgotten doc") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val victim =
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("g_fe_store").toString + "/corpus"
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("g_fe_feed").toString + "/requests"
+    val exportDir = java.nio.file.Files
+      .createTempDirectory("g_fe_exp").toString + "/shards"
+    Seq.empty[(Long, Long)].toDF("req_id", "doc_id")
+      .write.parquet(feedDir)
+    def exportedIds: Set[Long] = graft.ml.ShardExport.read(spark, exportDir)
+      .select($"doc_id").as[Long].collect().toSet
+    try {
+      graft.store.Bucketing.dropWithDir(spark, "g_fe_band")
+      graft.store.Bucketing.dropWithDir(spark, "g_fe_band_keys")
+      graft.ml.BandIndex.write(
+        Seq((1L, "one lonely seed doc about geothermal vents and deep pressure"))
+          .toDF("doc_id", "text"),
+        "g_fe_band", n = 3, k = 12, bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.0,
+        CorpusPipeline.IndexMaintenance("g_fe_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          // staleFraction 1.2: ADD debt alone (1 doc per batch over a
+          // live export of 2) can never cross it — only the forget
+          // bump can, which is the thing under test
+          exportTo = Some(CorpusPipeline.ExportCadence(exportDir, nShards = 2,
+            corpus = s => s.read.parquet(storeDir).select($"doc_id", $"text"),
+            staleFraction = 1.2)),
+          forgetFeed = Some(CorpusPipeline.ForgetCadence(
+            requests = s => s.read.parquet(feedDir),
+            stateDir = feedDir + "_state",
+            store = Some(CorpusPipeline.CorpusStore(storeDir, "source"))))),
+        evalIdx, evalN = 3) { (_, acc, _) =>
+        acc.select($"doc_id", $"text")
+          .withColumn("source", concat(lit("s"), ($"doc_id" % 2).cast("string")))
+          .write.mode("append").partitionBy("source").parquet(storeDir)
+      }
+      try {
+        // batch 0: no live export -> first export = {10, 11}
+        input.addData(10L -> victim,
+          11L -> "eleven elephants wander dusty savannah trails seeking distant water holes")
+        q.processAllAvailable()
+        assert(exportedIds === Set(10L, 11L))
+        // request lands; batch 1 drains it AFTER this slot's export
+        // check — the export still serves doc 10 (debt 1/2 < 1.2)
+        Seq((1L, 10L)).toDF("req_id", "doc_id")
+          .write.mode("append").parquet(feedDir)
+        input.addData(12L ->
+          "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil")
+        q.processAllAvailable()
+        assert(exportedIds === Set(10L, 11L), "purge is next-slot, bounded")
+        // batch 2: debt = adds(2) + forgotten(1) = 3 over live 2 ->
+        // 1.5 >= 1.2 -> refresh reads the post-forget store
+        input.addData(13L ->
+          "paper lanterns drift over the festival river while drummers keep gentle time")
+        q.processAllAvailable()
+        assert(exportedIds === Set(11L, 12L, 13L),
+          "forgotten doc purged from the training shards")
+      } finally q.stop()
+    } finally {
+      Seq("g_fe_band", "g_fe_band_keys")
+        .flatMap(t => Seq(t, t + "_tombstones"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("forget feed backlog gate: compactAtBacklog triggers compactForgotten, clearing the sets and re-opening explicit re-admission") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val victim =
