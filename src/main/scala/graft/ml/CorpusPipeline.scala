@@ -567,6 +567,11 @@ object CorpusPipeline {
     * note compaction CLEARS the sets, re-opening those ids for
     * explicit re-admission, the documented tombstone lifecycle.
     *
+    * Contract: the feed must be READABLE from the first batch — seed
+    * an empty typed frame if no request has ever landed (an
+    * unreadable feed fails the query loudly rather than silently
+    * dropping takedowns behind a misconfigured path).
+    *
     * `stateDir` holds the high-water as a tiny FILE (rename-swapped,
     * crash-repaired on read) — deliberately NOT a table property:
     * every bucketed-table rewrite (compactForgotten, the

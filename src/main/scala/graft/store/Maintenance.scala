@@ -57,6 +57,12 @@ object Maintenance {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
     recoverForgetLeftovers(spark, baseDir)
+    // a store whose every partition was already removed (a completed
+    // full-corpus takedown) has nothing to read — the detection scan
+    // would otherwise die on schema inference over zero files
+    if (!fs.listStatus(base).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("=")))
+      return Seq.empty
     val idsDf = ids.select(col(ids.columns.head).as(idCol)).distinct()
     // bounded: ≤ |partitions| rows
     val affected = spark.read.parquet(baseDir)

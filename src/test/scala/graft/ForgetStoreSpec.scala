@@ -65,6 +65,19 @@ class ForgetStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("a completed full-corpus takedown leaves a store forgetRows can still be called on") {
+    val dir = mkStore("full")
+    try {
+      val t1 = Maintenance.forgetRows(spark, dir, "source",
+        (1L to 9L).toDF("doc_id"), "doc_id")
+      assert(t1.toSet === Set("source=src1", "source=src2", "source=src3"))
+      // every partition removed; a replay (or a later request) must
+      // be a quiet no-op, not a schema-inference crash on zero files
+      assert(Maintenance.forgetRows(spark, dir, "source",
+        Seq(1L).toDF("doc_id"), "doc_id").isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("crash states recover: aside without live restores; aside with live drops; tmp drops") {
     val dir = mkStore("crash")
     try {
