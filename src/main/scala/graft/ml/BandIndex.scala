@@ -264,6 +264,44 @@ object BandIndex {
       .unionByName(TextDedup.keySetsFromDigests(batchDig))
     TextDedup.verifyJaccard(candidates, sets, threshold)
   }
+  /** Corpus-wide near-dup pairs FROM the stored index (r17 — the
+    * q146-over-q97 move applied to the minhash family): the band
+    * table self-joins per (band, key) bucket — bucketed+sorted on
+    * exactly those columns, so the join is a ZERO-exchange sort-merge
+    * — and candidates verify by exact Jaccard against the stored
+    * key sets. No tokenize, no md5, no minhash: the only per-call
+    * text processing the from-scratch chain pays
+    * ([[TextDedup.minhashLshPairs]]'s digest pass over the whole
+    * corpus) never happens, which is the entire point of having paid
+    * the one-time index build. Tombstoned docs pair with nothing
+    * (the shared immediate-forget protocol).
+    *
+    * Semantics = the chain at minAgree = 0: band-bucket candidates,
+    * exact-Jaccard verified at `threshold`. The chain's slot-agreement
+    * PREFILTER is not reproducible from stored band keys (band keys
+    * collapse slots; the raw 32-bit digest halves are not recoverable
+    * from the 63-bit verify keys) — and it is a candidate-volume
+    * optimization for the from-scratch form, pointless here where no
+    * per-candidate text work exists. Measured identical output at
+    * minAgree 5 vs 0 on every gate scale (sf0.001/0.01/0.1 —
+    * driver-probed; q99's parity gate re-proves it every round).
+    * BandIndexSpec pins the differential vs the from-scratch chain. */
+  def pairsAll(spark: SparkSession, table: String,
+      threshold: Double): DataFrame = {
+    repairKeysSwap(spark, table)
+    val live = Tombstones.live(spark, table, spark.table(table), "doc_id")
+      .select(col("band"), col("key"), col("doc_id"))
+    val cands = live.as("x")
+      .join(live.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = Tombstones.live(spark, table,
+      spark.table(keysTable(table)), "doc_id")
+    TextDedup.verifyJaccard(cands, sets, threshold)
+  }
+
   /** Record document ids as deleted (the shared [[Tombstones]]
     * protocol): candidates stop pairing against them immediately;
     * [[compactTombstones]] rewrites both tables without them. */

@@ -1243,6 +1243,11 @@ object PipelineQueries {
     * checked BIGINT arithmetic cannot overflow — mirroring
     * TextDedup.keySetsFromDigests exactly: a key collision perturbs
     * both engines identically, keeping the compare exact. */
+  /** q32's chain at minAgree = 0 over the full corpus — the oracle
+    * for stored-band-index pair derivations (q99's pairsAll form). */
+  private[queries] def minhashPairsSqlAnyAgree: String =
+    minhashLshOracle("", minAgree = 0)
+
   private def minhashLshOracle(candExtra: String, minAgree: Int = 5): String = {
     import TextDedup.{permA, permB, minhashP}
     val mhs = (0 until 12).map(j =>

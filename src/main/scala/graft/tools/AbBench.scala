@@ -2161,6 +2161,23 @@ object AbBench {
       "q140_cur" -> (() => entry("q140_batch_novelty")),
       "q145_cur" -> (() => entry("q145_embedding_drift")),
       "q150_cur" -> (() => entry("q150_forget_everywhere")),
+      // q99 r17 rewrite adjudication: indexed pairsAll (shipped, _cur)
+      // vs the from-scratch chain it replaced
+      "q99_cur" -> (() => entry("q99_source_dup_rate")),
+      "q99_chain" -> (() => {
+        val docs = graft.Tables.t(spark, sfDir, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        graft.ml.TextDedup.minhashLshPairs(docs, n = 3, k = 12,
+            bands = 4, threshold = 0.3, minAgree = 5)
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+            Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+            Seq("doc_b"))
+          .groupBy(least(col("sa"), col("sb")).as("src_a"),
+            greatest(col("sa"), col("sb")).as("src_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("src_a"), col("src_b")).count()
+      }),
       // q150 stage isolates (all read the SAME dirs/tables the
       // shipped query leaves behind — run q150_cur first to seed)
       "q150_forget_only" -> (() => {

@@ -270,4 +270,33 @@ class BandIndexSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("pairsAll from the stored index equals the from-scratch chain at minAgree=0; tombstoned docs pair with nothing") {
+    val corpus = (
+      mkDocs(Seq(0L, 1L), "the quick brown fox jumps over the lazy dog again and") ++
+      mkDocs(Seq(2L, 3L, 4L), "completely different content about spark catalyst plans") ++
+      Seq((5L, "a singleton document with its own words entirely unlike others"))
+    ).toDF("doc_id", "text")
+    val (n, k, bands, thr) = (3, 8, 4, 0.3)
+    try {
+      BandIndex.write(corpus, "g_band_all", n, k, bands, buckets = 4)
+      val got = BandIndex.pairsAll(spark, "g_band_all", thr)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val ref = TextDedup.minhashLshPairs(corpus, n, k, bands, thr,
+          minAgree = 0)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(got === ref, s"got $got vs chain $ref")
+      assert(got.nonEmpty, "fixture must produce pairs")
+      // tombstone doc 3: every pair mentioning it vanishes, the rest
+      // survive untouched
+      BandIndex.addTombstones(spark, "g_band_all", Seq(3L).toDF("doc_id"))
+      val after = BandIndex.pairsAll(spark, "g_band_all", thr)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(after === ref.filterNot(p => p._1 == 3L || p._2 == 3L))
+      assert(after.nonEmpty)
+    } finally {
+      Seq("g_band_all", "g_band_all_keys", "g_band_all_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
