@@ -480,9 +480,10 @@ object CoreQueries {
     // millions of keys, and AQE broadcasts it only if it measures
     // small. r17 adjudication of the r16 x4.7 move (0.42 -> 1.96 s
     // across close sessions): interleaved q72_cur 0.60/0.69 min/med
-    // (aggonly 0.48/0.54) and 0.40 s in the round's first full bench
-    // — back in the r15 envelope with no code change; NOISE-PINNED as
-    // steal-tail of the degraded r16 close windows.
+    // (aggonly 0.48/0.54), 0.40 s in the round's first full bench,
+    // 0.36 s in the clean contended:false close — the r15 envelope
+    // restored with no code change; NOISE-PINNED as steal-tail of
+    // the degraded r16 close windows.
     "q72_large_volume_cust" -> { (s, dir) =>
       // r6: the oracle's classic double-lineitem plan (aggregate to
       // find big orders, rejoin lineitem, re-aggregate) is redundant —

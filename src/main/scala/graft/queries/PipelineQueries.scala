@@ -1067,11 +1067,12 @@ object PipelineQueries {
     // shipped path (minhashLshPairsIncremental) had NO r16 diff (the
     // +110 TextDedup lines were new q135/q136 functions); this
     // round's reads: 1.18 s single-shot full bench, 1.50-1.52
-    // interleaved q73_cur mins in loadavg 2-4 windows, and 0.73 s in
-    // the r17 close-candidate pairing — the r15 0.80 envelope
-    // restored with no code change. NOISE-PINNED: the r16 2.56 was
-    // steal-tail (today's tail spikes bounce 2-3x between
-    // back-to-back runs on whichever queries catch the wave).
+    // interleaved q73_cur mins in loadavg 2-4 windows, 0.73 s in a
+    // close-candidate pairing, 0.87 s in the clean contended:false
+    // close — the r15 0.80 envelope restored with no code change.
+    // NOISE-PINNED: the r16 2.56 was steal-tail (r17's tail spikes
+    // bounced 2-3x between back-to-back runs on whichever queries
+    // caught the wave, and vanished in the clean window).
     "q73_incremental_dedup" -> { (s, dir) =>
       TextDedup.minhashLshPairsIncremental(t(s, dir, "documents"),
         isNew = col("doc_id") >= 400, n = 3, k = 12, bands = 4,
