@@ -94,7 +94,9 @@ object Bench {
       val ngDir = java.nio.file.Files.createTempDirectory("g_bench_ng").toString
       Seq("g_bench_band", "g_bench_band_keys", "g_bench_ivf",
         "g_bench_ivf_centroids", "g_bench_ivf_stats", "g_bench_sig",
-        "g_bench_fuzzy").foreach(t => graft.store.Bucketing.dropWithDir(spark, t))
+        "g_bench_fuzzy")
+        .flatMap(t => Seq(t, t + "_tombstones")) // drain leg leftovers
+        .foreach(t => graft.store.Bucketing.dropWithDir(spark, t))
       BandIndex.write(corpus, "g_bench_band", n = 3, k = 12, bands = 4,
         buckets = 4)
       LexIndex.build(corpus, lexDir)
@@ -112,9 +114,17 @@ object Bench {
       val input = MemoryStream[(Long, String)]
       val screenSecs = scala.collection.mutable.Map[Long, Double]()
       val maintSecs = scala.collection.mutable.Map[Long, Double]()
+      val forgetSecs = scala.collection.mutable.Map[Long, Double]()
       val stageDetail = scala.collection.mutable.Map[Long, String]()
       val batches = docsAll.filter(col("doc_id") >= 100 && col("doc_id") < 124)
         .as[(Long, String)].collect().sortBy(_._1)
+      // compliance leg (r18 — VERDICT r17 #6): a takedown request feed
+      // drains every batch, so the drain's per-batch floor (hw
+      // read/write + six tombstone adds + durable bar + backlog count)
+      // is measured and attributed like the other legs
+      val reqLog = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val forgetState = java.nio.file.Files
+        .createTempDirectory("g_bench_fstate").toString
       val q = CorpusPipeline.ingestAndMaintain(
         input.toDF().toDF("doc_id", "text"), minQuality = 0.0,
         CorpusPipeline.IndexMaintenance("g_bench_band", n = 3, k = 12,
@@ -126,13 +136,22 @@ object Bench {
           ngramIndex = Some(CorpusPipeline.NgramMaintenance(ngDir,
             threshold = 0.6, dfCap = 50)),
           fuzzyIndex = Some(CorpusPipeline.FuzzyMaintenance("g_bench_fuzzy",
-            keyFn, maxDist = 8))),
+            keyFn, maxDist = 8)),
+          forgetFeed = Some(CorpusPipeline.ForgetCadence(
+            requests = s => reqLog.synchronized {
+              reqLog.toSeq.toDF("req_id", "doc_id") },
+            stateDir = forgetState))),
         evalIdx, evalN = 3,
         onMaintain = (bid, st) =>
           maintSecs.synchronized {
-            // first slot stat per batch is the index-maintain one; its
-            // NAME carries the per-leg append clocks (r16)
-            if (!maintSecs.contains(bid)) {
+            if (st.stage.startsWith("forgetFeed")) {
+              forgetSecs(bid) = st.secs
+              stageDetail(bid) = stageDetail.getOrElse(bid, "") +
+                s" | ${st.stage}=${st.secs}"
+            } else if (!maintSecs.contains(bid)) {
+              // first non-forget slot stat per batch is the
+              // index-maintain one; its NAME carries the per-leg
+              // append clocks (r16)
               maintSecs(bid) = st.secs
               stageDetail(bid) = stageDetail.getOrElse(bid, "") +
                 s" | ${st.stage}"
@@ -148,18 +167,26 @@ object Bench {
       }
       try {
         for (b <- 0 until 3) {
+          // two takedown requests per batch keep the drain leg live
+          // (corpus ids — index tombstones, no store attached)
+          reqLog.synchronized {
+            reqLog += ((b * 2 + 1L, 10L + b)); reqLog += ((b * 2 + 2L, 30L + b))
+          }
           input.addData(batches.slice(b * 8, b * 8 + 8): _*)
           q.processAllAvailable()
         }
       } finally q.stop()
       evalIdx.grams.unpersist()
       val per = (1L to 2L).flatMap(b =>
-        screenSecs.get(b).map(_ + maintSecs.getOrElse(b, 0.0)))
+        screenSecs.get(b).map(_ + maintSecs.getOrElse(b, 0.0) +
+          forgetSecs.getOrElse(b, 0.0)))
       // stage attribution to STDERR (stdout is the driver's parse
-      // surface): which screen/maintenance term carries the floor
+      // surface): which screen/maintenance/compliance term carries
+      // the floor
       (1L to 2L).foreach(b => System.err.println(
         s"[ingest-screen] batch $b: ${stageDetail.getOrElse(b, "?")} " +
-          s"maintain=${maintSecs.getOrElse(b, -1.0)}"))
+          s"maintain=${maintSecs.getOrElse(b, -1.0)} " +
+          s"forget=${forgetSecs.getOrElse(b, -1.0)}"))
       if (per.isEmpty) -1.0 else math.rint(per.min * 1e4) / 1e4
     } catch { case e: Throwable =>
       // loud on stderr (stdout stays the driver's parse surface): a

@@ -285,22 +285,67 @@ object BandIndex {
     * per-candidate text work exists. Measured identical output at
     * minAgree 5 vs 0 on every gate scale (sf0.001/0.01/0.1 —
     * driver-probed; q99's parity gate re-proves it every round).
-    * BandIndexSpec pins the differential vs the from-scratch chain. */
+    * BandIndexSpec pins the differential vs the from-scratch chain.
+    *
+    * Hot-bucket cap (r18 — VERDICT r17 #1, the last uncapped
+    * quadratic): a (band, key) bucket of k docs emits k²/2 candidates
+    * from the self-join, and the skewed corpora dedup exists FOR
+    * (web boilerplate: 10⁶ near-identical docs landing in one bucket
+    * = 5·10¹¹ candidate rows) make k unbounded. Buckets over
+    * `bucketCap` switch from all-pairs to STAR edges against the
+    * bucket's min-doc_id representative — k−1 candidates, and for a
+    * saturated bucket (by construction a dup cluster) a verified star
+    * IS the cluster: connected components, canonical selection and
+    * the q99 rate rollup all consume edges, none needs the transitive
+    * closure materialized. The census that decides saturation is a
+    * bucket-local partial agg (zero exchange on the bucketed table,
+    * output ≤ |saturated buckets| rows — empty on healthy corpora, so
+    * the broadcast anti-join below it is a no-op filter) and is
+    * exposed as [[saturatedBuckets]] for QA. Below the cap the output
+    * is bit-identical to the uncapped form (dfCap/blockCap precedent:
+    * TextDedup postings dfCap=50, FuzzyJoin blockCap); the default
+    * 4096 is far above any gate-scale bucket (driver-probed max
+    * bucket: 4 docs at sf0.1, 2 at sf1 — r18; BandIndexSpec pins the
+    * capped/uncapped differential and the bounded fan-out on a
+    * planted degenerate bucket). */
   def pairsAll(spark: SparkSession, table: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, bucketCap: Int = 4096): DataFrame = {
     repairKeysSwap(spark, table)
     val live = Tombstones.live(spark, table, spark.table(table), "doc_id")
       .select(col("band"), col("key"), col("doc_id"))
-    val cands = live.as("x")
-      .join(live.as("y"),
+    val hot = saturatedBuckets(spark, table, bucketCap)
+    val small = live.join(broadcast(hot.select(col("band"), col("key"))),
+      Seq("band", "key"), "left_anti")
+    val allPairs = small.as("x")
+      .join(small.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    // rep = min(doc_id) of its bucket, so rep < doc_id preserves the
+    // doc_a < doc_b invariant with no least/greatest
+    val starPairs = live
+      .join(broadcast(hot.select(col("band"), col("key"), col("rep"))),
+        Seq("band", "key"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val cands = allPairs.unionByName(starPairs).distinct()
     val sets = Tombstones.live(spark, table,
       spark.table(keysTable(table)), "doc_id")
     TextDedup.verifyJaccard(cands, sets, threshold)
   }
+
+  /** The hot-bucket census behind [[pairsAll]]'s cap: every live
+    * (band, key) bucket holding more than `bucketCap` docs, with its
+    * size and min-doc_id representative. Saturated buckets are by
+    * definition dup clusters — a QA surface in their own right
+    * (which boilerplate shingle floods the index) — and the frame is
+    * bounded by the saturated-bucket count, not the corpus. */
+  def saturatedBuckets(spark: SparkSession, table: String,
+      bucketCap: Int): DataFrame =
+    Tombstones.live(spark, table, spark.table(table), "doc_id")
+      .groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bkt_n"), min(col("doc_id")).as("rep"))
+      .filter(col("bkt_n") > bucketCap)
 
   /** Record document ids as deleted (the shared [[Tombstones]]
     * protocol): candidates stop pairing against them immediately;

@@ -461,18 +461,29 @@ object CorpusPipeline {
     * [[Decontaminate.screenBatch]] inside one foreachBatch, it does
     * not reimplement them.
     *
-    * All three screens are stateless per batch (per-row predicate,
+    * All screens are stateless per batch (per-row predicate,
     * stream-static joins against the two indexes), so state never
     * accumulates across batches and the stream runs indefinitely;
     * refresh the indexes at whatever cadence accepted batches are
     * folded into the corpus. Duplicate policy matches the batch
     * chain: a batch doc matching the corpus is dropped; within a
-    * batch the lower doc_id survives. */
+    * batch the lower doc_id survives.
+    *
+    * `optOutState` (r18 — VERDICT r17 #3) points the chain at a
+    * ForgetCadence `stateDir`: each micro-batch then consults the
+    * DURABLE barred-ids set ([[barredIds]] — written by the ingest
+    * loop's takedown drain, surviving tombstone compaction) and drops
+    * re-crawled taken-down docs before any content work. Stream-static
+    * broadcast anti-join, watermark-free — the barred set is a static
+    * side input re-resolved per batch, never stream state. Without it
+    * a deployment on THIS chain (no stored band table, so no tombstone
+    * screen) silently re-admits taken-down content. */
   def streaming(stream: DataFrame, minQuality: Double,
       dedupIndex: graft.streaming.StreamingDedup.CorpusIndex,
       n: Int, k: Int, bands: Int, threshold: Double, minAgree: Int,
       evalIndex: Decontaminate.EvalIndex, evalN: Int,
-      chunkTo: Option[(Int, Int)] = None)(
+      chunkTo: Option[(Int, Int)] = None,
+      optOutState: Option[String] = None)(
       onBatch: (Long, DataFrame, Vector[StageStat]) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -488,8 +499,21 @@ object CorpusPipeline {
         }
         val nIn = batch.count()
         var t0 = System.nanoTime()
-        val (q, nQ) = staged(s"quality>=$minQuality", nIn,
-          batch.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
+        // opt-out screen FIRST (r18): taken-down ids drop before any
+        // content work; zero cost when no takedown has ever drained
+        // (one FS existence check, no jobs, no stage stat)
+        val barred = optOutState
+          .flatMap(d => barredIds(batch.sparkSession, d))
+        val (adm, nAdm) = barred match {
+          case None => (batch, nIn)
+          case Some(b) => staged("optOutScreen", nIn,
+            batch.join(broadcast(b.select(col("doc_id").as("__bar_id"))),
+              col("doc_id") === col("__bar_id"), "left_anti")
+              .drop("__bar_id"), t0)
+        }
+        t0 = System.nanoTime()
+        val (q, nQ) = staged(s"quality>=$minQuality", nAdm,
+          adm.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
         t0 = System.nanoTime()
         val matches = graft.streaming.StreamingDedup
           .checkBatch(q, dedupIndex, n, k, bands, threshold, minAgree)
@@ -560,12 +584,15 @@ object CorpusPipeline {
     * drain even on batches the screens empty out. A drained id is
     * also barred from RE-INGESTION (the loop's opt-out screen — a
     * re-crawl of taken-down content must not resurrect it, and must
-    * not trip the append resurrection guard either). Physical
-    * cleanup is backlog-gated like every other cadence: when the
-    * band tombstone set reaches `compactAtBacklog`, the slot runs
-    * [[compactForgotten]] (measured trigger, not a blind every-N) —
-    * note compaction CLEARS the sets, re-opening those ids for
-    * explicit re-admission, the documented tombstone lifecycle.
+    * not trip the append resurrection guard either). The bar is
+    * DURABLE (r18 advice): drained ids also land in the stateDir's
+    * barred set ([[barIds]]), which [[compactForgotten]] does NOT
+    * clear — so a re-crawl stays barred across any number of
+    * compactions; re-admission is an explicit [[readmit]], never a
+    * side effect of physical cleanup. Physical cleanup is
+    * backlog-gated like every other cadence: when the band tombstone
+    * set reaches `compactAtBacklog`, the slot runs
+    * [[compactForgotten]] (measured trigger, not a blind every-N).
     *
     * Contract: the feed must be READABLE from the first batch — seed
     * an empty typed frame if no request has ever landed (an
@@ -586,13 +613,14 @@ object CorpusPipeline {
       store: Option[CorpusStore] = None,
       compactAtBacklog: Long = Long.MaxValue)
 
-  /** Read the forget-feed high-water (-1 = nothing processed).
-    * Repairs a swap killed between delete and rename: a complete
-    * `hw_new` counts as the value and is promoted. */
-  private def readForgetHw(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Long = {
-    val live = new org.apache.hadoop.fs.Path(dir, "hw")
-    val staged = new org.apache.hadoop.fs.Path(dir, "hw_new")
+  /** Read a tiny rename-swapped long-state file (`<name>` /
+    * `<name>_new` under `dir` — the forget high-water, the persisted
+    * export debt). Repairs a swap killed between delete and rename: a
+    * complete `<name>_new` counts as the value and is promoted. */
+  private def readLongState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String): Option[Long] = {
+    val live = new org.apache.hadoop.fs.Path(dir, name)
+    val staged = new org.apache.hadoop.fs.Path(dir, name + "_new")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def read(p: org.apache.hadoop.fs.Path): Option[Long] =
       if (!fs.exists(p)) None
@@ -607,27 +635,94 @@ object CorpusPipeline {
       val v = read(staged)
       v.foreach { _ =>
         if (!fs.rename(staged, live))
-          throw new java.io.IOException(s"forget hw repair failed: $staged")
+          throw new java.io.IOException(s"state repair failed: $staged")
       }
       v
-    }.getOrElse(-1L)
+    }
   }
 
-  /** Persist the high-water: write `hw_new`, drop `hw`, rename in —
-    * at every intermediate point a complete value exists under one of
-    * the two names ([[readForgetHw]] repairs). */
-  private def writeForgetHw(spark: org.apache.spark.sql.SparkSession,
-      dir: String, v: Long): Unit = {
-    val live = new org.apache.hadoop.fs.Path(dir, "hw")
-    val staged = new org.apache.hadoop.fs.Path(dir, "hw_new")
+  /** Persist a long-state file: write `<name>_new`, drop `<name>`,
+    * rename in — at every intermediate point a complete value exists
+    * under one of the two names ([[readLongState]] repairs). */
+  private def writeLongState(spark: org.apache.spark.sql.SparkSession,
+      dir: String, name: String, v: Long): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir, name)
+    val staged = new org.apache.hadoop.fs.Path(dir, name + "_new")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
     val out = fs.create(staged, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     fs.delete(live, false)
     if (!fs.rename(staged, live))
-      throw new java.io.IOException(s"forget hw rename failed: $staged")
+      throw new java.io.IOException(s"state rename failed: $staged")
     ()
+  }
+
+  /** Read the forget-feed high-water (-1 = nothing processed). */
+  private def readForgetHw(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = readLongState(spark, dir, "hw").getOrElse(-1L)
+
+  private def writeForgetHw(spark: org.apache.spark.sql.SparkSession,
+      dir: String, v: Long): Unit = writeLongState(spark, dir, "hw", v)
+
+  /** The DURABLE barred-ids record behind the opt-out screen (r18
+    * advice — takedowns must survive tombstone compaction): every
+    * drained takedown's doc_id lands here (id-idempotent append), and
+    * the screens consult it INDEPENDENTLY of the index tombstone sets
+    * [[compactForgotten]] clears. Re-ingestion of a taken-down doc
+    * stays barred across any number of compactions until an operator
+    * explicitly re-admits it with [[readmit]]. Lives as a tiny parquet
+    * dir under the ForgetCadence `stateDir` — request-feed sized, not
+    * corpus sized. */
+  def barredIds(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Option[DataFrame] = {
+    val live = new org.apache.hadoop.fs.Path(stateDir, "barred")
+    val staged = new org.apache.hadoop.fs.Path(stateDir, "barred_new")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // repair a readmit swap killed between delete and rename
+    if (!fs.exists(live) && fs.exists(staged) && !fs.rename(staged, live))
+      throw new java.io.IOException(s"barred repair failed: $staged")
+    if (!fs.exists(live)) None
+    else Some(spark.read.parquet(live.toString))
+  }
+
+  /** Bar ids from re-ingestion forever (until [[readmit]]) — the
+    * drain calls this alongside the index tombstones. Idempotent set
+    * semantics (an at-least-once replay never grows the set). */
+  def barIds(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      ids: DataFrame): Unit = {
+    val cast = ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .filter(col("doc_id").isNotNull).distinct()
+    val novel = barredIds(spark, stateDir)
+      .fold(cast)(b => cast.join(b, Seq("doc_id"), "left_anti"))
+    if (!novel.isEmpty) {
+      novel.coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(new org.apache.hadoop.fs.Path(stateDir, "barred").toString)
+      ()
+    }
+  }
+
+  /** Explicitly re-admit ids: remove them from the durable barred set
+    * (rename-swapped rewrite). If the ids are ALSO still tombstoned in
+    * the indexes (no compaction since their takedown), run
+    * [[compactForgotten]] first — the screens consult both records,
+    * and full re-admission means clearing both. */
+  def readmit(spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      ids: DataFrame): Unit = {
+    barredIds(spark, stateDir).foreach { b =>
+      val keep = b.join(
+        ids.select(col(ids.columns.head).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_anti").localCheckpoint(true)
+      val live = new org.apache.hadoop.fs.Path(stateDir, "barred")
+      val staged = new org.apache.hadoop.fs.Path(stateDir, "barred_new")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      keep.coalesce(1).write.mode("overwrite").parquet(staged.toString)
+      fs.delete(live, true)
+      if (!fs.rename(staged, live))
+        throw new java.io.IOException(s"barred rename failed: $staged")
+      ()
+    }
   }
 
   /** Serve a takedown/opt-out request across EVERY stored index the
@@ -656,9 +751,18 @@ object CorpusPipeline {
 
   /** The caller-owned accepted-corpus store for [[forgetWithStore]]:
     * a Hive-partitioned parquet dir (wherever `onBatch` landed the
-    * docs), its partition column, and the doc-id column. */
+    * docs), its partition column, and the doc-id column.
+    * `partitionHintCol` (r18 — VERDICT r17 #2) names an OPTIONAL
+    * column on the takedown request feed carrying the doc's partition
+    * value (a takedown request usually knows the doc's date/source):
+    * hinted requests skip [[graft.store.Maintenance.forgetRows]]'s
+    * detection scan entirely — at 100 TB the difference between a
+    * per-drain corpus pass and touching only the named partitions.
+    * Hint-less rows (null, or the column absent) fall back to the
+    * scan; a WRONG hint leaves the row in place (trusted, per
+    * forgetRows' contract). */
   final case class CorpusStore(dir: String, partitionCol: String,
-      idCol: String = "doc_id")
+      idCol: String = "doc_id", partitionHintCol: Option[String] = None)
 
   /** The COMPLETE takedown (r17 — closes VERDICT r16 #6): one call,
     * one idempotence contract, across the source-of-truth store AND
@@ -677,9 +781,16 @@ object CorpusPipeline {
   def forgetWithStore(spark: org.apache.spark.sql.SparkSession,
       maint: IndexMaintenance, store: CorpusStore,
       ids: DataFrame): Seq[String] = {
-    forget(spark, maint, ids)
+    // index tombstones take the id column alone (each leg's add is
+    // positional-single-column by contract); the store half keeps the
+    // full frame so a partition-hint column rides through
+    val idOnly =
+      if (ids.columns.length > 1 && ids.columns.contains(store.idCol))
+        ids.select(org.apache.spark.sql.functions.col(store.idCol))
+      else ids
+    forget(spark, maint, idOnly)
     graft.store.Maintenance.forgetRows(spark, store.dir,
-      store.partitionCol, ids, store.idCol)
+      store.partitionCol, ids, store.idCol, store.partitionHintCol)
   }
 
   /** Physically drop all tombstoned rows from every configured index
@@ -905,7 +1016,8 @@ object CorpusPipeline {
     // batch's debt, which only makes the next export slightly early).
     // Driver vars die with the query (r12 advice): the first
     // maintenance slot after a (re)start SEEDS them from durable
-    // state — stored corpus vs live manifest for export debt, the
+    // state — the persisted export_debt file (falling back to stored
+    // corpus vs live manifest doc counts for pre-upgrade dirs), the
     // persisted check-base table property for IVF debt — so debt
     // accrued before a restart is never silently forgotten (the
     // failure mode: restarts more frequent than the cadence threshold
@@ -952,15 +1064,25 @@ object CorpusPipeline {
         // to the band screen (tombstones hide it from every probe) and
         // would then hit the append's resurrection guard — killing the
         // query. A takedown also means "do not re-ingest": drop
-        // tombstoned ids here, before any content work. Zero cost when
-        // no tombstone set exists (one catalog lookup, no jobs, no
-        // stage stat); band-table tombstones are the authority, same
-        // as the screen itself.
+        // tombstoned ids here, before any content work. r18: the
+        // DURABLE barred set joins the tombstones as an authority —
+        // compactForgotten clears the tombstone sets, and without the
+        // barred record a post-compaction re-crawl silently re-ingested
+        // taken-down content (advice r17). Zero cost when neither
+        // record exists (one catalog lookup + one FS check, no jobs).
         t0 = System.nanoTime()
+        val barred = maint.forgetFeed
+          .flatMap(fc => barredIds(spark, fc.stateDir))
         val (adm2, nAdm2) =
-          if (!Tombstones.exists(spark, maint.bandTable)) (adm, nAdm)
-          else staged("optOutScreen", nAdm,
-            Tombstones.live(spark, maint.bandTable, adm, "doc_id"), t0)
+          if (!Tombstones.exists(spark, maint.bandTable) && barred.isEmpty)
+            (adm, nAdm)
+          else staged("optOutScreen", nAdm, {
+            val t = Tombstones.live(spark, maint.bandTable, adm, "doc_id")
+            barred.fold(t)(b => t.join(
+              broadcast(b.select(col("doc_id").as("__bar_id"))),
+              col("doc_id") === col("__bar_id"), "left_anti")
+              .drop("__bar_id"))
+          }, t0)
         t0 = System.nanoTime()
         val (q, nQ) = staged(s"quality>=$minQuality", nAdm2,
           adm2.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
@@ -1159,46 +1281,6 @@ object CorpusPipeline {
                 math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
             }
           }
-          // shard-export refresh LAST in the maintenance slot (the
-          // training artifact derives from the store + indexes, so
-          // it re-exports only after both are current for this batch)
-          maint.exportTo.foreach { ec =>
-            // recover-then-read: a crash mid-export last batch left
-            // either the old export (roll back) or the new one (roll
-            // forward) — recover settles which before we read its size
-            val live =
-              if (ShardExport.recover(spark, ec.dir))
-                Some(ShardExport.readManifest(spark, ec.dir)
-                  .agg(sum(col("n_docs"))).head().getLong(0))
-              else None
-            if (!exportSeeded) {
-              exportSeeded = true
-              // first slot after (re)start: the store/manifest doc
-              // count DIVERGENCE is the export debt, whatever a prior
-              // incarnation had accrued — absolute, not max(0, ·):
-              // a post-forget corpus SMALLER than the live export is
-              // exactly as stale as an un-exported growth (the old
-              // seed read it as zero and a quiet corpus never purged
-              // its forgotten docs, r17). The corpus already contains
-              // this batch (onBatch ran first), so the seed subsumes
-              // this batch's nA.
-              exportDebt = live.fold(0L)(e =>
-                math.abs(ec.corpus(spark).count() - e))
-            } else exportDebt += nA
-            val due = live match {
-              case None => true // no export yet: infinitely stale
-              case Some(e) =>
-                e == 0L || exportDebt.toDouble / e >= ec.staleFraction
-            }
-            if (due) {
-              t0 = System.nanoTime()
-              val mf = ShardExport.write(ec.corpus(spark), ec.dir, ec.nShards)
-              val n = mf.agg(sum(col("n_docs"))).head().getLong(0)
-              exportDebt = 0L
-              onMaintain(batchId, StageStat(s"shardExport(docs=$n)", nA, n,
-                math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
-            }
-          }
         }
         // takedown-feed drain (r17) — OUTSIDE the nA>0 gate: requests
         // must process even when the screens empty a batch out. Runs
@@ -1208,19 +1290,36 @@ object CorpusPipeline {
         maint.forgetFeed.foreach { fc =>
           t0 = System.nanoTime()
           val hw = readForgetHw(spark, fc.stateDir)
-          val pending = fc.requests(spark)
-            .select(col("req_id").cast("long").as("req_id"),
-              col("doc_id").cast("long").as("doc_id"))
+          val feed = fc.requests(spark)
+          // partition-hint passthrough (r18): a feed column naming the
+          // doc's store partition lets forgetRows skip its detection
+          // scan (see CorpusStore.partitionHintCol)
+          val hintCols = fc.store.toSeq.flatMap(_.partitionHintCol)
+            .filter(feed.columns.contains).map(col)
+          val pending = feed
+            .select(Seq(col("req_id").cast("long").as("req_id"),
+              col("doc_id").cast("long").as("doc_id")) ++ hintCols: _*)
             .filter(col("req_id") > hw)
           // one bounded agg decides emptiness AND the new high-water
           val head = pending.agg(max(col("req_id")), count(lit(1))).head()
           if (!head.isNullAt(0)) {
             val (newHw, nReq) = (head.getLong(0), head.getLong(1))
-            val ids = pending.select(col("doc_id"))
+            // materialized ONCE: six tombstone legs + the bar + the
+            // store rewrite all consume this frame — lazy, each would
+            // re-read and re-filter the request feed (the CLAUDE.md
+            // multi-consumer rule; request-slice sized, so the
+            // checkpoint is a single tiny job)
+            val ids = pending.select(col("doc_id") +: hintCols: _*)
+              .localCheckpoint(true)
             val parts = fc.store match {
               case Some(st) => forgetWithStore(spark, maint, st, ids)
               case None => forget(spark, maint, ids); Seq.empty
             }
+            // durable bar BEFORE the high-water (same crash contract:
+            // a replay re-bars idempotently) — this is what keeps the
+            // takedown in force after compactForgotten clears the
+            // tombstone sets (r18 advice)
+            barIds(spark, fc.stateDir, ids.select(col("doc_id")))
             // high-water AFTER the forget: a crash in between replays
             // the slice into idempotent tombstone adds and an
             // already-clean store (at-least-once, exactly-once effect)
@@ -1230,9 +1329,11 @@ object CorpusPipeline {
             // reads the post-forget store, and the staleness clock
             // only counted ADDED docs, so a quiet corpus would never
             // purge them. Drained requests count into the same debt;
-            // the next slot's staleness check re-exports at the
-            // configured threshold (a compliance-critical deployment
-            // sets staleFraction accordingly).
+            // the export check below (this very slot — it runs after
+            // the drain precisely so a takedown on a quiet stream
+            // still triggers the re-export, r18 advice) serves it at
+            // the configured threshold (a compliance-critical
+            // deployment sets staleFraction accordingly).
             if (maint.exportTo.isDefined) exportDebt += nReq
             val backlog =
               if (Tombstones.exists(spark, maint.bandTable))
@@ -1244,6 +1345,67 @@ object CorpusPipeline {
               s"forgetFeed(reqs=$nReq storeParts=${parts.size} " +
                 s"backlog=$backlog compacted=$compacted)", nReq, backlog,
               math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
+          }
+        }
+        // shard-export refresh LAST — after the appends AND the
+        // takedown drain, so the training artifact re-derives only
+        // once store + indexes are current for this batch. r18
+        // (advice): OUTSIDE the nA>0 gate — takedown-driven debt on a
+        // stream whose batches all screen out (or stop) must still
+        // re-export; gated on having anything to do, so a genuinely
+        // quiet batch (no accepts, no debt, already seeded) pays
+        // nothing.
+        maint.exportTo.foreach { ec =>
+          if (!exportSeeded || nA > 0 || exportDebt > 0L) {
+            // recover-then-read: a crash mid-export last batch left
+            // either the old export (roll back) or the new one (roll
+            // forward) — recover settles which before we read its size
+            val live =
+              if (ShardExport.recover(spark, ec.dir))
+                Some(ShardExport.readManifest(spark, ec.dir)
+                  .agg(sum(col("n_docs"))).head().getLong(0))
+              else None
+            if (!exportSeeded) {
+              exportSeeded = true
+              // first slot after (re)start: prefer the PERSISTED debt
+              // (r18 advice — a count-delta seed reads offsetting
+              // forgets+appends as zero debt, exactly the staleness
+              // class it was meant to catch), plus whatever this
+              // incarnation accrued before seeding (this batch's
+              // drain) plus this batch's accepts (the persisted clock
+              // predates them); fall back to the store/manifest
+              // doc-count divergence for pre-upgrade export dirs —
+              // absolute, not max(0, ·): a post-forget corpus SMALLER
+              // than the live export is exactly as stale as
+              // un-exported growth. The corpus already contains this
+              // batch (onBatch ran first), so the FALLBACK subsumes
+              // nA and the drain where the persisted path must add
+              // them.
+              exportDebt = readLongState(spark, ec.dir, ".export_debt")
+                .map(_ + exportDebt + nA)
+                .getOrElse(live.fold(0L)(e =>
+                  math.abs(ec.corpus(spark).count() - e)))
+            } else exportDebt += nA
+            val due = live match {
+              // no export yet: infinitely stale — but only once any
+              // content exists to export (a fully-screened-out first
+              // batch must not export a store onBatch never created)
+              case None => nA > 0 || exportDebt > 0L
+              case Some(e) =>
+                e == 0L || exportDebt.toDouble / e >= ec.staleFraction
+            }
+            if (due) {
+              t0 = System.nanoTime()
+              val mf = ShardExport.write(ec.corpus(spark), ec.dir, ec.nShards)
+              val n = mf.agg(sum(col("n_docs"))).head().getLong(0)
+              exportDebt = 0L
+              onMaintain(batchId, StageStat(s"shardExport(docs=$n)", nA, n,
+                math.rint((System.nanoTime() - t0) / 1e5) / 1e4))
+            }
+            // persist the debt clock — restarts seed from it, so debt
+            // accrued across incarnations (including takedown debt on
+            // a quiet stream) is never silently forgotten
+            writeLongState(spark, ec.dir, ".export_debt", exportDebt)
           }
         }
       }

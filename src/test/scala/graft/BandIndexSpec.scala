@@ -299,4 +299,46 @@ class BandIndexSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("pairsAll hot-bucket cap: star fan-out on a planted degenerate bucket, exact all-pairs elsewhere") {
+    // 120 IDENTICAL docs — every (band, key) bucket they land in holds
+    // all 120 (the web-boilerplate skew the cap exists for) — plus one
+    // ordinary small near-dup bucket that must keep exact semantics
+    val flood = (0L until 120L)
+      .map(i => (i, "the same boilerplate sentence repeated across the whole crawl"))
+    val corpus = (flood ++
+      mkDocs(Seq(200L, 201L), "completely different content about spark catalyst plans")
+    ).toDF("doc_id", "text")
+    val (n, k, bands, thr) = (3, 8, 4, 0.3)
+    try {
+      BandIndex.write(corpus, "g_band_cap", n, k, bands, buckets = 4)
+      // census: the flood bucket is visible, sized, and representative'd
+      val sat = BandIndex.saturatedBuckets(spark, "g_band_cap", 50)
+        .select($"bkt_n", $"rep").distinct().as[(Long, Long)].collect().toSeq
+      assert(sat.nonEmpty && sat.forall(_ == (120L, 0L)),
+        s"expected every saturated bucket at (120, rep=0), got $sat")
+
+      val capped = BandIndex.pairsAll(spark, "g_band_cap", thr, bucketCap = 50)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      // the saturated bucket emits a STAR on its min-id representative:
+      // 119 verified edges (jaccard 1.0 — identical docs), NOT 7140
+      val floodEdges = capped.filter(_._2 < 200L)
+      assert(floodEdges.size === 119, s"star fan-out, got ${floodEdges.size}")
+      assert(floodEdges.forall(p => p._1 == 0L && p._3 == 1.0),
+        "every flood edge anchors at the representative")
+      // the small bucket below the cap keeps exact all-pairs output
+      assert(capped.exists(p => p._1 == 200L && p._2 == 201L),
+        "small-bucket pair must survive the cap untouched")
+
+      // above the cap the output is bit-identical to the uncapped form
+      val uncapped = BandIndex.pairsAll(spark, "g_band_cap", thr, bucketCap = 4096)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      assert(uncapped.count(_._2 < 200L) === 120 * 119 / 2,
+        "uncapped flood bucket is the full quadratic pair set")
+      assert(uncapped.exists(p => p._1 == 200L && p._2 == 201L))
+    } finally {
+      Seq("g_band_cap", "g_band_cap_keys", "g_band_cap_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

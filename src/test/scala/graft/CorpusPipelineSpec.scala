@@ -1593,7 +1593,7 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
-  test("forget feed backlog gate: compactAtBacklog triggers compactForgotten, clearing the sets and re-opening explicit re-admission") {
+  test("forget feed backlog gate: compactAtBacklog triggers compactForgotten; the bar SURVIVES compaction and only explicit readmit re-opens ingestion") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val victim =
       "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"
@@ -1644,8 +1644,17 @@ class CorpusPipelineSpec extends SparkSpec {
           e._2.startsWith("forgetFeed") && e._2.contains("compacted=true")),
           maintained.toString)
         assert(!spark.catalog.tableExists("g_fb_band_tombstones"))
-        // the documented lifecycle: post-compaction the id is open for
-        // explicit re-admission — a re-crawl is ACCEPTED again
+        // r18 (advice): the takedown SURVIVES compaction — the durable
+        // barred set still drops the re-crawl even with the tombstone
+        // sets gone; compaction is physical cleanup, not re-admission
+        input.addData(10L -> victim)
+        q.processAllAvailable()
+        assert(spark.read.parquet(storeDir).select("doc_id").as[Long]
+          .collect().sorted.toSeq === Seq(11L),
+          "re-crawl re-ingested after compaction despite the takedown")
+        // only an EXPLICIT readmit re-opens ingestion for the id
+        CorpusPipeline.readmit(spark, feedDir + "_state",
+          Seq(10L).toDF("doc_id"))
         input.addData(10L -> victim)
         q.processAllAvailable()
         assert(spark.read.parquet(storeDir).select("doc_id").as[Long]
@@ -1655,6 +1664,199 @@ class CorpusPipelineSpec extends SparkSpec {
       Seq("g_fb_band", "g_fb_band_keys")
         .flatMap(t => Seq(t, t + "_tombstones"))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("takedown on a QUIET stream still re-exports (export check outside the accepts gate); partition hints ride the feed into the store rewrite") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val victim =
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("g_qt_store").toString + "/corpus"
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("g_qt_feed").toString + "/requests"
+    val exportDir = java.nio.file.Files
+      .createTempDirectory("g_qt_exp").toString + "/shards"
+    // feed schema carries the doc's store partition (a takedown
+    // request usually knows it) — the drain threads it through
+    // CorpusStore.partitionHintCol into forgetRows
+    Seq.empty[(Long, Long, String)].toDF("req_id", "doc_id", "part")
+      .write.parquet(feedDir)
+    def exportedIds: Set[Long] = graft.ml.ShardExport.read(spark, exportDir)
+      .select($"doc_id").as[Long].collect().toSet
+    try {
+      graft.store.Bucketing.dropWithDir(spark, "g_qt_band")
+      graft.store.Bucketing.dropWithDir(spark, "g_qt_band_keys")
+      graft.ml.BandIndex.write(
+        Seq((1L, "one lonely seed doc about geothermal vents and deep pressure"))
+          .toDF("doc_id", "text"),
+        "g_qt_band", n = 3, k = 12, bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_qt_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          exportTo = Some(CorpusPipeline.ExportCadence(exportDir, nShards = 2,
+            corpus = s => s.read.parquet(storeDir).select($"doc_id", $"text"),
+            staleFraction = 0.4)),
+          forgetFeed = Some(CorpusPipeline.ForgetCadence(
+            requests = s => s.read.parquet(feedDir),
+            stateDir = feedDir + "_state",
+            store = Some(CorpusPipeline.CorpusStore(storeDir, "source",
+              partitionHintCol = Some("part")))))),
+        evalIdx, evalN = 3) { (_, acc, _) =>
+        acc.select($"doc_id", $"text")
+          .withColumn("source", concat(lit("s"), ($"doc_id" % 2).cast("string")))
+          .write.mode("append").partitionBy("source").parquet(storeDir)
+      }
+      try {
+        input.addData(10L -> victim,
+          11L -> "eleven elephants wander dusty savannah trails seeking distant water holes")
+        q.processAllAvailable()
+        assert(exportedIds === Set(10L, 11L))
+        // takedown lands (hinted: doc 10 lives in source=s0); the next
+        // batch is all-garbage — the quality screen empties it, nA=0.
+        // r17 deferred the re-export to 'the next slot with accepts',
+        // which on a quiet stream never comes; r18 serves it HERE.
+        Seq((1L, 10L, "s0")).toDF("req_id", "doc_id", "part")
+          .write.mode("append").parquet(feedDir)
+        input.addData(90L -> "!!! ??? !!!")
+        q.processAllAvailable()
+        assert(spark.read.parquet(storeDir).select("doc_id").as[Long]
+          .collect().sorted.toSeq === Seq(11L), "hinted store rewrite ran")
+        assert(exportedIds === Set(11L),
+          "takedown on a quiet stream must still purge the live export")
+      } finally q.stop()
+    } finally {
+      Seq("g_qt_band", "g_qt_band_keys")
+        .flatMap(t => Seq(t, t + "_tombstones"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("restart with OFFSETTING forgets+appends: the persisted debt clock re-exports where a count-delta seed reads zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val victim =
+      "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("g_od_store").toString + "/corpus"
+    val feedDir = java.nio.file.Files
+      .createTempDirectory("g_od_feed").toString + "/requests"
+    val exportDir = java.nio.file.Files
+      .createTempDirectory("g_od_exp").toString + "/shards"
+    Seq.empty[(Long, Long)].toDF("req_id", "doc_id")
+      .write.parquet(feedDir)
+    def start(input: MemoryStream[(Long, String)]) =
+      CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_od_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          exportTo = Some(CorpusPipeline.ExportCadence(exportDir, nShards = 2,
+            corpus = s => s.read.parquet(storeDir).select($"doc_id", $"text"),
+            staleFraction = 1.5)),
+          forgetFeed = Some(CorpusPipeline.ForgetCadence(
+            requests = s => s.read.parquet(feedDir),
+            stateDir = feedDir + "_state",
+            store = Some(CorpusPipeline.CorpusStore(storeDir, "source"))))),
+        evalIdx, evalN = 3) { (_, acc, _) =>
+        acc.select($"doc_id", $"text")
+          .withColumn("source", concat(lit("s"), ($"doc_id" % 2).cast("string")))
+          .write.mode("append").partitionBy("source").parquet(storeDir)
+      }
+    def exportedIds: Set[Long] = graft.ml.ShardExport.read(spark, exportDir)
+      .select($"doc_id").as[Long].collect().toSet
+    try {
+      graft.store.Bucketing.dropWithDir(spark, "g_od_band")
+      graft.store.Bucketing.dropWithDir(spark, "g_od_band_keys")
+      graft.ml.BandIndex.write(
+        Seq((1L, "one lonely seed doc about geothermal vents and deep pressure"))
+          .toDF("doc_id", "text"),
+        "g_od_band", n = 3, k = 12, bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val in1 = MemoryStream[(Long, String)]
+      val q1 = start(in1)
+      try {
+        in1.addData(10L -> victim,
+          11L -> "eleven elephants wander dusty savannah trails seeking distant water holes")
+        q1.processAllAvailable()
+        assert(exportedIds === Set(10L, 11L))
+        // ONE append + ONE forget before the restart: the corpus count
+        // lands back on the manifest count (2 = 2), so the r17
+        // count-delta seed reads debt 0 — while the live export still
+        // serves forgotten doc 10. The persisted clock reads 2.
+        Seq((1L, 10L)).toDF("req_id", "doc_id")
+          .write.mode("append").parquet(feedDir)
+        in1.addData(12L ->
+          "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil")
+        q1.processAllAvailable()
+        assert(exportedIds === Set(10L, 11L), "2/2 < 1.5: not yet due")
+      } finally q1.stop()
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = start(in2)
+      try {
+        // restart batch: seed = persisted(2) + nA(1) = 3; 3/2 >= 1.5
+        // -> the refresh finally purges doc 10
+        in2.addData(13L ->
+          "paper lanterns drift over the festival river while drummers keep gentle time")
+        q2.processAllAvailable()
+        assert(exportedIds === Set(11L, 12L, 13L),
+          "persisted debt must beat the offsetting count-delta")
+      } finally q2.stop()
+    } finally {
+      Seq("g_od_band", "g_od_band_keys")
+        .flatMap(t => Seq(t, t + "_tombstones"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
+  test("streaming chain opt-out screen: a taken-down id re-arriving is dropped before any content work (durable barred set)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("g_soo_state").toString
+    // the takedown drain (ingest loop) wrote the durable bar; this
+    // chain deployment consumes the same stateDir
+    CorpusPipeline.barIds(spark, stateDir, Seq(10L).toDF("doc_id"))
+    val corpusIdx = graft.streaming.StreamingDedup.indexCorpus(
+      Seq((1L, "one lonely seed doc about geothermal vents and deep pressure"))
+        .toDF("doc_id", "text"), n = 3, k = 8, bands = 4)
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val accepted = scala.collection.mutable.ListBuffer[Long]()
+    val screens = scala.collection.mutable.ListBuffer[String]()
+    val q = CorpusPipeline.streaming(
+      input.toDF().toDF("doc_id", "text"), minQuality = 0.0,
+      corpusIdx, n = 3, k = 8, bands = 4, threshold = 0.3, minAgree = 0,
+      evalIndex = evalIdx, evalN = 3,
+      optOutState = Some(stateDir)) { (_, acc, stats) =>
+      accepted.synchronized {
+        accepted ++= acc.select($"doc_id").as[Long].collect(); () }
+      screens.synchronized {
+        screens ++= stats.map(s => s"${s.stage}[${s.docsIn}->${s.docsOut}]"); () }
+    }
+    try {
+      input.addData(
+        10L -> "crimson harbors shelter weary sailors beneath amber lighthouse beams",
+        11L -> "eleven elephants wander dusty savannah trails seeking distant water holes")
+      q.processAllAvailable()
+      assert(accepted.sorted.toSeq === Seq(11L),
+        s"barred id must not pass: $accepted / $screens")
+      assert(screens.exists(_.startsWith("optOutScreen[2->1]")), screens)
+      // readmit re-opens the chain too (shared durable record)
+      CorpusPipeline.readmit(spark, stateDir, Seq(10L).toDF("doc_id"))
+      input.addData(
+        10L -> "crimson harbors shelter weary sailors beneath amber lighthouse beams")
+      q.processAllAvailable()
+      assert(accepted.sorted.toSeq === Seq(10L, 11L))
+    } finally {
+      q.stop()
+      evalIdx.grams.unpersist()
     }
   }
 }

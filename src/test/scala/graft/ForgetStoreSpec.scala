@@ -160,4 +160,89 @@ class ForgetStoreSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
     }
   }
+
+  test("id column resolves by NAME on a multi-column ids frame; a frame lacking it is refused") {
+    val dir = mkStore("byname")
+    try {
+      // doc_id deliberately NOT first — the r17 positional head would
+      // have keyed the rewrite on req_id and deleted nothing (or worse)
+      val reqs = Seq((101L, 3L), (102L, 6L))
+        .toDF("req_id", "doc_id")
+      val touched = Maintenance.forgetRows(spark, dir, "source",
+        reqs, "doc_id")
+      assert(touched === Seq("source=src1"), touched)
+      assert(storeIds(dir) === Seq(1L, 2L, 4L, 5L, 7L, 8L, 9L))
+      // multi-column frame with no matching name: refused loudly, not
+      // silently keyed on the wrong column
+      val bad = Seq((1L, 2L)).toDF("a", "b")
+      intercept[IllegalArgumentException] {
+        Maintenance.forgetRows(spark, dir, "source", bad, "doc_id")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("partition hints skip the detection scan entirely; hint-less rows still scan") {
+    val dir = mkStore("hints")
+    try {
+      // plant a GARBAGE file in an unaffected partition: any detection
+      // scan over the whole store dies on it; a hinted request must
+      // never read it (the observable form of 'no corpus pass')
+      val garbage = new java.io.File(dir, "source=src1/zz_garbage.parquet")
+      java.nio.file.Files.write(garbage.toPath,
+        "this is not a parquet file".getBytes("UTF-8"))
+      // fully-hinted: docs 1 and 4 live in src2 — no scan, no crash
+      val reqs = Seq((1L, "src2"), (4L, "src2")).toDF("doc_id", "part")
+      val touched = Maintenance.forgetRows(spark, dir, "source",
+        reqs, "doc_id", partitionHintCol = Some("part"))
+      assert(touched === Seq("source=src2"))
+      assert(spark.read.parquet(dir + "/source=src2")
+        .select("doc_id").as[Long].collect().sorted.toSeq === Seq(7L))
+      // a hint-less row forces the fallback scan, which hits the
+      // garbage file — proving the hinted path really never scanned
+      val mixed = Seq((2L, null.asInstanceOf[String])).toDF("doc_id", "part")
+      intercept[Exception] {
+        Maintenance.forgetRows(spark, dir, "source",
+          mixed, "doc_id", partitionHintCol = Some("part"))
+      }
+      // cleanup the garbage and the hint-less request drains normally
+      assert(garbage.delete())
+      val t2 = Maintenance.forgetRows(spark, dir, "source",
+        mixed, "doc_id", partitionHintCol = Some("part"))
+      assert(t2 === Seq("source=src3"))
+      assert(!storeIds(dir).contains(2L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("doomed-partition removal is exactly-once: a crash between rename-aside and delete completes as removal, never restores") {
+    val dir = mkStore("doom2")
+    try {
+      val base = new java.io.File(dir)
+      // construct the crash state the r17 protocol left ambiguous:
+      // removal intent durable (doom marker), live dir renamed aside,
+      // delete not yet run — recovery used to RESTORE the aside,
+      // resurrecting physically-deleted rows for any non-same-ids call
+      java.nio.file.Files.createFile(
+        new java.io.File(base, ".forget_doom_source=src1").toPath)
+      assert(new java.io.File(base, "source=src1")
+        .renameTo(new java.io.File(base, ".forget_old_source=src1")))
+      // a LATER call with unrelated ids runs entry recovery: the
+      // removal must complete, not roll back
+      val touched = Maintenance.forgetRows(spark, dir, "source",
+        Seq(999L).toDF("doc_id"), "doc_id")
+      assert(touched.isEmpty)
+      assert(!new java.io.File(base, "source=src1").exists,
+        "doomed partition resurrected by recovery")
+      assert(!new java.io.File(base, ".forget_old_source=src1").exists)
+      assert(!new java.io.File(base, ".forget_doom_source=src1").exists)
+      assert(storeIds(dir) === Seq(1L, 2L, 4L, 5L, 7L, 8L))
+      // a stray marker with the live dir intact (crash BEFORE the
+      // rename-aside) is dropped and the partition untouched
+      java.nio.file.Files.createFile(
+        new java.io.File(base, ".forget_doom_source=src2").toPath)
+      val handled = Maintenance.recoverForgetLeftovers(spark, dir)
+      assert(handled === Seq(".forget_doom_source=src2"))
+      assert(new java.io.File(base, "source=src2").exists)
+      assert(storeIds(dir) === Seq(1L, 2L, 4L, 5L, 7L, 8L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
