@@ -341,7 +341,11 @@ object ShapeQueries {
     // joins (sources²-bounded) ride AQE. Interleaved pin (r17,
     // min-of-5/3): indexed 0.95 vs chain 1.56 s at sf0.1 (1.65x),
     // 1.07 vs 2.37 at sf1 (2.2x — the gap widens with corpus size,
-    // which is the amortization argument).
+    // which is the amortization argument). r18 re-pin with the
+    // pairsAll hot-bucket cap in place (census agg + empty broadcast
+    // anti-join added to the plan): cur 0.92/1.21 min/med vs chain
+    // 0.93/1.33 — the cap's healthy-corpus cost is inside noise and
+    // cur holds its r17 envelope.
     "q99_source_dup_rate" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
