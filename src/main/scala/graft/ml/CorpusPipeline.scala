@@ -740,13 +740,29 @@ object CorpusPipeline {
     * the reference never had.) */
   def forget(spark: org.apache.spark.sql.SparkSession, maint: IndexMaintenance,
       ids: DataFrame): Unit = {
-    BandIndex.addTombstones(spark, maint.bandTable, ids)
-    maint.lexIndexDir.foreach(d => LexIndex.addTombstones(spark, d, ids))
-    maint.ivfTable.foreach(t => IvfIndex.addTombstones(spark, t, ids))
-    maint.sigIndex.foreach(s => SigIndex.addTombstones(spark, s.table, ids))
-    maint.ngramIndex.foreach(n => NgramIndex.addTombstones(spark, n.dir, ids))
+    // the six adds run as concurrent Spark jobs (r18, the append-slot
+    // precedent): each leg owns its table/dir, each add is idempotent
+    // set semantics, and no screen consults a HALF-forgotten state —
+    // the composed call returns only when every leg committed.
+    // Callers passing a lazy ids frame should localCheckpoint it
+    // (ingestAndMaintain's drain does) so six legs don't recompute it.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val legs = Seq.newBuilder[() => Unit]
+    legs += (() => BandIndex.addTombstones(spark, maint.bandTable, ids))
+    maint.lexIndexDir.foreach(d =>
+      legs += (() => LexIndex.addTombstones(spark, d, ids)))
+    maint.ivfTable.foreach(t =>
+      legs += (() => IvfIndex.addTombstones(spark, t, ids)))
+    maint.sigIndex.foreach(s =>
+      legs += (() => SigIndex.addTombstones(spark, s.table, ids)))
+    maint.ngramIndex.foreach(n =>
+      legs += (() => NgramIndex.addTombstones(spark, n.dir, ids)))
     maint.fuzzyIndex.foreach(f =>
-      FuzzyJoin.FuzzyIndex.addTombstones(spark, f.table, ids))
+      legs += (() => FuzzyJoin.FuzzyIndex.addTombstones(spark, f.table, ids)))
+    Await.result(Future.sequence(legs.result().map(l => Future(l()))),
+      scala.concurrent.duration.Duration.Inf)
+    ()
   }
 
   /** The caller-owned accepted-corpus store for [[forgetWithStore]]:
@@ -1190,21 +1206,43 @@ object CorpusPipeline {
           def timedLeg[A](name: String)(body: => A): A = {
             val s0 = System.nanoTime()
             val r = body
-            legSecs += name -> (math.rint((System.nanoTime() - s0) / 1e5) / 1e4)
+            legSecs.synchronized {
+              legSecs += name ->
+                (math.rint((System.nanoTime() - s0) / 1e5) / 1e4)
+            }
             r
           }
-          maint.lexIndexDir.foreach(dir =>
-            timedLeg("lex")(LexIndex.appendBatch(spark, dir, docs)))
-          maint.ivfTable.foreach(t =>
-            timedLeg("ivf")(IvfIndex.append(spark, t, maint.embed(accepted))))
-          maint.sigIndex.foreach(sc =>
-            timedLeg("sig")(SigIndex.append(spark, sc.table, sc.sig(accepted),
+          // the five non-band appends run as CONCURRENT Spark jobs
+          // (r18 — VERDICT r17 #5: the slot's cost is evenly-spread
+          // per-leg job floors, so the lever is overlap, not faster
+          // legs; measured slot wall 7.7-7.8 → 4.6-4.8 s on the Bench
+          // toy loop, same-class window). Safe
+          // by the same contract that made their ORDER irrelevant:
+          // each writes its own table/dir, each is id-idempotent, and
+          // the band append — the screen's sole authority and the
+          // batch's commit point — still runs strictly LAST, after
+          // every future completes. Per-leg clocks are each leg's own
+          // wall time; under overlap they sum to more than the slot.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val appendLegs = Seq.newBuilder[(String, () => Unit)]
+          maint.lexIndexDir.foreach(dir => appendLegs +=
+            ("lex", () => LexIndex.appendBatch(spark, dir, docs)))
+          maint.ivfTable.foreach(t => appendLegs +=
+            ("ivf", () => IvfIndex.append(spark, t, maint.embed(accepted))))
+          maint.sigIndex.foreach(sc => appendLegs +=
+            ("sig", () => SigIndex.append(spark, sc.table, sc.sig(accepted),
               "id", "sig", sc.bands)))
-          maint.ngramIndex.foreach(ng =>
-            timedLeg("ngram")(NgramIndex.append(spark, ng.dir, docs)))
-          maint.fuzzyIndex.foreach(fz =>
-            timedLeg("fuzzy")(FuzzyJoin.FuzzyIndex.append(spark, fz.table,
+          maint.ngramIndex.foreach(ng => appendLegs +=
+            ("ngram", () => NgramIndex.append(spark, ng.dir, docs)))
+          maint.fuzzyIndex.foreach(fz => appendLegs +=
+            ("fuzzy", () => FuzzyJoin.FuzzyIndex.append(spark, fz.table,
               fz.key(accepted), "doc_id", "s", col("blk"))))
+          Await.result(
+            Future.sequence(appendLegs.result().map { case (name, body) =>
+              Future(timedLeg(name)(body()))
+            }),
+            scala.concurrent.duration.Duration.Inf)
           timedLeg("band")(BandIndex.append(spark, maint.bandTable, docs,
             maint.n, maint.k, maint.bands))
           val bucketed = Seq(maint.bandTable,
