@@ -676,6 +676,13 @@ object CorpusPipeline {
     * corpus sized. */
   def barredIds(spark: org.apache.spark.sql.SparkSession,
       stateDir: String): Option[DataFrame] = {
+    // resolved-frame cache (the LexIndex.postingsFrame precedent —
+    // spark.read.parquet pays a per-call listing/footer tax, and the
+    // opt-out screens call this EVERY micro-batch while the set only
+    // changes at drain/readmit time, which invalidate below).
+    // Session-validated: a cached frame from a stopped session is dead.
+    val cached = barredCache.get(stateDir)
+    if (cached != null && (cached.sparkSession eq spark)) return Some(cached)
     val live = new org.apache.hadoop.fs.Path(stateDir, "barred")
     val staged = new org.apache.hadoop.fs.Path(stateDir, "barred_new")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -683,8 +690,18 @@ object CorpusPipeline {
     if (!fs.exists(live) && fs.exists(staged) && !fs.rename(staged, live))
       throw new java.io.IOException(s"barred repair failed: $staged")
     if (!fs.exists(live)) None
-    else Some(spark.read.parquet(live.toString))
+    else {
+      val df = spark.read.parquet(live.toString)
+      barredCache.put(stateDir, df)
+      Some(df)
+    }
   }
+
+  /** Resolved barred-set frames per stateDir; writers ([[barIds]],
+    * [[readmit]]) invalidate. Absence is NOT cached (a miss re-checks
+    * the FS — cheap, and a first takedown must become visible). */
+  private val barredCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Bar ids from re-ingestion forever (until [[readmit]]) — the
     * drain calls this alongside the index tombstones. Idempotent set
@@ -699,6 +716,7 @@ object CorpusPipeline {
       novel.coalesce(1).write
         .mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(new org.apache.hadoop.fs.Path(stateDir, "barred").toString)
+      barredCache.remove(stateDir)
       ()
     }
   }
@@ -721,6 +739,7 @@ object CorpusPipeline {
       fs.delete(live, true)
       if (!fs.rename(staged, live))
         throw new java.io.IOException(s"barred rename failed: $staged")
+      barredCache.remove(stateDir)
       ()
     }
   }

@@ -344,8 +344,9 @@ object ShapeQueries {
     // which is the amortization argument). r18 re-pin with the
     // pairsAll hot-bucket cap in place (census agg + empty broadcast
     // anti-join added to the plan): cur 0.92/1.21 min/med vs chain
-    // 0.93/1.33 — the cap's healthy-corpus cost is inside noise and
-    // cur holds its r17 envelope.
+    // 0.93/1.33 at sf0.1; 1.18/1.32 vs 1.50/1.68 at sf1 — the cap's
+    // healthy-corpus cost is inside noise at both scale points and
+    // cur holds its r17 envelopes (0.95 sf0.1 / 1.07 sf1).
     "q99_source_dup_rate" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val src = docs.select(col("doc_id"), col("source"))
