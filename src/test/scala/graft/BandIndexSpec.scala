@@ -336,6 +336,21 @@ class BandIndexSpec extends SparkSpec {
       assert(uncapped.count(_._2 < 200L) === 120 * 119 / 2,
         "uncapped flood bucket is the full quadratic pair set")
       assert(uncapped.exists(p => p._1 == 200L && p._2 == 201L))
+
+      // plan pin: the cap machinery (census agg + broadcast anti-join
+      // + star join) must not cost the self-join its zero-exchange
+      // property — the band table is bucketed on (band, key) and NO
+      // (band, key) hash exchange may appear anywhere in the plan
+      // (broadcast exchanges for the hot census are expected and fine)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val plan = BandIndex.pairsAll(spark, "g_band_cap", thr, bucketCap = 50)
+          .queryExecution.executedPlan.toString()
+        assert(plan.contains("Bucketed: true"), plan.take(3000))
+        assert("Exchange hashpartitioning\\(band".r.findAllIn(plan).isEmpty,
+          s"capped pairsAll must stay exchange-free on (band,key):\n${plan.take(3000)}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     } finally {
       Seq("g_band_cap", "g_band_cap_keys", "g_band_cap_tombstones")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
