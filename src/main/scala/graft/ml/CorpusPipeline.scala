@@ -679,10 +679,15 @@ object CorpusPipeline {
     // resolved-frame cache (the LexIndex.postingsFrame precedent —
     // spark.read.parquet pays a per-call listing/footer tax, and the
     // opt-out screens call this EVERY micro-batch while the set only
-    // changes at drain/readmit time, which invalidate below).
-    // Session-validated: a cached frame from a stopped session is dead.
-    val cached = barredCache.get(stateDir)
-    if (cached != null && (cached.sparkSession eq spark)) return Some(cached)
+    // changes at drain/readmit time). Keyed on a file-listing
+    // fingerprint, not just writer invalidation (r19 advice: a drain
+    // running in a DIFFERENT process than the screen — ingest JVM vs
+    // a long-lived Serve JVM — writes bars the reader's frozen
+    // InMemoryFileIndex would never see until restart; the
+    // fingerprint costs one listStatus of a request-feed-sized dir
+    // per batch and makes the bar visible at the reader's next
+    // call). Session-validated: a cached frame from a stopped
+    // session is dead.
     val live = new org.apache.hadoop.fs.Path(stateDir, "barred")
     val staged = new org.apache.hadoop.fs.Path(stateDir, "barred_new")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -691,17 +696,28 @@ object CorpusPipeline {
       throw new java.io.IOException(s"barred repair failed: $staged")
     if (!fs.exists(live)) None
     else {
-      val df = spark.read.parquet(live.toString)
-      barredCache.put(stateDir, df)
-      Some(df)
+      val fp = fs.listStatus(live)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|")
+      val cached = barredCache.get(stateDir)
+      if (cached != null && cached._1 == fp &&
+          (cached._2.sparkSession eq spark)) Some(cached._2)
+      else {
+        val df = spark.read.parquet(live.toString)
+        barredCache.put(stateDir, (fp, df))
+        Some(df)
+      }
     }
   }
 
-  /** Resolved barred-set frames per stateDir; writers ([[barIds]],
-    * [[readmit]]) invalidate. Absence is NOT cached (a miss re-checks
+  /** Resolved barred-set frames per stateDir, keyed on the barred
+    * dir's file-listing fingerprint (names carry writer UUIDs, so
+    * both appends and swap rewrites change it even within mtime
+    * granularity); same-JVM writers ([[barIds]], [[readmit]]) ALSO
+    * invalidate eagerly. Absence is NOT cached (a miss re-checks
     * the FS — cheap, and a first takedown must become visible). */
   private val barredCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
   /** Bar ids from re-ingestion forever (until [[readmit]]) — the
     * drain calls this alongside the index tombstones. Idempotent set
@@ -779,7 +795,15 @@ object CorpusPipeline {
       legs += (() => NgramIndex.addTombstones(spark, n.dir, ids)))
     maint.fuzzyIndex.foreach(f =>
       legs += (() => FuzzyJoin.FuzzyIndex.addTombstones(spark, f.table, ids)))
-    Await.result(Future.sequence(legs.result().map(l => Future(l()))),
+    // blocking{} — see the append slot's note: legs block on Spark
+    // jobs; the hint keeps the shared fork-join pool from
+    // serializing them on low-core hosts. Active session pinned per
+    // thread (shared pool threads may carry a stale one).
+    Await.result(Future.sequence(legs.result().map(l =>
+        Future(scala.concurrent.blocking {
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          l()
+        }))),
       scala.concurrent.duration.Duration.Inf)
     ()
   }
@@ -795,9 +819,14 @@ object CorpusPipeline {
     * per-drain corpus pass and touching only the named partitions.
     * Hint-less rows (null, or the column absent) fall back to the
     * scan; a WRONG hint leaves the row in place (trusted, per
-    * forgetRows' contract). */
+    * forgetRows' contract). `auditHintedSample` > 0 (r19 — VERDICT
+    * r18 #3) makes each drain re-probe that many hinted ids against
+    * the store and surface wrong-hint survivors (stderr + a durable
+    * `.forget_audit` parquet under the store) — the compliance path
+    * measuring its own failure mode, at an opt-in sampled cost. */
   final case class CorpusStore(dir: String, partitionCol: String,
-      idCol: String = "doc_id", partitionHintCol: Option[String] = None)
+      idCol: String = "doc_id", partitionHintCol: Option[String] = None,
+      auditHintedSample: Int = 0)
 
   /** The COMPLETE takedown (r17 — closes VERDICT r16 #6): one call,
     * one idempotence contract, across the source-of-truth store AND
@@ -816,16 +845,26 @@ object CorpusPipeline {
   def forgetWithStore(spark: org.apache.spark.sql.SparkSession,
       maint: IndexMaintenance, store: CorpusStore,
       ids: DataFrame): Seq[String] = {
+    // the feed's id column rides under whatever name the caller used
+    // (the drain's contract is `doc_id`); the STORE may key on a
+    // different idCol — resolve the feed's id column to store.idCol
+    // HERE (r19 advice: passing a multi-column [doc_id, hint] frame
+    // through to forgetRows with store.idCol != "doc_id" threw on
+    // every drain, wedging the takedown stream at its high-water)
+    val storeIds =
+      if (ids.columns.contains(store.idCol)) ids
+      else if (ids.columns.contains("doc_id"))
+        ids.withColumnRenamed("doc_id", store.idCol)
+      else if (ids.columns.length == 1)
+        ids.withColumnRenamed(ids.columns.head, store.idCol)
+      else ids // multi-column, no recognizable id — forgetRows refuses loudly
     // index tombstones take the id column alone (each leg's add is
-    // positional-single-column by contract); the store half keeps the
-    // full frame so a partition-hint column rides through
-    val idOnly =
-      if (ids.columns.length > 1 && ids.columns.contains(store.idCol))
-        ids.select(org.apache.spark.sql.functions.col(store.idCol))
-      else ids
-    forget(spark, maint, idOnly)
+    // positional-single-column by contract)
+    forget(spark, maint,
+      storeIds.select(org.apache.spark.sql.functions.col(store.idCol)))
     graft.store.Maintenance.forgetRows(spark, store.dir,
-      store.partitionCol, ids, store.idCol, store.partitionHintCol)
+      store.partitionCol, storeIds, store.idCol, store.partitionHintCol,
+      store.auditHintedSample)
   }
 
   /** Physically drop all tombstoned rows from every configured index
@@ -1076,6 +1115,7 @@ object CorpusPipeline {
             math.rint((System.nanoTime() - t0) / 1e5) / 1e4)
           (mat, nOut)
         }
+        val slotT0 = System.nanoTime()
         val nIn = batch.count()
         var t0 = System.nanoTime()
         // admission FIRST (r13): the DataQuality rule screen —
@@ -1121,77 +1161,119 @@ object CorpusPipeline {
         t0 = System.nanoTime()
         val (q, nQ) = staged(s"quality>=$minQuality", nAdm2,
           adm2.filter(TextAnalysis.qualityScore(col("text")) >= minQuality), t0)
-        t0 = System.nanoTime()
-        // near-dup screen against the STORED band index — prior
-        // accepted batches are already folded in, so cross-batch
-        // duplicates are caught here with no in-memory corpus state
-        val pairs = BandIndex.probe(spark, maint.bandTable,
-          q.select(col("doc_id"), col("text")),
-          maint.n, maint.k, maint.bands, maint.threshold)
-        val (d, nD) = staged("nearDedupScreen", nQ,
-          q.join(dupDropIds(pairs, q.select(col("doc_id"))),
-            Seq("doc_id"), "left_anti"), t0)
-        // signature (multimodal/simhash) near-dup screen against the
-        // stored SigIndex — same probe-before-admit shape as the
-        // minhash screen. Self-pairs (id_a == id_b) are REPLAY ECHOES,
-        // not duplicates: the sig append runs before the band append,
-        // so a batch replayed after a crash between them finds its own
-        // ids in the sig index — dropping on those would silently
-        // shrink the replayed accepted set the store write then
-        // overwrites. The band index stays the sole replay-drop
-        // authority (its append commits the batch).
-        val (d2, nD2) = maint.sigIndex match {
-          case None => (d, nD)
-          case Some(sc) =>
-            t0 = System.nanoTime()
-            val sigPairs = SigIndex.probe(spark, sc.table, sc.sig(d),
+        // --- concurrent screen legs (r19 — VERDICT r18 #1) ---
+        // The probe screens are read-only probes of INDEPENDENT index
+        // tables, and a doc rejected by ANY screen is rejected — the
+        // verdicts compose order-free as a drop-set union. So the legs
+        // evaluate the SAME checkpointed post-quality batch as
+        // concurrent Spark jobs (the r18 append-slot precedent: the
+        // slot cost is evenly-spread per-leg job floors, so the lever
+        // is overlap, not faster legs). Each leg materializes its own
+        // bounded drop-id set (localCheckpoint — that is what makes
+        // the jobs actually overlap); accepts = one anti-join against
+        // the union.
+        //
+        // Semantics vs the old serial chain: every leg sees the FULL
+        // post-quality batch instead of the previous leg's survivors.
+        // For every screen the drop decision is per-doc against a
+        // STORED index (batch×index pairs drop the batch side;
+        // within-batch pairs exist only in the band probe, which ran
+        // FIRST serially too, and in replay echoes), so the union
+        // equals the serial chain's accept set; the one divergence
+        // class is a replay-echo in-batch pair whose classification
+        // depended on an earlier leg's drop — where order-free is the
+        // saner contract (the screens' order was already documented
+        // as irrelevant). Cost note: a leg now probes docs an earlier
+        // leg would have dropped — at micro-batch scale the job floor
+        // dominates that extra row work by construction (measured r18
+        // screens ~4.5-5 s serial on a 100-doc toy batch).
+        //
+        // Screen roles (unchanged): near-dup = stored band index
+        // (cross-batch dups, no in-memory corpus state); sig =
+        // simhash/multimodal SigIndex, self-pairs filtered as REPLAY
+        // ECHOES (sig append precedes the band append — the band
+        // index stays the sole replay-drop authority); containment =
+        // stored n-gram postings (short-inside-long Jaccard blind
+        // spot); fuzzy = stored title table (same title, novel body);
+        // decon = eval-set n-gram screen. Per-leg secs are each leg's
+        // own wall — under overlap they SUM past the slot wall
+        // (attribute from the screenSlot stat).
+        val qDocs = q.select(col("doc_id"), col("text"))
+        val qIds = q.select(col("doc_id"))
+        val screenLegs = Seq.newBuilder[(String, () => DataFrame)]
+        screenLegs += ("nearDedupScreen" -> (() =>
+          dupDropIds(BandIndex.probe(spark, maint.bandTable, qDocs,
+            maint.n, maint.k, maint.bands, maint.threshold), qIds)))
+        maint.sigIndex.foreach { sc =>
+          screenLegs += ("sigDedupScreen" -> (() =>
+            dupDropIds(SigIndex.probe(spark, sc.table, sc.sig(q),
                 "id", "sig", sc.maxDist, sc.bands)
               .filter(col("id_a") =!= col("id_b"))
-              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-            staged("sigDedupScreen", nD,
-              d.join(dupDropIds(sigPairs, d.select(col("doc_id"))),
-                Seq("doc_id"), "left_anti"), t0)
+              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+              qIds)))
         }
-        // containment screen against the stored n-gram postings — the
-        // near-dup class (short-inside-long) Jaccard structurally
-        // under-scores, caught here batch-bounded (see NgramMaintenance)
-        val (d3, nD3) = maint.ngramIndex match {
-          case None => (d2, nD2)
-          case Some(ng) =>
-            t0 = System.nanoTime()
-            val cPairs = NgramIndex.probeContainment(spark, ng.dir,
-                d2.select(col("doc_id"), col("text")),
+        maint.ngramIndex.foreach { ng =>
+          screenLegs += ("containmentScreen" -> (() =>
+            dupDropIds(NgramIndex.probeContainment(spark, ng.dir, qDocs,
                 ng.threshold, ng.dfCap)
-              .select(col("doc_a"), col("doc_b"))
-            staged("containmentScreen", nD2,
-              d2.join(dupDropIds(cPairs, d2.select(col("doc_id"))),
-                Seq("doc_id"), "left_anti"), t0)
+              .select(col("doc_a"), col("doc_b")), qIds)))
         }
-        // fuzzy-identifier screen against the stored title table —
-        // the near-dup class (same title, novel body) every content
-        // screen structurally passes (see FuzzyMaintenance)
-        val (d4, nD4) = maint.fuzzyIndex match {
-          case None => (d3, nD3)
-          case Some(fz) =>
-            t0 = System.nanoTime()
-            val keyed = fz.key(d3)
-            val fPairs = FuzzyJoin.FuzzyIndex.probe(spark, fz.table,
-                keyed, "doc_id", "s", col("blk"), fz.maxDist, fz.blockCap)
-              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-            staged("fuzzyTitleScreen", nD3,
-              d3.join(dupDropIds(fPairs, d3.select(col("doc_id"))),
-                Seq("doc_id"), "left_anti"), t0)
+        maint.fuzzyIndex.foreach { fz =>
+          screenLegs += ("fuzzyTitleScreen" -> (() =>
+            dupDropIds(FuzzyJoin.FuzzyIndex.probe(spark, fz.table,
+                fz.key(q), "doc_id", "s", col("blk"), fz.maxDist,
+                fz.blockCap)
+              .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")),
+              qIds)))
         }
-        t0 = System.nanoTime()
-        val flagged = Decontaminate.screenBatch(d4, evalIndex, evalN)
-          .select(col("doc_id"))
-        val (accepted, nA) = staged("decontaminateScreen", nD4,
-          d4.join(flagged, Seq("doc_id"), "left_anti"), t0)
+        screenLegs += ("decontaminateScreen" -> (() =>
+          Decontaminate.screenBatch(q, evalIndex, evalN)
+            .select(col("doc_id"))))
+        val legDrops = {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(
+            Future.sequence(screenLegs.result().map { case (name, body) =>
+              Future(scala.concurrent.blocking {
+                // pool threads don't inherit this batch's active
+                // session (a shared fork-join thread may carry a
+                // stale one from whatever thread spawned it) — pin it
+                // or anything resolving through SparkSession.active
+                // (registered functions like bit_hamming, conf reads)
+                // lands on the wrong session
+                org.apache.spark.sql.SparkSession.setActiveSession(spark)
+                val lt0 = System.nanoTime()
+                val drops = body().localCheckpoint(true)
+                val nDrop = drops.count()
+                (name, drops, nDrop,
+                  math.rint((System.nanoTime() - lt0) / 1e5) / 1e4)
+              })
+            }), scala.concurrent.duration.Duration.Inf)
+        }
+        // stats in the fixed serial order (the composition pin):
+        // every leg's docsIn is the shared slot input
+        legDrops.foreach { case (name, _, nDrop, secs) =>
+          stats += StageStat(name, nQ, nQ - nDrop, secs)
+        }
+        val dropAll = legDrops.map(_._2: DataFrame)
+          .reduce(_.unionByName(_)).distinct()
+        val accepted = q.join(dropAll, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val nA = accepted.count()
         val out = chunkTo.fold(accepted) { case (sz, stride) =>
           t0 = System.nanoTime()
           staged(s"chunk($sz/$stride)", nA,
             chunkFrame(accepted, sz, stride), t0)._1
         }
+        // screen-slot WALL, batch entry → accepted/chunk materialized
+        // (r19): the per-leg secs in `stats` overlap under the
+        // concurrent legs and SUM past this wall — consumers timing
+        // the slot (Bench's ingest_screen_sec) read THIS stat, the
+        // per-leg clocks are attribution only. Emitted before the
+        // store write so it never absorbs an arbitrarily slow onBatch.
+        onMaintain(batchId, StageStat(
+          s"screenSlot(legs=${legDrops.size})", nIn, nA,
+          math.rint((System.nanoTime() - slotT0) / 1e5) / 1e4))
         // the store write first (onBatch), then the maintenance slot:
         // a crash between the two replays the batch against an index
         // that lacks it (see delivery semantics above)
@@ -1259,7 +1341,15 @@ object CorpusPipeline {
               fz.key(accepted), "doc_id", "s", col("blk"))))
           Await.result(
             Future.sequence(appendLegs.result().map { case (name, body) =>
-              Future(timedLeg(name)(body()))
+              // blocking{}: each leg blocks on Spark job completion —
+              // without the hint a low-core host's fork-join pool
+              // (parallelism = #cores) would serialize the legs and
+              // quietly lose the overlap (r19 advice). Active session
+              // pinned per thread (see the screen legs).
+              Future(scala.concurrent.blocking {
+                org.apache.spark.sql.SparkSession.setActiveSession(spark)
+                timedLeg(name)(body())
+              })
             }),
             scala.concurrent.duration.Duration.Inf)
           timedLeg("band")(BandIndex.append(spark, maint.bandTable, docs,
@@ -1438,7 +1528,15 @@ object CorpusPipeline {
               // batch (onBatch ran first), so the FALLBACK subsumes
               // nA and the drain where the persisted path must add
               // them.
-              exportDebt = readLongState(spark, ec.dir, ".export_debt")
+              // debt lives in a SIBLING state dir, never inside
+              // ec.dir (r19 advice — writeLongState mkdirs its dir,
+              // and a debt file inside a not-yet-created export dir
+              // made bare-existence recovery read a manifest that
+              // wasn't there, killing every restart); the old
+              // in-dir location is read as a migration fallback
+              exportDebt = readLongState(spark, ec.dir + ".state_",
+                  "export_debt")
+                .orElse(readLongState(spark, ec.dir, ".export_debt"))
                 .map(_ + exportDebt + nA)
                 .getOrElse(live.fold(0L)(e =>
                   math.abs(ec.corpus(spark).count() - e)))
@@ -1462,7 +1560,8 @@ object CorpusPipeline {
             // persist the debt clock — restarts seed from it, so debt
             // accrued across incarnations (including takedown debt on
             // a quiet stream) is never silently forgotten
-            writeLongState(spark, ec.dir, ".export_debt", exportDebt)
+            writeLongState(spark, ec.dir + ".state_", "export_debt",
+              exportDebt)
           }
         }
       }

@@ -108,10 +108,16 @@ object ShardExport {
     * complete, roll back otherwise). States, decided from what exists
     * on entry:
     *
-    *  - base present: a live export is serving. Any `.old_` is a
-    *    post-rename-in straggler (write crashed inside its final
-    *    delete) — drop it. An incomplete tmp is a dead writer's
-    *    partial — write clobbers it anyway.
+    *  - base COMPLETE (its `_manifest` exists — the swap is atomic,
+    *    so a dir [[write]] landed always has one; a bare dir without
+    *    it was never an export and must NOT read as one — the r18
+    *    poisoning bug persisted the export-debt file INSIDE `dir`
+    *    before any export existed, and bare-existence recovery then
+    *    sent every restart into a readManifest of nothing): a live
+    *    export is serving. Any `.old_` is a post-rename-in straggler
+    *    (write crashed inside its final delete) — drop it. An
+    *    incomplete tmp is a dead writer's partial — write clobbers it
+    *    anyway.
     *  - base missing, tmp COMPLETE (its `_manifest/_SUCCESS` exists —
     *    the manifest is written last): the writer died between
     *    rename(base→old) and rename(tmp→base), or just before the
@@ -134,14 +140,20 @@ object ShardExport {
     val old = new org.apache.hadoop.fs.Path(dir + ".old_")
     val tmpComplete = fs.exists(
       new org.apache.hadoop.fs.Path(tmp, "_manifest/_SUCCESS"))
-    if (fs.exists(base)) { fs.delete(old, true); true }
+    val baseComplete = fs.exists(
+      new org.apache.hadoop.fs.Path(base, "_manifest"))
+    if (baseComplete) { fs.delete(old, true); true }
     else if (tmpComplete) {
+      // an INCOMPLETE base was never an export (see scaladoc) — it
+      // must not block the complete tmp from landing
+      if (fs.exists(base)) fs.delete(base, true)
       if (!fs.rename(tmp, base))
         throw new java.io.IOException(
           s"shard export roll-forward rename failed for $dir")
       fs.delete(old, true); true
     } else if (fs.exists(old)) {
       fs.delete(tmp, true)
+      if (fs.exists(base)) fs.delete(base, true)
       if (!fs.rename(old, base))
         throw new java.io.IOException(
           s"shard export roll-back rename failed for $dir")

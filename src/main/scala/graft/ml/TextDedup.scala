@@ -156,13 +156,17 @@ object TextDedup {
       threshold: Double): DataFrame = {
     val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    // extra candidate columns (BandIndex.pairsAll's star-edge bkt_n)
+    // ride through the verify untouched
+    val extras = candidates.columns.toSeq
+      .filterNot(Set("doc_a", "doc_b")).map(col)
     candidates
       .join(a, Seq("doc_a")).join(b, Seq("doc_b"))
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         round(col("shared") / (size(col("sh_a")) + size(col("sh_b")) - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a") +: col("doc_b") +: col("jaccard") +: extras: _*)
   }
 
   /** (doc_id, dig) — each doc's distinct shingles md5'd once. The ONE

@@ -41,7 +41,12 @@ object Maintenance {
     * corpus pass per compliance drain, so feeds should hint. Hints
     * are TRUSTED: a wrong hint rewrites the wrong partition and the
     * row survives elsewhere (the fallback for an unsure feed is a
-    * null hint, which buys the scan). The detection semi-join's
+    * null hint, which buys the scan). `auditHintedSample` > 0 (r19 —
+    * the audit path for that trust) re-probes up to that many hinted
+    * ids against the whole store after the rewrite and surfaces
+    * survivors on stderr plus a durable `.forget_audit` parquet —
+    * opt-in because the probe is an id-column store pass; run it
+    * sampled / at a lower cadence than the drain. The detection semi-join's
     * output stays bounded (≤ |partitions| rows); the ids frame rides
     * a broadcast anti-join, not an isin literal. A partition whose
     * every row is doomed is REMOVED (the dir disappears, as a DELETE
@@ -73,7 +78,8 @@ object Maintenance {
     * or removed. */
   def forgetRows(spark: org.apache.spark.sql.SparkSession, baseDir: String,
       partitionCol: String, ids: DataFrame, idCol: String,
-      partitionHintCol: Option[String] = None): Seq[String] = {
+      partitionHintCol: Option[String] = None,
+      auditHintedSample: Int = 0): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return Seq.empty
@@ -158,6 +164,40 @@ object Maintenance {
       touched += dir.getName
     }
     spark.catalog.refreshByPath(baseDir)
+    // sampled HINT AUDIT (r19 — VERDICT r18 #3): hints are trusted,
+    // and a wrong hint's failure mode is silent NON-compliance (the
+    // row survives in its real partition, which the hinted path never
+    // read). When enabled, re-probe a bounded sample of the HINTED
+    // ids against the whole store (column-pruned: the id column only
+    // — unlike the detection scan this is opt-in, sampled, and can
+    // run at a lower cadence than the drain): any survivor is a wrong
+    // hint. Misses are surfaced loudly (stderr) AND durably (a
+    // dot-prefixed parquet under the store, invisible to partition
+    // discovery) so the compliance loop measures its own failure mode.
+    if (auditHintedSample > 0 && hinted.nonEmpty &&
+        fs.listStatus(base).exists(s =>
+          s.isDirectory && s.getPath.getName.contains("="))) {
+      val sampled = ids.filter(col(hintCol.get).isNotNull)
+        .select(idExpr).distinct().limit(auditHintedSample)
+      val survivors = spark.read.parquet(baseDir)
+        .select(col(idCol))
+        .join(broadcast(sampled), Seq(idCol), "left_semi")
+        .distinct()
+        .select(col(idCol).cast("string").as("missed_id"))
+        .localCheckpoint(true)
+      val nMiss = survivors.count()
+      if (nMiss > 0) {
+        val missIds = survivors.limit(20).collect().map(_.getString(0))
+        System.err.println(s"[forget-audit] $baseDir: $nMiss of " +
+          s"<=$auditHintedSample sampled hinted ids still present " +
+          s"after the drain (wrong partition hints): " +
+          missIds.mkString(", "))
+        survivors.coalesce(1).write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(new org.apache.hadoop.fs.Path(base, ".forget_audit")
+            .toString)
+      }
+    }
     touched.result()
   }
 

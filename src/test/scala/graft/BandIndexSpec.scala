@@ -280,7 +280,14 @@ class BandIndexSpec extends SparkSpec {
     val (n, k, bands, thr) = (3, 8, 4, 0.3)
     try {
       BandIndex.write(corpus, "g_band_all", n, k, bands, buckets = 4)
+      // bkt_n (the r19 star-edge weight column) is null on every edge
+      // of a healthy corpus — assert it, then drop it for the chain
+      // differential (the chain has no such column)
+      val gotFull = BandIndex.pairsAll(spark, "g_band_all", thr).collect()
+      assert(gotFull.forall(_.isNullAt(3)),
+        "below the cap every bkt_n must be null")
       val got = BandIndex.pairsAll(spark, "g_band_all", thr)
+        .select($"doc_a", $"doc_b", $"jaccard")
         .as[(Long, Long, Double)].collect().sorted.toSeq
       val ref = TextDedup.minhashLshPairs(corpus, n, k, bands, thr,
           minAgree = 0)
@@ -291,6 +298,7 @@ class BandIndexSpec extends SparkSpec {
       // survive untouched
       BandIndex.addTombstones(spark, "g_band_all", Seq(3L).toDF("doc_id"))
       val after = BandIndex.pairsAll(spark, "g_band_all", thr)
+        .select($"doc_a", $"doc_b", $"jaccard")
         .as[(Long, Long, Double)].collect().sorted.toSeq
       assert(after === ref.filterNot(p => p._1 == 3L || p._2 == 3L))
       assert(after.nonEmpty)
@@ -318,8 +326,11 @@ class BandIndexSpec extends SparkSpec {
       assert(sat.nonEmpty && sat.forall(_ == (120L, 0L)),
         s"expected every saturated bucket at (120, rep=0), got $sat")
 
-      val capped = BandIndex.pairsAll(spark, "g_band_cap", thr, bucketCap = 50)
-        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val cappedFull = BandIndex
+        .pairsAll(spark, "g_band_cap", thr, bucketCap = 50)
+        .select($"doc_a", $"doc_b", $"jaccard", $"bkt_n")
+        .as[(Long, Long, Double, Option[Long])].collect().sorted.toSeq
+      val capped = cappedFull.map(p => (p._1, p._2, p._3))
       // the saturated bucket emits a STAR on its min-id representative:
       // 119 verified edges (jaccard 1.0 — identical docs), NOT 7140
       val floodEdges = capped.filter(_._2 < 200L)
@@ -329,13 +340,31 @@ class BandIndexSpec extends SparkSpec {
       // the small bucket below the cap keeps exact all-pairs output
       assert(capped.exists(p => p._1 == 200L && p._2 == 201L),
         "small-bucket pair must survive the cap untouched")
+      // r19 (VERDICT r18 #1): star edges carry their bucket size so a
+      // rate rollup can reweight; all-pairs edges carry null
+      assert(cappedFull.filter(_._2 < 200L).forall(_._4.contains(120L)),
+        "every star edge must carry bkt_n = 120")
+      assert(cappedFull.filter(_._1 >= 200L).forall(_._4.isEmpty),
+        "small-bucket edges must carry a null bkt_n")
 
       // above the cap the output is bit-identical to the uncapped form
       val uncapped = BandIndex.pairsAll(spark, "g_band_cap", thr, bucketCap = 4096)
+        .select($"doc_a", $"doc_b", $"jaccard")
         .as[(Long, Long, Double)].collect().sorted.toSeq
       assert(uncapped.count(_._2 < 200L) === 120 * 119 / 2,
         "uncapped flood bucket is the full quadratic pair set")
       assert(uncapped.exists(p => p._1 == 200L && p._2 == 201L))
+
+      // the q99 reweight (bkt_n/2 per star edge, 1 per plain edge)
+      // recovers the uncapped TOTAL pair mass exactly on a fully-
+      // verifying bucket: 119 × 120/2 = C(120,2) — the saturated
+      // regime reports mass, not the star's edge count (source
+      // ATTRIBUTION is approximated to the rep's source; the total is
+      // exact, per the pairsAll scaladoc)
+      val reweighted = cappedFull
+        .map(p => p._4.map(_.toDouble / 2.0).getOrElse(1.0)).sum
+      assert(reweighted.toLong === uncapped.size.toLong,
+        s"reweighted mass $reweighted must equal uncapped ${uncapped.size}")
 
       // plan pin: the cap machinery (census agg + broadcast anti-join
       // + star join) must not cost the self-join its zero-exchange

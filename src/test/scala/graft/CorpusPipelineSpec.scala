@@ -941,6 +941,64 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestAndMaintain export: a fully-screened-out first batch must not poison the export dir (r19 advice)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the r18 failure: batch 0 with zero accepts persisted the debt
+    // clock INSIDE the not-yet-created export dir; every later batch
+    // (and every restart) then died reading a manifest that wasn't
+    // there. The debt clock now lives in a sibling state dir.
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files.createTempDirectory("g_poi_store").toString + "/corpus"
+    val exportDir = java.nio.file.Files.createTempDirectory("g_poi_out").toString + "/shards"
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_poi_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_poi_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          exportTo = Some(CorpusPipeline.ExportCadence(exportDir, nShards = 2,
+            corpus = s => s.read.parquet(storeDir), staleFraction = 0.5))),
+        evalIdx, evalN = 3) { (_, acc, _) =>
+        if (!acc.isEmpty)
+          acc.select($"doc_id", $"text").write.mode("append").parquet(storeDir)
+      }
+      try {
+        // batch 0: an exact dup of the seeded corpus — the near-dup
+        // screen drops it, zero accepts, no export due
+        input.addData(
+          500L -> "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening")
+        q.processAllAvailable()
+        assert(!new java.io.File(exportDir).exists(),
+          "a batch with zero accepts must not create (poison) the export dir")
+        // batch 1: a novel doc — accepts, and the export must land
+        // (pre-fix this died in readManifest of the poisoned dir)
+        input.addData(
+          501L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+        assert(graft.ml.ShardExport.readManifest(spark, exportDir)
+          .agg(sum($"n_docs")).head().getLong(0) === 1L)
+        // the debt clock lives in the SIBLING state dir, not inside
+        // the export
+        assert(new java.io.File(exportDir + ".state_", "export_debt").exists(),
+          "debt clock must persist in the sibling state dir")
+        assert(!new java.io.File(exportDir, ".export_debt").exists(),
+          "no debt clock inside the export dir")
+      } finally q.stop()
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_poi_band", "g_poi_band_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ingestAndMaintain IVF cadence: measured debt gates the check; drift from shifted batches fires a rebuild in the loop") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // embedder with a planted distribution shift: docs with id >= 500
@@ -1275,6 +1333,7 @@ class CorpusPipelineSpec extends SparkSpec {
       val accepted = scala.collection.mutable.Map[Long, Set[Long]]()
       val stages = scala.collection.mutable.Map[Long, Vector[CorpusPipeline.StageStat]]()
       val maintained = scala.collection.mutable.Map[Long, CorpusPipeline.StageStat]()
+      val slotStats = scala.collection.mutable.ListBuffer[CorpusPipeline.StageStat]()
       val q = CorpusPipeline.ingestAndMaintain(
         input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
         CorpusPipeline.IndexMaintenance("g_all_band",
@@ -1289,7 +1348,9 @@ class CorpusPipelineSpec extends SparkSpec {
             keyFn, maxDist = 8))),
         evalIdx, evalN = 3,
         onMaintain = (id, st) => maintained.synchronized {
-          maintained(id) = st; () }) { (batchId, acc, st) =>
+          if (st.stage.startsWith("screenSlot")) slotStats += st
+          else maintained(id) = st
+          () }) { (batchId, acc, st) =>
         accepted.synchronized {
           accepted(batchId) = acc.select($"doc_id").as[Long].collect().toSet
           stages(batchId) = st
@@ -1323,6 +1384,14 @@ class CorpusPipelineSpec extends SparkSpec {
       val mstage = maintained(0L).stage
       Seq("lex=", "ivf=", "sig=", "ngram=", "fuzzy=", "band=", "compact=")
         .foreach(leg => assert(mstage.contains(leg), s"$leg missing: $mstage"))
+      // r19: the screen-slot WALL event — five concurrent legs, slot
+      // in/out spanning the whole screen chain; this is the stat
+      // Bench's ingest_screen_sec composes from (per-leg clocks
+      // overlap and may sum past it)
+      val slot = slotStats.toList
+      assert(slot.map(_.stage) === List("screenSlot(legs=5)"), slot.toString)
+      assert(slot.head.docsIn === 2L && slot.head.docsOut === 2L, slot.toString)
+      assert(slot.head.secs >= 0.0)
     } finally {
       evalIdx.grams.unpersist()
       Seq("g_all_band", "g_all_band_keys", "g_all_ivf",
@@ -1858,5 +1927,31 @@ class CorpusPipelineSpec extends SparkSpec {
       q.stop()
       evalIdx.grams.unpersist()
     }
+  }
+
+  test("barred set sees a SECOND-PROCESS write: the resolved-frame cache is keyed on the dir's file listing (r19 advice)") {
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("g_xp_state").toString
+    // reader JVM resolves (and caches) the barred frame
+    CorpusPipeline.barIds(spark, stateDir, Seq(1L).toDF("doc_id"))
+    def ids: Set[Long] = CorpusPipeline.barredIds(spark, stateDir).get
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L))
+    assert(ids === Set(1L)) // cache warm
+    // a DIFFERENT process (the ingest JVM's drain) appends a bar —
+    // simulated by writing to the dir without touching this JVM's
+    // cache invalidation path
+    Seq(2L).toDF("doc_id").coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(new java.io.File(stateDir, "barred").toString)
+    assert(ids === Set(1L, 2L),
+      "a bar written by another process must be visible without restart")
+    // and an out-of-process REWRITE (readmit shrinks the set) too
+    val barredDir = new java.io.File(stateDir, "barred")
+    Seq(3L).toDF("doc_id").coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(barredDir.toString)
+    assert(ids === Set(3L),
+      "an out-of-process rewrite must invalidate the cached frame")
   }
 }

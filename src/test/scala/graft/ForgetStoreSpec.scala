@@ -213,6 +213,72 @@ class ForgetStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("forgetWithStore resolves the feed's doc_id to a store with a different idCol, hints intact (r19 advice)") {
+    // the r18 regression: a [doc_id, hint] feed against a store keyed
+    // on idCol != "doc_id" made every drain throw in forgetRows — the
+    // high-water never advanced and the takedown replayed forever.
+    // forgetWithStore now aliases the feed's id column to store.idCol.
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    val storeDir = java.nio.file.Files.createTempDirectory("g_fstore_uid").toString
+    corpusDocs.withColumnRenamed("doc_id", "uid")
+      .withColumn("source", concat(lit("s"), (col("uid") % 2).cast("string")))
+      .write.mode("overwrite").partitionBy("source").parquet(storeDir)
+    val maint = CorpusPipeline.IndexMaintenance("g_fws_uid_band",
+      n = 3, k = 12, bands = 4, threshold = 0.3)
+    val store = CorpusPipeline.CorpusStore(storeDir, "source",
+      idCol = "uid", partitionHintCol = Some("part"))
+    try {
+      Seq("g_fws_uid_band", "g_fws_uid_band_keys")
+        .foreach(t => graft.store.Bucketing.dropWithDir(spark, t))
+      graft.ml.BandIndex.write(corpusDocs, "g_fws_uid_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      // the drain's feed shape: [doc_id, <hint>]
+      val feed = Seq((10L, "s0")).toDF("doc_id", "part")
+      val touched = CorpusPipeline.forgetWithStore(spark, maint, store, feed)
+      assert(touched === Seq("source=s0"))
+      assert(spark.read.parquet(storeDir).select("uid").as[Long]
+        .collect().toSeq === Seq(11L))
+      // replay is a no-op (both halves idempotent)
+      assert(CorpusPipeline.forgetWithStore(spark, maint, store, feed).isEmpty)
+    } finally {
+      Seq("g_fws_uid_band", "g_fws_uid_band_keys")
+        .flatMap(t => Seq(t, t + "_tombstones"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeDir))
+    }
+  }
+
+  test("hint audit catches a WRONG partition hint; a correct hint audits clean (r19)") {
+    val dir = mkStore("audit")
+    try {
+      // doc 3 lives in src1; the request hints src2 — the hinted path
+      // rewrites src2 (a no-op for doc 3) and doc 3 silently survives
+      val wrong = Seq((3L, "src2")).toDF("doc_id", "part")
+      val touched = Maintenance.forgetRows(spark, dir, "source",
+        wrong, "doc_id", partitionHintCol = Some("part"),
+        auditHintedSample = 16)
+      assert(touched === Seq("source=src2"))
+      assert(storeIds(dir).contains(3L), "the wrong hint leaves the row")
+      // the audit caught it: a durable miss record exists with the id
+      val audit = spark.read.parquet(s"$dir/.forget_audit")
+      assert(audit.select("missed_id").as[String].collect().toSeq === Seq("3"),
+        "audit must record the surviving id")
+      // and the miss record is invisible to partition discovery
+      assert(storeIds(dir) === (1L to 9L))
+      // a CORRECT hint audits clean: no new miss rows
+      val right = Seq((3L, "src1")).toDF("doc_id", "part")
+      Maintenance.forgetRows(spark, dir, "source",
+        right, "doc_id", partitionHintCol = Some("part"),
+        auditHintedSample = 16)
+      assert(storeIds(dir) === Seq(1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L))
+      assert(spark.read.parquet(s"$dir/.forget_audit").count() === 1L,
+        "clean drain must not append misses")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("doomed-partition removal is exactly-once: a crash between rename-aside and delete completes as removal, never restores") {
     val dir = mkStore("doom2")
     try {

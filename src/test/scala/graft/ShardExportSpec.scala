@@ -136,6 +136,43 @@ class ShardExportSpec extends SparkSpec {
     assert(ShardExport.read(spark, dir).count() === 50)
   }
 
+  // r19 advice (high): a dir that EXISTS but holds no _manifest was
+  // never an export — the r18 poisoning state, where the export-debt
+  // clock was persisted INSIDE a not-yet-created export dir. Bare-
+  // existence recovery then declared it readable and every restart
+  // died in readManifest. recover must say "no export" and a
+  // follow-up write must land cleanly over it.
+  test("recover treats a manifest-less dir as no export; write recovers a poisoned dir") {
+    val dir = tmpDir()
+    val poisoned = new java.io.File(dir)
+    poisoned.mkdirs()
+    val out = new java.io.FileOutputStream(new java.io.File(poisoned, ".export_debt"))
+    out.write("3".getBytes("UTF-8")); out.close()
+    assert(!ShardExport.recover(spark, dir),
+      "a dir without _manifest must not read as a live export")
+    assert(poisoned.exists(), "recover must not destroy the dir (legacy debt clock)")
+    val mf = ShardExport.write(corpus(40), dir, 2)
+    assert(mf.agg(sum($"n_docs")).head().getLong(0) === 40L)
+    assert(ShardExport.read(spark, dir).count() === 40)
+    assert(ShardExport.recover(spark, dir))
+  }
+
+  // poisoned base + complete tmp (an r18 deployment that crashed
+  // mid-swap after the poisoning): the incomplete base must not block
+  // the roll-forward
+  test("roll-forward clears a manifest-less base in its way") {
+    val dir = tmpDir()
+    val side = tmpDir()
+    ShardExport.write(corpus(80), side, 2)
+    assert(new java.io.File(side).renameTo(new java.io.File(dir + ".tmp_")))
+    val poisoned = new java.io.File(dir)
+    poisoned.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(poisoned, ".export_debt")).close()
+    assert(ShardExport.recover(spark, dir), "complete tmp must roll forward")
+    assert(ShardExport.read(spark, dir).count() === 80)
+    assert(!new java.io.File(dir + ".tmp_").exists())
+  }
+
   test("pipeline terminal exportShards lands the chain's survivors") {
     val dir = tmpDir()
     val mf = graft.ml.CorpusPipeline(corpus(200))
