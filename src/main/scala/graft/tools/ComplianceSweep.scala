@@ -72,7 +72,7 @@ object ComplianceSweep {
     val r = collection.mutable.LinkedHashMap[String, Double]()
 
     // --- hot-bucket cap: corpus + planted identical-doc flood ---
-    val nFlood = math.max(100L, nDocs / 500L)
+    val nFlood = math.max(100L, nDocs / 50L)
     r("flood_docs") = nFlood.toDouble
     val flood = spark.range(nFlood).select(
       (col("id") + 10000000L).as("doc_id"),
@@ -103,6 +103,12 @@ object ComplianceSweep {
     def reqIds(src: Long) = docs
       .filter(col("doc_id") % 20 === src).select(col("doc_id"))
       .orderBy(col("doc_id")).limit(10)
+    // untimed warmup drain (matches nothing): pays the first-call
+    // recovery listing + parquet reader/writer warmup so the timed
+    // drains measure steady-state, not JVM cold-start (the IngestProbe
+    // discipline)
+    graft.store.Maintenance.forgetRows(spark, storeDir, "source",
+      spark.range(1).select((col("id") - 10L).as("doc_id")), "doc_id")
     val hintedReqs = reqIds(3L).withColumn("part", lit("src3"))
     r("forget_hinted") = time(
       graft.store.Maintenance.forgetRows(spark, storeDir, "source",
