@@ -1223,6 +1223,80 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestAndMaintain restart: a pre-r19 in-dir debt clock is read as migration fallback and re-persisted to the sibling state dir") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"))
+      .toDF("doc_id", "text")
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    val storeDir = java.nio.file.Files.createTempDirectory("g_mig_store").toString + "/corpus"
+    val exportDir = java.nio.file.Files.createTempDirectory("g_mig_out").toString + "/shards"
+    def start(input: MemoryStream[(Long, String)]) =
+      CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.5,
+        CorpusPipeline.IndexMaintenance("g_mig_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          exportTo = Some(CorpusPipeline.ExportCadence(exportDir, nShards = 2,
+            corpus = s => s.read.parquet(storeDir), staleFraction = 0.6))),
+        evalIdx, evalN = 3) { (_, acc, _) =>
+        if (!acc.isEmpty)
+          acc.select($"doc_id", $"text").write.mode("append").parquet(storeDir)
+      }
+    def exportedDocs(): Long =
+      graft.ml.ShardExport.readManifest(spark, exportDir)
+        .agg(sum($"n_docs")).head().getLong(0)
+    try {
+      graft.ml.BandIndex.write(corpusDocs, "g_mig_band", n = 3, k = 12,
+        bands = 4, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val in1 = MemoryStream[(Long, String)]
+      val q1 = start(in1)
+      try {
+        // inc 1: two accepted -> first export (2 docs), debt 0 persisted
+        in1.addData(
+          300L -> "seven silver falcons circle the ancient observatory tower at dusk tonight",
+          301L -> "migrating whales sing layered songs across the cold northern strait waters")
+        q1.processAllAvailable()
+        assert(exportedDocs() === 2L)
+      } finally q1.stop()
+      // rewrite history to the PRE-r19 layout: debt clock INSIDE the
+      // export dir, no sibling state dir. Value 0 makes the two seed
+      // paths distinguishable by OUTCOME after one more accept:
+      // legacy-read seed = 0 + nA(1) -> 1/2 < 0.6 -> no export;
+      // ignoring the legacy file would fall back to |corpus(3) −
+      // live(2)| = 1 ... with nA subsumed the delta path ALSO reads 1
+      // — so plant corpus drift too: write an extra doc straight into
+      // the store (an out-of-band backfill), making the delta read
+      // |4 − 2| = 2 ≥ 0.6·2 -> export. Staying at 2 docs proves the
+      // legacy clock was read.
+      Seq((900L, "out of band backfill document the live manifest has never seen"))
+        .toDF("doc_id", "text").write.mode("append").parquet(storeDir)
+      val legacy = new java.io.File(exportDir, ".export_debt")
+      val out = new java.io.FileOutputStream(legacy)
+      out.write("0".getBytes("UTF-8")); out.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(exportDir + ".state_"))
+      val in2 = MemoryStream[(Long, String)]
+      val q2 = start(in2)
+      try {
+        in2.addData(
+          311L -> "terraced vineyards ripen slowly along the mineral rich volcanic hillside soil")
+        q2.processAllAvailable()
+        assert(q2.exception.isEmpty, s"stream died: ${q2.exception}")
+        assert(exportedDocs() === 2L,
+          "legacy in-dir debt clock must seed the restart (0 + 1 accept < threshold)")
+        // and the clock migrated: sibling carries the post-batch debt
+        assert(new java.io.File(exportDir + ".state_", "export_debt").exists(),
+          "debt must re-persist to the sibling state dir")
+      } finally q2.stop()
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_mig_band", "g_mig_band_keys")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ingestAndMaintain restart: IVF check debt survives a restart via the persisted check-base table property") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def embed(df: org.apache.spark.sql.DataFrame) =
