@@ -867,6 +867,81 @@ object CorpusPipeline {
       store.auditHintedSample)
   }
 
+  /** One-frame compliance/ops status for the whole takedown pipeline
+    * (r19 — the monitoring surface the r16-r19 deletion family was
+    * missing): request-feed lag, durable barred-set size, per-index
+    * tombstone backlogs (what [[compactForgotten]] would physically
+    * drop), export staleness, and wrong-hint audit misses — every
+    * input is request-feed / census sized, so the report is a handful
+    * of bounded jobs regardless of corpus scale, safe to run at
+    * monitoring cadence against a 100 TB deployment. Rows:
+    * (component, metric, value). Components appear only when their
+    * leg is configured/exists; a healthy quiet pipeline reads
+    * pending_requests = 0, stale_fraction < the ExportCadence
+    * threshold, audit_misses = 0. */
+  def complianceReport(spark: org.apache.spark.sql.SparkSession,
+      maint: IndexMaintenance): DataFrame = {
+    val rows = Seq.newBuilder[(String, String, Double)]
+    def dirCount(path: String): Option[Long] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(path)
+        .select(col("doc_id")).distinct().count())
+      else None
+    }
+    def tableCount(table: String): Option[Long] =
+      if (Tombstones.exists(spark, table))
+        Some(spark.table(Tombstones.tableFor(table))
+          .select(col("doc_id")).distinct().count())
+      else None
+    maint.forgetFeed.foreach { fc =>
+      val hw = readForgetHw(spark, fc.stateDir)
+      rows += (("forget_feed", "high_water", hw.toDouble))
+      val pending = fc.requests(spark)
+        .filter(col("req_id").cast("long") > hw).count()
+      rows += (("forget_feed", "pending_requests", pending.toDouble))
+      val barred = barredIds(spark, fc.stateDir)
+        .map(_.count()).getOrElse(0L)
+      rows += (("barred", "ids", barred.toDouble))
+      fc.store.foreach { st =>
+        // audit rows carry missed_id (not doc_id) — raw row count
+        val p = new org.apache.hadoop.fs.Path(st.dir, ".forget_audit")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val n = if (fs.exists(p))
+          spark.read.parquet(p.toString).count() else 0L
+        rows += (("store_audit", "misses", n.toDouble))
+      }
+    }
+    tableCount(maint.bandTable).foreach(n =>
+      rows += (("tombstones", "band", n.toDouble)))
+    maint.lexIndexDir.flatMap(d => dirCount(s"$d/tombstones")).foreach(n =>
+      rows += (("tombstones", "lex", n.toDouble)))
+    maint.ngramIndex.flatMap(ng => dirCount(s"${ng.dir}/tombstones"))
+      .foreach(n => rows += (("tombstones", "ngram", n.toDouble)))
+    maint.ivfTable.flatMap(tableCount).foreach(n =>
+      rows += (("tombstones", "ivf", n.toDouble)))
+    maint.sigIndex.flatMap(s => tableCount(s.table)).foreach(n =>
+      rows += (("tombstones", "sig", n.toDouble)))
+    maint.fuzzyIndex.flatMap(f => tableCount(f.table)).foreach(n =>
+      rows += (("tombstones", "fuzzy", n.toDouble)))
+    maint.exportTo.foreach { ec =>
+      val live =
+        if (ShardExport.recover(spark, ec.dir))
+          Some(ShardExport.readManifest(spark, ec.dir)
+            .agg(sum(col("n_docs"))).head().getLong(0))
+        else None
+      live.foreach(n => rows += (("export", "live_docs", n.toDouble)))
+      val debt = readLongState(spark, ec.dir + ".state_", "export_debt")
+        .orElse(readLongState(spark, ec.dir, ".export_debt"))
+      debt.foreach(d => rows += (("export", "debt", d.toDouble)))
+      for (d <- debt; n <- live; if n > 0)
+        rows += (("export", "stale_fraction",
+          math.rint(d.toDouble / n * 1e4) / 1e4))
+    }
+    import spark.implicits._
+    rows.result().toDF("component", "metric", "value")
+  }
+
   /** Physically drop all tombstoned rows from every configured index
     * — each leg's own staged compaction, each clearing its set only
     * after its rewrite committed (replay-idempotent leg by leg). */

@@ -279,6 +279,65 @@ class ForgetStoreSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("complianceReport: one bounded frame over feed lag, barred set, tombstone backlogs, export staleness, audit misses (r19)") {
+    import graft.ml.{BandIndex, ShardExport}
+    val corpusDocs = Seq(
+      (10L, "crimson harbors shelter weary sailors beneath amber lighthouse beams each evening"),
+      (11L, "eleven elephants wander dusty savannah trails seeking distant water holes"))
+      .toDF("doc_id", "text")
+    val stateDir = java.nio.file.Files.createTempDirectory("g_rep_state").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("g_rep_store").toString + "/corpus"
+    val exportDir = java.nio.file.Files.createTempDirectory("g_rep_out").toString + "/shards"
+    val feedDir = java.nio.file.Files.createTempDirectory("g_rep_feed").toString + "/requests"
+    try {
+      Seq("g_rep_band", "g_rep_band_keys", "g_rep_band_tombstones")
+        .foreach(t => graft.store.Bucketing.dropWithDir(spark, t))
+      BandIndex.write(corpusDocs, "g_rep_band", n = 3, k = 12, bands = 4,
+        buckets = 4)
+      BandIndex.addTombstones(spark, "g_rep_band", Seq(10L).toDF("doc_id"))
+      CorpusPipeline.barIds(spark, stateDir, Seq(10L, 20L).toDF("doc_id"))
+      // three requests, none drained yet (no high-water file → hw -1)
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("req_id", "doc_id")
+        .write.parquet(feedDir)
+      // store + a planted audit miss
+      corpusDocs.withColumn("source", lit("s0"))
+        .write.partitionBy("source").parquet(storeDir)
+      Seq("7").toDF("missed_id").write
+        .parquet(storeDir + "/.forget_audit")
+      // live export of 2 docs with a persisted debt of 3
+      ShardExport.write(corpusDocs, exportDir, 2)
+      val st = new java.io.File(exportDir + ".state_")
+      st.mkdirs()
+      val out = new java.io.FileOutputStream(new java.io.File(st, "export_debt"))
+      out.write("3".getBytes("UTF-8")); out.close()
+
+      val maint = CorpusPipeline.IndexMaintenance("g_rep_band",
+        n = 3, k = 12, bands = 4, threshold = 0.3,
+        exportTo = Some(CorpusPipeline.ExportCadence(exportDir, nShards = 2,
+          corpus = s => s.read.parquet(storeDir), staleFraction = 0.5)),
+        forgetFeed = Some(CorpusPipeline.ForgetCadence(
+          requests = s => s.read.parquet(feedDir),
+          stateDir = stateDir,
+          store = Some(CorpusPipeline.CorpusStore(storeDir, "source")))))
+      val rep = CorpusPipeline.complianceReport(spark, maint)
+        .as[(String, String, Double)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(rep(("forget_feed", "high_water")) === -1.0)
+      assert(rep(("forget_feed", "pending_requests")) === 3.0)
+      assert(rep(("barred", "ids")) === 2.0)
+      assert(rep(("tombstones", "band")) === 1.0)
+      assert(rep(("store_audit", "misses")) === 1.0)
+      assert(rep(("export", "live_docs")) === 2.0)
+      assert(rep(("export", "debt")) === 3.0)
+      assert(rep(("export", "stale_fraction")) === 1.5)
+      // unconfigured legs are absent, not zero-padded
+      assert(!rep.contains(("tombstones", "lex")))
+    } finally {
+      Seq("g_rep_band", "g_rep_band_keys", "g_rep_band_tombstones")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("doomed-partition removal is exactly-once: a crash between rename-aside and delete completes as removal, never restores") {
     val dir = mkStore("doom2")
     try {
