@@ -158,6 +158,52 @@ object ComplianceSweep {
     r("forget_six_legs_replay") =
       time(CorpusPipeline.forget(spark, maint, takedown))
 
+    // --- concurrent screen slot under DATA VOLUME (r19): the Bench
+    // toy loop measures 8-doc job floors; this drives a 10%-of-corpus
+    // batch through the full five-leg screen against the
+    // corpus-scale indexes built above. Every batch doc is already
+    // indexed, so the near-dup screen drops all of it (self-dup
+    // jaccard 1.0) and the maintenance slot is skipped — what's
+    // measured is exactly the five probe legs' overlap at volume:
+    // screen_wall vs screen_legsum is the concurrency evidence at
+    // each scale. ---
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val evalIdx = graft.ml.Decontaminate.indexEval(
+        docs.filter(col("doc_id") === 0L), n = 3, expectedGrams = 100)
+      val walls = collection.mutable.ArrayBuffer[Double]()
+      val sums = collection.mutable.ArrayBuffer[Double]()
+      val input = MemoryStream[(Long, String)]
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.0, maint,
+        evalIdx, evalN = 3,
+        onMaintain = (_, st) => walls.synchronized {
+          if (st.stage.startsWith("screenSlot")) walls += st.secs; ()
+        }) { (_, _, stats) =>
+        sums.synchronized {
+          sums += stats.filter(_.stage.endsWith("Screen")).map(_.secs).sum
+          ()
+        }
+      }
+      try {
+        // warmup batch (parser/JIT — the IngestProbe discipline)
+        input.addData(docs.filter(col("doc_id") % 100 === 42)
+          .limit(200).as[(Long, String)].collect().toSeq: _*)
+        q.processAllAvailable()
+        val big = docs.filter(col("doc_id") % 10 === 1)
+          .as[(Long, String)].collect().toSeq
+        r("screen_batch_docs") = big.size.toDouble
+        input.addData(big: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      evalIdx.grams.unpersist()
+      r("screen_wall_10pct") = walls.lastOption.getOrElse(-1.0)
+      r("screen_legsum_10pct") =
+        sums.lastOption.map(v => math.rint(v * 1e4) / 1e4).getOrElse(-1.0)
+    }
+
     val parts = r.map { case (k, v) =>
       s""""$k":${math.rint(v * 1e4) / 1e4}""" }.mkString(",")
     println(s"""{"sf":"$sfDir","label":"$label","docs":$nDocs,$parts}""")
