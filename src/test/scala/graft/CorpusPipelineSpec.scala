@@ -798,6 +798,66 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("concurrent screens are order-free on the replay-echo divergence class: an in-batch pair keeps its min id even when another leg drops the max (r19)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // The one serial-vs-concurrent divergence class (see the screen
+    // slot scaladoc): doc x (id 500) is an exact dup of the band
+    // corpus — the band leg drops it; the sig index ALREADY holds x
+    // (a replay echo: sig append committed, band append didn't); doc
+    // y (id 400) is a token PERMUTATION of x — identical simhash
+    // (token-bag feature), near-zero 3-shingle jaccard, so only the
+    // sig leg pairs (x_stored, y). The old serial chain classified
+    // that pair against the band leg's SURVIVORS ({y}) — x looked
+    // like a corpus side and y was dropped, leaving NOTHING of a
+    // cluster whose only stored evidence was itself rejected. The
+    // order-free contract classifies against the full batch: (x, y)
+    // is an in-batch pair, the max id drops, y — the cluster's one
+    // representative — survives.
+    val bandText =
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val permText =
+      "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    val sigFn: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      d => graft.ml.TextDedup.simhashSignatures(d)
+        .select(col("doc_id").as("id"), col("simhash").as("sig"))
+    val evalIdx = graft.ml.Decontaminate.indexEval(evalSet, n = 3,
+      expectedGrams = 50)
+    try {
+      graft.ml.BandIndex.write(
+        Seq((1L, bandText)).toDF("doc_id", "text"),
+        "g_oof_band", n = 3, k = 12, bands = 4, buckets = 4)
+      graft.store.Bucketing.dropWithDir(spark, "g_oof_sig")
+      // the replay echo: x's signature is already stored
+      graft.ml.SigIndex.write(
+        sigFn(Seq((500L, bandText)).toDF("doc_id", "text")),
+        "id", "sig", "g_oof_sig", bands = 8, buckets = 4)
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val accepted = scala.collection.mutable.Set[Long]()
+      val q = CorpusPipeline.ingestAndMaintain(
+        input.toDF().toDF("doc_id", "text"), minQuality = 0.0,
+        CorpusPipeline.IndexMaintenance("g_oof_band",
+          n = 3, k = 12, bands = 4, threshold = 0.3,
+          sigIndex = Some(CorpusPipeline.SigMaintenance("g_oof_sig",
+            sigFn, maxDist = 2, bands = 8))),
+        evalIdx, evalN = 3) { (_, acc, _) =>
+        accepted.synchronized {
+          accepted ++= acc.select($"doc_id").as[Long].collect(); () }
+      }
+      try {
+        input.addData(500L -> bandText, 400L -> permText)
+        q.processAllAvailable()
+        assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+        assert(accepted.toSet === Set(400L),
+          s"in-batch pair must keep min id 400: $accepted")
+      } finally q.stop()
+    } finally {
+      evalIdx.grams.unpersist()
+      Seq("g_oof_band", "g_oof_band_keys", "g_oof_sig")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ingestAndMaintain KMV telemetry: per-batch distinct-vocabulary deltas; saturated batch reads zero, drift batch reads its new-token count") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpusDocs = Seq(
