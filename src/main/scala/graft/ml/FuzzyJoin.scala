@@ -148,10 +148,23 @@ object FuzzyJoin {
     * Output: (block_cap, n_exact, n_found, recall), recall under the
     * q71 integer-target emission. Both sides are eagerly
     * materialized (localCheckpoint, bounded by the match volume) so
-    * per-point aggregation does not re-run the verify stages. */
+    * per-point aggregation does not re-run the verify stages.
+    *
+    * r19 (opt): the two materializations are INDEPENDENT read-only
+    * pipelines over the shared persisted `base` (exact = sample ×
+    * corpus brute force; found = blocked self-join), so they run as
+    * concurrent driver-future jobs — the CorpusPipeline screen-leg
+    * idiom (Future + blocking{} on the global pool, Await outside).
+    * Spark's CacheManager serializes per-partition population of
+    * `base`, so the race to first-materialize is safe. Wall clock
+    * becomes max(leg) instead of sum(leg); AbBench interleaved
+    * adjudication in the q137 scaladoc note. `concurrentLegs = false`
+    * restores the serial form (the A/B lever; semantics identical
+    * either way — both legs are deterministic and share nothing but
+    * the persisted input). */
   def blockingRecallProbe(df: DataFrame, idCol: String, strCol: String,
       blockKey: Column, maxDist: Int, isSample: Column,
-      blockCaps: Seq[Int]): DataFrame = {
+      blockCaps: Seq[Int], concurrentLegs: Boolean = true): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(blockCaps.nonEmpty, "need at least one blockCap point")
     require(blockCaps.forall(_ >= 1), s"blockCaps must be >= 1, got $blockCaps")
@@ -173,7 +186,7 @@ object FuzzyJoin {
       // corpus, and the prefilter is what keeps its constant small
       val q = base.filter(col("is_smp"))
         .select(col("id").as("qid"), col("s").as("qs"), col("cv").as("qcv"))
-      val exact = broadcast(q)
+      val exactPlan = broadcast(q)
         .join(base.select(col("id"), col("s"), col("cv")),
           col("qid") =!= col("id") &&
             abs(length(col("qs")) - length(col("s"))) <= maxDist)
@@ -182,7 +195,6 @@ object FuzzyJoin {
         .select(least(col("qid"), col("id")).as("id_a"),
           greatest(col("qid"), col("id")).as("id_b"))
         .distinct()
-        .localCheckpoint()
       // one blocked run at the loosest cap, each pair tagged with its
       // block population — tighter caps filter on bn
       val maxCap = blockCaps.max
@@ -198,14 +210,22 @@ object FuzzyJoin {
         col("s").as("s_a"), col("cv").as("cv_a"), col("is_smp").as("smp_a"))
       val b = keep.select(col("blk"), col("id").as("id_b"),
         col("s").as("s_b"), col("cv").as("cv_b"), col("is_smp").as("smp_b"))
-      val found = a.join(b, Seq("blk"))
+      val foundPlan = a.join(b, Seq("blk"))
         .filter(col("id_a") < col("id_b"))
         .filter(col("smp_a") || col("smp_b"))
         .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
         .filter(countFilterPasses(col("cv_a"), col("cv_b"), maxDist))
         .filter(levenshtein(col("s_a"), col("s_b")) <= maxDist)
         .select(col("id_a"), col("id_b"), col("bn"))
-        .localCheckpoint()
+      val (exact, found) =
+        if (concurrentLegs) {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val ef = Future(scala.concurrent.blocking { exactPlan.localCheckpoint() })
+          val ff = Future(scala.concurrent.blocking { foundPlan.localCheckpoint() })
+          (Await.result(ef, scala.concurrent.duration.Duration.Inf),
+            Await.result(ff, scala.concurrent.duration.Duration.Inf))
+        } else (exactPlan.localCheckpoint(), foundPlan.localCheckpoint())
       blockCaps.distinct.sorted.map { cap =>
         exact.join(
             found.filter(col("bn") <= cap)

@@ -1847,6 +1847,47 @@ object AbBench {
       spark.catalog.clearCache(); r
     }
 
+    // q137 leg-overlap probe (r19 opt): the shipped
+    // blockingRecallProbe now materializes its exact/found legs as
+    // concurrent driver futures; this is the serial form (the
+    // pre-r19 shape) for interleaved adjudication against q137_cur.
+    def q137Serial(): Long = {
+      val docs = graft.Tables.t(spark, sfDir, "documents").select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 14)).as("title"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+      val r = graft.ml.FuzzyJoin.blockingRecallProbe(docs, "doc_id", "title",
+          col("blk"), maxDist = 8, isSample = col("doc_id") < 100,
+          blockCaps = Seq(3, 64), concurrentLegs = false)
+        .orderBy(col("block_cap")).count()
+      spark.catalog.clearCache(); r
+    }
+
+    // q77 composition probe (r19 opt): q51/q131/q139 all
+    // localCheckpoint the edge list before DedupClusters.assign (the
+    // executeTake scale-up re-runs the LSH verify stage per attempt
+    // on an un-materialized frame); q77 ships WITHOUT the checkpoint.
+    // Same-session A/B against the shipped form.
+    def q77Ckpt(): Long = {
+      val docs = graft.Tables.t(spark, sfDir, "documents")
+      val pairs = graft.ml.TextDedup.minhashLshPairs(docs, n = 3, k = 12,
+          bands = 4, threshold = 0.3, minAgree = 5)
+        .localCheckpoint()
+      val scored = docs.select(col("doc_id"),
+        round(graft.ml.TextAnalysis.qualityScore(col("text")), 4).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      val r = graft.ml.DedupClusters.assign(docs.select(col("doc_id")), pairs)
+        .join(scored, Seq("doc_id"))
+        .withColumn("sz", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))))
+        .filter(col("sz") > 1)
+        .withColumn("keep", when(row_number().over(w) === 1, 1L).otherwise(0L))
+        .select(col("cluster_id"), col("doc_id"), col("quality"), col("keep"))
+        .count()
+      spark.catalog.clearCache(); r
+    }
+
     // q126 stage isolates (r16 — VERDICT r15 #7): attribute the
     // 1.26 s probe across batch tokenize / merged re-cap census /
     // pair expansion. The fixture split (batch = docs >= 400 = 92% of
@@ -2137,6 +2178,8 @@ object AbBench {
       "q131_nocf" -> (() => q131NoCf()),
       "q51_cur" -> (() => entry("q51_dedup_clusters")),
       "q51_ckpt" -> (() => q51Ckpt()),
+      "q77_cur" -> (() => entry("q77_canonical_selection")),
+      "q77_ckpt" -> (() => q77Ckpt()),
       "q65_cur" -> (() => entry("q65_shipping_priority")),
       "q66_cur" -> (() => entry("q66_promo_share")),
       "q67_cur" -> (() => entry("q67_cust_order_distribution")),
@@ -2146,6 +2189,7 @@ object AbBench {
       "q137_found_side" -> (() => q137Side(false)),
       "q136_exact_only" -> (() => q136ExactOnly()),
       "q137_cur" -> (() => entry("q137_fuzzy_block_recall")),
+      "q137_serial" -> (() => q137Serial()),
       "q138_cur" -> (() => entry("q138_bigram_backoff")),
       "q139_cur" -> (() => entry("q139_cluster_split")),
       "q146_cur" -> (() => entry("q146_containment_indexed_full")),
