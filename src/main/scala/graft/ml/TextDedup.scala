@@ -909,15 +909,43 @@ object TextDedup {
     * one side new, same verify + minAgree semantics as
     * [[minhashLshPairs]]. */
   def minhashLshPairsIncremental(docs: DataFrame, isNew: Column, n: Int,
-      k: Int, bands: Int, threshold: Double, minAgree: Int = 0): DataFrame = {
+      k: Int, bands: Int, threshold: Double, minAgree: Int = 0): DataFrame =
+    minhashLshPairsIncrementalImpl(docs, isNew, n, k, bands, threshold,
+      minAgree, forceJoinFlag = false)
+
+  /** [[minhashLshPairsIncremental]] with the pre-r19 join-attached
+    * flag forced — the AbBench A/B lever; identical output. */
+  private[graft] def minhashLshPairsIncrementalImpl(docs: DataFrame,
+      isNew: Column, n: Int, k: Int, bands: Int, threshold: Double,
+      minAgree: Int, forceJoinFlag: Boolean): DataFrame = {
     require(bands * (k / bands) == k, "k must divide into bands evenly")
     // same one-md5-pass digest sharing as minhashLshPairs
     val withDig = shingleDigests(shingleSets(docs, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignaturesFromDigests(withDig, k)
-    // attach the new-batch flag (two-column frame, broadcast-friendly)
-    val bk = bandKeyTable(sig, k, bands)
-      .join(docs.select(col("doc_id"), isNew.as("is_new")), Seq("doc_id"))
+    // attach the new-batch flag. r19 (opt): when the predicate only
+    // references doc_id it evaluates INLINE on the band table — the
+    // band rows carry docs' own doc_id attribute through the
+    // projection chain, so the expression resolves there directly
+    // (by exprId for pre-resolved Columns, by name for col("…")
+    // ones). The join form attached a docs-cardinality two-column
+    // frame onto the docs×bands band table: broadcast-sized at bench
+    // scale but corpus-sized at 100 TB, where it would force either
+    // a corpus broadcast or a full band-table shuffle — a flag
+    // evaluation is free at every scale. Predicates over other
+    // columns (an ingest_ts watermark) keep the join fallback.
+    // Column↔Expression bridges are private in Spark 4 (the
+    // BitHamming registry note) — read the predicate's referenced
+    // attributes off an analyzed one-column projection instead
+    // (driver-only, no job).
+    val isNewRefs = docs.select(isNew.as("is_new"))
+      .queryExecution.analyzed.references.map(_.name).toSet
+    val bkBase = bandKeyTable(sig, k, bands)
+    val bk =
+      if (!forceJoinFlag && isNewRefs.subsetOf(Set("doc_id")))
+        bkBase.withColumn("is_new", isNew)
+      else
+        bkBase.join(docs.select(col("doc_id"), isNew.as("is_new")), Seq("doc_id"))
     val ds2 = col("ds2")
     val pairs = bk
       .groupBy(col("band"), col("key"))

@@ -1544,6 +1544,42 @@ object AbBench {
         .groupBy(col("gram"), col("source"))
         .agg(count(lit(1)).as("df_src")).count()
     }
+    // q89 window→agg swap (r19 opt): n_sources via groupBy(gram) +
+    // collect_list instead of count().over(Window.partitionBy(gram))
+    // — same exchange count, but the gram-cardinality pass becomes a
+    // hash aggregate (no sort). per_src lists are bounded by the
+    // source count (20), so the collect_list state is tiny.
+    def q89GramAgg(): Long = {
+      val toks = col("toks")
+      val grams = transform(toks, (x, i) =>
+        concat_ws(" ", x, get(toks, i + lit(1)), get(toks, i + lit(2))))
+      val d = graft.Tables.t(spark, sfDir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("source"),
+          explode_outer(when(size(toks) >= 3,
+            array_distinct(slice(grams, lit(1), size(toks) - 2)))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+        .filter(col("gram").isNotNull)
+        .groupBy(col("gram"), col("source"))
+        .agg(count(lit(1)).as("df_src"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("df_src").desc, col("gram"))
+      val r = d.groupBy(col("gram"))
+        .agg(count(lit(1)).as("n_sources"),
+          collect_list(struct(col("source"), col("df_src"))).as("per_src"))
+        .filter(col("n_sources") <= 3)
+        .select(col("gram"), col("n_sources"), explode(col("per_src")).as("ps"))
+        .select(col("ps.source").as("source"), col("gram"),
+          col("ps.df_src").as("df_src"), col("n_sources"))
+        .filter(col("df_src") >= 2)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .count()
+      spark.catalog.clearCache(); r
+    }
+
     def q89HashAgg(): Long = {
       val th = col("th")
       val grams = transform(th, (x, i) =>
@@ -1862,6 +1898,19 @@ object AbBench {
       spark.catalog.clearCache(); r
     }
 
+    // q73 flag-attach probe (r19 opt): the shipped incremental LSH
+    // now evaluates a doc_id-only isNew predicate INLINE on the band
+    // table; this is the pre-r19 join-attached form for interleaved
+    // adjudication against q73_cur.
+    def q73JoinFlag(): Long = {
+      val r = graft.ml.TextDedup.minhashLshPairsIncrementalImpl(
+          graft.Tables.t(spark, sfDir, "documents"),
+          isNew = col("doc_id") >= 400, n = 3, k = 12, bands = 4,
+          threshold = 0.3, minAgree = 5, forceJoinFlag = true)
+        .orderBy(col("doc_a"), col("doc_b")).count()
+      spark.catalog.clearCache(); r
+    }
+
     // q77 composition probe (r19 opt): q51/q131/q139 all
     // localCheckpoint the edge list before DedupClusters.assign (the
     // executeTake scale-up re-runs the LSH verify stage per attempt
@@ -2108,6 +2157,8 @@ object AbBench {
       "q89_collect" -> (() => q89Collect()),
       "q89_aggonly" -> (() => q89AggOnly()),
       "q89_hashagg" -> (() => q89HashAgg()),
+      "q89_cur" -> (() => entry("q89_source_boilerplate")),
+      "q89_gramagg" -> (() => q89GramAgg()),
       "q32_current" -> (() => q32Current()),
       "q32_expand" -> (() => q32Expand()),
       "q32_digests" -> (() => q32Digests()),
@@ -2180,6 +2231,7 @@ object AbBench {
       "q51_ckpt" -> (() => q51Ckpt()),
       "q77_cur" -> (() => entry("q77_canonical_selection")),
       "q77_ckpt" -> (() => q77Ckpt()),
+      "q73_joinflag" -> (() => q73JoinFlag()),
       "q65_cur" -> (() => entry("q65_shipping_priority")),
       "q66_cur" -> (() => entry("q66_promo_share")),
       "q67_cur" -> (() => entry("q67_cust_order_distribution")),

@@ -76,6 +76,32 @@ class MlSpec extends SparkSpec {
     assert(incAgree.contains((1L, 4L, 1.0))) // identical docs agree on all slots
   }
 
+  test("incremental minhash: inline flag path equals the join path " +
+      "and non-doc_id predicates take the fallback") {
+    // r19 opt: a doc_id-only isNew evaluates inline on the band table
+    // (no flag-attach join); forceJoinFlag replays the pre-r19 join
+    // form — outputs must be identical.
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val inline = asSet(TextDedup.minhashLshPairsIncremental(corpus,
+      isNew = $"doc_id" >= 4L, n = 3, k = 12, bands = 4, threshold = 0.3,
+      minAgree = 5))
+    val joined = asSet(TextDedup.minhashLshPairsIncrementalImpl(corpus,
+      isNew = $"doc_id" >= 4L, n = 3, k = 12, bands = 4, threshold = 0.3,
+      minAgree = 5, forceJoinFlag = true))
+    assert(inline === joined)
+    assert(inline.contains((1L, 4L, 1.0)))
+    // a predicate over a NON-doc_id column must route through the
+    // join fallback (the inline form could not resolve it on the
+    // band table) and still produce the correct pair set
+    val flagged = corpus.withColumn("batch", $"doc_id" >= 4L)
+    val viaOther = asSet(TextDedup.minhashLshPairsIncremental(flagged,
+      isNew = $"batch", n = 3, k = 12, bands = 4, threshold = 0.3,
+      minAgree = 5))
+    assert(viaOther === inline)
+  }
+
   test("simhash: identical docs share signature, near-dups are close") {
     val sigs = TextDedup.simhashSignatures(corpus)
       .as[(Long, String)].collect().toMap
