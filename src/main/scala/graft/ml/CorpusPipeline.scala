@@ -1533,15 +1533,25 @@ object CorpusPipeline {
             // checkpoint is a single tiny job)
             val ids = pending.select(col("doc_id") +: hintCols: _*)
               .localCheckpoint(true)
+            // durable bar CONCURRENT with the forget legs (r19 opt —
+            // the screen/append-slot idiom): the bar parquet and the
+            // index/store forget touch disjoint storage, both are
+            // idempotent, and neither has an ordering contract with
+            // the other — only the high-water below must wait for
+            // BOTH (same crash contract: a replay re-bars and
+            // re-tombstones idempotently; a bar failure propagates
+            // from the Await before the high-water ever advances)
+            val barF = {
+              import scala.concurrent.ExecutionContext.Implicits.global
+              scala.concurrent.Future(scala.concurrent.blocking {
+                barIds(spark, fc.stateDir, ids.select(col("doc_id"))) })
+            }
             val parts = fc.store match {
               case Some(st) => forgetWithStore(spark, maint, st, ids)
               case None => forget(spark, maint, ids); Seq.empty
             }
-            // durable bar BEFORE the high-water (same crash contract:
-            // a replay re-bars idempotently) — this is what keeps the
-            // takedown in force after compactForgotten clears the
-            // tombstone sets (r18 advice)
-            barIds(spark, fc.stateDir, ids.select(col("doc_id")))
+            scala.concurrent.Await.result(barF,
+              scala.concurrent.duration.Duration.Inf)
             // high-water AFTER the forget: a crash in between replays
             // the slice into idempotent tombstone adds and an
             // already-clean store (at-least-once, exactly-once effect)
