@@ -1544,6 +1544,9 @@ object CorpusPipeline {
             val barF = {
               import scala.concurrent.ExecutionContext.Implicits.global
               scala.concurrent.Future(scala.concurrent.blocking {
+                // active session pinned per thread — the forget-leg
+                // idiom (shared pool threads may carry a stale one)
+                org.apache.spark.sql.SparkSession.setActiveSession(spark)
                 barIds(spark, fc.stateDir, ids.select(col("doc_id"))) })
             }
             val parts = fc.store match {

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Blocked edit-distance record linkage — the fuzzy join a curation
@@ -221,10 +221,23 @@ object FuzzyJoin {
         if (concurrentLegs) {
           import scala.concurrent.{Await, Future}
           import scala.concurrent.ExecutionContext.Implicits.global
-          val ef = Future(scala.concurrent.blocking { exactPlan.localCheckpoint() })
-          val ff = Future(scala.concurrent.blocking { foundPlan.localCheckpoint() })
-          (Await.result(ef, scala.concurrent.duration.Duration.Inf),
+          // active session pinned per thread (the forget-leg idiom —
+          // shared pool threads may carry a stale one in
+          // multi-session JVMs, e.g. test suites)
+          val ef = Future(scala.concurrent.blocking {
+            SparkSession.setActiveSession(spark); exactPlan.localCheckpoint() })
+          val ff = Future(scala.concurrent.blocking {
+            SparkSession.setActiveSession(spark); foundPlan.localCheckpoint() })
+          // await BOTH to completion before the finally-unpersist can
+          // run: if one leg throws, the other must not be left
+          // consuming the cache while `base` is unpersisted under it
+          // (r19 advice). Try awaits both; the first failure
+          // propagates after both settle.
+          val er = scala.util.Try(
+            Await.result(ef, scala.concurrent.duration.Duration.Inf))
+          val fr = scala.util.Try(
             Await.result(ff, scala.concurrent.duration.Duration.Inf))
+          (er.get, fr.get)
         } else (exactPlan.localCheckpoint(), foundPlan.localCheckpoint())
       blockCaps.distinct.sorted.map { cap =>
         exact.join(

@@ -938,11 +938,19 @@ object TextDedup {
     // BitHamming registry note) — read the predicate's referenced
     // attributes off an analyzed one-column projection instead
     // (driver-only, no job).
-    val isNewRefs = docs.select(isNew.as("is_new"))
-      .queryExecution.analyzed.references.map(_.name).toSet
+    val isNewAnalyzed = docs.select(isNew.as("is_new")).queryExecution.analyzed
+    val isNewRefs = isNewAnalyzed.references.map(_.name).toSet
+    // determinism required for the inline path (r19 advice): the join
+    // form evaluates the predicate once per DOC, the inline form once
+    // per BAND ROW — a non-deterministic predicate (rand()-based, with
+    // an EMPTY reference set that would pass the refs check) could
+    // give a doc's bands disagreeing is_new values and diverge the
+    // pair set. Deterministic + doc_id-only ⇒ per-row ≡ per-doc.
+    val isNewDeterministic = isNewAnalyzed.expressions.forall(_.deterministic)
     val bkBase = bandKeyTable(sig, k, bands)
     val bk =
-      if (!forceJoinFlag && isNewRefs.subsetOf(Set("doc_id")))
+      if (!forceJoinFlag && isNewDeterministic &&
+          isNewRefs.subsetOf(Set("doc_id")))
         bkBase.withColumn("is_new", isNew)
       else
         bkBase.join(docs.select(col("doc_id"), isNew.as("is_new")), Seq("doc_id"))

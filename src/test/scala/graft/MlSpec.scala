@@ -100,6 +100,20 @@ class MlSpec extends SparkSpec {
       isNew = $"batch", n = 3, k = 12, bands = 4, threshold = 0.3,
       minAgree = 5))
     assert(viaOther === inline)
+    // r20 (r19 advice): a NON-DETERMINISTIC predicate — even one with
+    // an empty reference set, which would pass the doc_id-refs check —
+    // must take the join fallback, where it evaluates once per doc.
+    // Inline it would run once per band row and a doc's bands could
+    // disagree on is_new. rand() >= 0 is vacuously true, so the pair
+    // set must equal the all-new full run's.
+    import org.apache.spark.sql.functions.rand
+    val viaNonDet = asSet(TextDedup.minhashLshPairsIncremental(corpus,
+      isNew = rand() >= 0, n = 3, k = 12, bands = 4, threshold = 0.3,
+      minAgree = 5))
+    val allNew = asSet(TextDedup.minhashLshPairsIncremental(corpus,
+      isNew = $"doc_id" >= 0L, n = 3, k = 12, bands = 4, threshold = 0.3,
+      minAgree = 5))
+    assert(viaNonDet === allNew)
   }
 
   test("simhash: identical docs share signature, near-dups are close") {
